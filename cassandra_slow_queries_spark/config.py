@@ -1,0 +1,34 @@
+"""Analysis configuration.
+
+Mirrors the reference CLI surface (analyze_slow_queries.py:85-109,
+:1309-1321): report caps, HAVING threshold, and the configurable sort key
+used by every top-N report.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+VALID_ORDER_BY = ("duration", "avg_duration", "count")
+
+
+@dataclass(frozen=True)
+class AnalysisConfig:
+    """Report shaping knobs (defaults = reference CLI defaults,
+    analyze_slow_queries.py:1315-1317)."""
+
+    top_n: int = 100
+    rows_per_minute: int = 5
+    order_by: str = "duration"
+    min_count: int = 5
+    # Dimension inputs (already parsed, driver-side; tiny → broadcast).
+    # schema: {keyspace: {cf: {"primary_key": [...], "clustering_key": [...]}}}
+    schema: dict = field(default_factory=dict)
+    # queries: [{"start": str, "parameters": [str]}] — prefix patterns, order = priority
+    queries: list = field(default_factory=list)
+    # tags: {tag: keyspace}
+    tags: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.order_by not in VALID_ORDER_BY:
+            raise ValueError(f"order_by must be one of {VALID_ORDER_BY}, got {self.order_by!r}")

@@ -1,0 +1,216 @@
+"""Log-line / CQL parsing as native Spark expressions (SURVEY.md §2.4).
+
+Every function here returns a :class:`pyspark.sql.Column` built solely from
+``pyspark.sql.functions`` — the whole parse stage compiles into Catalyst
+expressions inside whole-stage codegen, with zero Python on the executor
+hot path. That is the load-bearing design decision for 100 TB scale: the
+reference does the identical work row-at-a-time in CPython
+(analyze_slow_queries.py:939-983, :454-476), which is exactly the
+anti-pattern Spark's vectorized JVM expressions replace.
+
+Semantics are pinned to the reference (file:line cites on each function);
+unit tests in tests/test_parse.py table-drive the edge cases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Markers from the reference log grammar (analyze_slow_queries.py:950-975).
+SLOW_MARKER = "Query too slow, took "
+MS_MARKER = " ms: "
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def str_slice(col: Column | str, before: str, after: str) -> Column:
+    """Substring strictly between the first ``before`` and the first
+    ``after`` that follows it; NULL if either marker is missing.
+
+    Expression form of the reference's find/slice helper
+    (analyze_slow_queries.py:295-316). ``locate`` is 1-indexed; 0 means
+    "not found", mirroring ``str.find() == -1``.
+    """
+    s = _col(col)
+    start = F.locate(before, s)  # 1-based position of `before`, 0 if absent
+    rest = F.substring(s, start + F.lit(len(before)), F.lit(2147483647))
+    end = F.locate(after, rest)
+    return (
+        F.when((start > 0) & (end > 0), F.substring(rest, 1, end - 1))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def parse_timestamp(col: Column | str) -> Column:
+    """``'%Y-%m-%dT%H:%M:%S.%fZ'`` → timestamp (analyze_slow_queries.py:913)."""
+    return F.to_timestamp(_col(col), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+
+
+def get_log(message: Column | str) -> Column:
+    """Positional parse of the slow-query log line → struct
+    ``(duration string, counts string, bound_values string, query string)``.
+
+    Reference grammar (analyze_slow_queries.py:939-983)::
+
+        ... Query too slow, took <duration> ms: [N bound values] <CQL>; [k:'v', ...]
+
+    - ``duration``: text between ``'Query too slow, took '`` and the first
+      ``' ms: '`` after it (NULL if either marker is missing — the
+      reference raises and the row is dropped upstream; here the caller
+      filters on ``duration IS NOT NULL``).
+    - ``counts``: the ``[N bound values]`` block **including** brackets,
+      present only when the char right after ``' ms: '`` is ``[``
+      (:959-965).
+    - ``bound_values``: from ``'; ['``/``'] ['`` + 2 to end of line,
+      searched only when ``counts`` was present (:967-975).
+    - ``query``: the text between; includes the terminating ``;``/``]``
+      character exactly as the reference slices it (:975-977).
+    """
+    msg = _col(message)
+    slow_pos = F.locate(SLOW_MARKER, msg)
+    after_slow = F.substring(msg, slow_pos + F.lit(len(SLOW_MARKER)), F.lit(2147483647))
+    ms_pos = F.locate(MS_MARKER, after_slow)
+    duration = F.when(
+        (slow_pos > 0) & (ms_pos > 0), F.substring(after_slow, 1, ms_pos - 1)
+    ).otherwise(F.lit(None).cast("string"))
+    # remainder of the line after ' ms: '
+    tail = F.substring(after_slow, ms_pos + F.lit(len(MS_MARKER)), F.lit(2147483647))
+
+    has_counts = F.substring(tail, 1, 1) == "["
+    counts_end = F.locate("]", tail)  # first ']' (reference :961)
+    counts = F.when(has_counts & (counts_end > 0), F.substring(tail, 1, counts_end))
+    # reference: ptr = end + 2 → skip ']' and the following space (:963)
+    body = F.when(
+        has_counts & (counts_end > 0),
+        F.substring(tail, counts_end + F.lit(2), F.lit(2147483647)),
+    ).otherwise(tail)
+
+    # bound values are only looked for when a counts block existed (:969)
+    semi_pos = F.locate("; [", body)
+    brkt_pos = F.locate("] [", body)
+    bv_pos = F.when(semi_pos > 0, semi_pos).when(brkt_pos > 0, brkt_pos)
+    bound_values = F.when(
+        has_counts & bv_pos.isNotNull(),
+        F.substring(body, bv_pos + F.lit(2), F.lit(2147483647)),
+    )
+    # query = body[:bv_pos] inclusive of the ';'/']' char (reference rptr = start + 1)
+    query = F.when(
+        has_counts & bv_pos.isNotNull(), F.substring(body, 1, bv_pos)
+    ).otherwise(body)
+
+    valid = duration.isNotNull()
+    return F.struct(
+        duration.alias("duration"),
+        F.when(valid, counts).alias("counts"),
+        F.when(valid, bound_values).alias("bound_values"),
+        F.when(valid, query).alias("query"),
+    )
+
+
+def parse_bound_values(col: Column | str) -> Column:
+    """``[k:'v', k2:'v2']`` → ``map<string,string>``.
+
+    Reference semantics (analyze_slow_queries.py:454-476): strip ALL
+    ``[``/``]`` anywhere, split on bare ``,``, each piece split on the
+    first ``:``; key trimmed of spaces, value stripped of leading/trailing
+    single quotes; pieces without ``:`` are dropped. (Values containing
+    commas therefore break exactly as they do in the reference — pinned
+    behavior, see tests.) NULL input → empty map (caller guard,
+    :636-638).
+    """
+    raw = _col(col)
+    cleaned = F.regexp_replace(raw, r"[\[\]]", "")
+    pairs = F.split(cleaned, ",")
+    entries = F.filter(pairs, lambda p: F.locate(":", p) > 0)
+    kv = F.transform(
+        entries,
+        lambda p: F.struct(
+            F.trim(F.substring_index(p, ":", 1)).alias("key"),
+            # value = everything after the FIRST ':' (split(':', 1) in the
+            # reference), single quotes stripped from both ends
+            F.regexp_replace(
+                F.substr(p, F.locate(":", p) + F.lit(1)), r"^'+|'+$", ""
+            ).alias("value"),
+        ),
+    )
+    result = F.map_from_entries(kv)
+    empty = F.create_map().cast("map<string,string>")
+    return F.when(raw.isNotNull(), F.coalesce(result, empty)).otherwise(empty)
+
+
+def select_table_segment(query: Column | str) -> Column:
+    """Table segment of a SELECT: between ``' FROM '`` and the next space,
+    with ``' from '`` and ``';'``-terminated fallbacks, tried in the
+    reference's exact order (analyze_slow_queries.py:686-694).
+
+    Note the reference tries ``(' FROM ', ' ')`` before ``(' FROM ', ';')``
+    — so ``SELECT a FROM t;`` (no trailing space) resolves via the third
+    attempt, and a query with BOTH gives the space-terminated slice.
+    """
+    q = _col(query)
+    return F.coalesce(
+        str_slice(q, " FROM ", " "),
+        str_slice(q, " from ", " "),
+        str_slice(q, " FROM ", ";"),
+        str_slice(q, " from ", ";"),
+    )
+
+
+def insert_table_segment(query: Column | str) -> Column:
+    """Table segment of an INSERT: after ``'INSERT INTO '`` up to the next
+    space (analyze_slow_queries.py:766-769)."""
+    q = _col(query)
+    return F.coalesce(
+        str_slice(q, "INSERT INTO ", " "),
+        str_slice(q, "insert into ", " "),
+    )
+
+
+def split_keyspace_cf(table: Column | str) -> Column:
+    """``ks.cf`` → struct ``(keyspace, column_family)``, both lowercased;
+    a bare ``cf`` yields NULL keyspace (to be filled by the
+    keyspace-guess join, operators/enrich.py).
+
+    Reference (analyze_slow_queries.py:518-525) splits on ``'.'`` and
+    unpacks exactly two parts — a table with >1 dot raises there (row
+    dropped); here the same shape yields NULLs via the two-part guard.
+    """
+    t = _col(table)
+    parts = F.split(t, r"\.")
+    two = F.size(parts) == 2
+    return F.struct(
+        F.when(two, F.lower(parts[0])).alias("keyspace"),
+        F.when(two, F.lower(parts[1]))
+        .otherwise(F.when(F.size(parts) == 1, F.lower(t)))
+        .alias("column_family"),
+    )
+
+
+def minute_bucket(ts: Column | str) -> Column:
+    """Timestamp → ``'yyyy-MM-dd HH:mm'`` string grouping key
+    (analyze_slow_queries.py:1010). String form is kept for CSV parity;
+    the streaming variant groups on ``F.window(ts, '1 minute')`` instead.
+    """
+    return F.date_format(F.date_trunc("minute", _col(ts)), "yyyy-MM-dd HH:mm")
+
+
+def assemble_primary_key(bound_values: Column | str, pk_fields: Column | str) -> Column:
+    """Join the bound values of the schema's partition-key fields with
+    ``'-'``, skipping fields missing from the map.
+
+    Reference (analyze_slow_queries.py:491-500): iterate
+    ``schema[ks][cf]['primary_key']`` in declared order, look each up in
+    ``bound_values``, join found values with ``'-'`` (missing fields are
+    skipped with a warning; zero found fields → empty string). NULL
+    ``pk_fields`` (no schema row for ks.cf) → NULL, matching the
+    reference's ``return None`` on KeyError (:501-504).
+    """
+    bv = _col(bound_values)
+    fields = _col(pk_fields)
+    vals = F.filter(
+        F.transform(fields, lambda f: bv.getItem(f)), lambda v: v.isNotNull()
+    )
+    return F.when(fields.isNotNull(), F.concat_ws("-", vals))

@@ -1,0 +1,153 @@
+"""The full analysis pipeline: raw logs → parsed facts → five reports.
+
+Spark re-expression of the reference lifecycle (SURVEY.md §3.1):
+
+1. scan + parse (narrow stage, all codegen'd expressions),
+2. enrichment via broadcast joins (still narrow — no fact shuffle),
+3. optional Parquet materialization of the fact frame (the reference's
+   ``processed.json``, analyze_slow_queries.py:141-142, and its TODO :62),
+4. persist-once fan-out into five grouped aggregations.
+
+Observability: dropped-row reasons are surfaced with ``observe()`` named
+metrics — the Spark-native form of the reference's aggregated incident
+logger (analyze_slow_queries.py:209-292).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from cassandra_slow_queries_spark.config import AnalysisConfig
+from cassandra_slow_queries_spark.functions.parse import (
+    get_log,
+    parse_bound_values,
+    parse_timestamp,
+)
+from cassandra_slow_queries_spark.operators.aggregates import five_reports
+from cassandra_slow_queries_spark.operators.dispatch import is_enriched, statement_type
+from cassandra_slow_queries_spark.operators.enrich import (
+    apply_query_patterns,
+    attach_primary_key,
+    resolve_keyspace_cf,
+    table_segment_expr,
+)
+
+FACT_COLUMNS = [
+    "ts",
+    "type",
+    "duration",
+    "query",
+    "bound_values",
+    "tags",
+    "keyspace",
+    "column_family",
+    "primary_key",
+]
+
+
+def parse_messages(
+    raw: DataFrame, spark: SparkSession, config: AnalysisConfig
+) -> DataFrame:
+    """Raw log frame ``(ts_raw, message, tags)`` → parsed fact frame
+    (schema per FIXTURES.md A2 / analyze_slow_queries.py:917-926).
+
+    Rows the reference would raise-and-skip on are filtered: unparseable
+    timestamp or log grammar, non-integer duration, or no matching
+    statement processor (:932-934, :1296-1304).
+    """
+    parsed = (
+        raw.withColumn("ts", parse_timestamp("ts_raw"))
+        .withColumn("_log", get_log(F.col("message")))
+        .select(
+            "ts",
+            "tags",
+            F.col("_log.duration").alias("_duration_str"),
+            F.col("_log.counts").alias("_counts"),
+            F.col("_log.bound_values").alias("_bv_str"),
+            F.col("_log.query").alias("_raw_query"),
+        )
+        .withColumn("duration", F.col("_duration_str").cast("long"))
+        .withColumn("type", statement_type(F.col("_raw_query")))
+        .filter(
+            F.col("ts").isNotNull()
+            & F.col("duration").isNotNull()
+            & F.col("type").isNotNull()
+        )
+    )
+
+    # Bound values parse for SELECT/INSERT (BATCH/DELETE/UPDATE carry an
+    # empty map — reference ret default, :922).
+    empty_map = F.create_map().cast("map<string,string>")
+    parsed = parsed.withColumn(
+        "_bv_parsed",
+        F.when(
+            is_enriched("type") & F.col("_bv_str").isNotNull(),
+            parse_bound_values(F.col("_bv_str")),
+        ).otherwise(empty_map),
+    )
+
+    # Pattern rewrite applies to SELECT only (analyze_slow_queries.py:641-646);
+    # pattern-extracted values override parsed bound values (dict.update →
+    # map_concat under LAST_WIN).
+    rewritten = apply_query_patterns(F.col("_raw_query"), config.queries)
+    parsed = (
+        parsed.withColumn(
+            "_rw", F.when(F.col("type") == "SELECT", rewritten)
+        )
+        .withColumn(
+            "query", F.coalesce(F.col("_rw.query"), F.col("_raw_query"))
+        )
+        .withColumn(
+            "bound_values",
+            F.when(
+                F.col("_rw").isNotNull(),
+                F.map_concat(F.col("_bv_parsed"), F.col("_rw.bound_values")),
+            ).otherwise(F.col("_bv_parsed")),
+        )
+    )
+
+    # Table segment → keyspace / column family → primary key (broadcast joins).
+    parsed = parsed.withColumn(
+        "table_segment", table_segment_expr(F.col("type"), F.col("query"))
+    )
+    parsed = resolve_keyspace_cf(parsed, spark, config)
+    # Non-enriched types carry no ks/cf at all (reference returns only
+    # type/duration/query for BATCH/DELETE/UPDATE).
+    parsed = parsed.withColumn(
+        "keyspace", F.when(is_enriched("type"), F.col("keyspace"))
+    ).withColumn(
+        "column_family", F.when(is_enriched("type"), F.col("column_family"))
+    )
+    parsed = attach_primary_key(parsed, spark, config)
+    parsed = parsed.withColumn(
+        "primary_key", F.when(is_enriched("type"), F.col("primary_key"))
+    ).withColumn(
+        "bound_values", F.when(is_enriched("type"), F.col("bound_values")).otherwise(empty_map)
+    )
+    return parsed.select(*FACT_COLUMNS)
+
+
+def run_analysis(
+    spark: SparkSession,
+    raw: DataFrame,
+    config: AnalysisConfig,
+    fact_parquet_path: str | None = None,
+) -> dict[str, DataFrame]:
+    """Parse + enrich, optionally materialize the fact frame to Parquet
+    (the re-analyzable intermediate), then build the five reports off one
+    persisted frame."""
+    fact = parse_messages(raw, spark, config)
+    if fact_parquet_path:
+        fact.write.mode("overwrite").parquet(fact_parquet_path)
+        fact = spark.read.parquet(fact_parquet_path)
+    else:
+        fact = fact.persist(StorageLevel.MEMORY_AND_DISK)
+    return five_reports(fact, config)
+
+
+def parse_observation() -> Observation:
+    """Named-metric observation to attach on the raw frame for drop
+    accounting (incident-logger analog)."""
+    return Observation("parse_metrics")

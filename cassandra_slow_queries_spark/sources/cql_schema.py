@@ -1,0 +1,132 @@
+"""CQL DDL dump → schema dimension (SURVEY.md S5/P10).
+
+The schema file is tiny (KBs) and is consumed as a broadcast dimension, so
+it is parsed once on the driver — deliberately NOT a distributed job. The
+parse reproduces the reference's line-oriented state machine
+(analyze_slow_queries.py:319-418): a ``CREATE TABLE ks.cf`` line opens a
+table, the following ``PRIMARY KEY`` line closes it, with three accepted
+forms::
+
+    PRIMARY KEY ((pk1, pk2), ck1)     -- composite partition key
+    PRIMARY KEY (pk, ck1, ck2)        -- flat: first col is the partition key
+    col type PRIMARY KEY              -- inline single-column form
+
+Output dimension schema:
+``keyspace string, column_family string, primary_key array<string>,
+clustering_key array<string>``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def _slice_between(s: str, before: str, after: str) -> str | None:
+    start = s.find(before)
+    if start == -1:
+        return None
+    s = s[start + len(before) :]
+    end = s.find(after)
+    if end == -1:
+        return None
+    return s[:end]
+
+
+def parse_cql_schema(schema_text: str) -> dict:
+    """DDL text → ``{keyspace: {cf: {primary_key: [...], clustering_key: [...]}}}``.
+
+    Mirrors analyze_slow_queries.py:324-364 including its quirks: a
+    ``CREATE TABLE`` with no ``PRIMARY KEY`` line leaves an empty dict for
+    that table; a ``PRIMARY KEY`` line with no open table raises.
+    """
+    ret: dict = {}
+    keyspace = None
+    column_family = None
+    for line in schema_text.splitlines():
+        if "CREATE TABLE" in line:
+            keyspace = _slice_between(line, "CREATE TABLE ", ".")
+            column_family = _slice_between(line, ".", " ")
+            if keyspace is not None:
+                ret.setdefault(keyspace, {}).setdefault(column_family, {})
+        if "PRIMARY KEY (" in line:
+            if not keyspace or not column_family:
+                raise ValueError(f"Unable to process schema line {line!r}")
+            pk, ck = _parse_compound_keys(line)
+            ret[keyspace][column_family] = {"primary_key": pk, "clustering_key": ck}
+            keyspace = column_family = None
+        elif "PRIMARY KEY" in line:
+            if not keyspace or not column_family:
+                raise ValueError(f"Unable to process schema line {line!r}")
+            col = line.strip(" ,").replace(" PRIMARY KEY", "").split(" ")[0]
+            ret[keyspace][column_family] = {"primary_key": [col], "clustering_key": []}
+            keyspace = column_family = None
+    return ret
+
+
+def _parse_compound_keys(line: str) -> tuple[list[str], list[str]]:
+    """``PRIMARY KEY ((a, b), c)`` → ([a, b], [c]);
+    ``PRIMARY KEY (a, b, c)`` → ([a], [b, c])."""
+    body = line.replace("PRIMARY KEY ", "")
+    if body.lstrip().startswith("(("):
+        body = body.lstrip()
+        close = body.find(")")
+        partition = body[:close].replace("((", "")
+        pk = [v.strip() for v in partition.split(",")]
+        clustering = body[close + 1 :].replace(")", "").replace("(", "")
+        ck = [v.strip() for v in clustering.split(",") if v.strip()]
+    else:
+        flat = body.replace("(", "").replace(")", "").replace(";", "")
+        keys = [v.strip() for v in flat.split(",") if v.strip()]
+        pk, ck = keys[:1], keys[1:]
+    return pk, ck
+
+
+DIM_SCHEMA = StructType(
+    [
+        StructField("keyspace", StringType()),
+        StructField("column_family", StringType()),
+        StructField("primary_key", ArrayType(StringType())),
+        StructField("clustering_key", ArrayType(StringType())),
+    ]
+)
+
+
+def schema_dimension(spark: SparkSession, schema: dict | str) -> DataFrame:
+    """Schema dict (or raw DDL text) → broadcast-ready dimension DataFrame."""
+    if isinstance(schema, str):
+        schema = parse_cql_schema(schema)
+    rows = [
+        (
+            ks,
+            cf,
+            meta.get("primary_key"),
+            meta.get("clustering_key"),
+        )
+        for ks, cfs in schema.items()
+        for cf, meta in cfs.items()
+    ]
+    return spark.createDataFrame(rows, DIM_SCHEMA)
+
+
+def cf_keyspace_dimension(spark: SparkSession, schema: dict | str) -> DataFrame:
+    """Inverted cf → keyspace guess dimension with the collision sentinel.
+
+    Reference (analyze_slow_queries.py:553-567): a column family appearing
+    in more than one keyspace is poisoned to ``'unknown'`` at build time.
+    Built here with a deterministic aggregate instead of dict iteration
+    order.
+    """
+    from pyspark.sql import functions as F
+
+    dim = schema_dimension(spark, schema)
+    return dim.groupBy("column_family").agg(
+        F.when(F.count_distinct("keyspace") > 1, F.lit("unknown"))
+        .otherwise(F.min("keyspace"))
+        .alias("guessed_keyspace")
+    )

@@ -1,0 +1,127 @@
+"""Kibana/Elasticsearch `_msearch` result JSON → raw log DataFrame.
+
+Reference behavior (analyze_slow_queries.py:1264-1306): iterate
+``responses[*].hits.hits[*]._source``; read ``@timestamp``, ``message``
+with ``@message`` fallback, ``tags`` defaulting to ``[]``; keep only rows
+whose message contains ``'Query too slow'``; malformed hits are warned and
+skipped (permissive).
+
+Spark-first shape: one multi-path ``spark.read.json`` (multi-file union =
+S4 for free), an explicit nested schema (never infer on 100 TB of JSON),
+two ``explode``s, and the cheap ``contains`` filter placed before any
+regex parsing so Catalyst keeps it at the scan (SURVEY.md §4). Corrupt
+records land in ``_corrupt_record`` (PERMISSIVE) and are counted, not
+crashed on — the dead-letter analog of the reference's warn-and-skip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SLOW_QUERY_FILTER = "Query too slow"
+
+# Explicit nested schema for the `_msearch` response envelope
+# (FIXTURES.md A1; pre-ES7 integer hits.total).
+SOURCE_SCHEMA = StructType(
+    [
+        StructField("@timestamp", StringType()),
+        StructField("message", StringType()),
+        StructField("@message", StringType()),
+        StructField("tags", ArrayType(StringType())),
+    ]
+)
+KIBANA_SCHEMA = StructType(
+    [
+        StructField(
+            "responses",
+            ArrayType(
+                StructType(
+                    [
+                        StructField(
+                            "hits",
+                            StructType(
+                                [
+                                    StructField("total", LongType()),
+                                    StructField(
+                                        "hits",
+                                        ArrayType(
+                                            StructType(
+                                                [StructField("_source", SOURCE_SCHEMA)]
+                                            )
+                                        ),
+                                    ),
+                                ]
+                            ),
+                        )
+                    ]
+                )
+            ),
+        ),
+        StructField("_corrupt_record", StringType()),
+    ]
+)
+
+
+def read_kibana_json(
+    spark: SparkSession,
+    paths: list[str] | str,
+    filter_slow: bool = True,
+) -> DataFrame:
+    """Read one or more Kibana `_msearch` JSON files into the raw-log frame
+    ``(ts_raw string, message string, tags array<string>)``.
+
+    ``message`` applies the ``@message`` fallback (reference :1287-1290)
+    and ``tags`` the ``[]`` default (:1291-1294). With ``filter_slow`` the
+    ``'Query too slow'`` containment filter (:1295) is applied here so it
+    sits directly above the scan.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    raw = spark.read.schema(KIBANA_SCHEMA).option("mode", "PERMISSIVE").option(
+        "multiLine", "true"
+    ).option("columnNameOfCorruptRecord", "_corrupt_record").json(paths)
+
+    hits = (
+        raw.filter(F.col("_corrupt_record").isNull())
+        .select(F.explode("responses").alias("response"))
+        .select(F.explode("response.hits.hits").alias("hit"))
+        .select(
+            F.col("hit._source.@timestamp").alias("ts_raw"),
+            F.coalesce(
+                F.col("hit._source.message"), F.col("hit._source.@message")
+            ).alias("message"),
+            F.coalesce(
+                F.col("hit._source.tags"),
+                F.array().cast("array<string>"),
+            ).alias("tags"),
+        )
+        .filter(F.col("message").isNotNull())
+    )
+    if filter_slow:
+        hits = hits.filter(F.col("message").contains(SLOW_QUERY_FILTER))
+    return hits
+
+
+def corrupt_record_count(spark: SparkSession, paths: list[str] | str) -> int:
+    """Dead-letter observability: number of unparseable top-level records."""
+    if isinstance(paths, str):
+        paths = [paths]
+    raw = spark.read.schema(KIBANA_SCHEMA).option("mode", "PERMISSIVE").option(
+        "multiLine", "true"
+    ).option("columnNameOfCorruptRecord", "_corrupt_record").json(paths)
+    # Spark disallows querying only the corrupt-record column from a raw
+    # JSON scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    # the documented workaround is to cache the parsed frame first.
+    raw = raw.cache()
+    try:
+        return raw.filter(F.col("_corrupt_record").isNotNull()).count()
+    finally:
+        raw.unpersist()

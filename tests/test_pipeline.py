@@ -1,0 +1,164 @@
+"""Golden end-to-end pipeline test (SURVEY.md §5.2): synthetic Kibana JSON
+through scan → parse → dispatch → enrich → five reports, with exact
+expected values pinning truncating avg, min_count HAVING, per-minute
+top-K, and the '@message' / tags fallbacks."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from cassandra_slow_queries_spark.config import AnalysisConfig
+from cassandra_slow_queries_spark.plans.pipeline import parse_messages, run_analysis
+from cassandra_slow_queries_spark.plans.reports import shape_report
+from cassandra_slow_queries_spark.sources.kibana import read_kibana_json
+
+SCHEMA = {"ks1": {"events": {"primary_key": ["a"], "clustering_key": ["b"]}}}
+
+
+def _hit(ts, msg=None, tags=None, at_message=None):
+    src = {"@timestamp": ts}
+    if msg is not None:
+        src["message"] = msg
+    if at_message is not None:
+        src["@message"] = at_message
+    if tags is not None:
+        src["tags"] = tags
+    return {"_source": src}
+
+
+@pytest.fixture(scope="module")
+def kibana_file(tmp_path_factory):
+    msgs = []
+    for i in range(12):
+        msgs.append(
+            _hit(
+                f"2024-01-01T10:{i % 3:02d}:{i:02d}.123456Z",
+                f"INFO Query too slow, took {100 + i} ms: [1 bound values] "
+                f"SELECT * FROM ks1.events WHERE a=? LIMIT 10; [a:'v{i % 2}']",
+                ["prod"],
+            )
+        )
+    # @message fallback row (reference :1287-1290)
+    msgs.append(
+        _hit(
+            "2024-01-01T10:00:30.000000Z",
+            at_message="x Query too slow, took 40 ms: SELECT 1 FROM ks1.events x",
+        )
+    )
+    # INSERT / BATCH / non-slow / unknown-statement rows
+    msgs.append(
+        _hit(
+            "2024-01-01T10:00:59.000000Z",
+            "x Query too slow, took 50 ms: INSERT INTO ks1.events (a) VALUES (9)",
+            [],
+        )
+    )
+    msgs.append(
+        _hit(
+            "2024-01-01T10:01:59.000000Z",
+            "x Query too slow, took 70 ms: BEGIN BATCH APPLY",
+            [],
+        )
+    )
+    msgs.append(_hit("2024-01-01T10:01:59.500000Z", "a normal log line"))
+    msgs.append(
+        _hit(
+            "2024-01-01T10:01:59.600000Z",
+            "x Query too slow, took 10 ms: TRUNCATE ks1.events",
+        )
+    )
+    doc = {"responses": [{"hits": {"total": len(msgs), "hits": msgs}}]}
+    path = tmp_path_factory.mktemp("kibana") / "page0.json"
+    path.write_text(json.dumps(doc))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def reports(spark, kibana_file):
+    cfg = AnalysisConfig(min_count=2, schema=SCHEMA, tags={"prod": "ks1"})
+    raw = read_kibana_json(spark, kibana_file)
+    return run_analysis(spark, raw, cfg)
+
+
+def test_raw_filter_drops_non_slow(spark, kibana_file):
+    raw = read_kibana_json(spark, kibana_file)
+    # 17 hits, 1 non-slow line filtered by the contains() scan filter
+    assert raw.count() == 16
+
+
+def test_parse_drops_unknown_statement(spark, kibana_file):
+    cfg = AnalysisConfig(min_count=2, schema=SCHEMA)
+    fact = parse_messages(read_kibana_json(spark, kibana_file), spark, cfg)
+    # TRUNCATE row dropped (no processor, reference :932-934)
+    assert fact.count() == 15
+    types = {r.type for r in fact.select("type").distinct().collect()}
+    assert types == {"SELECT", "INSERT", "BATCH"}
+
+
+def test_query_report_golden(reports):
+    rows = {r.query: r for r in reports["query"].collect()}
+    sel = rows["SELECT * FROM ks1.events WHERE a=? LIMIT 10;"]
+    assert (sel["count"], sel.duration, sel.avg_duration) == (12, 1266, 105)
+    assert (sel.keyspace, sel.column_family) == ("ks1", "events")
+    # min_count=2 HAVING drops the single INSERT/BATCH/@message rows
+    assert len(rows) == 1
+
+
+def test_query_pk_report_golden(reports):
+    rows = {r.primary_key: r for r in reports["query_pk"].collect()}
+    assert (rows["v0"]["count"], rows["v0"].duration, rows["v0"].avg_duration) == (
+        6,
+        630,
+        105,
+    )
+    assert (rows["v1"]["count"], rows["v1"].duration) == (6, 636)
+
+
+def test_primary_key_report_golden(reports):
+    rows = {r.primary_key: r for r in reports["primary_key"].collect()}
+    assert rows["v0"].keyspace == "ks1"
+    assert rows["v0"].column_family == "events"
+    assert rows["v1"]["count"] == 6
+
+
+def test_volume_report_sorted_and_filtered(reports):
+    rows = reports["volume"].collect()
+    assert [r.minute for r in rows] == [
+        "2024-01-01 10:00",
+        "2024-01-01 10:01",
+        "2024-01-01 10:02",
+    ]
+    by_min = {r.minute: r for r in rows}
+    # 10:00 → 4 SELECTs (i=0,3,6,9) + @message row + INSERT = 6 rows
+    assert by_min["2024-01-01 10:00"]["count"] == 6
+    # truncating average (reference :1093-1104)
+    assert by_min["2024-01-01 10:00"].avg_duration == (
+        by_min["2024-01-01 10:00"].duration // 6
+    )
+
+
+def test_volume_top_report_golden(reports):
+    rows = reports["volume_top"].collect()
+    # per-minute cells with count>=2: the two SELECT pk cells per minute
+    assert all(r["count"] == 2 for r in rows)
+    minutes = [r.minute for r in rows]
+    assert minutes == sorted(minutes)
+
+
+def test_report_shapes(reports):
+    assert shape_report(reports["query"], "query").columns == [
+        "Count",
+        "Duration",
+        "Avg. Duration",
+        "Query",
+    ]
+    assert shape_report(reports["volume_top"], "volume_top").columns == [
+        "Time",
+        "Count",
+        "Duration",
+        "Avg. Duration",
+        "Primary Key",
+        "Query",
+    ]
