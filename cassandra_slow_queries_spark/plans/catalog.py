@@ -1,0 +1,560 @@
+"""Named query catalog over the driver testdata (SURVEY.md §2 inventory).
+
+Each entry pairs a Spark DataFrame builder ``(spark, sf_dir) -> DataFrame``
+with an equivalent ANSI-SQL oracle string for DuckDB — the driver's
+correctness gate runs both and hash-compares. The catalog maps the
+reference's operator inventory (A1-A5, T1-T2, J1-J4, P2/P4/P11, D1-D6,
+set ops) onto the TPC-H-ish testdata per FIXTURES.md §B: ``events`` plays
+the parsed-fact role (event_type→query shape, floor(value)→duration ms,
+user_id→primary key), and ``documents``/``embeddings`` carry the
+extension-tier operators (dedup, similarity, text analysis).
+
+Cross-engine parity rules used throughout (tests/test_entry_oracle.py
+enforces them):
+
+- double aggregation goes through exact DECIMAL sums, cast to double at
+  the end (both engines do exact decimal arithmetic → identical doubles);
+- double→integer conversion is always ``FLOOR`` (DuckDB ``CAST`` rounds,
+  Spark truncates);
+- every top-K has explicit deterministic tiebreaks, ordering on ROUNDED
+  similarity where floats are involved;
+- aggregates are aliased identically on both sides (driver hashes sort
+  columns by name).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cassandra_slow_queries_spark.functions.parse import (
+    get_log,
+    minute_bucket,
+    parse_bound_values,
+)
+from cassandra_slow_queries_spark.operators.dispatch import statement_type
+from cassandra_slow_queries_spark.operators.topk import grouped_top_k, top_n
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver records rows-only check
+    doc: str
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong conf, session.py);
+    # truncate to micros exactly like DuckDB does when reading the same file.
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _dur() -> Column:
+    """events.value (double ms) → integral duration, FLOOR semantics."""
+    return F.floor(F.col("value")).cast("long")
+
+
+def _sum_dec(col: str, scale: str = "decimal(18,2)") -> Column:
+    return F.sum(F.col(col).cast(scale)).cast("double")
+
+
+def _avg_trunc() -> Column:
+    """Reference truncating average (analyze_slow_queries.py:1093-1104)."""
+    return F.floor(F.col("duration") / F.col("cnt")).cast("long").alias("avg_duration")
+
+
+HOUR_FMT_SPARK = ("hour", "yyyy-MM-dd HH:mm")
+HOUR_FMT_DUCK = "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M')"
+
+
+def _hour_bucket() -> Column:
+    return F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm")
+
+
+# ---------------------------------------------------------------------------
+# Core parity: the five aggregates (A1-A5) + top-N (T1) + grouped top-K (T2)
+# ---------------------------------------------------------------------------
+
+
+def q_a1_top_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("dur", _dur())
+    agg = (
+        ev.groupBy(F.col("event_type").alias("query"))
+        .agg(F.count("*").alias("cnt"), F.sum("dur").alias("duration"))
+        .filter(F.col("cnt") >= 5)
+        .withColumn("avg_duration", _avg_trunc())
+    )
+    return top_n(agg, "duration", 100, tiebreaks=["query"])
+
+
+A1_SQL = """
+SELECT event_type AS query,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS duration,
+       CAST(FLOOR(SUM(CAST(FLOOR(value) AS BIGINT)) / COUNT(*)) AS BIGINT) AS avg_duration
+FROM events
+GROUP BY event_type
+HAVING COUNT(*) >= 5
+ORDER BY duration DESC, query
+LIMIT 100
+"""
+
+
+def q_a2_query_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("dur", _dur())
+    agg = (
+        ev.groupBy(
+            F.col("event_type").alias("query"),
+            F.col("user_id").cast("string").alias("primary_key"),
+        )
+        .agg(F.count("*").alias("cnt"), F.sum("dur").alias("duration"))
+        .filter(F.col("cnt") >= 5)
+        .withColumn("avg_duration", _avg_trunc())
+    )
+    return top_n(agg, "duration", 100, tiebreaks=["query", "primary_key"])
+
+
+A2_SQL = """
+SELECT event_type AS query,
+       CAST(user_id AS VARCHAR) AS primary_key,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS duration,
+       CAST(FLOOR(SUM(CAST(FLOOR(value) AS BIGINT)) / COUNT(*)) AS BIGINT) AS avg_duration
+FROM events
+GROUP BY 1, 2
+HAVING COUNT(*) >= 5
+ORDER BY duration DESC, query, primary_key
+LIMIT 100
+"""
+
+
+def q_a3_primary_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("dur", _dur())
+    agg = (
+        ev.groupBy(
+            F.col("event_type").alias("keyspace"),
+            F.concat(F.lit("cf_"), (F.col("user_id") % 5).cast("string")).alias(
+                "column_family"
+            ),
+            F.col("user_id").cast("string").alias("primary_key"),
+        )
+        .agg(F.count("*").alias("cnt"), F.sum("dur").alias("duration"))
+        .filter(F.col("cnt") >= 5)
+        .withColumn("avg_duration", _avg_trunc())
+    )
+    return top_n(
+        agg, "duration", 100, tiebreaks=["keyspace", "column_family", "primary_key"]
+    )
+
+
+A3_SQL = """
+SELECT event_type AS keyspace,
+       'cf_' || CAST(user_id % 5 AS VARCHAR) AS column_family,
+       CAST(user_id AS VARCHAR) AS primary_key,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS duration,
+       CAST(FLOOR(SUM(CAST(FLOOR(value) AS BIGINT)) / COUNT(*)) AS BIGINT) AS avg_duration
+FROM events
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 5
+ORDER BY duration DESC, keyspace, column_family, primary_key
+LIMIT 100
+"""
+
+
+def q_a4_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("dur", _dur())
+    return (
+        ev.groupBy(_hour_bucket().alias("bucket"))
+        .agg(F.count("*").alias("cnt"), F.sum("dur").alias("duration"))
+        .filter(F.col("cnt") >= 5)
+        .withColumn("avg_duration", _avg_trunc())
+        .orderBy("bucket")
+    )
+
+
+A4_SQL = f"""
+SELECT {HOUR_FMT_DUCK} AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS duration,
+       CAST(FLOOR(SUM(CAST(FLOOR(value) AS BIGINT)) / COUNT(*)) AS BIGINT) AS avg_duration
+FROM events
+GROUP BY 1
+HAVING COUNT(*) >= 5
+ORDER BY bucket
+"""
+
+
+def q_a5_volume_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn("dur", _dur())
+    cells = (
+        ev.groupBy(
+            _hour_bucket().alias("bucket"),
+            F.col("event_type").alias("query"),
+            (F.col("user_id") % 10).cast("string").alias("primary_key"),
+        )
+        .agg(F.count("*").alias("cnt"), F.sum("dur").alias("duration"))
+        .withColumn("avg_duration", _avg_trunc())
+    )
+    return grouped_top_k(
+        cells, ["bucket"], "duration", 3, tiebreaks=["query", "primary_key"]
+    ).orderBy("bucket", F.col("duration").desc(), "query", "primary_key")
+
+
+A5_SQL = f"""
+WITH cells AS (
+    SELECT {HOUR_FMT_DUCK} AS bucket,
+           event_type AS query,
+           CAST(user_id % 10 AS VARCHAR) AS primary_key,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS duration,
+           CAST(FLOOR(SUM(CAST(FLOOR(value) AS BIGINT)) / COUNT(*)) AS BIGINT) AS avg_duration
+    FROM events GROUP BY 1, 2, 3
+)
+SELECT bucket, query, primary_key, cnt, duration, avg_duration
+FROM cells
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY bucket ORDER BY duration DESC, query, primary_key) <= 3
+ORDER BY bucket, duration DESC, query, primary_key
+"""
+
+
+def q_t1_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", _dur().alias("duration"), F.col("event_type").alias("query")
+    )
+    return top_n(ev, "duration", 100, tiebreaks=["event_id"])
+
+
+T1_SQL = """
+SELECT event_id, CAST(FLOOR(value) AS BIGINT) AS duration, event_type AS query
+FROM events
+ORDER BY duration DESC, event_id
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Parse operators (P2/P4/D1): round-trip through the REAL parse expressions
+# over messages synthesized deterministically from `events`
+# ---------------------------------------------------------------------------
+
+
+def q_p2_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a reference-grammar log line per event, then run the actual
+    get_log / parse_bound_values / statement_type expression pipeline; the
+    oracle computes the expected parse output directly from the columns.
+    Exercises P2, P4, D1 end-to-end with a hash-checkable oracle."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    msg = F.concat(
+        F.lit("W Query too slow, took "),
+        _dur().cast("string"),
+        F.lit(" ms: [1 bound values] SELECT * FROM ks1.t1 WHERE k=? LIMIT 1; [k:'"),
+        k,
+        F.lit("']"),
+    )
+    parsed = ev.select("event_id", msg.alias("message")).withColumn(
+        "_log", get_log(F.col("message"))
+    )
+    return parsed.select(
+        "event_id",
+        F.col("_log.duration").cast("long").alias("duration"),
+        statement_type(F.col("_log.query")).alias("stmt_type"),
+        F.col("_log.query").alias("query"),
+        parse_bound_values(F.col("_log.bound_values"))["k"].alias("bv_k"),
+    ).orderBy("event_id")
+
+
+P2_SQL = """
+SELECT event_id,
+       CAST(FLOOR(value) AS BIGINT) AS duration,
+       'SELECT' AS stmt_type,
+       'SELECT * FROM ks1.t1 WHERE k=? LIMIT 1;' AS query,
+       json_extract_string(props, '$.k') AS bv_k
+FROM events
+ORDER BY event_id
+"""
+
+
+def q_p11_minute_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(minute_bucket("ts").alias("minute"))
+        .groupBy("minute")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("minute")
+    )
+
+
+P11_SQL = """
+SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY 1
+ORDER BY minute
+"""
+
+
+def q_d_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D6: map event types onto CQL statement prefixes (including a
+    mixed-case and an unknown form) and dispatch with the real when-chain."""
+    ev = load(spark, sf_dir, "events")
+    stmt = (
+        F.when(F.col("event_type") == "view", F.lit("SELECT * FROM t WHERE a=1"))
+        .when(F.col("event_type") == "click", F.lit("select x from t"))
+        .when(F.col("event_type") == "purchase", F.lit("INSERT INTO t (a) VALUES (1)"))
+        .when(F.col("event_type") == "signup", F.lit("BEGIN BATCH APPLY"))
+        .otherwise(F.lit("Truncate t"))  # unknown → NULL type (dropped class)
+    )
+    return (
+        ev.select(statement_type(stmt).alias("stmt_type"))
+        .groupBy("stmt_type")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("stmt_type").asc_nulls_first())
+    )
+
+
+D_SQL = """
+SELECT CASE event_type
+         WHEN 'view' THEN 'SELECT'
+         WHEN 'click' THEN 'SELECT'
+         WHEN 'purchase' THEN 'INSERT'
+         WHEN 'signup' THEN 'BATCH'
+         ELSE NULL
+       END AS stmt_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY 1
+ORDER BY stmt_type NULLS FIRST
+"""
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1/J2/J4) + set ops + window rank
+# ---------------------------------------------------------------------------
+
+
+def q_j1_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-style star join: fact lineitem against broadcast dims.
+    customer/nation/region are orders-of-magnitude smaller than lineitem —
+    exactly the reference's broadcast-dimension shape at TPC-H scale."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)") *
+           (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy(F.col("revenue").desc(), "region")
+    )
+
+
+J1_SQL = """
+SELECT r_name AS region,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY revenue DESC, region
+"""
+
+
+def q_j2_keyspace_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 collision-poisoning build logic on testdata: segment → nation
+     'guess', 'unknown' when a segment spans multiple nations."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("c_mktsegment").alias("column_family"))
+        .agg(
+            F.when(F.count_distinct("n_name") > 1, F.lit("unknown"))
+            .otherwise(F.min("n_name"))
+            .alias("guessed_keyspace")
+        )
+        .orderBy("column_family")
+    )
+
+
+J2_SQL = """
+SELECT c_mktsegment AS column_family,
+       CASE WHEN COUNT(DISTINCT n_name) > 1 THEN 'unknown' ELSE MIN(n_name) END
+           AS guessed_keyspace
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+ORDER BY column_family
+"""
+
+
+J4_PATTERNS = [("page", "pat_page", 1), ("p", "pat_p", 2), ("click", "pat_click", 3)]
+
+
+def q_j4_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: prefix theta-join against a broadcast pattern dim, first match
+    (lowest priority) wins — the reference's QueryPattern loop as a join."""
+    ev = load(spark, sf_dir, "events")
+    pats = spark.createDataFrame(J4_PATTERNS, "start string, label string, priority int")
+    joined = ev.join(
+        F.broadcast(pats), F.col("event_type").startswith(F.col("start")), "left"
+    )
+    w = Window.partitionBy("event_id").orderBy(F.col("priority").asc_nulls_last())
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("event_id", F.col("label").alias("matched"))
+        .orderBy("event_id")
+    )
+
+
+J4_SQL = """
+WITH pats(start, label, priority) AS (
+    VALUES ('page', 'pat_page', 1), ('p', 'pat_p', 2), ('click', 'pat_click', 3)
+)
+SELECT event_id, label AS matched
+FROM events e LEFT JOIN pats p ON starts_with(e.event_type, p.start)
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY p.priority NULLS LAST) = 1
+ORDER BY event_id
+"""
+
+
+def q_set_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (extension: reference has only union — SURVEY.md §2.8)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+SET_SQL = """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+ORDER BY c_custkey
+"""
+
+
+def q_w_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 generalized: top-3 orders by totalprice per priority class."""
+    orders = load(spark, sf_dir, "orders")
+    return grouped_top_k(
+        orders.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        3,
+        tiebreaks=["o_orderkey"],
+    ).orderBy("o_orderpriority", F.col("o_totalprice").desc(), "o_orderkey")
+
+
+W_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM orders
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) <= 3
+ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+"""
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped lineitem rollup (scan + filter + hash agg at scale)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sum_dec("l_quantity").alias("sum_qty"),
+            _sum_dec("l_extendedprice").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty", F.col("sum_qty") / F.col("count_order")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_h_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: exact interpolated percentiles of duration per query
+    shape (the report the reference most obviously lacks — SURVEY.md §2.6)."""
+    ev = load(spark, sf_dir, "events").withColumn("dur", _dur())
+    return (
+        ev.groupBy(F.col("event_type").alias("query"))
+        .agg(
+            F.round(F.expr("percentile(dur, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(dur, 0.95)"), 6).alias("p95"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("query")
+    )
+
+
+H_SQL = """
+SELECT event_type AS query,
+       ROUND(quantile_cont(CAST(FLOOR(value) AS BIGINT), 0.5), 6) AS p50,
+       ROUND(quantile_cont(CAST(FLOOR(value) AS BIGINT), 0.95), 6) AS p95,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY 1
+ORDER BY query
+"""
+
+
+CATALOG: dict[str, QueryDef] = {
+    "a1_top_queries": QueryDef(q_a1_top_queries, A1_SQL, "A1+F3+T1 flagship"),
+    "a2_query_pk": QueryDef(q_a2_query_pk, A2_SQL, "A2 (query, pk) aggregate"),
+    "a3_primary_keys": QueryDef(q_a3_primary_keys, A3_SQL, "A3 (ks, cf, pk) aggregate"),
+    "a4_volume": QueryDef(q_a4_volume, A4_SQL, "A4 volume per bucket"),
+    "a5_volume_top": QueryDef(q_a5_volume_top, A5_SQL, "A5+T2 per-bucket top-K"),
+    "t1_top_events": QueryDef(q_t1_top_events, T1_SQL, "T1 global top-N"),
+    "p2_parse_roundtrip": QueryDef(q_p2_parse_roundtrip, P2_SQL, "P2/P4/D1 parse"),
+    "p11_minute_buckets": QueryDef(q_p11_minute_buckets, P11_SQL, "P11 bucketing"),
+    "d_dispatch": QueryDef(q_d_dispatch, D_SQL, "D1-D6 dispatch"),
+    "j1_revenue_by_region": QueryDef(q_j1_revenue_by_region, J1_SQL, "J1 star join"),
+    "j2_keyspace_guess": QueryDef(q_j2_keyspace_guess, J2_SQL, "J2 collision guess"),
+    "j4_prefix_match": QueryDef(q_j4_prefix_match, J4_SQL, "J4 prefix theta join"),
+    "set_anti_join": QueryDef(
+        q_set_customers_without_orders, SET_SQL, "anti join extension"
+    ),
+    "w_rank_orders": QueryDef(q_w_rank_orders, W_SQL, "window rank top-K"),
+    "q1_pricing_summary": QueryDef(q_q1_pricing_summary, Q1_SQL, "TPC-H Q1 rollup"),
+    "h_percentiles": QueryDef(q_h_duration_percentiles, H_SQL, "percentile extension"),
+}

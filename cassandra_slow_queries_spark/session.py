@@ -50,6 +50,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark
+        # rejects by default; read as long and convert at the scan
+        # (plans/catalog.load truncates to micros, matching DuckDB)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
