@@ -1,0 +1,157 @@
+"""Text-analysis expressions for the large-scale data-pipeline tier
+(BASELINE.json north star): tokenization, quality scoring, language-ID
+heuristics, shingling, fingerprinting.
+
+All pure Catalyst expressions — the 100 TB posture is the same as the
+parse layer: no Python per row. Tokenization splits on a single space
+(the documents testdata is space-separated; swap the pattern for real
+corpora), keeping empty tokens exactly like ``str.split``/DuckDB
+``string_split`` so oracle checks line up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small English stopword core — enough signal for ratio heuristics.
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "from", "this",
+]
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    """Split into tokens (keeps empty tokens — ``split`` limit -1)."""
+    return F.split(_col(text), sep, -1)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def char_count(text: Column | str) -> Column:
+    return F.length(_col(text)).cast("long")
+
+
+def avg_token_length(text: Column | str) -> Column:
+    """Mean length of non-empty tokens; NULL for all-empty input."""
+    toks = F.filter(tokens(text), lambda t: F.length(t) > 0)
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks))
+
+
+def stopword_ratio(text: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are stopwords — the core of both quality
+    scoring and language-ID (a document with ~0 English stopwords is
+    either non-English or low-quality boilerplate)."""
+    words = stopwords if stopwords is not None else EN_STOPWORDS
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*words)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + stopword presence
+    + reasonable mean token length. Deliberately simple and fully
+    SQL-expressible so it stays oracle-checkable."""
+    t = _col(text)
+    len_ok = (F.length(t) >= 50) & (F.length(t) <= 20000)
+    sw = stopword_ratio(t)
+    atl = avg_token_length(t)
+    return (
+        len_ok.cast("double") * 0.4
+        + F.coalesce((sw > 0.05).cast("double"), F.lit(0.0)) * 0.3
+        + F.coalesce(((atl >= 2) & (atl <= 12)).cast("double"), F.lit(0.0)) * 0.3
+    )
+
+
+def word_shingles(text: Column | str, n: int = 8) -> Column:
+    """All n-word shingles (space-joined) — the dedup candidate unit.
+    Documents shorter than n words yield an empty array."""
+    toks = tokens(text)
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_ngrams(text: Column | str, n: int = 5) -> Column:
+    """Character n-grams (for n-gram Jaccard similarity)."""
+    t = _col(text)
+    count = F.length(t) - F.lit(n - 1)
+    return F.when(
+        count > 0,
+        F.transform(F.sequence(F.lit(1), count), lambda i: F.substr(t, i, F.lit(n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """64-bit document fingerprint: xxhash of the token stream with
+    order sensitivity (token hash mixed with its position). Cheap
+    content-identity for exact/near-exact dedup at scale."""
+    toks = tokens(text)
+    return F.aggregate(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1))),
+            lambda t, i: F.xxhash64(t, i),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, h: F.xxhash64(acc, h),
+    )
+
+
+# Marker-word sets per language for the n-gram/stopword language-ID
+# heuristic. Tiny on purpose: language-ID over opaque synthetic text is a
+# scoring mechanism, not a linguistic model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "la", "los", "y", "es"],
+}
+
+
+def lang_scores(text: Column | str) -> Column:
+    """Map language → marker-hit ratio."""
+    toks = tokens(text)
+
+    def ratio(words: list[str]) -> Column:
+        # factory, not default-arg lambda (PySpark reads HOF arity from
+        # the Python signature)
+        hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*words)))
+        return hits.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+    entries = [
+        F.struct(F.lit(lang).alias("key"), ratio(words).alias("value"))
+        for lang, words in LANG_MARKERS.items()
+    ]
+    return F.map_from_entries(F.array(*entries))
+
+
+def lang_id(text: Column | str, threshold: float = 0.01) -> Column:
+    """Argmax language by marker ratio with deterministic tie order
+    (LANG_MARKERS declaration order); 'und' when below threshold."""
+    scores = lang_scores(text)
+    best = None
+    best_score = None
+    for lang in LANG_MARKERS:
+        s = scores[F.lit(lang)]
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score >= threshold, best).otherwise(F.lit("und"))

@@ -1,0 +1,361 @@
+"""Deduplication operators for large-scale corpus curation (Tier 3).
+
+Four families, all shuffle-conscious:
+
+- **Exact**: content-hash groupBy — one shuffle on a 128-bit key, the
+  cheapest possible dedup at any scale.
+- **Shingle-candidate / n-gram Jaccard**: explode n-word shingles,
+  self-join on shingle equality to find candidate pairs, then exact
+  Jaccard on distinct-shingle sets. The explode fans out ~tokens-per-doc
+  rows but the join key (shingle) is high-cardinality → well-distributed
+  shuffle.
+- **MinHash + LSH**: constant-size signatures (k minima over a seeded
+  affine hash family) → banded bucket join. Join fan-out is bounded by
+  band collisions instead of raw shingle multiplicity — this is the scale
+  path for pairwise near-dup at 100 TB.
+- **SimHash**: 64-bit bit-sign fingerprint; near-dups differ in few bits.
+
+Everything is native expressions (xxhash64 + higher-order functions); no
+Python on the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_slow_queries_spark.functions.text import tokens, word_shingles
+
+# Prime modulus for the affine MinHash family. 31-bit on purpose: ANSI mode
+# (Spark 4 default) raises on long overflow, so a*h+b must stay < 2^63 —
+# with h, a, b < 2^31 the affine step is overflow-safe in long arithmetic.
+_MERSENNE31 = (1 << 31) - 1
+
+
+def content_hash(text: Column | str) -> Column:
+    """128-bit exact-content key (md5 hex — portable across engines)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(c)
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct content with the
+    keeper (minimum id — deterministic) and the duplicate count."""
+    return (
+        df.select(F.col(id_col).alias("id"), content_hash(text_col).alias("h"))
+        .groupBy("h")
+        .agg(F.min("id").alias("keeper"), F.count("*").alias("n_dups"))
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Return df with only the keeper row per distinct content.
+
+    Implemented as a window-free groupBy + semi join on (hash, keeper) so
+    the heavy side shuffles once on the hash key.
+    """
+    keepers = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingle candidates + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingle_candidate_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 8
+) -> DataFrame:
+    """Pairs of documents sharing at least one n-word shingle.
+
+    This is exact LSH-with-full-bands: a shared long shingle is a strong
+    near-dup signal. distinct() before the self-join collapses repeated
+    shingles within a document so the join fan-out is bounded by true
+    cross-document collisions.
+    """
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(text_col, n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over distinct n-word shingle sets, computed from the
+    candidate join itself (|A∩B| = shared-shingle count; |A∪B| derived),
+    so no per-pair array materialization is needed."""
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(text_col, n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "size_a"})), "id_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "size_b"})), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _hash_family(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic affine family (aᵢ, bᵢ) derived from a seed via a
+    splitmix-style mix — no RNG state, reproducible across runs."""
+    params = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+    for _ in range(num_hashes):
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        a = (z % (_MERSENNE31 - 1)) + 1
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        b = x % _MERSENNE31
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(
+    text: Column | str, num_hashes: int = 64, shingle_n: int = 5, seed: int = 42
+) -> Column:
+    """MinHash signature: arrayₖ( minₛ( (aₖ·h(s)+bₖ) mod M31 ) ).
+
+    Shingle hashes are computed once (xxhash64, made non-negative), then
+    each family member is a transform+array_min — all JVM-side. Empty
+    shingle sets yield NULL signature.
+    """
+    sh = word_shingles(text, shingle_n)
+    hashes = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
+
+    def affine_min(a: int, b: int) -> Column:
+        # factory, not default-arg lambda: PySpark derives the HOF arity
+        # from the Python signature, so extra bound params break analysis
+        return F.array_min(
+            F.transform(
+                hashes, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+            )
+        )
+
+    sig_parts = [affine_min(a, b) for a, b in _hash_family(num_hashes, seed)]
+    return F.when(F.size(hashes) > 0, F.array(*sig_parts))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Banded-LSH candidate pairs with estimated Jaccard.
+
+    signature → ``bands`` band hashes → explode → self-join on
+    (band, hash) → distinct pairs → signature-agreement estimate.
+    Rows per doc after explode = ``bands`` (constant!), which is what
+    makes this the 100 TB path vs. the shingle self-join.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes, shingle_n, seed).alias("sig"),
+    ).filter(F.col("sig").isNotNull())
+    sig = sig.persist()
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
+    sb = sig.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+                        ),
+                        lambda v: v == 1,
+                    )
+                )
+                / F.lit(float(num_hashes)),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(text: Column | str) -> Column:
+    """64-bit SimHash over tokens: bit b is 1 iff Σ_tokens ±1 (sign of
+    bit b of xxhash64(token)) is positive. Near-duplicate documents have
+    small Hamming distance between fingerprints.
+
+    Bit positions are unrolled with Python ints (``shiftright`` requires a
+    literal shift), and the per-bit counts array is folded into the final
+    long through ONE aggregate so the counts subtree appears once in the
+    expression tree.
+    """
+    toks = F.filter(tokens(text), lambda t: F.length(t) > 0)
+
+    def sign_bits(t: Column) -> Column:
+        h = F.xxhash64(t)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for i in range(64)
+            ]
+        )
+
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(acc, sign_bits(t), lambda a, b: a + b),
+    )
+    # bit i contributes 2^i (bit 63 = long sign bit = min-long); summing
+    # distinct powers of two == bitwise OR, and stays in long range
+    pow2 = F.array(
+        *[
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long")
+            for i in range(64)
+        ]
+    )
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(64)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(F.element_at(counts, i) > 0, F.element_at(pow2, i)).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two 64-bit fingerprints (popcount XOR)."""
+    x = (F.col(a) if isinstance(a, str) else a).bitwiseXOR(
+        F.col(b) if isinstance(b, str) else b
+    )
+    return F.bit_count(x)
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit fingerprint quarters
+    (a pair within Hamming≤3 of 64 bits must agree on ≥1 of 4 quarters —
+    pigeonhole), then verify exact Hamming distance."""
+    fp = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("fp"))
+    fp = fp.persist()
+    blocked = fp.select(
+        "id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("quarter"),
+                        F.shiftright(F.col("fp"), q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("qh"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("qq"),
+    ).select("id", "fp", F.col("qq.quarter").alias("quarter"), F.col("qq.qh").alias("qh"))
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.quarter") == F.col("b.quarter"))
+            & (F.col("a.qh") == F.col("b.qh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

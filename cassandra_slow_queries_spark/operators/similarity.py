@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (Tier 3).
+
+Two tiers, as the north star prescribes:
+
+- **Brute-force cosine top-K** — the exact baseline. Query side is small
+  and broadcast; the corpus streams through one narrow stage (cosine is
+  a JVM higher-order-function expression) into a per-query top-K window.
+  O(N·Q) work but zero shuffle of the corpus: for a handful of queries
+  over 100 TB this is actually the right plan.
+- **Random-hyperplane LSH top-K** — the scale path for many queries:
+  both sides hash into sign-pattern buckets (with multiple tables for
+  recall); candidates are joined per bucket, exact cosine re-ranks.
+  Corpus shuffle is bounded by (tables × corpus) bucket rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_slow_queries_spark.functions.vectors import cosine
+from cassandra_slow_queries_spark.operators.topk import grouped_top_k
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-K neighbors per query vector (self-matches excluded).
+
+    Output: (q_id, neighbor_id, sim) with sim rounded to 6 dp and
+    deterministic (sim desc, neighbor_id asc) ranking.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+        )
+    )
+    return grouped_top_k(scored, ["q_id"], "sim", k, tiebreaks=["neighbor_id"]).orderBy(
+        "q_id", F.col("sim").desc(), "neighbor_id"
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-Gaussian hyperplanes (Box-Muller over a
+    splitmix stream) — plain literals, no RNG library dependency."""
+    planes: list[list[float]] = []
+    x = seed & 0xFFFFFFFFFFFFFFFF
+
+    def nxt() -> float:
+        nonlocal x
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        z = z ^ (z >> 31)
+        return (z >> 11) / float(1 << 53)  # uniform [0,1)
+
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            u1 = max(nxt(), 1e-12)
+            u2 = nxt()
+            row.append(math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2))
+        planes.append(row)
+    return planes
+
+
+def hyperplane_bucket(vec_col: str, planes: list[list[float]]):
+    """Sign-pattern bucket id (one bit per plane) as a long."""
+    v = F.col(vec_col).cast("array<double>")
+    bits = []
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(c)) for c in plane])
+        d = F.aggregate(
+            F.zip_with(v, lit_plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, p: acc + p,
+        )
+        bits.append(
+            F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return F.aggregate(
+        F.array(*bits), F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b)
+    )
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 32,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-K: candidates from ``n_tables`` independent
+    hyperplane tables, exact cosine re-rank within candidates.
+
+    Recall is tunable via (n_planes, n_tables); at 2^n_planes buckets per
+    table the corpus-side shuffle is n_tables rows per vector.
+    """
+    tables = [
+        _hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def bucketize(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
+        )
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    hyperplane_bucket(vec_col, planes).alias("bucket"),
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+        return (
+            df.select(
+                F.col(id_col).alias(id_alias),
+                F.col(vec_col).alias(vec_alias),
+                F.explode(buckets).alias("tb"),
+            )
+            .select(
+                id_alias,
+                vec_alias,
+                F.col("tb.table").alias("table"),
+                F.col("tb.bucket").alias("bucket"),
+            )
+        )
+
+    c = bucketize(corpus, "neighbor_id", "_cv")
+    q = bucketize(queries, "q_id", "_qv")
+    cand = (
+        c.join(F.broadcast(q), on=["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", "_qv", "_cv")
+        .distinct()
+    )
+    scored = cand.select(
+        "q_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+    )
+    return grouped_top_k(scored, ["q_id"], "sim", k, tiebreaks=["neighbor_id"]).orderBy(
+        "q_id", F.col("sim").desc(), "neighbor_id"
+    )

@@ -538,6 +538,262 @@ ORDER BY query
 """
 
 
+# ---------------------------------------------------------------------------
+# Extension tier (Tier 3): dedup / similarity / text analysis / multimodal
+# over the documents + embeddings tables
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_slow_queries_spark.operators.dedup import exact_dedup_groups
+
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "text", "doc_id").orderBy("h")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS h,
+       MIN(doc_id) AS keeper,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents
+GROUP BY 1
+ORDER BY h
+"""
+
+
+def q_dedup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_slow_queries_spark.operators.dedup import shingle_candidate_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return shingle_candidate_pairs(docs, "text", "doc_id", n=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+DEDUP_SHINGLES_SQL = """
+WITH sh AS (
+    SELECT DISTINCT doc_id AS id, shingle
+    FROM (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+7], ' ')
+                       for i in range(1, len(toks) - 6)]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_slow_queries_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1).orderBy(
+        "id_a", "id_b"
+    )
+
+
+DEDUP_JACCARD_SQL = """
+WITH sh AS (
+    SELECT DISTINCT doc_id AS id, shingle
+    FROM (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+2], ' ')
+                       for i in range(1, len(toks) - 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+), sizes AS (
+    SELECT id, COUNT(*) AS n FROM sh GROUP BY id
+), inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE n_common / (sa.n + sb.n - n_common) >= 0.1
+ORDER BY id_a, id_b
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_slow_queries_spark.functions import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.char_count("text").alias("n_chars_actual"),
+        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(T.avg_token_length("text"), 6).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+from cassandra_slow_queries_spark.functions.text import EN_STOPWORDS  # noqa: E402
+
+_STOPWORDS_IN = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+TEXT_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_actual,
+       ROUND(len(list_filter(string_split(text, ' '),
+                 t -> lower(t) IN ({_STOPWORDS_IN})))
+             / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       ROUND(list_aggregate(list_transform(
+                 list_filter(string_split(text, ' '), t -> len(t) > 0),
+                 t -> CAST(len(t) AS DOUBLE)), 'avg'), 6) AS avg_token_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_slow_queries_spark.functions import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.lang_id("text").alias("pred_lang"),
+        F.col("lang").alias("labeled_lang"),
+    ).orderBy("doc_id")
+
+
+def _langid_sql() -> str:
+    from cassandra_slow_queries_spark.functions.text import LANG_MARKERS
+
+    ratio = {
+        lang: (
+            "len(list_filter(string_split(text,' '), t -> lower(t) IN ("
+            + ", ".join(f"'{w}'" for w in words)
+            + "))) / greatest(len(string_split(text,' ')), 1)"
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    # argmax with declaration-order tie-breaking: lang L wins iff its score
+    # is strictly greater than every EARLIER lang and >= every LATER lang
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"({ratio[lang]}) >= 0.01"]
+        for j, other in enumerate(langs):
+            if j == i:
+                continue
+            op = ">" if j < i else ">="
+            conds.append(f"NOT (({ratio[other]}) {op} ({ratio[lang]}))")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return f"""
+SELECT doc_id,
+       CASE {' '.join(cases)} ELSE 'und' END AS pred_lang,
+       lang AS labeled_lang
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_slow_queries_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk_bruteforce(emb, queries, k=5)
+
+
+ANN_SQL = """
+SELECT q.vec_id AS q_id,
+       e.vec_id AS neighbor_id,
+       ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings q, embeddings e
+WHERE q.vec_id < 8 AND e.vec_id != q.vec_id
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])), 6) DESC,
+             e.vec_id) <= 5
+ORDER BY q_id, sim DESC, neighbor_id
+"""
+
+
+def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate variant — rows-only check (bucket recall is seeded but
+    not SQL-expressible sanely)."""
+    from cassandra_slow_queries_spark.operators.similarity import cosine_topk_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk_lsh(emb, queries, k=5, dim=32, n_planes=6, n_tables=6)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates — rows-only check."""
+    from cassandra_slow_queries_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=32, bands=16, shingle_n=3
+    ).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — rows-only check."""
+    from cassandra_slow_queries_spark.operators.dedup import simhash_near_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path: documents.text as opaque binary payload
+    → typed metadata via native expressions (decode stays stubbed)."""
+    from cassandra_slow_queries_spark.operators.multimodal import (
+        attach_binary_metadata,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    return (
+        attach_binary_metadata(docs)
+        .select("media_id", "n_bytes", "sha256")
+        .orderBy("media_id")
+    )
+
+
+MM_META_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+ORDER BY media_id
+"""
+
+
+def q_mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction (fake decoder) —
+    rows-only check (the feature hash isn't SQL-expressible)."""
+    from cassandra_slow_queries_spark.operators.multimodal import extract_features
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    feats = extract_features(docs)
+    return feats.select(
+        "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
+    ).orderBy("media_id")
+
+
 CATALOG: dict[str, QueryDef] = {
     "a1_top_queries": QueryDef(q_a1_top_queries, A1_SQL, "A1+F3+T1 flagship"),
     "a2_query_pk": QueryDef(q_a2_query_pk, A2_SQL, "A2 (query, pk) aggregate"),
@@ -557,4 +813,32 @@ CATALOG: dict[str, QueryDef] = {
     "w_rank_orders": QueryDef(q_w_rank_orders, W_SQL, "window rank top-K"),
     "q1_pricing_summary": QueryDef(q_q1_pricing_summary, Q1_SQL, "TPC-H Q1 rollup"),
     "h_percentiles": QueryDef(q_h_duration_percentiles, H_SQL, "percentile extension"),
+    # --- extension tier: dedup / similarity / text / multimodal ---
+    "dedup_exact": QueryDef(q_dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
+    "dedup_shingle_candidates": QueryDef(
+        q_dedup_shingles, DEDUP_SHINGLES_SQL, "shared-shingle candidate pairs"
+    ),
+    "dedup_ngram_jaccard": QueryDef(
+        q_dedup_ngram_jaccard, DEDUP_JACCARD_SQL, "exact n-gram Jaccard pairs"
+    ),
+    "dedup_minhash_lsh": QueryDef(
+        q_dedup_minhash_lsh, None, "MinHash-LSH near-dup candidates (rows-only)"
+    ),
+    "dedup_simhash": QueryDef(
+        q_dedup_simhash, None, "SimHash near-dup pairs (rows-only)"
+    ),
+    "text_stats": QueryDef(q_text_stats, TEXT_STATS_SQL, "token/quality stats"),
+    "text_langid": QueryDef(q_text_langid, _langid_sql(), "language-ID heuristic"),
+    "ann_cosine_topk": QueryDef(
+        q_ann_cosine_topk, ANN_SQL, "brute-force cosine top-K"
+    ),
+    "ann_cosine_lsh": QueryDef(
+        q_ann_cosine_lsh, None, "hyperplane-LSH cosine top-K (rows-only)"
+    ),
+    "mm_binary_meta": QueryDef(
+        q_mm_binary_meta, MM_META_SQL, "multimodal binary metadata"
+    ),
+    "mm_fake_features": QueryDef(
+        q_mm_fake_features, None, "mapInPandas feature extraction (rows-only)"
+    ),
 }

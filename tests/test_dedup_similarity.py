@@ -1,0 +1,159 @@
+"""Extension-tier operator semantics: dedup families + similarity search."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_slow_queries_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_dedup_groups,
+    hamming64,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from cassandra_slow_queries_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog again and again today"
+DOC_A2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+DOC_B = "completely different content about spark engines and shuffle plans here"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, DOC_A), (1, DOC_A2), (2, DOC_B), (3, DOC_A)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = {r.h: r for r in exact_dedup_groups(docs, "text", "doc_id").collect()}
+    dups = [g for g in groups.values() if g.n_dups > 1]
+    assert len(dups) == 1 and dups[0].keeper == 0 and dups[0].n_dups == 2
+    kept = drop_exact_duplicates(docs, "text", "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [0, 1, 2]
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=64, bands=32, shingle_n=3
+        ).collect()
+    }
+    # identical docs: estimate 1.0
+    assert pairs[(0, 3)] == 1.0
+    # near-identical docs collide in some band and estimate high
+    assert pairs[(0, 1)] > 0.5
+    # unrelated docs never share a band
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    sig = docs.select(minhash_signature("text", 16, 3).alias("s"))
+    a, b = sig.collect(), sig.collect()
+    assert [r.s for r in a] == [r.s for r in b]
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.0
+        ).collect()
+    }
+    assert pairs[(0, 3)] == 1.0
+    # A vs A2: 13 tokens, 11 3-shingles each, 10 shared → 10/12
+    assert pairs[(0, 1)] == round(10 / 12, 6)
+
+
+def test_simhash_identity_and_distance(spark, docs):
+    fp = docs.select("doc_id", simhash("text").alias("fp")).collect()
+    by_id = {r.doc_id: r.fp for r in fp}
+    assert by_id[0] == by_id[3]
+    near = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_pairs(docs, "text", "doc_id", max_hamming=64).collect()
+    }
+    assert near[(0, 3)] == 0
+    assert near[(0, 1)] < near.get((0, 2), 64)
+
+
+def test_hamming64(spark):
+    df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
+    [out] = df.select(hamming64("a", "b").alias("h")).collect()
+    assert out.h == 2
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+        (4, [0.7, 0.7, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_bruteforce_topk_ordering(spark, vectors):
+    out = cosine_topk_bruteforce(
+        vectors, vectors.filter(F.col("vec_id") == 0), k=3
+    ).collect()
+    assert [r.neighbor_id for r in out] == [1, 4, 2]
+    assert out[0].sim > out[1].sim > out[2].sim
+
+
+def test_lsh_topk_subset_of_exact(spark, vectors):
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(
+            vectors, vectors.filter(F.col("vec_id") == 0), k=4
+        ).collect()
+    }
+    approx = cosine_topk_lsh(
+        vectors,
+        vectors.filter(F.col("vec_id") == 0),
+        k=4,
+        dim=3,
+        n_planes=2,
+        n_tables=4,
+    ).collect()
+    assert len(approx) > 0
+    assert {(r.q_id, r.neighbor_id) for r in approx} <= exact | {
+        (0, 3)
+    }  # LSH may surface the antipode candidate; sims still exact
+    for r in approx:
+        assert r.sim is not None
+
+
+def test_multimodal_fake_features(spark):
+    from cassandra_slow_queries_spark.operators.multimodal import (
+        FEATURE_DIM,
+        attach_binary_metadata,
+        extract_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "")], "media_id long, text string"
+    ).select("media_id", F.encode("text", "UTF-8").alias("content"))
+    meta = attach_binary_metadata(df).collect()
+    assert {r.media_id: r.n_bytes for r in meta} == {1: 11, 2: 0}
+    feats = extract_features(df).collect()
+    assert all(len(r.features) == FEATURE_DIM for r in feats)
+    again = extract_features(df).collect()
+    assert [r.features for r in feats] == [r.features for r in again]
+
+
+def test_multimodal_real_decoder_stubbed(spark):
+    from cassandra_slow_queries_spark.operators.multimodal import extract_features
+
+    df = spark.createDataFrame([(1, b"\x00")], "media_id long, content binary")
+    with pytest.raises(Exception, match="NotImplementedError|not present"):
+        extract_features(df, decoder="real").collect()
