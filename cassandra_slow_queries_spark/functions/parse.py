@@ -110,6 +110,96 @@ def get_log(message: Column | str) -> Column:
     )
 
 
+def add_log_columns(df, message: str = "message"):
+    """Staged DataFrame form of :func:`get_log`: appends ``_duration_str``,
+    ``_counts``, ``_bv_str``, ``_raw_query`` (identical values to the
+    struct fields of ``get_log``).
+
+    Why this exists: building the parse as ONE struct and extracting four
+    fields lets ``SimplifyExtractValueOps`` inline the whole
+    locate/substring tree once per field — ~4× the per-row string work,
+    measured ~70µs/row at sf0.1. Staging each shared intermediate
+    (``_after_slow``, ``_tail``, ``_body``) as a real column in its own
+    projection keeps it computed once: ``CollapseProject`` refuses to
+    merge projections that would duplicate non-cheap expressions, and
+    within whole-stage codegen each projection's output is a local
+    variable. This is the hot-path form; ``get_log`` remains for
+    single-expression contexts and as the semantic spec (equality pinned
+    in tests/test_parse.py).
+    """
+    big = F.lit(2147483647)
+    msg = F.col(message)
+    df = df.withColumn("_slow_pos", F.locate(SLOW_MARKER, msg))
+    df = df.withColumn(
+        "_after_slow",
+        F.substring(msg, F.col("_slow_pos") + F.lit(len(SLOW_MARKER)), big),
+    )
+    df = df.withColumn("_ms_pos", F.locate(MS_MARKER, F.col("_after_slow")))
+    df = df.withColumn(
+        "_duration_str",
+        F.when(
+            (F.col("_slow_pos") > 0) & (F.col("_ms_pos") > 0),
+            F.substring(F.col("_after_slow"), 1, F.col("_ms_pos") - 1),
+        ).otherwise(F.lit(None).cast("string")),
+    )
+    df = df.withColumn(
+        "_tail",
+        F.substring(
+            F.col("_after_slow"), F.col("_ms_pos") + F.lit(len(MS_MARKER)), big
+        ),
+    )
+    df = df.withColumn(
+        "_has_counts", F.substring(F.col("_tail"), 1, 1) == "["
+    ).withColumn("_counts_end", F.locate("]", F.col("_tail")))
+    df = df.withColumn(
+        "_counts_raw",
+        F.when(
+            F.col("_has_counts") & (F.col("_counts_end") > 0),
+            F.substring(F.col("_tail"), 1, F.col("_counts_end")),
+        ),
+    )
+    df = df.withColumn(
+        "_body",
+        F.when(
+            F.col("_has_counts") & (F.col("_counts_end") > 0),
+            F.substring(F.col("_tail"), F.col("_counts_end") + F.lit(2), big),
+        ).otherwise(F.col("_tail")),
+    )
+    df = df.withColumn("_semi_pos", F.locate("; [", F.col("_body"))).withColumn(
+        "_brkt_pos", F.locate("] [", F.col("_body"))
+    )
+    df = df.withColumn(
+        "_bv_pos",
+        F.when(F.col("_semi_pos") > 0, F.col("_semi_pos")).when(
+            F.col("_brkt_pos") > 0, F.col("_brkt_pos")
+        ),
+    )
+    valid = F.col("_duration_str").isNotNull()
+    df = df.withColumn(
+        "_bv_str",
+        F.when(
+            valid & F.col("_has_counts") & F.col("_bv_pos").isNotNull(),
+            F.substring(F.col("_body"), F.col("_bv_pos") + F.lit(2), big),
+        ),
+    )
+    df = df.withColumn(
+        "_raw_query",
+        F.when(
+            valid,
+            F.when(
+                F.col("_has_counts") & F.col("_bv_pos").isNotNull(),
+                F.substring(F.col("_body"), 1, F.col("_bv_pos")),
+            ).otherwise(F.col("_body")),
+        ),
+    )
+    df = df.withColumn("_counts", F.when(valid, F.col("_counts_raw")))
+    return df.drop(
+        "_slow_pos", "_after_slow", "_ms_pos", "_tail", "_has_counts",
+        "_counts_end", "_counts_raw", "_body", "_semi_pos", "_brkt_pos",
+        "_bv_pos",
+    )
+
+
 def parse_bound_values(col: Column | str) -> Column:
     """``[k:'v', k2:'v2']`` → ``map<string,string>``.
 

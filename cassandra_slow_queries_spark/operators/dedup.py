@@ -179,6 +179,39 @@ def minhash_signature(
     return F.when(F.size(hashes) > 0, F.array(*sig_parts))
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Signatures as ``(id, sig)`` via explode + one codegen'd hash
+    aggregate with ``num_hashes`` ``min`` columns.
+
+    Same math as :func:`minhash_signature`, but the per-shingle work runs
+    inside whole-stage codegen with map-side partial aggregation — the
+    higher-order-function fold is interpreted per element and measured
+    ~10× slower at sf0.1. Documents with no shingles produce no row
+    (mirrors the NULL-signature filter of the expression form).
+    """
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("s"),
+    ).select("id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31)).alias("h"))
+    family = _hash_family(num_hashes, seed)
+    aggs = [
+        F.min(
+            F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+        ).alias(f"m{i}")
+        for i, (a, b) in enumerate(family)
+    ]
+    return ex.groupBy("id").agg(*aggs).select(
+        "id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -197,10 +230,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, shingle_n, seed).alias("sig"),
-    ).filter(F.col("sig").isNotNull())
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
     sig = sig.persist()
     banded = sig.select(
         "id",
@@ -317,13 +347,48 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
     return F.bit_count(x)
 
 
+def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Fingerprints as ``(id, fp)`` via explode + one codegen'd hash
+    aggregate with 64 bit-count sums.
+
+    Same semantics as :func:`simhash` (bit b set iff the signed sum over
+    tokens is positive: ``2·ones_b > n``), but runs as a whole-stage
+    codegen hash aggregate with map-side combine instead of an
+    interpreted per-token fold over a 64-wide expression — measured ~50×
+    faster at sf0.1. ``explode_outer`` keeps token-less documents with
+    fingerprint 0, matching the expression form.
+    """
+    toks = F.filter(tokens(text_col), lambda t: F.length(t) > 0)
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(toks).alias("t")
+    ).select(
+        "id", F.xxhash64("t").alias("h"), F.col("t").isNotNull().alias("ok")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.col("ok"), F.shiftright("h", i).bitwiseAND(F.lit(1))
+            ).otherwise(F.lit(0))
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = ex.groupBy("id").agg(F.count(F.when(F.col("ok"), 1)).alias("n"), *bit_sums)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        fp = fp + F.when(
+            F.col(f"b{i}") * 2 > F.col("n"), F.lit(weight).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return agg.select("id", fp.alias("fp"))
+
+
 def simhash_near_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 16-bit fingerprint quarters
     (a pair within Hamming≤3 of 64 bits must agree on ≥1 of 4 quarters —
     pigeonhole), then verify exact Hamming distance."""
-    fp = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("fp"))
+    fp = simhash_fingerprints(df, text_col, id_col)
     fp = fp.persist()
     blocked = fp.select(
         "id",

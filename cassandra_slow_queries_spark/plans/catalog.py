@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cassandra_slow_queries_spark.functions.parse import (
-    get_log,
+    add_log_columns,
     minute_bucket,
     parse_bound_values,
 )
@@ -261,16 +261,19 @@ def q_p2_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         k,
         F.lit("']"),
     )
-    parsed = ev.select("event_id", msg.alias("message")).withColumn(
-        "_log", get_log(F.col("message"))
+    # Sort FIRST on the narrow raw columns: a global sort above the parse
+    # would run the whole parse twice (range-partitioner sampling executes
+    # the child plan), so the sample pass here only rescans parquet.
+    parsed = add_log_columns(
+        ev.orderBy("event_id").select("event_id", msg.alias("message"))
     )
     return parsed.select(
         "event_id",
-        F.col("_log.duration").cast("long").alias("duration"),
-        statement_type(F.col("_log.query")).alias("stmt_type"),
-        F.col("_log.query").alias("query"),
-        parse_bound_values(F.col("_log.bound_values"))["k"].alias("bv_k"),
-    ).orderBy("event_id")
+        F.col("_duration_str").cast("long").alias("duration"),
+        statement_type(F.col("_raw_query")).alias("stmt_type"),
+        F.col("_raw_query").alias("query"),
+        parse_bound_values(F.col("_bv_str"))["k"].alias("bv_k"),
+    )
 
 
 P2_SQL = """

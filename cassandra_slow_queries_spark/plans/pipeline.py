@@ -21,7 +21,7 @@ from pyspark.storagelevel import StorageLevel
 
 from cassandra_slow_queries_spark.config import AnalysisConfig
 from cassandra_slow_queries_spark.functions.parse import (
-    get_log,
+    add_log_columns,
     parse_bound_values,
     parse_timestamp,
 )
@@ -58,16 +58,8 @@ def parse_messages(
     statement processor (:932-934, :1296-1304).
     """
     parsed = (
-        raw.withColumn("ts", parse_timestamp("ts_raw"))
-        .withColumn("_log", get_log(F.col("message")))
-        .select(
-            "ts",
-            "tags",
-            F.col("_log.duration").alias("_duration_str"),
-            F.col("_log.counts").alias("_counts"),
-            F.col("_log.bound_values").alias("_bv_str"),
-            F.col("_log.query").alias("_raw_query"),
-        )
+        add_log_columns(raw.withColumn("ts", parse_timestamp("ts_raw")))
+        .select("ts", "tags", "_duration_str", "_counts", "_bv_str", "_raw_query")
         .withColumn("duration", F.col("_duration_str").cast("long"))
         .withColumn("type", statement_type(F.col("_raw_query")))
         .filter(

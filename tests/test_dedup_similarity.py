@@ -84,6 +84,40 @@ def test_simhash_identity_and_distance(spark, docs):
     assert near[(0, 1)] < near.get((0, 2), 64)
 
 
+def test_aggregate_paths_match_expression_paths(spark, docs):
+    """The codegen'd explode+groupBy signature/fingerprint builders must
+    equal the per-row expression forms exactly."""
+    from cassandra_slow_queries_spark.operators.dedup import (
+        minhash_signatures,
+        simhash_fingerprints,
+    )
+
+    expr_sig = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", minhash_signature("text", 32, 3).alias("s")
+        ).collect()
+    }
+    agg_sig = {
+        r.id: r.sig
+        for r in minhash_signatures(docs, "text", "doc_id", 32, 3).collect()
+    }
+    assert agg_sig == {k: v for k, v in expr_sig.items() if v is not None}
+
+    expr_fp = {
+        r.doc_id: r.f
+        for r in docs.select("doc_id", simhash("text").alias("f")).collect()
+    }
+    agg_fp = {
+        r.id: r.fp for r in simhash_fingerprints(docs, "text", "doc_id").collect()
+    }
+    assert agg_fp == expr_fp
+
+    empty = spark.createDataFrame([(9, ""), (10, None)], "doc_id long, text string")
+    fps = {r.id: r.fp for r in simhash_fingerprints(empty, "text", "doc_id").collect()}
+    assert fps == {9: 0, 10: 0}
+
+
 def test_hamming64(spark):
     df = spark.createDataFrame([(0b1011, 0b0010)], "a long, b long")
     [out] = df.select(hamming64("a", "b").alias("h")).collect()

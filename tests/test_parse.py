@@ -74,6 +74,29 @@ def test_get_log_missing_ms_marker(spark):
     assert row["duration"] is None
 
 
+def test_add_log_columns_matches_get_log(spark):
+    """The staged (hot-path) parse must equal the struct expression form
+    field-for-field on every grammar edge case."""
+    msgs = [
+        MSG,
+        "Query too slow, took 10 ms: SELECT x FROM t LIMIT 1",
+        "Query too slow, took 7 ms: [1 bound values] SELECT x FROM t",
+        "a normal log line",
+        "Query too slow, took forever",
+        "Query too slow, took 5 ms: [truncated output] UPDATE t SET a=1] [x:'1']",
+        "W Query too slow, took 1 ms: [0 bound values] DELETE FROM k.t; [a:'b']",
+        None,
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "message string")
+    struct_rows = df.select(P.get_log("message").alias("s")).collect()
+    staged_rows = P.add_log_columns(df).collect()
+    for sr, gr in zip(staged_rows, struct_rows):
+        assert sr["_duration_str"] == gr.s["duration"]
+        assert sr["_counts"] == gr.s["counts"]
+        assert sr["_bv_str"] == gr.s["bound_values"]
+        assert sr["_raw_query"] == gr.s["query"]
+
+
 @pytest.mark.parametrize(
     "bv,expected",
     [
