@@ -797,6 +797,285 @@ def q_mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+# ---------------------------------------------------------------------------
+# S3 (nested JSON scan), J3 (tag first-match), P5-P7 (table segments),
+# P9 (pattern rewrite), J5 (endpoint enrichment), streaming A4/A5
+# ---------------------------------------------------------------------------
+
+
+def q_s3_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: Kibana ``_msearch`` nested-JSON navigation — build the exact
+    response envelope per event, then parse with from_json + double
+    explode (the same shape sources/kibana.py reads from disk)."""
+    ev = load(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"responses":[{"hits":{"hits":[{"_source":{"message":"M_'),
+        F.col("event_id").cast("string"),
+        F.lit('","tags":["t1","t2"]}}]}}]}'),
+    )
+    schema = (
+        "responses array<struct<hits:struct<"
+        "hits:array<struct<_source:struct<message:string,tags:array<string>>>>>>>"
+    )
+    parsed = ev.select(
+        "event_id", F.from_json(payload, schema).alias("_p")
+    )
+    resp = parsed.select(
+        "event_id", F.explode(F.col("_p.responses")).alias("_r")
+    )
+    hit = resp.select("event_id", F.explode(F.col("_r.hits.hits")).alias("_h"))
+    return hit.select(
+        "event_id",
+        F.col("_h._source.message").alias("message"),
+        F.size(F.col("_h._source.tags")).alias("n_tags"),
+    ).orderBy("event_id")
+
+
+S3_SQL = """
+SELECT event_id,
+       json_extract_string(
+           '{"responses":[{"hits":{"hits":[{"_source":{"message":"M_'
+           || CAST(event_id AS VARCHAR) || '","tags":["t1","t2"]}}]}}]}',
+           '$.responses[0].hits.hits[0]._source.message') AS message,
+       2 AS n_tags
+FROM events
+ORDER BY event_id
+"""
+
+
+J3_TAG_MAP = {"click": "ks_click", "error": "ks_err", "u1": "ks_u1"}
+
+
+def q_j3_tag_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: first tag (in array order) present in the tag→keyspace map
+    supplies the keyspace (analyze_slow_queries.py:543-546)."""
+    ev = load(spark, sf_dir, "events")
+    tags = F.array(
+        F.col("event_type"),
+        F.lit("misc"),
+        F.concat(F.lit("u"), (F.col("user_id") % 3).cast("string")),
+    )
+    tag_map = F.create_map(
+        *[F.lit(x) for kv in J3_TAG_MAP.items() for x in kv]
+    )
+    first_hit = F.get(F.filter(tags, lambda t: F.map_contains_key(tag_map, t)), 0)
+    return (
+        ev.select(F.element_at(tag_map, first_hit).alias("keyspace"))
+        .groupBy("keyspace")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("keyspace").asc_nulls_first())
+    )
+
+
+J3_SQL = """
+SELECT CASE
+         WHEN event_type = 'click' THEN 'ks_click'
+         WHEN event_type = 'error' THEN 'ks_err'
+         WHEN user_id % 3 = 1 THEN 'ks_u1'
+       END AS keyspace,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY 1
+ORDER BY keyspace NULLS FIRST
+"""
+
+
+def q_p5_table_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/P7: run the real ``' FROM '``-slice fallback chain and ks.cf
+    split over four query-shape variants (uppercase, lowercase,
+    ``';'``-terminated bare table, no table)."""
+    from cassandra_slow_queries_spark.functions.parse import (
+        select_table_segment,
+        split_keyspace_cf,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    q = (
+        F.when(
+            F.col("event_type") == "view",
+            F.lit("SELECT * FROM Ks1.T_view WHERE a=1"),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.lit("select * from ks2.t_click where b=2"),
+        )
+        .when(F.col("event_type") == "purchase", F.lit("SELECT * FROM bare_tbl;"))
+        .otherwise(F.lit("SELECT 1"))
+    )
+    seg = select_table_segment(q)
+    split = split_keyspace_cf(seg)
+    return (
+        ev.select(
+            split["keyspace"].alias("keyspace"),
+            split["column_family"].alias("column_family"),
+        )
+        .groupBy("keyspace", "column_family")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(
+            F.col("keyspace").asc_nulls_first(),
+            F.col("column_family").asc_nulls_first(),
+        )
+    )
+
+
+P5_SQL = """
+SELECT CASE event_type WHEN 'view' THEN 'ks1' WHEN 'click' THEN 'ks2' END
+           AS keyspace,
+       CASE event_type WHEN 'view' THEN 't_view' WHEN 'click' THEN 't_click'
+            WHEN 'purchase' THEN 'bare_tbl' END AS column_family,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY 1, 2
+ORDER BY keyspace NULLS FIRST, column_family NULLS FIRST
+"""
+
+
+P9_PATTERNS = [{"start": "SELECT * FROM ks1.t1 WHERE", "parameters": ["k"]}]
+
+
+def q_p9_pattern_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/J4: first-prefix-match pattern rewrite on unbound queries —
+    parameter value extracted into bound_values and replaced with ``?``
+    (analyze_slow_queries.py:860-889)."""
+    from cassandra_slow_queries_spark.operators.enrich import apply_query_patterns
+
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    raw_q = F.when(
+        F.col("event_type") == "view",
+        F.concat(F.lit("SELECT * FROM ks1.t1 WHERE k="), k, F.lit(" LIMIT 1")),
+    ).otherwise(F.lit("INSERT INTO ks1.t1 (a) VALUES (1)"))
+    rw = apply_query_patterns(raw_q, P9_PATTERNS)
+    return ev.select(
+        "event_id",
+        rw["query"].alias("query"),
+        rw["bound_values"]["k"].alias("bv_k"),
+    ).orderBy("event_id")
+
+
+# Note: the reference's rewrite is a literal replace-ALL of the extracted
+# value in the whole query text (analyze_slow_queries.py:885) — a value of
+# '1' also rewrites 'ks1'/'t1'/'LIMIT 1'. The oracle mirrors that exactly.
+P9_SQL = """
+SELECT event_id,
+       CASE WHEN event_type = 'view'
+            THEN replace('SELECT * FROM ks1.t1 WHERE k='
+                         || json_extract_string(props, '$.k') || ' LIMIT 1',
+                         json_extract_string(props, '$.k'), '?')
+            ELSE 'INSERT INTO ks1.t1 (a) VALUES (1)' END AS query,
+       CASE WHEN event_type = 'view'
+            THEN json_extract_string(props, '$.k') END AS bv_k
+FROM events
+ORDER BY event_id
+"""
+
+
+def q_j5_endpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: hot keys → replica endpoints via Arrow-batched mapInPandas
+    (deterministic fake provider; oracle mirrors the md5 ring math)."""
+    from cassandra_slow_queries_spark.operators.endpoints import attach_endpoints
+
+    ev = load(spark, sf_dir, "events")
+    keys = (
+        ev.select(
+            F.col("event_type").alias("keyspace"),
+            F.concat(F.lit("cf_"), (F.col("user_id") % 5).cast("string")).alias(
+                "column_family"
+            ),
+            F.col("user_id").cast("string").alias("primary_key"),
+        )
+        .distinct()
+    )
+    enriched = attach_endpoints(keys, provider="fake", n_nodes=6, rf=3)
+    return enriched.select(
+        "keyspace",
+        "column_family",
+        "primary_key",
+        F.concat_ws(",", "endpoints").alias("endpoints"),
+    ).orderBy("keyspace", "column_family", "primary_key")
+
+
+J5_SQL = """
+WITH keys AS (
+    SELECT DISTINCT event_type AS keyspace,
+           'cf_' || CAST(user_id % 5 AS VARCHAR) AS column_family,
+           CAST(user_id AS VARCHAR) AS primary_key
+    FROM events
+), ring AS (
+    SELECT keyspace, column_family, primary_key,
+           (strpos('0123456789abcdef',
+                   substr(md5(keyspace || '.' || column_family || '.' || primary_key), 1, 1))
+            - 1) % 6 AS base
+    FROM keys
+)
+SELECT keyspace, column_family, primary_key,
+       'node' || CAST(base AS VARCHAR)
+        || ',node' || CAST((base + 1) % 6 AS VARCHAR)
+        || ',node' || CAST((base + 2) % 6 AS VARCHAR) AS endpoints
+FROM ring
+ORDER BY keyspace, column_family, primary_key
+"""
+
+
+def _event_fact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a genuine file-source stream shaped like the parsed fact
+    frame (ts/query/primary_key/duration).
+
+    The file stream source needs a directory, so the fact frame is first
+    materialized to a temp dir — which is exactly the engine's
+    "re-analyzable processed intermediate" flow (plans/pipeline.py
+    ``fact_parquet_path``; reference TODO analyze_slow_queries.py:62):
+    batch job writes the parquet fact table, streaming re-analyzes it.
+    """
+    import tempfile
+
+    from cassandra_slow_queries_spark.streaming.pipeline import read_fact_stream
+
+    static = load(spark, sf_dir, "events")
+    fact = static.select(
+        "ts",
+        F.col("event_type").alias("query"),
+        (F.col("user_id") % 10).cast("string").alias("primary_key"),
+        _dur().alias("duration"),
+    )
+    fact_dir = tempfile.mkdtemp(prefix="fact_stream_")
+    fact.write.mode("overwrite").parquet(fact_dir)
+    return read_fact_stream(spark, fact_dir)
+
+
+def q_stream_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 as a REAL Structured Streaming job: file-source stream →
+    windowed aggregation → AvailableNow trigger → memory sink; the
+    result must equal the batch oracle exactly."""
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        run_stream_to_batch,
+        volume_stream,
+    )
+
+    parsed = _event_fact_stream(spark, sf_dir)
+    result = run_stream_to_batch(volume_stream(parsed, window="1 hour"))
+    return (
+        result.filter(F.col("cnt") >= 5)
+        .withColumnRenamed("minute", "bucket")
+        .orderBy("bucket")
+    )
+
+
+def q_stream_volume_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 + T2 in streaming: complete-mode windowed cells with the
+    grouped top-K applied in foreachBatch (rank windows are not allowed
+    inside streaming aggregations — SURVEY.md §2.9)."""
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        run_volume_top_stream,
+    )
+
+    parsed = _event_fact_stream(spark, sf_dir)
+    top = run_volume_top_stream(parsed, k=3, window="1 hour")
+    return top.withColumnRenamed("minute", "bucket").select(
+        "bucket", "query", "primary_key", "cnt", "duration", "avg_duration"
+    ).orderBy("bucket", F.col("duration").desc(), "query", "primary_key")
+
+
 CATALOG: dict[str, QueryDef] = {
     "a1_top_queries": QueryDef(q_a1_top_queries, A1_SQL, "A1+F3+T1 flagship"),
     "a2_query_pk": QueryDef(q_a2_query_pk, A2_SQL, "A2 (query, pk) aggregate"),
@@ -843,5 +1122,15 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "mm_fake_features": QueryDef(
         q_mm_fake_features, None, "mapInPandas feature extraction (rows-only)"
+    ),
+    # --- remaining §2 operators: S3, J3, P5-P7, P9, J5 + streaming tier ---
+    "s3_nested_json": QueryDef(q_s3_nested_json, S3_SQL, "S3 nested-JSON scan"),
+    "j3_tag_first_match": QueryDef(q_j3_tag_first_match, J3_SQL, "J3 tag lookup"),
+    "p5_table_segments": QueryDef(q_p5_table_segments, P5_SQL, "P5/P7 table parse"),
+    "p9_pattern_rewrite": QueryDef(q_p9_pattern_rewrite, P9_SQL, "P9 pattern rewrite"),
+    "j5_endpoints": QueryDef(q_j5_endpoints, J5_SQL, "J5 mapInPandas endpoints"),
+    "stream_volume": QueryDef(q_stream_volume, A4_SQL, "A4 via Structured Streaming"),
+    "stream_volume_top": QueryDef(
+        q_stream_volume_top, A5_SQL, "A5+T2 via streaming foreachBatch"
     ),
 }

@@ -1,0 +1,152 @@
+"""Structured Streaming tier (SURVEY.md §2.9 / §7 Tier 2).
+
+The reference is batch-only, but its per-minute volume reports
+(analyze_slow_queries.py:1053-1075) are textbook tumbling-window
+aggregations. This module runs the SAME aggregation expressions over
+``readStream`` sources:
+
+- :func:`volume_stream` / :func:`volume_top_cells_stream` — windowed
+  streaming aggregations (A4/A5) with optional watermark for unbounded
+  sources.
+- :func:`run_stream_to_batch` — drive any finite streaming frame to
+  completion with ``Trigger.AvailableNow`` and return the final result as
+  a batch DataFrame. Aggregations run in ``complete`` mode: with a finite
+  input, append mode would hold back every window newer than the
+  watermark at end-of-stream, silently dropping the tail — the classic
+  finite-stream pitfall.
+- :func:`run_volume_top_stream` — the grouped top-K per window (T2).
+  Rank-over-window is not allowed inside a streaming aggregation, so the
+  rank runs in ``foreachBatch`` over the complete aggregation state —
+  exactly the §2.9 plan.
+
+At scale: the streaming agg state is partitioned by window start (and
+query/pk for A5) across ``spark.sql.shuffle.partitions`` state stores;
+with a watermark, state for closed windows is evicted, so memory is
+bounded by (watermark horizon / window size) × key cardinality, not by
+stream length.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_slow_queries_spark.operators.topk import grouped_top_k
+
+WINDOW = "1 minute"
+
+
+def _windowed(parsed: DataFrame, window: str, watermark: str | None) -> DataFrame:
+    src = parsed.withWatermark("ts", watermark) if watermark else parsed
+    return src.groupBy(F.window("ts", window).alias("_win"))
+
+
+def volume_stream(
+    parsed: DataFrame, window: str = WINDOW, watermark: str | None = None
+) -> DataFrame:
+    """A4 as a streaming aggregation: per-window count + duration sum +
+    truncating average (analyze_slow_queries.py:1053-1061, :1093-1104)."""
+    return (
+        _windowed(parsed, window, watermark)
+        .agg(F.count("*").alias("cnt"), F.sum("duration").alias("duration"))
+        .select(
+            F.date_format(F.col("_win.start"), "yyyy-MM-dd HH:mm").alias("minute"),
+            "cnt",
+            "duration",
+            F.floor(F.col("duration") / F.col("cnt")).cast("long").alias(
+                "avg_duration"
+            ),
+        )
+    )
+
+
+def volume_top_cells_stream(
+    parsed: DataFrame, window: str = WINDOW, watermark: str | None = None
+) -> DataFrame:
+    """A5 cells as a streaming aggregation (minute, query, primary_key);
+    the per-window top-K rank happens downstream in foreachBatch."""
+    src = parsed.withWatermark("ts", watermark) if watermark else parsed
+    return (
+        src.groupBy(
+            F.window("ts", window).alias("_win"),
+            "query",
+            F.coalesce(F.col("primary_key"), F.lit("")).alias("primary_key"),
+        )
+        .agg(F.count("*").alias("cnt"), F.sum("duration").alias("duration"))
+        .select(
+            F.date_format(F.col("_win.start"), "yyyy-MM-dd HH:mm").alias("minute"),
+            "query",
+            "primary_key",
+            "cnt",
+            "duration",
+            F.floor(F.col("duration") / F.col("cnt")).cast("long").alias(
+                "avg_duration"
+            ),
+        )
+    )
+
+
+def run_stream_to_batch(streaming_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a finite streaming frame with ``Trigger.AvailableNow`` into
+    an in-memory sink and return the final contents as a batch frame."""
+    name = f"stream_result_{uuid.uuid4().hex}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = streaming_df.sparkSession
+    return spark.table(name)
+
+
+def run_volume_top_stream(
+    parsed: DataFrame,
+    k: int,
+    order_by: str = "duration",
+    window: str = WINDOW,
+    watermark: str | None = None,
+) -> DataFrame:
+    """T2-in-streaming: complete-mode A5 cells → ``foreachBatch`` grouped
+    top-K → parquet snapshot, returned as a batch frame.
+
+    ``foreachBatch`` sees the full aggregation state each trigger in
+    complete mode, so the rank is always over the whole window population;
+    the parquet overwrite makes re-triggers idempotent.
+    """
+    cells = volume_top_cells_stream(parsed, window, watermark)
+    out_dir = tempfile.mkdtemp(prefix="volume_top_stream_")
+
+    def emit(batch_df: DataFrame, _batch_id: int) -> None:
+        top = grouped_top_k(
+            batch_df, ["minute"], order_by, k, tiebreaks=["query", "primary_key"]
+        )
+        top.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        cells.writeStream.foreachBatch(emit)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return parsed.sparkSession.read.parquet(out_dir)
+
+
+def read_fact_stream(
+    spark: SparkSession, parquet_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a fact-frame parquet directory (the
+    materialized ``processed`` intermediate, plans/pipeline.py) — the
+    incremental re-analysis path the reference's TODO asks for
+    (analyze_slow_queries.py:62)."""
+    static = spark.read.parquet(parquet_dir)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(parquet_dir)
