@@ -48,7 +48,11 @@ FACT_COLUMNS = [
 
 
 def parse_messages(
-    raw: DataFrame, spark: SparkSession, config: AnalysisConfig
+    raw: DataFrame,
+    spark: SparkSession,
+    config: AnalysisConfig,
+    observation: Observation | None = None,
+    with_incidents: bool = False,
 ) -> DataFrame:
     """Raw log frame ``(ts_raw, message, tags)`` → parsed fact frame
     (schema per FIXTURES.md A2 / analyze_slow_queries.py:917-926).
@@ -56,17 +60,39 @@ def parse_messages(
     Rows the reference would raise-and-skip on are filtered: unparseable
     timestamp or log grammar, non-integer duration, or no matching
     statement processor (:932-934, :1296-1304).
+
+    ``observation``: drop-accounting metrics (n_input / n_bad_ts /
+    n_bad_grammar / n_unknown_statement / n_parsed) collected at action
+    time — the Spark-native form of the reference's warn counters.
+    ``with_incidents``: keep a ``_incidents`` array column of per-row
+    warning tags for :func:`incident_report` (off the hot path by
+    default).
     """
-    parsed = (
+    pre = (
         add_log_columns(raw.withColumn("ts", parse_timestamp("ts_raw")))
         .select("ts", "tags", "_duration_str", "_counts", "_bv_str", "_raw_query")
         .withColumn("duration", F.col("_duration_str").cast("long"))
         .withColumn("type", statement_type(F.col("_raw_query")))
-        .filter(
-            F.col("ts").isNotNull()
-            & F.col("duration").isNotNull()
-            & F.col("type").isNotNull()
+    )
+    if observation is not None:
+        pre = pre.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_input"),
+            F.count_if(F.col("ts").isNull()).alias("n_bad_ts"),
+            F.count_if(F.col("duration").isNull()).alias("n_bad_grammar"),
+            F.count_if(
+                F.col("duration").isNotNull() & F.col("type").isNull()
+            ).alias("n_unknown_statement"),
+            F.count_if(
+                F.col("ts").isNotNull()
+                & F.col("duration").isNotNull()
+                & F.col("type").isNotNull()
+            ).alias("n_parsed"),
         )
+    parsed = pre.filter(
+        F.col("ts").isNotNull()
+        & F.col("duration").isNotNull()
+        & F.col("type").isNotNull()
     )
 
     # Bound values parse for SELECT/INSERT (BATCH/DELETE/UPDATE carry an
@@ -118,7 +144,49 @@ def parse_messages(
     ).withColumn(
         "bound_values", F.when(is_enriched("type"), F.col("bound_values")).otherwise(empty_map)
     )
+    if with_incidents:
+        # Aggregated-incident-logger analog (analyze_slow_queries.py:209-292):
+        # tag the same conditions the reference warns on, per row.
+        enriched = is_enriched("type")
+        tags_arr = F.array(
+            F.when(
+                enriched & F.col("table_segment").isNull(),
+                F.lit("no table segment in query"),
+            ),
+            F.when(
+                enriched
+                & F.col("table_segment").isNotNull()
+                & (F.col("keyspace").isNull() | F.col("column_family").isNull()),
+                F.lit("unable to resolve keyspace/column family"),
+            ),
+            F.when(
+                enriched
+                & F.col("keyspace").isNotNull()
+                & F.col("column_family").isNotNull()
+                & F.col("primary_key").isNull(),
+                F.lit("no schema entry for keyspace.column_family"),
+            ),
+            F.when(
+                F.col("_bv_str").isNotNull() & (F.size("bound_values") == 0),
+                F.lit("bad bound values"),
+            ),
+        )
+        parsed = parsed.withColumn(
+            "_incidents", F.filter(tags_arr, lambda t: t.isNotNull())
+        )
+        return parsed.select(*FACT_COLUMNS, "_incidents")
     return parsed.select(*FACT_COLUMNS)
+
+
+def incident_report(fact_with_incidents: DataFrame) -> DataFrame:
+    """``(incident, count)`` sorted ascending by count — the flush order
+    of the reference's incident logger (T4, analyze_slow_queries.py:255-261)."""
+    return (
+        fact_with_incidents.select(F.explode("_incidents").alias("incident"))
+        .groupBy("incident")
+        .agg(F.count("*").alias("count"))
+        .orderBy("count", "incident")
+    )
 
 
 def run_analysis(

@@ -162,3 +162,37 @@ def test_report_shapes(reports):
         "Primary Key",
         "Query",
     ]
+
+
+def test_observation_and_incident_report(spark, kibana_file):
+    from pyspark.sql import Observation
+
+    from cassandra_slow_queries_spark.plans.pipeline import incident_report
+
+    cfg = AnalysisConfig(min_count=2, schema=SCHEMA, tags={"prod": "ks1"})
+    raw = read_kibana_json(spark, kibana_file)
+    obs = Observation("parse_metrics")
+    fact = parse_messages(raw, spark, cfg, observation=obs, with_incidents=True)
+    fact.count()  # action → metrics materialize
+    m = obs.get
+    # 16 slow-marker rows reach the parser (12 SELECTs + @message fallback
+    # + INSERT + BATCH + TRUNCATE; the non-slow line is excluded)
+    assert m["n_input"] == 16
+    assert m["n_unknown_statement"] == 1  # TRUNCATE
+    assert m["n_bad_ts"] == 0 and m["n_bad_grammar"] == 0
+    assert m["n_parsed"] == m["n_input"] - m["n_unknown_statement"]
+
+    inc = {r.incident: r["count"] for r in incident_report(fact).collect()}
+    # the '@message' SELECT has no FROM-terminating match → 'SELECT 1 ...x'
+    # parses a table segment but ks1.events schema misses pk 'a' in bound
+    # values? no — it has no bound values: segment resolves, pk assembly
+    # yields '' (schema hit, no fields found), so no incident; the INSERT
+    # row resolves fully. Expect no silent incident categories beyond
+    # those constructed here.
+    for name in inc:
+        assert name in {
+            "no table segment in query",
+            "unable to resolve keyspace/column family",
+            "no schema entry for keyspace.column_family",
+            "bad bound values",
+        }
