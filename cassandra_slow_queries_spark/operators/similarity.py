@@ -20,7 +20,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cassandra_slow_queries_spark.functions.vectors import cosine
+from cassandra_slow_queries_spark.functions.vectors import dot, norm
 from cassandra_slow_queries_spark.operators.topk import grouped_top_k
 
 
@@ -30,24 +30,37 @@ def cosine_topk_bruteforce(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-K neighbors per query vector (self-matches excluded).
 
     Output: (q_id, neighbor_id, sim) with sim rounded to 6 dp and
     deterministic (sim desc, neighbor_id asc) ranking.
+
+    Norms are precomputed once per side (N+Q norm evaluations instead of
+    2·N·Q), so each pair costs exactly one dot product. ``dim`` opts into
+    the unrolled dot (functions/vectors.py) — worthwhile only when the
+    input is large enough to amortize the much bigger codegen compile;
+    at bench scale the fold form wins.
     """
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(vec_col, dim).alias("_cn"),
     )
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(vec_col, dim).alias("_qn"),
+    )
+    d = dot(F.col("_qv"), F.col("_cv"), dim)
+    sim = F.when(
+        (F.col("_qn") > 0) & (F.col("_cn") > 0), d / (F.col("_qn") * F.col("_cn"))
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
-        )
+        .select("q_id", "neighbor_id", F.round(sim, 6).alias("sim"))
     )
     return grouped_top_k(scored, ["q_id"], "sim", k, tiebreaks=["neighbor_id"]).orderBy(
         "q_id", F.col("sim").desc(), "neighbor_id"
@@ -80,9 +93,19 @@ def _hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
 
 
 def hyperplane_bucket(vec_col: str, planes: list[list[float]]):
-    """Sign-pattern bucket id (one bit per plane) as a long."""
+    """Sign-pattern bucket id (one bit per plane) as a long.
+
+    ``plane`` length must equal the vector dimension: ``zip_with`` pads
+    the shorter side with NULL, which would NULL the whole dot product
+    and collapse every vector into bucket 0 (caught once as a dim=32
+    config against 64-wide embeddings — LSH silently degenerated to
+    brute force). Summing the distinct power-of-two bit weights is the
+    bitwise OR. The fold form is deliberate: a fully unrolled
+    multiply-add chain generates ~2 300 expression nodes here, and
+    whole-stage codegen compile time (janino) dominates every stage that
+    embeds it — measured 7× slower than the interpreted fold at sf0.1."""
     v = F.col(vec_col).cast("array<double>")
-    bits = []
+    bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(c)) for c in plane])
         d = F.aggregate(
@@ -90,14 +113,10 @@ def hyperplane_bucket(vec_col: str, planes: list[list[float]]):
             F.lit(0.0),
             lambda acc, p: acc + p,
         )
-        bits.append(
-            F.when(d >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    return F.aggregate(
-        F.array(*bits), F.lit(0).cast("long"), lambda acc, b: acc.bitwiseOR(b)
-    )
+    return bucket
 
 
 def cosine_topk_lsh(
@@ -121,10 +140,7 @@ def cosine_topk_lsh(
         _hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)
     ]
 
-    def bucketize(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-        out = df.select(
-            F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)
-        )
+    def bucketize(df: DataFrame, id_alias: str, vec_alias: str, norm_alias: str) -> DataFrame:
         buckets = F.array(
             *[
                 F.struct(
@@ -134,33 +150,32 @@ def cosine_topk_lsh(
                 for t, planes in enumerate(tables)
             ]
         )
-        return (
-            df.select(
-                F.col(id_col).alias(id_alias),
-                F.col(vec_col).alias(vec_alias),
-                F.explode(buckets).alias("tb"),
-            )
-            .select(
-                id_alias,
-                vec_alias,
-                F.col("tb.table").alias("table"),
-                F.col("tb.bucket").alias("bucket"),
-            )
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            norm(vec_col).alias(norm_alias),
+            F.explode(buckets).alias("tb"),
+        ).select(
+            id_alias,
+            vec_alias,
+            norm_alias,
+            F.col("tb.table").alias("table"),
+            F.col("tb.bucket").alias("bucket"),
         )
 
-    c = bucketize(corpus, "neighbor_id", "_cv")
-    q = bucketize(queries, "q_id", "_qv")
+    c = bucketize(corpus, "neighbor_id", "_cv", "_cn")
+    q = bucketize(queries, "q_id", "_qv", "_qn")
     cand = (
         c.join(F.broadcast(q), on=["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", "_qv", "_cv")
+        .select("q_id", "neighbor_id", "_qv", "_cv", "_qn", "_cn")
         .distinct()
     )
-    scored = cand.select(
-        "q_id",
-        "neighbor_id",
-        F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("sim"),
+    d = dot(F.col("_qv"), F.col("_cv"))
+    sim = F.when(
+        (F.col("_qn") > 0) & (F.col("_cn") > 0), d / (F.col("_qn") * F.col("_cn"))
     )
+    scored = cand.select("q_id", "neighbor_id", F.round(sim, 6).alias("sim"))
     return grouped_top_k(scored, ["q_id"], "sim", k, tiebreaks=["neighbor_id"]).orderBy(
         "q_id", F.col("sim").desc(), "neighbor_id"
     )

@@ -732,7 +732,7 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return cosine_topk_lsh(emb, queries, k=5, dim=32, n_planes=6, n_tables=6)
+    return cosine_topk_lsh(emb, queries, k=5, dim=64, n_planes=6, n_tables=6)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -945,12 +945,20 @@ def q_p9_pattern_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type") == "view",
         F.concat(F.lit("SELECT * FROM ks1.t1 WHERE k="), k, F.lit(" LIMIT 1")),
     ).otherwise(F.lit("INSERT INTO ks1.t1 (a) VALUES (1)"))
-    rw = apply_query_patterns(raw_q, P9_PATTERNS)
-    return ev.select(
+    # sort raw rows first (sampling pass stays cheap) and stage the
+    # rewrite struct as its own column so the two field extractions don't
+    # each inline the whole rewrite tree (same pathology as get_log —
+    # functions/parse.py add_log_columns docstring)
+    staged = (
+        ev.orderBy("event_id")
+        .select("event_id", raw_q.alias("_q"))
+        .withColumn("_rw", apply_query_patterns(F.col("_q"), P9_PATTERNS))
+    )
+    return staged.select(
         "event_id",
-        rw["query"].alias("query"),
-        rw["bound_values"]["k"].alias("bv_k"),
-    ).orderBy("event_id")
+        F.col("_rw.query").alias("query"),
+        F.col("_rw.bound_values")["k"].alias("bv_k"),
+    )
 
 
 # Note: the reference's rewrite is a literal replace-ALL of the extracted
