@@ -1025,6 +1025,187 @@ ORDER BY keyspace, column_family, primary_key
 """
 
 
+def q_e2e_query_pk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION pipeline end-to-end at scale: reference-grammar log
+    lines synthesized from events → the real parse_messages (P2/P4/D1 +
+    schema broadcast join + PK assembly) → the real A2 query_pk report
+    (HAVING + truncating avg + top-N). This is the parity flagship — the
+    same code path read_kibana_json feeds in production."""
+    from cassandra_slow_queries_spark.config import AnalysisConfig
+    from cassandra_slow_queries_spark.operators.aggregates import (
+        prepare_fact,
+        query_pk_report,
+    )
+    from cassandra_slow_queries_spark.plans.pipeline import parse_messages
+
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    msg = F.concat(
+        F.lit("INFO Query too slow, took "),
+        _dur().cast("string"),
+        F.lit(" ms: [1 bound values] SELECT * FROM ks1.t1 WHERE k=? LIMIT 10; [k:'"),
+        k,
+        F.lit("']"),
+    )
+    raw = ev.select(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("ts_raw"),
+        msg.alias("message"),
+        F.array(F.lit("prod")).alias("tags"),
+    )
+    cfg = AnalysisConfig(
+        top_n=100000,  # above group cardinality: whole HAVING survivor set
+        min_count=5,
+        order_by="duration",
+        schema={"ks1": {"t1": {"primary_key": ["k"], "clustering_key": []}}},
+        tags={"prod": "ks1"},
+    )
+    fact = prepare_fact(parse_messages(raw, spark, cfg))
+    return query_pk_report(fact, cfg)
+
+
+E2E_QUERY_PK_SQL = """
+WITH g AS (
+    SELECT 'SELECT * FROM ks1.t1 WHERE k=? LIMIT 10;' AS query,
+           json_extract_string(props, '$.k') AS primary_key,
+           CAST(COUNT(*) AS BIGINT) AS "count",
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS duration
+    FROM events
+    GROUP BY 2
+    HAVING COUNT(*) >= 5
+)
+SELECT query, primary_key, "count", duration,
+       'ks1' AS keyspace, 't1' AS column_family,
+       CAST(FLOOR(duration / "count") AS BIGINT) AS avg_duration
+FROM g
+ORDER BY duration DESC, query, primary_key
+LIMIT 100000
+"""
+
+
+def q_x_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: grouping-sets rollup (free Catalyst built-in the
+    reference's hand-rolled multi-aggregate never had — SURVEY.md §2.6)."""
+    ev = load(spark, sf_dir, "events").withColumn("dur", _dur())
+    return (
+        ev.rollup(
+            F.col("event_type").alias("query"),
+            (F.col("user_id") % 5).cast("string").alias("bucket"),
+        )
+        .agg(F.count("*").alias("cnt"), F.sum("dur").alias("duration"))
+        .orderBy(
+            F.col("query").asc_nulls_first(), F.col("bucket").asc_nulls_first()
+        )
+    )
+
+
+X_ROLLUP_SQL = """
+SELECT event_type AS query,
+       CAST(user_id % 5 AS VARCHAR) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS duration
+FROM events
+GROUP BY ROLLUP (1, 2)
+ORDER BY query NULLS FIRST, bucket NULLS FIRST
+"""
+
+
+def q_x_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: per-user sessionization with a 30-minute inactivity gap
+    (``session_window`` built-in; oracle is the gaps-and-islands SQL)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("_w")
+        )
+        .agg(F.count("*").alias("cnt"), F.count_distinct("event_type").alias("n_types"))
+        .select(
+            "user_id",
+            F.col("_w.start").alias("session_start"),
+            "cnt",
+            "n_types",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+X_SESSION_SQL = """
+WITH marked AS (
+    SELECT user_id, ts, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+    SELECT user_id, ts, event_type,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM numbered
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+def q_x_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: INTERSECT / EXCEPT / UNION in one result (the reference
+    has only union — SURVEY.md §2.8)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    buyers = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    tagged = (
+        building.intersect(buyers).withColumn("op", F.lit("both"))
+        .unionByName(building.exceptAll(buyers).withColumn("op", F.lit("building_only")))
+    )
+    return tagged.groupBy("op").agg(F.count("*").alias("cnt")).orderBy("op")
+
+
+X_SET_SQL = """
+WITH building AS (
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), buyers AS (
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+), tagged AS (
+    SELECT custkey, 'both' AS op FROM (
+        SELECT custkey FROM building INTERSECT SELECT custkey FROM buyers)
+    UNION ALL
+    SELECT custkey, 'building_only' AS op FROM (
+        SELECT custkey FROM building EXCEPT ALL SELECT custkey FROM buyers)
+)
+SELECT op, CAST(COUNT(*) AS BIGINT) AS cnt FROM tagged GROUP BY op ORDER BY op
+"""
+
+
+def q_x_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: exact distinct aggregation (reference has none)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type").alias("query"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("query")
+    )
+
+
+X_DISTINCT_SQL = """
+SELECT event_type AS query,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY 1
+ORDER BY query
+"""
+
+
 def _event_fact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a genuine file-source stream shaped like the parsed fact
     frame (ts/query/primary_key/duration).
@@ -1141,4 +1322,14 @@ CATALOG: dict[str, QueryDef] = {
     "stream_volume_top": QueryDef(
         q_stream_volume_top, A5_SQL, "A5+T2 via streaming foreachBatch"
     ),
+    # --- production pipeline end-to-end + free built-in extensions ---
+    "e2e_query_pk_report": QueryDef(
+        q_e2e_query_pk_report, E2E_QUERY_PK_SQL, "full parse→enrich→A2 pipeline"
+    ),
+    "x_rollup": QueryDef(q_x_rollup, X_ROLLUP_SQL, "grouping-sets rollup"),
+    "x_session_window": QueryDef(
+        q_x_session_window, X_SESSION_SQL, "session windows vs gaps-and-islands"
+    ),
+    "x_set_ops": QueryDef(q_x_set_ops, X_SET_SQL, "intersect/except/union"),
+    "x_distinct_agg": QueryDef(q_x_distinct_agg, X_DISTINCT_SQL, "distinct agg"),
 }
