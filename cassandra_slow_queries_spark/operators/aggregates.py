@@ -66,41 +66,68 @@ def prepare_fact(fact: DataFrame) -> DataFrame:
     )
 
 
+def _report_with_carried_dims(
+    fact: DataFrame, keys: list[str], config: AnalysisConfig
+) -> DataFrame:
+    """A1/A2 core with the carried-dims fetch split off the big
+    aggregation.
+
+    The reference carries ks/cf from the first record that created each
+    cell (analyze_slow_queries.py:1015-1022). Folding strings (or a
+    struct) into the aggregation buffer forces SortAggregate — the whole
+    fact stream gets map-side sorted. Instead:
+
+    1. hash-aggregate (count, sum, ``min(ts)``) — fixed-size buffer, so
+       the 100 TB pass stays a map-side-combined HashAggregate;
+    2. HAVING + top-N first (``TakeOrderedAndProject``; ranking never
+       needs the dims) → at most ``top_n`` rows survive;
+    3. broadcast those rows back against the fact (already persisted for
+       the five-report fan-out) matching on keys + ``ts == min(ts)``, and
+       take ``min(struct(ks, cf))`` over the handful of matches.
+
+    Result is deterministic (earliest timestamp wins; lexicographic
+    (ks, cf) on exact ts ties) and identical to aggregating
+    ``min(struct(ts, ks, cf))`` directly — pinned by tests.
+    """
+    agg = fact.groupBy(*keys).agg(*_measures(), F.min("ts").alias("_min_ts"))
+    out = _with_avg(_having(agg, config))
+    top = top_n(out, config.order_by, config.top_n, tiebreaks=keys)
+    probe = top.select(*keys, "_min_ts")
+    match_cond = [F.col(f"f.{k}") == F.col(f"p.{k}") for k in keys]
+    match_cond.append(F.col("f.ts") == F.col("p._min_ts"))
+    dims = (
+        fact.alias("f")
+        .join(F.broadcast(probe.alias("p")), on=match_cond)
+        .groupBy(*[F.col(f"p.{k}").alias(k) for k in keys])
+        .agg(F.min(F.struct("f.keyspace", "f.column_family")).alias("_d"))
+    )
+    order = [F.col(config.order_by).desc()] + [F.col(k) for k in keys]
+    return (
+        top.join(F.broadcast(dims), on=keys, how="left")
+        .select(
+            *keys,
+            "count",
+            "duration",
+            F.col("_d.keyspace").alias("keyspace"),
+            F.col("_d.column_family").alias("column_family"),
+            "avg_duration",
+        )
+        .orderBy(*order)
+    )
+
+
 def query_report(fact: DataFrame, config: AnalysisConfig) -> DataFrame:
     """A1: per-query-shape totals; carried ks/cf come from the
     earliest-timestamp record in the group (deterministic stand-in for the
     reference's first-seen, :1015-1022)."""
-    first_seen = F.min(F.struct("ts", "keyspace", "column_family")).alias("_first")
-    agg = fact.groupBy("query").agg(*_measures(), first_seen)
-    agg = agg.select(
-        "query",
-        "count",
-        "duration",
-        F.col("_first.keyspace").alias("keyspace"),
-        F.col("_first.column_family").alias("column_family"),
-    )
-    out = _with_avg(_having(agg, config))
-    return top_n(out, config.order_by, config.top_n, tiebreaks=["query"])
+    return _report_with_carried_dims(fact, ["query"], config)
 
 
 def query_pk_report(fact: DataFrame, config: AnalysisConfig) -> DataFrame:
     """A2: (query, primary_key) totals for rows with a primary key."""
-    first_seen = F.min(F.struct("ts", "keyspace", "column_family")).alias("_first")
-    agg = (
-        fact.filter(F.col("primary_key") != "")
-        .groupBy("query", "primary_key")
-        .agg(*_measures(), first_seen)
-        .select(
-            "query",
-            "primary_key",
-            "count",
-            "duration",
-            F.col("_first.keyspace").alias("keyspace"),
-            F.col("_first.column_family").alias("column_family"),
-        )
+    return _report_with_carried_dims(
+        fact.filter(F.col("primary_key") != ""), ["query", "primary_key"], config
     )
-    out = _with_avg(_having(agg, config))
-    return top_n(out, config.order_by, config.top_n, tiebreaks=["query", "primary_key"])
 
 
 def primary_key_report(fact: DataFrame, config: AnalysisConfig) -> DataFrame:
