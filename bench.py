@@ -25,6 +25,11 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the session (executor spin-up, parquet footers, first-stage
+    # codegen) so per-query numbers measure the queries, not JVM startup.
+    for t in ("events", "lineitem", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+
     timings: dict[str, float] = {}
     start_all = time.perf_counter()
     for name, qd in CATALOG.items():
