@@ -29,6 +29,9 @@ def _apply_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # see session.py: DPP's lineage analysis costs ~17 s/action on deep
+    # expression pipelines and can never fire on these plans
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
 
 
 def entry(spark: SparkSession) -> DataFrame:

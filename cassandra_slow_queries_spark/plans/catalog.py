@@ -1059,7 +1059,10 @@ def q_e2e_query_pk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema={"ks1": {"t1": {"primary_key": ["k"], "clustering_key": []}}},
         tags={"prod": "ks1"},
     )
-    fact = prepare_fact(parse_messages(raw, spark, cfg))
+    # persist-once contract (plans/pipeline.run_analysis): the report
+    # references the fact frame more than once (agg pass + carried-dims
+    # fetch) — without the persist the whole parse would re-execute
+    fact = prepare_fact(parse_messages(raw, spark, cfg)).persist()
     return query_pk_report(fact, cfg)
 
 

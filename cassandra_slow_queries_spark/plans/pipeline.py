@@ -73,6 +73,16 @@ def parse_messages(
         .select("ts", "tags", "_duration_str", "_counts", "_bv_str", "_raw_query")
         .withColumn("duration", F.col("_duration_str").cast("long"))
         .withColumn("type", statement_type(F.col("_raw_query")))
+        # Pushdown barrier: PushDownPredicates substitutes filter columns
+        # through every projection below, which would compile the validity
+        # filter into one scan-level predicate containing the ENTIRE parse
+        # chain (measured: a 472 KB Filter re-evaluating ~1900 locate()s
+        # per input row — 40× the whole pipeline cost). A nondeterministic
+        # project blocks all predicate pushdown through it — but ONLY while
+        # the column is referenced (ColumnPruning would otherwise drop it
+        # and re-open the hole), hence the `_row_id >= 0` conjunct in the
+        # validity filter below.
+        .withColumn("_row_id", F.monotonically_increasing_id())
     )
     if observation is not None:
         pre = pre.observe(
@@ -93,6 +103,9 @@ def parse_messages(
         F.col("ts").isNotNull()
         & F.col("duration").isNotNull()
         & F.col("type").isNotNull()
+        # always true; keeps _row_id referenced so the barrier project
+        # stays nondeterministic (see comment above)
+        & (F.col("_row_id") >= 0)
     )
 
     # Bound values parse for SELECT/INSERT (BATCH/DELETE/UPDATE carry an

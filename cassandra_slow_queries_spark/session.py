@@ -48,6 +48,19 @@ def get_spark(
         builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Dynamic partition pruning OFF by default: the PartitionPruning
+        # rule's alias-lineage substitution (findExpressionAndTrackLineage
+        # Down + trimAliases) is re-run per join key per action and blows
+        # up combinatorially on deep expression pipelines like the parse
+        # chain — measured ~17 s of DRIVER time per action (independent of
+        # row count; jstack-confirmed) on plans where DPP can never fire
+        # anyway (computed string keys joined against broadcast dims, not
+        # partition columns). Set SPARK_GRAFT_DPP=1 for jobs that join on
+        # partition columns of a date-partitioned landing zone.
+        .config(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_DPP") == "1" else "false",
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         # driver testdata writes TIMESTAMP(NANOS) parquet, which Spark
