@@ -1,0 +1,195 @@
+"""Elasticsearch `_msearch` extraction planning (SURVEY.md S1/S2 + P13-P15).
+
+The reference (download_slow_queries.py) downloads paginated `_msearch`
+results via curl into a date-named landing zone that the engine then
+reads (sources/kibana.py). This module re-expresses the extractor as
+pure, testable planning functions plus a thin driver-side runner seam:
+
+- **S2 — source-side pushdown**: :func:`build_request_body` carries the
+  `match_phrase` on the slow-query marker, the epoch-second `@timestamp`
+  range, the optional `query_string`, and the `@timestamp desc` sort —
+  byte-compatible with download_slow_queries.py:200-243.
+- **S1 — pagination planning**: :func:`peek_total_hits` reproduces the
+  1000-char `"hits":{"total":` peek with the 10 M sanity cap
+  (:84-107); :func:`plan_pages` the `ceil(total/size)` page fan-out
+  (:107) — which is exactly Spark partition planning: each page spec is
+  an independent fetch task.
+- **P15 — time-interval defaulting**: :func:`get_time_interval` (05:00 →
+  12:00 today, time-only args get today's date; :159-183).
+- **P13 — curl.txt scraping**: :func:`parse_curl_command` (:300-323).
+
+Network execution is intentionally OUT of scope here (no curl, no ES in
+the test environment): :func:`plan_extraction` returns the full request
+plan (url, headers, NDJSON bodies, output filenames) for a runner to
+execute; the engine consumes the landing zone via
+``read_kibana_json(spark, paths)`` either way. On a cluster the page
+list can be parallelized with ``spark.sparkContext.parallelize(pages)``
++ a fetch per partition — but a real deployment should prefer the
+elasticsearch-hadoop connector, which pushes S2 down natively.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass
+from datetime import datetime, time
+
+SLOW_QUERY_STRING = "Query too slow"
+DEFAULT_SIZE = 10_000  # download_slow_queries.py:40 (docstring's 1 M is stale)
+MAX_TOTAL_HITS = 10_000_000  # :105-106
+_TOTAL_MARKER = '"hits":{"total":'
+
+
+def get_time_interval(
+    start: str | None = None,
+    end: str | None = None,
+    today: datetime | None = None,
+) -> tuple[datetime, datetime]:
+    """Reference defaulting (download_slow_queries.py:159-183): no args →
+    05:00-12:00 of ``today``; time-only strings get today's date; one of
+    start/end alone is an error. ``today`` is injectable for tests (the
+    reference uses the wall clock)."""
+    now = today if today is not None else datetime.now()
+    if not start and not end:
+        end_dt = now.replace(hour=12, minute=0, second=0, microsecond=0)
+        start_dt = end_dt.replace(hour=5)
+        return start_dt, end_dt
+    if not start or not end:
+        raise ValueError("Must provide both start and end time")
+
+    def parse(value: str) -> datetime:
+        if "-" not in value:
+            return datetime.combine(now.date(), time.fromisoformat(value))
+        return datetime.fromisoformat(value)
+
+    return parse(start), parse(end)
+
+
+def build_request_header(index: str) -> str:
+    """NDJSON header line (download_slow_queries.py:246-260)."""
+    return json.dumps(
+        {"index": index, "ignore_unavailable": True, "timeout": 30000}
+    )
+
+
+def build_request_body(
+    start: datetime,
+    end: datetime,
+    size: int = DEFAULT_SIZE,
+    from_: int = 0,
+    query: str | None = None,
+    message: str = SLOW_QUERY_STRING,
+) -> str:
+    """The pushed-down ES query (download_slow_queries.py:186-243):
+    match_phrase + epoch-second range + optional query_string, sorted
+    ``@timestamp desc``."""
+    body: dict = {
+        "query": {
+            "bool": {
+                "must": [
+                    {"match_phrase": {"message": {"query": message}}},
+                    {
+                        "range": {
+                            "@timestamp": {
+                                "gte": int(start.timestamp()),
+                                "lte": int(end.timestamp()),
+                                "format": "epoch_second",
+                            }
+                        }
+                    },
+                ]
+            }
+        },
+        "size": size,
+        "from": from_,
+        "sort": [{"@timestamp": {"order": "desc", "unmapped_type": "boolean"}}],
+    }
+    if query:
+        body["query"]["bool"]["must"].append(
+            {
+                "query_string": {
+                    "query": f'"{query}"',
+                    "analyze_wildcard": True,
+                    "default_field": "*",
+                }
+            }
+        )
+    return json.dumps(body)
+
+
+def peek_total_hits(sample: str) -> int:
+    """Extract ``hits.total`` from the first chunk of a response without a
+    full JSON parse (download_slow_queries.py:84-107), including the
+    pre-ES7 integer format assumption and the 10 M sanity cap."""
+    found = sample.find(_TOTAL_MARKER)
+    if found == -1:
+        raise ValueError("Unable to determine total hits from sample")
+    end = sample.find(",", found)
+    total = int(sample[found + len(_TOTAL_MARKER) : end])
+    if total >= MAX_TOTAL_HITS:
+        raise ValueError(f"Total hits {total} too high, likely error")
+    return total
+
+
+def plan_pages(total: int, size: int) -> int:
+    """``ceil(total/size)`` page count (download_slow_queries.py:107)."""
+    return int(math.ceil(float(total) / size))
+
+
+def page_filename(start: datetime, page: int) -> str:
+    """Landing-zone name ``MM_DD_{page}.json`` (download_slow_queries.py:71-81)
+    — a de facto date partitioning scheme the reader can prune on."""
+    return f"{start.strftime('%m_%d')}_{page}.json"
+
+
+def parse_curl_command(command: str) -> tuple[str, str, str]:
+    """Scrape (url, index, cookie) out of a Kibana copy-as-cURL command
+    (download_slow_queries.py:300-323, same positional slicing)."""
+    command = command.strip(" \n")
+    start = command.find("curl ") + len("curl ")
+    end = command.find(" ", start)
+    url = command[start:end].strip("'\"")
+    start = command.find('"index":"') + len('"index":"')
+    end = command.find('"', start)
+    index = command[start:end]
+    start = command.find("-H 'Cookie: ") + len("-H 'Cookie: ")
+    end = command.find("'", start)
+    cookie = command[start:end]
+    return url, index, cookie
+
+
+@dataclass(frozen=True)
+class PageRequest:
+    url: str
+    filename: str
+    ndjson: str  # header line + body line, ready to POST
+
+
+def plan_extraction(
+    url: str,
+    index: str,
+    start: datetime,
+    end: datetime,
+    total_hits: int,
+    size: int = DEFAULT_SIZE,
+    query: str | None = None,
+) -> list[PageRequest]:
+    """Full page fan-out for a time window once ``total_hits`` is known
+    (from :func:`peek_total_hits` on page 0). Each element is an
+    independent, idempotent fetch — the unit of retry the reference's
+    TODO asks for (download_slow_queries.py:30-31) and the unit of
+    parallelism if executed as Spark tasks."""
+    header = build_request_header(index)
+    pages = plan_pages(total_hits, size)
+    return [
+        PageRequest(
+            url=url,
+            filename=page_filename(start, page),
+            ndjson=header
+            + "\n"
+            + build_request_body(start, end, size, page * size, query)
+            + "\n",
+        )
+        for page in range(pages)
+    ]
