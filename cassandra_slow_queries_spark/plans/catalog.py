@@ -1235,6 +1235,52 @@ def _event_fact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_fact_stream(spark, fact_dir)
 
 
+def q_stream_e2e_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION parse pipeline under Structured Streaming: raw
+    reference-grammar lines staged to a directory → readStream →
+    parse_messages (stream-static broadcast joins, PK assembly) →
+    windowed volume aggregation → AvailableNow → equal to the batch A4
+    oracle."""
+    import tempfile
+
+    from cassandra_slow_queries_spark.config import AnalysisConfig
+    from cassandra_slow_queries_spark.plans.pipeline import parse_messages
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        run_stream_to_batch,
+        volume_stream,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    msg = F.concat(
+        F.lit("INFO Query too slow, took "),
+        _dur().cast("string"),
+        F.lit(" ms: [1 bound values] SELECT * FROM ks1.t1 WHERE k=? LIMIT 10; [k:'"),
+        k,
+        F.lit("']"),
+    )
+    raw = ev.select(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").alias("ts_raw"),
+        msg.alias("message"),
+        F.array(F.lit("prod")).alias("tags"),
+    )
+    raw_dir = tempfile.mkdtemp(prefix="raw_stream_")
+    raw.write.mode("overwrite").parquet(raw_dir)
+    static = spark.read.parquet(raw_dir)
+    stream = spark.readStream.schema(static.schema).parquet(raw_dir)
+    cfg = AnalysisConfig(
+        schema={"ks1": {"t1": {"primary_key": ["k"], "clustering_key": []}}},
+        tags={"prod": "ks1"},
+    )
+    fact = parse_messages(stream, spark, cfg)
+    result = run_stream_to_batch(volume_stream(fact, window="1 hour"))
+    return (
+        result.filter(F.col("cnt") >= 5)
+        .withColumnRenamed("minute", "bucket")
+        .orderBy("bucket")
+    )
+
+
 def q_stream_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 as a REAL Structured Streaming job: file-source stream →
     windowed aggregation → AvailableNow trigger → memory sink; the
@@ -1322,6 +1368,9 @@ CATALOG: dict[str, QueryDef] = {
     "p9_pattern_rewrite": QueryDef(q_p9_pattern_rewrite, P9_SQL, "P9 pattern rewrite"),
     "j5_endpoints": QueryDef(q_j5_endpoints, J5_SQL, "J5 mapInPandas endpoints"),
     "stream_volume": QueryDef(q_stream_volume, A4_SQL, "A4 via Structured Streaming"),
+    "stream_e2e_parse": QueryDef(
+        q_stream_e2e_parse, A4_SQL, "production parse pipeline under streaming"
+    ),
     "stream_volume_top": QueryDef(
         q_stream_volume_top, A5_SQL, "A5+T2 via streaming foreachBatch"
     ),

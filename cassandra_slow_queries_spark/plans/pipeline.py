@@ -81,8 +81,12 @@ def parse_messages(
         # project blocks all predicate pushdown through it — but ONLY while
         # the column is referenced (ColumnPruning would otherwise drop it
         # and re-open the hole), hence the `_row_id >= 0` conjunct in the
-        # validity filter below.
-        .withColumn("_row_id", F.monotonically_increasing_id())
+        # validity filter below. Streaming plans reject
+        # monotonically_increasing_id, so they use rand() (both are ≥ 0).
+        .withColumn(
+            "_row_id",
+            F.rand(42) if raw.isStreaming else F.monotonically_increasing_id(),
+        )
     )
     if observation is not None:
         pre = pre.observe(

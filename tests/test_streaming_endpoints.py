@@ -76,6 +76,45 @@ def test_stream_watermarked_plan_builds(spark, fact_dir):
     assert got.count() == 3
 
 
+def test_streaming_production_parse(spark, tmp_path):
+    """The full parse_messages pipeline (incl. the pushdown barrier and
+    stream-static broadcast joins) must run under readStream and equal
+    the batch result."""
+    import pandas as pd
+
+    from cassandra_slow_queries_spark.config import AnalysisConfig
+    from cassandra_slow_queries_spark.plans.pipeline import parse_messages
+
+    rows = [
+        {
+            "ts_raw": f"2026-08-13T05:00:{i:02d}.000000Z",
+            "message": (
+                f"INFO Query too slow, took {100 + i} ms: [1 bound values] "
+                f"SELECT * FROM ks1.t1 WHERE k=? LIMIT 1; [k:'v{i % 2}']"
+            ),
+            "tags": ["prod"],
+        }
+        for i in range(20)
+    ]
+    d = str(tmp_path / "raw")
+    spark.createDataFrame(pd.DataFrame(rows)).write.mode("overwrite").parquet(d)
+    cfg = AnalysisConfig(
+        min_count=1,
+        schema={"ks1": {"t1": {"primary_key": ["k"], "clustering_key": []}}},
+        tags={"prod": "ks1"},
+    )
+    static = spark.read.parquet(d)
+    stream = spark.readStream.schema(static.schema).parquet(d)
+    fact_stream = parse_messages(stream, spark, cfg)
+    assert fact_stream.isStreaming
+    got = run_stream_to_batch(volume_stream(fact_stream)).collect()
+    batch_fact = parse_messages(static, spark, cfg)
+    expected_rows = batch_fact.count()
+    assert sum(r.cnt for r in got) == expected_rows == 20
+    pks = {r.primary_key for r in batch_fact.collect()}
+    assert pks == {"v0", "v1"}
+
+
 def test_attach_endpoints_matches_driver_math(spark):
     df = spark.createDataFrame(
         [("ks1", "cf1", "pk1"), ("ks2", "cf2", "pk2")],
