@@ -1281,6 +1281,19 @@ def q_stream_e2e_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stateful_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per
+    query shape, a running count + duration EMA carried across
+    micro-batches with burst flagging. Genuinely non-SQL-expressible
+    (unbounded-horizon state) → rows-only driver check."""
+    from cassandra_slow_queries_spark.streaming.stateful import run_burst_detection
+
+    parsed = _event_fact_stream(spark, sf_dir)
+    return run_burst_detection(parsed, alpha=0.2, burst_threshold=1000).orderBy(
+        "query"
+    )
+
+
 def q_stream_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 as a REAL Structured Streaming job: file-source stream →
     windowed aggregation → AvailableNow trigger → memory sink; the
@@ -1370,6 +1383,11 @@ CATALOG: dict[str, QueryDef] = {
     "stream_volume": QueryDef(q_stream_volume, A4_SQL, "A4 via Structured Streaming"),
     "stream_e2e_parse": QueryDef(
         q_stream_e2e_parse, A4_SQL, "production parse pipeline under streaming"
+    ),
+    "stream_stateful_burst": QueryDef(
+        q_stream_stateful_burst,
+        None,
+        "applyInPandasWithState running count/EMA (rows-only)",
     ),
     "stream_volume_top": QueryDef(
         q_stream_volume_top, A5_SQL, "A5+T2 via streaming foreachBatch"

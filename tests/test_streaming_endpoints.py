@@ -151,3 +151,19 @@ def test_nodetool_provider_is_gated(spark):
         attach_endpoints(df, provider="nodetool").collect()
     with pytest.raises(ValueError, match="unknown provider"):
         attach_endpoints(df, provider="bogus")
+
+
+def test_stateful_burst_detection(spark, fact_dir):
+    """applyInPandasWithState: running count + EMA carried across
+    micro-batches; final state snapshot per key."""
+    from cassandra_slow_queries_spark.streaming.stateful import (
+        run_burst_detection,
+    )
+
+    stream = read_fact_stream(spark, fact_dir)
+    out = run_burst_detection(stream, alpha=0.5, burst_threshold=6).collect()
+    by_q = {r.query: r for r in out}
+    # fixture: 3 minutes x 4 events, q0/q1 alternate -> 6 events each
+    assert by_q["q0"].n_events == 6 and by_q["q1"].n_events == 6
+    assert by_q["q0"].bursting == 1 and by_q["q1"].bursting == 1
+    assert by_q["q0"].ema_duration > 0
