@@ -45,8 +45,16 @@ def str_slice(col: Column | str, before: str, after: str) -> Column:
 
 
 def parse_timestamp(col: Column | str) -> Column:
-    """``'%Y-%m-%dT%H:%M:%S.%fZ'`` → timestamp (analyze_slow_queries.py:913)."""
-    return F.to_timestamp(_col(col), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'")
+    """``'%Y-%m-%dT%H:%M:%S.%fZ'`` → timestamp (analyze_slow_queries.py:913).
+
+    ``try_to_timestamp``, not ``to_timestamp``: under Spark 4's default
+    ANSI mode the latter raises CANNOT_PARSE_TIMESTAMP on the first
+    malformed ``@timestamp`` and kills the job, whereas the reference
+    catches the per-row strptime error and skips the row (:1296-1300).
+    NULL here flows into the caller's validity filter and the
+    ``n_bad_ts`` observe() counter.
+    """
+    return F.try_to_timestamp(_col(col), F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
 
 
 def get_log(message: Column | str) -> Column:

@@ -269,7 +269,7 @@ def q_p2_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parsed.select(
         "event_id",
-        F.col("_duration_str").cast("long").alias("duration"),
+        F.col("_duration_str").try_cast("long").alias("duration"),
         statement_type(F.col("_raw_query")).alias("stmt_type"),
         F.col("_raw_query").alias("query"),
         parse_bound_values(F.col("_bv_str"))["k"].alias("bv_k"),

@@ -71,7 +71,11 @@ def parse_messages(
     pre = (
         add_log_columns(raw.withColumn("ts", parse_timestamp("ts_raw")))
         .select("ts", "tags", "_duration_str", "_counts", "_bv_str", "_raw_query")
-        .withColumn("duration", F.col("_duration_str").cast("long"))
+        # try_cast, not cast: ANSI mode (Spark 4 default) raises
+        # CAST_INVALID_INPUT on e.g. 'took 12.5 ms:' and aborts the job;
+        # the reference drops the row (analyze_slow_queries.py:1296-1300).
+        # NULL feeds the validity filter + n_bad_grammar counter below.
+        .withColumn("duration", F.col("_duration_str").try_cast("long"))
         .withColumn("type", statement_type(F.col("_raw_query")))
         # Pushdown barrier: PushDownPredicates substitutes filter columns
         # through every projection below, which would compile the validity

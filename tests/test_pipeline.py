@@ -69,6 +69,22 @@ def kibana_file(tmp_path_factory):
             "x Query too slow, took 10 ms: TRUNCATE ks1.events",
         )
     )
+    # malformed-timestamp row: reference catches strptime and skips the
+    # row (:1296-1300); ANSI to_timestamp would abort the whole job here
+    msgs.append(
+        _hit(
+            "2024-01-01T99:99:99",
+            "x Query too slow, took 55 ms: SELECT * FROM ks1.events WHERE a=? LIMIT 10;",
+        )
+    )
+    # non-integer duration: reference int() raises and the row is skipped;
+    # ANSI cast('long') would abort the whole job here
+    msgs.append(
+        _hit(
+            "2024-01-01T10:01:59.700000Z",
+            "x Query too slow, took 12.5 ms: SELECT * FROM ks1.events WHERE a=? LIMIT 10;",
+        )
+    )
     doc = {"responses": [{"hits": {"total": len(msgs), "hits": msgs}}]}
     path = tmp_path_factory.mktemp("kibana") / "page0.json"
     path.write_text(json.dumps(doc))
@@ -84,14 +100,15 @@ def reports(spark, kibana_file):
 
 def test_raw_filter_drops_non_slow(spark, kibana_file):
     raw = read_kibana_json(spark, kibana_file)
-    # 17 hits, 1 non-slow line filtered by the contains() scan filter
-    assert raw.count() == 16
+    # 19 hits, 1 non-slow line filtered by the contains() scan filter
+    assert raw.count() == 18
 
 
 def test_parse_drops_unknown_statement(spark, kibana_file):
     cfg = AnalysisConfig(min_count=2, schema=SCHEMA)
     fact = parse_messages(read_kibana_json(spark, kibana_file), spark, cfg)
-    # TRUNCATE row dropped (no processor, reference :932-934)
+    # TRUNCATE row dropped (no processor, reference :932-934); bad-ts and
+    # bad-duration rows dropped by the validity filter, not a job abort
     assert fact.count() == 15
     types = {r.type for r in fact.select("type").distinct().collect()}
     assert types == {"SELECT", "INSERT", "BATCH"}
@@ -175,12 +192,15 @@ def test_observation_and_incident_report(spark, kibana_file):
     fact = parse_messages(raw, spark, cfg, observation=obs, with_incidents=True)
     fact.count()  # action → metrics materialize
     m = obs.get
-    # 16 slow-marker rows reach the parser (12 SELECTs + @message fallback
-    # + INSERT + BATCH + TRUNCATE; the non-slow line is excluded)
-    assert m["n_input"] == 16
+    # 18 slow-marker rows reach the parser (12 SELECTs + @message fallback
+    # + INSERT + BATCH + TRUNCATE + bad-ts + bad-duration; the non-slow
+    # line is excluded)
+    assert m["n_input"] == 18
     assert m["n_unknown_statement"] == 1  # TRUNCATE
-    assert m["n_bad_ts"] == 0 and m["n_bad_grammar"] == 0
-    assert m["n_parsed"] == m["n_input"] - m["n_unknown_statement"]
+    # malformed rows are COUNTED, not job-aborting (try_to_timestamp /
+    # try_cast — the reference's per-row catch-and-skip)
+    assert m["n_bad_ts"] == 1 and m["n_bad_grammar"] == 1
+    assert m["n_parsed"] == 15
 
     inc = {r.incident: r["count"] for r in incident_report(fact).collect()}
     # the '@message' SELECT has no FROM-terminating match → 'SELECT 1 ...x'
