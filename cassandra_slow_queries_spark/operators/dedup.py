@@ -65,15 +65,24 @@ def drop_exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 
-def shingle_candidate_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 8
+def _distinct_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_doc_freq: int | None
 ) -> DataFrame:
-    """Pairs of documents sharing at least one n-word shingle.
+    """``(id, shingle)`` distinct pairs, with shingles whose document
+    frequency exceeds ``max_doc_freq`` dropped BEFORE any self-join.
 
-    This is exact LSH-with-full-bands: a shared long shingle is a strong
-    near-dup signal. distinct() before the self-join collapses repeated
-    shingles within a document so the join fan-out is bounded by true
-    cross-document collisions.
+    The cap is the load-bearing scale guard: a boilerplate shingle shared
+    by k documents (license header, template text) produces k·(k-1)/2
+    join rows on ONE skewed key — quadratic fan-out that no AQE skew
+    split can save at corpus scale. Capped shingles carry near-zero
+    dedup signal anyway (they are corpus-common, not pair-specific);
+    recall is only lost for pairs whose *every* shared shingle is
+    corpus-hot. Both the candidate and the Jaccard operator treat the
+    capped shingle universe as the ground set, so results stay
+    self-consistent (and oracle-mirrorable). ``None`` disables the cap.
+
+    The groupBy and semi-join both key on ``shingle``, so the cap costs
+    one extra shuffle that is co-partitioned with the join it protects.
     """
     sh = (
         df.select(
@@ -82,6 +91,34 @@ def shingle_candidate_pairs(
         )
         .distinct()
     )
+    if max_doc_freq is None:
+        return sh
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_doc_freq)
+        .select("shingle")
+    )
+    return sh.join(rare, "shingle", "left_semi")
+
+
+def shingle_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    max_doc_freq: int | None = 100,
+) -> DataFrame:
+    """Pairs of documents sharing at least one n-word shingle with
+    document frequency ≤ ``max_doc_freq``.
+
+    This is exact LSH-with-full-bands: a shared long shingle is a strong
+    near-dup signal. distinct() before the self-join collapses repeated
+    shingles within a document so the join fan-out is bounded by true
+    cross-document collisions; the doc-frequency cap bounds it against
+    corpus-hot shingles (see :func:`_distinct_shingles`).
+    """
+    sh = _distinct_shingles(df, text_col, id_col, n, max_doc_freq)
     a = sh.alias("a")
     b = sh.alias("b")
     return (
@@ -97,17 +134,23 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 8,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 100,
 ) -> DataFrame:
     """Exact Jaccard over distinct n-word shingle sets, computed from the
     candidate join itself (|A∩B| = shared-shingle count; |A∪B| derived),
-    so no per-pair array materialization is needed."""
-    sh = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_shingles(text_col, n)).alias("shingle"),
-        )
-        .distinct()
-    )
+    so no per-pair array materialization is needed.
+
+    Set sizes are computed over the SAME capped shingle universe as the
+    intersection (see :func:`_distinct_shingles`), so the reported value
+    is the exact Jaccard of the capped sets — self-consistent, and what
+    the oracle SQL mirrors.
+
+    The sizes joins carry NO broadcast hint on purpose: ``sizes`` is one
+    row per document — broadcasting it is a driver/executor OOM at
+    corpus scale. The candidate side is the small one after thresholding;
+    AQE picks a broadcast join at runtime exactly when it actually fits.
+    """
+    sh = _distinct_shingles(df, text_col, id_col, n, max_doc_freq)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -117,8 +160,8 @@ def ngram_jaccard_pairs(
         .agg(F.count("*").alias("n_common"))
     )
     return (
-        inter.join(F.broadcast(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "size_a"})), "id_a")
-        .join(F.broadcast(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "size_b"})), "id_b")
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "size_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "size_b"}), "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -130,6 +173,23 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _materialize_release(result: DataFrame, intermediate: DataFrame) -> DataFrame:
+    """Persist + eagerly materialize the (small) pairs ``result``, then
+    release the (large) cached ``intermediate``.
+
+    The signature/fingerprint frames are read 3× per call, so caching
+    them is right — but leaving them cached accumulates executor storage
+    across calls in a long-lived session. Materializing the final pairs
+    while the intermediate cache is hot lets us drop it immediately; the
+    returned frame is itself persisted (it is candidate-pair sized, i.e.
+    tiny relative to the corpus) and the CALLER owns its unpersist().
+    """
+    result = result.persist()
+    result.count()
+    intermediate.unpersist()
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -231,7 +291,7 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
-    sig = sig.persist()
+    sig = sig.persist()  # released below once the pairs are materialized
     banded = sig.select(
         "id",
         F.explode(
@@ -266,7 +326,7 @@ def minhash_lsh_pairs(
     )
     sa = sig.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
     sb = sig.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})
-    return (
+    result = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -286,6 +346,7 @@ def minhash_lsh_pairs(
         )
         .select("id_a", "id_b", "est_jaccard")
     )
+    return _materialize_release(result, sig)
 
 
 # ---------------------------------------------------------------------------
@@ -389,7 +450,7 @@ def simhash_near_pairs(
     (a pair within Hamming≤3 of 64 bits must agree on ≥1 of 4 quarters —
     pigeonhole), then verify exact Hamming distance."""
     fp = simhash_fingerprints(df, text_col, id_col)
-    fp = fp.persist()
+    fp = fp.persist()  # released below once the pairs are materialized
     blocked = fp.select(
         "id",
         "fp",
@@ -409,7 +470,7 @@ def simhash_near_pairs(
     ).select("id", "fp", F.col("qq.quarter").alias("quarter"), F.col("qq.qh").alias("qh"))
     a = blocked.alias("a")
     b = blocked.alias("b")
-    return (
+    result = (
         a.join(
             b,
             (F.col("a.quarter") == F.col("b.quarter"))
@@ -424,3 +485,4 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+    return _materialize_release(result, fp)

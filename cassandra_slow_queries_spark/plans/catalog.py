@@ -424,11 +424,15 @@ def q_j4_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = ev.join(
         F.broadcast(pats), F.col("event_type").startswith(F.col("start")), "left"
     )
-    w = Window.partitionBy("event_id").orderBy(F.col("priority").asc_nulls_last())
+    # "first match wins" as min_by over a hash aggregate — NOT row_number
+    # over Window.partitionBy(event_id): a window partitioned by a unique
+    # key shuffles and sorts the entire fact table to rank ≤3 rows per
+    # event, while the hash agg combines map-side and never sorts.
+    # NULL-priority rows (no pattern matched) lose to any real match
+    # because min_by ignores NULL ordering keys unless ALL are NULL.
     return (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("event_id", F.col("label").alias("matched"))
+        joined.groupBy("event_id")
+        .agg(F.min_by("label", "priority").alias("matched"))
         .orderBy("event_id")
     )
 
@@ -568,11 +572,14 @@ def q_dedup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_slow_queries_spark.operators.dedup import shingle_candidate_pairs
 
     docs = load(spark, sf_dir, "documents")
-    return shingle_candidate_pairs(docs, "text", "doc_id", n=8).orderBy(
-        "id_a", "id_b"
-    )
+    return shingle_candidate_pairs(
+        docs, "text", "doc_id", n=8, max_doc_freq=100
+    ).orderBy("id_a", "id_b")
 
 
+# The doc-frequency cap (HAVING COUNT(*) <= 100) mirrors the operator's
+# max_doc_freq guard — corpus-hot shingles are dropped before the
+# self-join on BOTH sides of the oracle comparison.
 DEDUP_SHINGLES_SQL = """
 WITH sh AS (
     SELECT DISTINCT doc_id AS id, shingle
@@ -582,9 +589,13 @@ WITH sh AS (
                        for i in range(1, len(toks) - 6)]) AS shingle
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     )
+), rare AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100
+), shc AS (
+    SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)
 )
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
-FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
 ORDER BY id_a, id_b
 """
 
@@ -593,11 +604,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_slow_queries_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1).orderBy(
-        "id_a", "id_b"
-    )
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.1, max_doc_freq=100
+    ).orderBy("id_a", "id_b")
 
 
+# Sizes and intersection both computed over the capped shingle universe
+# (HAVING COUNT(*) <= 100 == the operator's max_doc_freq), so the value
+# is the exact Jaccard of the capped sets on both engines.
 DEDUP_JACCARD_SQL = """
 WITH sh AS (
     SELECT DISTINCT doc_id AS id, shingle
@@ -607,11 +621,15 @@ WITH sh AS (
                        for i in range(1, len(toks) - 1)]) AS shingle
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     )
+), rare AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100
+), shc AS (
+    SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)
 ), sizes AS (
-    SELECT id, COUNT(*) AS n FROM sh GROUP BY id
+    SELECT id, COUNT(*) AS n FROM shc GROUP BY id
 ), inter AS (
     SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
-    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
     GROUP BY 1, 2
 )
 SELECT id_a, id_b,
