@@ -349,6 +349,58 @@ def minhash_lsh_pairs(
     return _materialize_release(result, sig)
 
 
+def verified_near_dup_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification restricted to candidate pairs —
+    the production LSH pattern: approximate blocking proposes, exact
+    similarity disposes.
+
+    ``candidates`` is any ``(id_a, id_b)`` frame (minhash-LSH, simhash
+    blocking, ...). Output is ``(id_a, id_b, jaccard)`` for pairs whose
+    exact capped-universe Jaccard ≥ ``threshold`` — i.e. IF the blocker
+    reaches recall 1.0 above the threshold, this equals the full exact
+    all-pairs result while only ever scoring |candidates| pairs. That
+    equality is the correctness gate: the catalog entries built on this
+    are hash-compared against the ALL-PAIRS oracle SQL, so a silently
+    degraded blocker (wrong dim, wrong banding — the round-1 LSH bug
+    class) breaks the hash instead of returning plausible rows.
+
+    Scale shape: the exact verify never self-joins the corpus — the
+    shingle frame joins the (small) candidate pair list on id, so cost is
+    O(shingles-of-candidate-docs), not O(corpus²).
+    """
+    sh = _distinct_shingles(df, text_col, id_col, n, max_doc_freq)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    pairs = candidates.select("id_a", "id_b")
+    a_sh = pairs.join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
+    inter = (
+        a_sh.join(sh.withColumnsRenamed({"id": "id_b"}), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "size_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "size_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

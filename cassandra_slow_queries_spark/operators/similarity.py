@@ -23,6 +23,15 @@ from pyspark.sql import functions as F
 from cassandra_slow_queries_spark.functions.vectors import dot, norm
 from cassandra_slow_queries_spark.operators.topk import grouped_top_k
 
+try:  # numpy/pandas are baked into the target env; gate for safety
+    import numpy as _np
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+    _HAVE_ARROW = True
+except ImportError:  # pragma: no cover
+    _HAVE_ARROW = False
+
 
 def cosine_topk_bruteforce(
     corpus: DataFrame,
@@ -119,6 +128,38 @@ def hyperplane_bucket(vec_col: str, planes: list[list[float]]):
     return bucket
 
 
+def bucket_ids_udf(tables: list[list[list[float]]]):
+    """Arrow-vectorized bucketizer: ``embedding → array<long>`` of one
+    sign-pattern bucket id per table, computed as ONE numpy matmul per
+    batch.
+
+    The expression form (:func:`hyperplane_bucket`) evaluates
+    ``n_tables × n_planes`` interpreted HOF folds *per row* — measured
+    slower than the brute-force scan it is meant to beat. Here the whole
+    plane bank is a ``(n_tables·n_planes, dim)`` matrix; a batch of B
+    vectors costs one ``(B, dim) @ (dim, T·P)`` GEMM plus a bit-pack,
+    amortized over the Arrow batch. This is the sanctioned Pandas-UDF
+    seam: a dense matrix product is exactly what Spark's expression
+    language cannot express efficiently.
+    """
+    flat = _np.array(
+        [plane for planes in tables for plane in planes], dtype=_np.float64
+    )  # (n_tables*n_planes, dim)
+    n_tables = len(tables)
+    n_planes = len(tables[0])
+    weights = (1 << _np.arange(n_planes, dtype=_np.int64))  # bit weights
+
+    @_pandas_udf("array<bigint>")
+    def _buckets(v: _pd.Series) -> _pd.Series:
+        mat = _np.stack(v.to_numpy())  # (B, dim), float32 → promoted in dot
+        signs = (mat.astype(_np.float64) @ flat.T) >= 0.0  # (B, T*P)
+        per_table = signs.reshape(len(mat), n_tables, n_planes)  # (B, T, P)
+        ids = per_table @ weights  # (B, T) int64
+        return _pd.Series(list(ids))
+
+    return _buckets
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -129,53 +170,87 @@ def cosine_topk_lsh(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-K: candidates from ``n_tables`` independent
     hyperplane tables, exact cosine re-rank within candidates.
 
     Recall is tunable via (n_planes, n_tables); at 2^n_planes buckets per
     table the corpus-side shuffle is n_tables rows per vector.
+    ``multiprobe=1`` additionally probes every Hamming-1 bucket on the
+    QUERY side (query rows × (n_planes+1) — still tiny, still broadcast;
+    the corpus side stays at one bucket per table). This is the standard
+    recall lever when the corpus is isotropic: the driver testdata's
+    embeddings have NO cluster structure (top-5 cosine ≈ 0.3-0.4, i.e.
+    ~70° angles — see tests/test_dedup_similarity.py recall gate), which
+    is the worst case for sign-pattern LSH; single-probe recall there
+    caps out near 0.5 regardless of table count, while one-bit multiprobe
+    reaches ≥0.9 at a measured ~60% candidate fraction.
+
+    Plan shape (the 100 TB design):
+
+    - bucketing is a narrow Arrow-batched matmul (:func:`bucket_ids_udf`)
+      producing ``(id, table, bucket)`` rows WITHOUT the vectors — the
+      corpus embedding column never rides through the explode/join;
+    - the bucket join keys on (table, bucket) with the tiny query side
+      broadcast; candidates dedupe on the narrow (q_id, neighbor_id)
+      pair, not on 2·dim doubles;
+    - vectors are fetched back only for the surviving candidates (AQE
+      broadcasts the candidate side when it fits, which it does by
+      construction — |candidates| ≤ queries × tables × bucket size);
+    - exact cosine re-ranks candidates; ties broken on neighbor_id.
     """
     tables = [
         _hyperplanes(n_planes, dim, seed + 1000 * t) for t in range(n_tables)
     ]
+    bucketize = bucket_ids_udf(tables)
 
-    def bucketize(df: DataFrame, id_alias: str, vec_alias: str, norm_alias: str) -> DataFrame:
-        buckets = F.array(
+    def bucket_rows(df: DataFrame, id_alias: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias(id_alias),
+                F.posexplode(bucketize(F.col(vec_col))).alias("table", "bucket"),
+            )
+        )
+
+    c_b = bucket_rows(corpus, "neighbor_id")
+    q_b = bucket_rows(queries, "q_id")
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("bucket"),
             *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    hyperplane_bucket(vec_col, planes).alias("bucket"),
-                )
-                for t, planes in enumerate(tables)
-            ]
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(n_planes)
+            ],
         )
-        return df.select(
-            F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(vec_alias),
-            norm(vec_col).alias(norm_alias),
-            F.explode(buckets).alias("tb"),
-        ).select(
-            id_alias,
-            vec_alias,
-            norm_alias,
-            F.col("tb.table").alias("table"),
-            F.col("tb.bucket").alias("bucket"),
+        q_b = q_b.select(
+            "q_id", "table", F.explode(probes).alias("bucket")
         )
-
-    c = bucketize(corpus, "neighbor_id", "_cv", "_cn")
-    q = bucketize(queries, "q_id", "_qv", "_qn")
     cand = (
-        c.join(F.broadcast(q), on=["table", "bucket"])
+        c_b.join(F.broadcast(q_b), on=["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("q_id"))
-        .select("q_id", "neighbor_id", "_qv", "_cv", "_qn", "_cn")
+        .select("q_id", "neighbor_id")
         .distinct()
+    )
+    c_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm(vec_col).alias("_cn"),
+    )
+    q_vec = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("_qv"),
+        norm(vec_col).alias("_qn"),
     )
     d = dot(F.col("_qv"), F.col("_cv"))
     sim = F.when(
         (F.col("_qn") > 0) & (F.col("_cn") > 0), d / (F.col("_qn") * F.col("_cn"))
     )
-    scored = cand.select("q_id", "neighbor_id", F.round(sim, 6).alias("sim"))
+    scored = (
+        cand.join(c_vec, "neighbor_id")
+        .join(F.broadcast(q_vec), "q_id")
+        .select("q_id", "neighbor_id", F.round(sim, 6).alias("sim"))
+    )
     return grouped_top_k(scored, ["q_id"], "sim", k, tiebreaks=["neighbor_id"]).orderBy(
         "q_id", F.col("sim").desc(), "neighbor_id"
     )

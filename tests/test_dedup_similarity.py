@@ -167,6 +167,124 @@ def test_lsh_topk_subset_of_exact(spark, vectors):
         assert r.sim is not None
 
 
+SF_SMALL = "/root/testdata/sf0.001"
+_HAVE_TESTDATA = __import__("os").path.isdir(SF_SMALL)
+needs_testdata = pytest.mark.skipif(
+    not _HAVE_TESTDATA, reason="driver testdata not present"
+)
+
+
+@needs_testdata
+def test_ann_recall_gate_on_testdata(spark):
+    """Quality gate for the approximate ANN path: multiprobe LSH with the
+    catalog config must reach recall@5 ≥ 0.9 vs exact brute force on the
+    seeded embeddings. These embeddings are isotropic (top-5 cosine
+    ≈0.3-0.4 — no cluster structure), the hardest case for sign-pattern
+    LSH; this gate is what catches silent degeneration like the round-1
+    dim-mismatch bug (every bucket identical → plausible rows, recall
+    garbage)."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in cosine_topk_bruteforce(emb, qs, k=5).collect()
+    }
+    lsh = {
+        (r.q_id, r.neighbor_id)
+        for r in cosine_topk_lsh(
+            emb, qs, k=5, dim=64, n_planes=6, n_tables=12, multiprobe=1
+        ).collect()
+    }
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"recall@5 {recall:.3f} < 0.9"
+
+
+@needs_testdata
+def test_minhash_estimate_accuracy_on_testdata(spark):
+    """est_jaccard from 32-hash signatures must track exact capped-universe
+    Jaccard on the seeded near-dup pairs (they sit at ≈0.99/1.0, where the
+    binomial std of a 32-hash estimate is tiny)."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=32, bands=16, shingle_n=3
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.5, max_doc_freq=100
+        ).collect()
+    }
+    assert exact, "seeded corpus must contain near-dup pairs"
+    errs = [abs(est[p] - exact[p]) for p in exact if p in est]
+    # every true pair must be a candidate, and estimates must be close
+    assert len(errs) == len(exact)
+    assert max(errs) <= 0.25 and sum(errs) / len(errs) <= 0.1
+
+
+@needs_testdata
+def test_verified_blocking_equals_exact_on_testdata(spark):
+    """The blocking+verify pipelines (MinHash-LSH and SimHash) must equal
+    the exact all-pairs Jaccard result above the threshold — recall 1.0
+    through the blocker. This is the equality the catalog oracle gates."""
+    from cassandra_slow_queries_spark.operators.dedup import (
+        verified_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+
+    def pairs(df):
+        return {(r.id_a, r.id_b): r.jaccard for r in df.collect()}
+
+    exact3 = pairs(
+        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    )
+    mh = pairs(
+        verified_near_dup_pairs(
+            docs,
+            minhash_lsh_pairs(
+                docs, "text", "doc_id", num_hashes=32, bands=16, shingle_n=3
+            ),
+            "text",
+            "doc_id",
+            n=3,
+            threshold=0.5,
+        )
+    )
+    assert mh == exact3
+
+
+@needs_testdata
+def test_simhash_blocking_recall_on_testdata(spark):
+    """SimHash blocking recall ≥0.9 against exact 4-gram ground truth.
+
+    NOT an equality gate: simhash bit thresholds are unstable for short
+    tiny-vocab docs (a true pair at Jaccard 0.875 measured Hamming 31 —
+    per-bit sums sit at the 0 boundary), so a couple of seeded pairs
+    legitimately escape Hamming≤8. Also bounds the candidate set (≤5% of
+    all pairs) so all-pairs degeneration can't fake recall."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=4, threshold=0.5
+        ).collect()
+    }
+    cand = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_pairs(
+            docs, "text", "doc_id", max_hamming=8
+        ).collect()
+    }
+    n_docs = docs.count()
+    assert exact
+    recall = len(exact & cand) / len(exact)
+    assert recall >= 0.9, f"blocking recall {recall:.3f} < 0.9"
+    assert len(cand) <= 0.05 * n_docs * (n_docs - 1) / 2
+
+
 def test_multimodal_fake_features(spark):
     from cassandra_slow_queries_spark.operators.multimodal import (
         FEATURE_DIM,
