@@ -744,33 +744,160 @@ ORDER BY q_id, sim DESC, neighbor_id
 
 
 def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate variant — rows-only check (bucket recall is seeded but
-    not SQL-expressible sanely)."""
-    from cassandra_slow_queries_spark.operators.similarity import cosine_topk_lsh
+    """Recall gate for the approximate ANN path: run multiprobe
+    hyperplane-LSH top-5 AND exact brute-force top-5, emit one row with
+    the hit count and the ≥0.9-recall verdict.
+
+    The oracle pins (n_queries, recall_ok) — LSH itself is not
+    SQL-expressible, but the VERDICT is hash-checkable: a silently
+    degraded bucketizer (the round-1 dim=32-vs-64 bug class) drops
+    recall and flips recall_ok → driver hash mismatch. The testdata
+    embeddings are isotropic (no cluster structure — ANN's worst case),
+    hence multiprobe; see operators/similarity.py.
+    """
+    from cassandra_slow_queries_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return cosine_topk_lsh(emb, queries, k=5, dim=64, n_planes=6, n_tables=6)
+    exact = cosine_topk_bruteforce(emb, queries, k=5).select("q_id", "neighbor_id")
+    lsh = cosine_topk_lsh(
+        emb, queries, k=5, dim=64, n_planes=6, n_tables=12, multiprobe=1
+    ).select("q_id", "neighbor_id")
+    hit = exact.join(lsh, ["q_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    tot = exact.agg(
+        F.count("*").alias("n_total"),
+        F.count_distinct("q_id").alias("n_queries"),
+    )
+    return hit.crossJoin(tot).select(
+        F.col("n_queries").cast("long").alias("n_queries"),
+        (F.col("n_hit") / F.col("n_total") >= 0.9).alias("recall_ok"),
+    )
+
+
+ANN_LSH_RECALL_SQL = """
+SELECT CAST(8 AS BIGINT) AS n_queries, TRUE AS recall_ok
+"""
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates — rows-only check."""
-    from cassandra_slow_queries_spark.operators.dedup import minhash_lsh_pairs
+    """MinHash-LSH candidates → exact n-gram Jaccard verification ≥0.5 —
+    the production blocking+verify pipeline. Because every true pair
+    above the threshold sits at Jaccard ≈0.99 in the seeded corpus (LSH
+    detection probability 1-(1-j²)¹⁶ ≈ 1-2e-28), the verified output
+    EQUALS the exact all-pairs result, so the oracle is plain SQL and a
+    degraded signature/banding breaks the hash."""
+    from cassandra_slow_queries_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        verified_near_dup_pairs,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
+    cand = minhash_lsh_pairs(
         docs, "text", "doc_id", num_hashes=32, bands=16, shingle_n=3
+    )
+    return verified_near_dup_pairs(
+        docs, cand, "text", "doc_id", n=3, threshold=0.5, max_doc_freq=100
     ).orderBy("id_a", "id_b")
 
 
+def _jaccard_allpairs_sql(width: int, threshold: float) -> str:
+    """Exact all-pairs capped-universe Jaccard (the oracle for the
+    verified blocking pipelines). ``width`` = n-1 in DuckDB list-slice
+    terms (toks[i:i+width] is an n-gram)."""
+    return f"""
+WITH sh AS (
+    SELECT DISTINCT doc_id AS id, shingle
+    FROM (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+{width - 1}], ' ')
+                       for i in range(1, len(toks) - {width - 2})]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+), rare AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100
+), shc AS (
+    SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)
+), sizes AS (
+    SELECT id, COUNT(*) AS n FROM shc GROUP BY id
+), inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE n_common / (sa.n + sb.n - n_common) >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+DEDUP_MINHASH_VERIFIED_SQL = _jaccard_allpairs_sql(3, 0.5)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs — rows-only check."""
-    from cassandra_slow_queries_spark.operators.dedup import simhash_near_pairs
+    """SimHash blocking quality gate: recall of quarter-blocked
+    Hamming≤8 candidates against exact 4-gram Jaccard≥0.5 ground truth,
+    plus a blocking-efficiency bound.
+
+    SimHash cannot carry the MinHash entry's equality gate: its bit
+    threshold is unstable for short / tiny-vocab documents (a measured
+    true pair at Jaccard 0.875 had fingerprint Hamming 31 — sums sit at
+    the 0 boundary and flip wholesale), so recall over the seeded corpus
+    is high but not 1.0 by construction. The gate therefore pins
+    (n_true_pairs, recall_ok, blocking_ok):
+
+    - ``n_true_pairs`` is computed by the SQL oracle from the data;
+    - ``recall_ok``: blocker finds ≥0.9 of true pairs — catches dead
+      fingerprints/blocking (the silent-degeneration direction);
+    - ``blocking_ok``: candidates ≤5% of all doc pairs — catches the
+      opposite degeneration (everything collides → recall 1.0 for free).
+    """
+    from cassandra_slow_queries_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        simhash_near_pairs,
+    )
 
     docs = load(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, "text", "doc_id", max_hamming=8).orderBy(
+    cand = simhash_near_pairs(docs, "text", "doc_id", max_hamming=8).select(
         "id_a", "id_b"
     )
+    exact = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=4, threshold=0.5, max_doc_freq=100
+    ).select("id_a", "id_b")
+    found = exact.join(cand, ["id_a", "id_b"], "left_semi").agg(
+        F.count("*").alias("n_found")
+    )
+    totals = exact.agg(F.count("*").alias("n_true"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    return (
+        found.crossJoin(totals)
+        .crossJoin(n_docs)
+        .crossJoin(cand.agg(F.count("*").alias("n_cand")))
+        .select(
+            F.col("n_true").cast("long").alias("n_true_pairs"),
+            (F.col("n_found") / F.col("n_true") >= 0.9).alias("recall_ok"),
+            (
+                F.col("n_cand")
+                <= 0.05 * F.col("n_docs") * (F.col("n_docs") - 1) / 2
+            ).alias("blocking_ok"),
+        )
+    )
+
+
+DEDUP_SIMHASH_GATE_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       TRUE AS recall_ok,
+       TRUE AS blocking_ok
+FROM ({_jaccard_allpairs_sql(4, 0.5)})
+"""
 
 
 def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1345,6 +1472,51 @@ def q_stream_volume_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bucket", F.col("duration").desc(), "query", "primary_key")
 
 
+def q_stream_volume_top_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 + T2 under APPEND-mode streaming with a watermark — the
+    unbounded-source plan (complete mode's state grows with total window
+    count; append evicts closed windows). With the whole fact dir
+    available in the first trigger, the final watermark is
+    max(ts) − 90 min deterministically, so the emitted (closed) windows
+    are exactly the hour buckets ending on or before it — which is what
+    the oracle computes in plain SQL."""
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        run_volume_top_stream_append,
+    )
+
+    parsed = _event_fact_stream(spark, sf_dir)
+    top = run_volume_top_stream_append(
+        parsed, k=3, watermark="90 minutes", window="1 hour"
+    )
+    return (
+        top.withColumnRenamed("minute", "bucket")
+        .select("bucket", "query", "primary_key", "cnt", "duration", "avg_duration")
+        .orderBy("bucket", F.col("duration").desc(), "query", "primary_key")
+    )
+
+
+STREAM_A5_APPEND_SQL = f"""
+WITH closed AS (
+    SELECT * FROM events
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+          <= (SELECT MAX(ts) FROM events) - INTERVAL 90 MINUTE
+), cells AS (
+    SELECT {HOUR_FMT_DUCK} AS bucket,
+           event_type AS query,
+           CAST(user_id % 10 AS VARCHAR) AS primary_key,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS duration,
+           CAST(FLOOR(SUM(CAST(FLOOR(value) AS BIGINT)) / COUNT(*)) AS BIGINT) AS avg_duration
+    FROM closed GROUP BY 1, 2, 3
+)
+SELECT bucket, query, primary_key, cnt, duration, avg_duration
+FROM cells
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY bucket ORDER BY duration DESC, query, primary_key) <= 3
+ORDER BY bucket, duration DESC, query, primary_key
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     "a1_top_queries": QueryDef(q_a1_top_queries, A1_SQL, "A1+F3+T1 flagship"),
     "a2_query_pk": QueryDef(q_a2_query_pk, A2_SQL, "A2 (query, pk) aggregate"),
@@ -1373,10 +1545,14 @@ CATALOG: dict[str, QueryDef] = {
         q_dedup_ngram_jaccard, DEDUP_JACCARD_SQL, "exact n-gram Jaccard pairs"
     ),
     "dedup_minhash_lsh": QueryDef(
-        q_dedup_minhash_lsh, None, "MinHash-LSH near-dup candidates (rows-only)"
+        q_dedup_minhash_lsh,
+        DEDUP_MINHASH_VERIFIED_SQL,
+        "MinHash-LSH blocking + exact Jaccard verify (hash-gated)",
     ),
     "dedup_simhash": QueryDef(
-        q_dedup_simhash, None, "SimHash near-dup pairs (rows-only)"
+        q_dedup_simhash,
+        DEDUP_SIMHASH_GATE_SQL,
+        "SimHash blocking recall + efficiency gate (hash-gated)",
     ),
     "text_stats": QueryDef(q_text_stats, TEXT_STATS_SQL, "token/quality stats"),
     "text_langid": QueryDef(q_text_langid, _langid_sql(), "language-ID heuristic"),
@@ -1384,7 +1560,9 @@ CATALOG: dict[str, QueryDef] = {
         q_ann_cosine_topk, ANN_SQL, "brute-force cosine top-K"
     ),
     "ann_cosine_lsh": QueryDef(
-        q_ann_cosine_lsh, None, "hyperplane-LSH cosine top-K (rows-only)"
+        q_ann_cosine_lsh,
+        ANN_LSH_RECALL_SQL,
+        "multiprobe-LSH top-K recall gate vs exact (hash-gated)",
     ),
     "mm_binary_meta": QueryDef(
         q_mm_binary_meta, MM_META_SQL, "multimodal binary metadata"
@@ -1409,6 +1587,11 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "stream_volume_top": QueryDef(
         q_stream_volume_top, A5_SQL, "A5+T2 via streaming foreachBatch"
+    ),
+    "stream_volume_top_append": QueryDef(
+        q_stream_volume_top_append,
+        STREAM_A5_APPEND_SQL,
+        "A5+T2 append-mode watermarked (closed windows only)",
     ),
     # --- production pipeline end-to-end + free built-in extensions ---
     "e2e_query_pk_report": QueryDef(

@@ -138,6 +138,76 @@ def run_volume_top_stream(
     return parsed.sparkSession.read.parquet(out_dir)
 
 
+def run_volume_top_stream_append(
+    parsed: DataFrame,
+    k: int,
+    watermark: str = "2 minutes",
+    order_by: str = "duration",
+    window: str = WINDOW,
+) -> DataFrame:
+    """Watermarked APPEND-mode per-window top-K — the unbounded-source
+    variant of :func:`run_volume_top_stream`.
+
+    Complete mode re-emits (and re-ranks) every window ever seen each
+    trigger, so its state grows with the total window count — fine for
+    finite re-analysis, fatal on an unbounded stream. Here the
+    aggregation runs in append mode: a window's cells are emitted exactly
+    once, in the trigger whose watermark passes the window end, and the
+    state store evicts them. ``foreachBatch`` therefore sees each closed
+    window COMPLETE and exactly once, ranks inside the batch, and appends
+    to the sink — no global re-rank, no unbounded state. Late data is
+    dropped by the aggregation once the watermark has passed it; note
+    Spark evaluates the late-row filter with the PREVIOUS micro-batch's
+    watermark (verified empirically), so a late row landing in the same
+    trigger that closes its window still merges before emission — the
+    emitted window stays complete w.r.t. everything the filter admitted,
+    and a row arriving any later is dropped. Windows still open at
+    end-of-stream are NOT emitted (a next run resumes from the
+    checkpoint and emits them when their time comes).
+
+    State/memory at scale: bounded by (watermark horizon / window size)
+    × live key cardinality, independent of stream length. The final
+    no-data micro-batch (`spark.sql.streaming.noDataMicroBatches.enabled`,
+    default true) flushes windows closed by the last watermark advance.
+
+    The ``_batch_id`` column records which trigger emitted each row —
+    the exactly-once emission of closed windows is asserted on it in
+    tests/test_streaming_endpoints.py.
+    """
+    cells = volume_top_cells_stream(parsed, window, watermark)
+    out_dir = tempfile.mkdtemp(prefix="volume_top_append_")
+    ckpt = tempfile.mkdtemp(prefix="volume_top_append_ckpt_")
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        top = grouped_top_k(
+            batch_df, ["minute"], order_by, k, tiebreaks=["query", "primary_key"]
+        )
+        top.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        cells.writeStream.foreachBatch(emit)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = parsed.sparkSession
+    try:
+        return spark.read.parquet(out_dir)
+    except Exception:
+        # no window closed → empty result with the right shape
+        return spark.createDataFrame(
+            [],
+            "minute string, query string, primary_key string, cnt long, "
+            "duration long, avg_duration long, _batch_id long",
+        )
+
+
 def read_fact_stream(
     spark: SparkSession, parquet_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

@@ -11,11 +11,10 @@ unbounded-horizon state across batches.
 
 State layout per key: ``(count long, ema double)``; update is
 commutative-enough for micro-batch replay (each batch folds its rows in
-timestamp order). Timeout: ``GroupStateTimeout.NoTimeout`` here —
-production deployments with unbounded key cardinality should use
-processing-time timeouts to bound the state store (noted in the
-function docstring; the session already sizes shuffle partitions for the
-state store).
+timestamp order via a closed-form EMA — no per-row Python). Timeout:
+``NoTimeout`` by default; pass ``idle_timeout_ms`` for
+``ProcessingTimeTimeout`` idle-key eviction so the state store is
+bounded by live key cardinality on unbounded streams.
 """
 
 from __future__ import annotations
@@ -46,24 +45,66 @@ STATE_SCHEMA = StructType(
 )
 
 
+def _fold_ema(ema: float | None, durations, alpha: float) -> float | None:
+    """Closed-form EMA fold over one ordered batch (no per-row Python).
+
+    Sequential ``ema ← α·d + (1-α)·ema`` over m rows telescopes to::
+
+        ema' = (1-α)^m · ema + α · Σᵢ (1-α)^(m-i) · dᵢ      (i = 1..m)
+
+    so a whole Arrow batch costs one weight vector and one dot product.
+    An absent prior EMA is seeded with the first duration (matching the
+    reference-style first-observation rule), then the closed form folds
+    the rest.
+    """
+    import numpy as np
+
+    durs = np.asarray(durations, dtype=np.float64)
+    if durs.size == 0:
+        return ema
+    if ema is None:
+        ema = float(durs[0])
+        durs = durs[1:]
+    m = durs.size
+    if m:
+        weights = (1.0 - alpha) ** np.arange(m - 1, -1, -1)
+        ema = (1.0 - alpha) ** m * float(ema) + alpha * float(weights @ durs)
+    return float(ema)
+
+
 def _update(
     key: tuple,
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
     alpha: float,
     burst_threshold: int,
+    timeout_ms: int | None = None,
 ):
+    if state.hasTimedOut:
+        # idle-key eviction (ProcessingTimeTimeout): emit the final state
+        # tagged non-bursting and free the store slot
+        n, ema = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "query": [key[0]],
+                "n_events": [n],
+                "ema_duration": [round(ema, 6)],
+                "bursting": [0],
+            }
+        )
+        return
     if state.exists:
         n, ema = state.get
     else:
         n, ema = 0, None
     for pdf in pdfs:
         pdf = pdf.sort_values("ts")
-        for dur in pdf["duration"]:
-            n += 1
-            d = float(dur)
-            ema = d if ema is None else alpha * d + (1.0 - alpha) * ema
+        n += len(pdf)
+        ema = _fold_ema(ema, pdf["duration"].to_numpy(), alpha)
     state.update((n, float(ema if ema is not None else 0.0)))
+    if timeout_ms is not None:
+        state.setTimeoutDuration(timeout_ms)
     yield pd.DataFrame(
         {
             "query": [key[0]],
@@ -78,19 +119,22 @@ def burst_state_stream(
     fact_stream: DataFrame,
     alpha: float = 0.2,
     burst_threshold: int = 100,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Streaming frame ``(ts, query, duration, ...)`` → per-key running
     state ``(query, n_events, ema_duration, bursting)`` updated each
     micro-batch.
 
     ``update`` output mode: every batch re-emits the keys it touched with
-    their latest state. With unbounded key cardinality, switch to
-    ``GroupStateTimeout.ProcessingTimeTimeout`` + ``state.setTimeoutDuration``
-    to evict idle keys and bound the state store.
+    their latest state. ``idle_timeout_ms`` switches to
+    ``ProcessingTimeTimeout``: keys idle past the timeout emit a final
+    non-bursting row and are evicted — the state store stays bounded by
+    *live* key cardinality on an unbounded stream instead of growing with
+    every key ever seen.
     """
 
     def update_fn(key, pdfs, state):
-        return _update(key, pdfs, state, alpha, burst_threshold)
+        return _update(key, pdfs, state, alpha, burst_threshold, idle_timeout_ms)
 
     return (
         fact_stream.select("ts", "query", "duration")
@@ -100,7 +144,11 @@ def burst_state_stream(
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
@@ -109,6 +157,7 @@ def run_burst_detection(
     fact_stream: DataFrame,
     alpha: float = 0.2,
     burst_threshold: int = 100,
+    idle_timeout_ms: int | None = None,
 ) -> DataFrame:
     """Drive the stateful operator over a finite stream with AvailableNow
     and return the FINAL state per key as a batch frame (later batches
@@ -116,7 +165,7 @@ def run_burst_detection(
     import tempfile
     import uuid
 
-    out = burst_state_stream(fact_stream, alpha, burst_threshold)
+    out = burst_state_stream(fact_stream, alpha, burst_threshold, idle_timeout_ms)
     name = f"burst_{uuid.uuid4().hex}"
     q = (
         out.writeStream.format("memory")

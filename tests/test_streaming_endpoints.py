@@ -115,6 +115,197 @@ def test_streaming_production_parse(spark, tmp_path):
     assert pks == {"v0", "v1"}
 
 
+def test_append_mode_topk_closed_windows_once(spark, tmp_path):
+    """Watermark + append-mode top-K: each closed window is emitted
+    exactly once with its COMPLETE population, late data beyond the
+    watermark is dropped, and windows still open at end-of-stream are
+    held back — the unbounded-source contract complete mode can't give.
+    """
+    import os
+    import time
+
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        run_volume_top_stream_append,
+    )
+
+    d = str(tmp_path / "facts")
+    os.makedirs(d)
+
+    def write_file(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "ts_s string, query string, primary_key string, duration long"
+        ).select(
+            F.to_timestamp("ts_s").alias("ts"), "query", "primary_key", "duration"
+        )
+        sub = str(tmp_path / name)
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        # move the data file into the stream dir with a controlled mtime so
+        # the file source processes files in the intended order
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        dst = os.path.join(d, name + ".parquet")
+        os.rename(os.path.join(sub, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = time.time()
+    write_file(
+        "f1",
+        [
+            ("2026-08-13 10:00:30", "q0", "a", 100),
+            ("2026-08-13 10:00:40", "q1", "b", 200),
+            ("2026-08-13 10:01:30", "q0", "a", 110),
+        ],
+        t0 - 300,
+    )
+    write_file("f2", [("2026-08-13 10:04:50", "q0", "a", 120)], t0 - 200)
+    # f3 advances the watermark past 10:01/10:00 → they close and emit
+    write_file("f3", [("2026-08-13 10:07:50", "q1", "b", 130)], t0 - 100)
+    # f4 arrives AFTER the 10:01 window was evicted; its late row must be
+    # dropped by the watermark filter, not resurrect the window (Spark
+    # applies the late filter with the previous batch's watermark, which
+    # is already 10:05:50 here)
+    write_file(
+        "f4",
+        [
+            ("2026-08-13 10:08:50", "q0", "a", 140),
+            ("2026-08-13 10:01:55", "q0", "a", 999),
+        ],
+        t0 - 50,
+    )
+
+    static = spark.read.parquet(d)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    got = run_volume_top_stream_append(stream, k=5, watermark="2 minutes")
+    rows = got.collect()
+    by_minute: dict[str, list] = {}
+    for r in rows:
+        by_minute.setdefault(r.minute, []).append(r)
+
+    # exactly-once: no minute appears in two different emit batches
+    for minute, rs in by_minute.items():
+        assert len({r._batch_id for r in rs}) == 1, f"{minute} emitted twice"
+    # closed windows (end <= final watermark 10:05:50) are out; the
+    # 10:07 window is still open and held back
+    assert "2026-08-13 10:07" not in by_minute
+    assert {"2026-08-13 10:00", "2026-08-13 10:01", "2026-08-13 10:04"} <= set(
+        by_minute
+    )
+    # the late 999-duration row was dropped, not merged into 10:01
+    cells_0101 = {(r.query, r.primary_key, r.cnt, r.duration) for r in by_minute["2026-08-13 10:01"]}
+    assert cells_0101 == {("q0", "a", 1, 110)}
+    # complete population for 10:00 (both cells of the window)
+    cells_1000 = {(r.query, r.cnt, r.duration) for r in by_minute["2026-08-13 10:00"]}
+    assert cells_1000 == {("q0", 1, 100), ("q1", 1, 200)}
+
+
+def test_stateful_vectorized_fold_matches_sequential():
+    """Closed-form batch EMA must equal the sequential per-row fold."""
+    from cassandra_slow_queries_spark.streaming.stateful import _fold_ema
+
+    durs = [100.0, 50.0, 200.0, 10.0, 170.0]
+    for alpha in (0.2, 0.5, 0.9):
+        seq = None
+        for dur in durs:
+            seq = dur if seq is None else alpha * dur + (1 - alpha) * seq
+        vec = _fold_ema(None, durs, alpha)
+        assert abs(vec - seq) < 1e-9
+        # split across two "batches" — state carries between them
+        vec2 = _fold_ema(_fold_ema(None, durs[:2], alpha), durs[2:], alpha)
+        assert abs(vec2 - seq) < 1e-9
+    assert _fold_ema(None, [], 0.5) is None
+    assert _fold_ema(42.0, [], 0.5) == 42.0
+
+
+class _StubState:
+    """Minimal GroupState stand-in for unit-testing the pure-Python
+    update function (the real one only exists inside a running query)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self.removed = True
+        self._value = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def test_stateful_timeout_eviction_branch():
+    """hasTimedOut → emit final non-bursting row, remove state; normal
+    path with a timeout configured → re-arm the timeout each batch."""
+    import pandas as pd
+
+    from cassandra_slow_queries_spark.streaming.stateful import _update
+
+    st = _StubState(value=(7, 123.5), timed_out=True)
+    [out] = list(_update(("q0",), iter([]), st, 0.5, 5, 60_000))
+    assert st.removed
+    assert out.n_events.iloc[0] == 7 and out.bursting.iloc[0] == 0
+    assert out.ema_duration.iloc[0] == 123.5
+
+    st2 = _StubState()
+    batch = pd.DataFrame({"ts": [1, 2], "duration": [100, 200]})
+    [out2] = list(_update(("q1",), iter([batch]), st2, 0.5, 2, 60_000))
+    assert st2.timeout_set == 60_000
+    assert out2.n_events.iloc[0] == 2 and out2.bursting.iloc[0] == 1
+    # seed 100, then 0.5·200 + 0.5·100
+    assert out2.ema_duration.iloc[0] == 150.0
+
+
+def test_stateful_burst_with_processing_timeout_runs(spark, fact_dir):
+    """ProcessingTimeTimeout variant builds a valid stateful streaming
+    plan and makes progress under a live trigger. (AvailableNow never
+    terminates with processing-time timeouts — verified empirically — so
+    the query is stopped explicitly after its first committed batch.)"""
+    import tempfile
+    import time
+
+    from cassandra_slow_queries_spark.streaming.stateful import (
+        burst_state_stream,
+    )
+
+    stream = read_fact_stream(spark, fact_dir)
+    out = burst_state_stream(
+        stream, alpha=0.5, burst_threshold=6, idle_timeout_ms=60_000
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("burst_timeout_smoke")
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bt_ckpt_"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if any(p["numInputRows"] > 0 for p in q.recentProgress):
+                break
+            time.sleep(1)
+        rows = spark.table("burst_timeout_smoke").collect()
+        assert {r.query for r in rows} == {"q0", "q1"}
+        assert all(r.n_events == 6 for r in rows)
+    finally:
+        q.stop()
+
+
 def test_attach_endpoints_matches_driver_math(spark):
     df = spark.createDataFrame(
         [("ks1", "cf1", "pk1"), ("ks2", "cf2", "pk2")],
