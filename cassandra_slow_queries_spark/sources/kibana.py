@@ -38,6 +38,29 @@ SOURCE_SCHEMA = StructType(
         StructField("tags", ArrayType(StringType())),
     ]
 )
+# Per-response shard accounting (download_slow_queries.py:110-128 reads
+# _shards.failures[].reason.reason and logs each; the failed count is the
+# cheap aggregate).
+SHARDS_SCHEMA = StructType(
+    [
+        StructField("total", LongType()),
+        StructField("successful", LongType()),
+        StructField("failed", LongType()),
+        StructField(
+            "failures",
+            ArrayType(
+                StructType(
+                    [
+                        StructField(
+                            "reason",
+                            StructType([StructField("reason", StringType())]),
+                        )
+                    ]
+                )
+            ),
+        ),
+    ]
+)
 KIBANA_SCHEMA = StructType(
     [
         StructField(
@@ -45,6 +68,7 @@ KIBANA_SCHEMA = StructType(
             ArrayType(
                 StructType(
                     [
+                        StructField("_shards", SHARDS_SCHEMA),
                         StructField(
                             "hits",
                             StructType(
@@ -108,6 +132,54 @@ def read_kibana_json(
     if filter_slow:
         hits = hits.filter(F.col("message").contains(SLOW_QUERY_FILTER))
     return hits
+
+
+def shard_failure_report(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """Per-file shard-failure accounting — the engine-side analog of the
+    reference's ``_log_failures`` (download_slow_queries.py:110-128),
+    which peeks each page response for ``"failures":`` and logs every
+    ``_shards.failures[].reason.reason``.
+
+    Returns ``(file, n_failed_shards, reasons array<string>)`` — one row
+    per input file that reported at least one failed shard. A failed
+    shard means that page's hits are silently INCOMPLETE; surfacing it is
+    the difference between "report ran" and "report ran over partial
+    data". Same explicit-schema scan as :func:`read_kibana_json`, so the
+    check is one cheap extra pass (only ``_shards`` columns are read).
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    raw = spark.read.schema(KIBANA_SCHEMA).option("mode", "PERMISSIVE").option(
+        "multiLine", "true"
+    ).option("columnNameOfCorruptRecord", "_corrupt_record").json(paths)
+    per_response = (
+        raw.filter(F.col("_corrupt_record").isNull())
+        .select(
+            F.input_file_name().alias("file"),
+            F.explode("responses").alias("response"),
+        )
+        .select(
+            "file",
+            F.coalesce(F.col("response._shards.failed"), F.lit(0)).alias(
+                "n_failed"
+            ),
+            F.coalesce(
+                F.transform(
+                    F.col("response._shards.failures"),
+                    lambda fl: fl["reason"]["reason"],
+                ),
+                F.array().cast("array<string>"),
+            ).alias("reasons"),
+        )
+    )
+    return (
+        per_response.groupBy("file")
+        .agg(
+            F.sum("n_failed").alias("n_failed_shards"),
+            F.flatten(F.collect_list("reasons")).alias("reasons"),
+        )
+        .filter(F.col("n_failed_shards") > 0)
+    )
 
 
 def corrupt_record_count(spark: SparkSession, paths: list[str] | str) -> int:

@@ -56,3 +56,55 @@ def test_read_slow_keys_csv_too_few_columns(spark, tmp_path):
     f.write_text("a,b\n1,2\n")
     with pytest.raises(ValueError, match="3 CSV columns"):
         read_slow_keys_csv(spark, str(f))
+
+
+def test_shard_failure_report(spark, tmp_path):
+    """S2 observability: _shards.failed surfaced per file with reasons
+    (download_slow_queries.py:110-128 analog); clean files are absent."""
+    import json
+
+    from cassandra_slow_queries_spark.sources.kibana import (
+        read_kibana_json,
+        shard_failure_report,
+    )
+
+    def hit(msg):
+        return {"_source": {"@timestamp": "2024-01-01T10:00:00.000000Z", "message": msg}}
+
+    bad = {
+        "responses": [
+            {
+                "_shards": {
+                    "total": 5,
+                    "successful": 3,
+                    "failed": 2,
+                    "failures": [
+                        {"reason": {"reason": "node n1 disconnected"}},
+                        {"reason": {"reason": "shard 4 timed out"}},
+                    ],
+                },
+                "hits": {"total": 1, "hits": [hit("x Query too slow, took 5 ms: SELECT 1 FROM a.b x")]},
+            }
+        ]
+    }
+    clean = {
+        "responses": [
+            {
+                "_shards": {"total": 5, "successful": 5, "failed": 0},
+                "hits": {"total": 0, "hits": []},
+            }
+        ]
+    }
+    legacy = {"responses": [{"hits": {"total": 0, "hits": []}}]}  # no _shards at all
+    (tmp_path / "bad.json").write_text(json.dumps(bad))
+    (tmp_path / "clean.json").write_text(json.dumps(clean))
+    (tmp_path / "legacy.json").write_text(json.dumps(legacy))
+    paths = [str(tmp_path / n) for n in ("bad.json", "clean.json", "legacy.json")]
+
+    rows = shard_failure_report(spark, paths).collect()
+    assert len(rows) == 1
+    [r] = rows
+    assert r.file.endswith("bad.json") and r.n_failed_shards == 2
+    assert sorted(r.reasons) == ["node n1 disconnected", "shard 4 timed out"]
+    # the hits path is unaffected by the schema extension
+    assert read_kibana_json(spark, paths).count() == 1
