@@ -17,7 +17,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-from datetime import datetime
 
 
 def _build_config(args: argparse.Namespace):
@@ -49,7 +48,9 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     """files → parse → enrich → five CSV reports (reference ``run``,
     analyze_slow_queries.py:1107-1146) + the incident-logger summary on
     stderr (:209-292 analog via observe())."""
-    from cassandra_slow_queries_spark.operators.aggregates import five_reports
+    from cassandra_slow_queries_spark.operators.aggregates import (
+        five_reports_shared_shuffle,
+    )
     from cassandra_slow_queries_spark.plans.pipeline import (
         incident_report,
         parse_messages,
@@ -71,7 +72,7 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     fact = parse_messages(
         raw, spark, cfg, observation=obs, with_incidents=True
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    reports = five_reports(fact.drop("_incidents"), cfg)
+    reports = five_reports_shared_shuffle(fact.drop("_incidents"), cfg)
     write_reports(reports, args.out)
     # shard-failure accounting (download_slow_queries.py:110-128 analog):
     # a failed shard means that page's hits are silently incomplete

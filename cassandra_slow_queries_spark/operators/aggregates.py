@@ -1,12 +1,16 @@
 """The five-report aggregation core (SURVEY.md §2.6, A1-A5 + F3 + T1-T3).
 
 The reference feeds five hash aggregates from one pass over the parsed
-records (analyze_slow_queries.py:986-1124). The Spark shape: **persist the
-parsed fact DataFrame once**, then declare five independent grouped
-aggregations off it — each is a single map-side-combined hash aggregate,
-and Catalyst handles partial aggregation, spill, and AQE coalescing.
-(A grouping-sets megaquery could share one shuffle, but the five branches
-have different filters and grain; clarity wins — SURVEY.md §4.)
+records (analyze_slow_queries.py:986-1124). Two Spark shapes, both exact:
+
+- :func:`five_reports` — persist the fact once, five independent grouped
+  aggregations (clear, composable, single-report friendly);
+- :func:`five_reports_shared_shuffle` — ONE ``GROUPING SETS`` pass:
+  Expand ×5 → one hash aggregate → one shuffle, reports as
+  ``grouping_id()`` slices. Measured ~3.7× faster on a 2M-row fact
+  (SURVEY.md §4) because one input pass beats five cache passes + five
+  job schedules; at 100 TB (cache spills to disk) the gap widens. This
+  is the production default in plans/pipeline.py ``run_analysis``.
 
 Shared post-aggregation semantics, pinned to the reference:
 
@@ -90,6 +94,15 @@ def _report_with_carried_dims(
     ``min(struct(ts, ks, cf))`` directly — pinned by tests.
     """
     agg = fact.groupBy(*keys).agg(*_measures(), F.min("ts").alias("_min_ts"))
+    return _carried_dims_post(agg, fact, keys, config)
+
+
+def _carried_dims_post(
+    agg: DataFrame, fact: DataFrame, keys: list[str], config: AnalysisConfig
+) -> DataFrame:
+    """Steps 2-3 of :func:`_report_with_carried_dims`, off an already
+    aggregated ``(keys..., count, duration, _min_ts)`` frame (shared by
+    the per-report and grouping-sets paths)."""
     out = _with_avg(_having(agg, config))
     top = top_n(out, config.order_by, config.top_n, tiebreaks=keys)
     probe = top.select(*keys, "_min_ts")
@@ -180,4 +193,116 @@ def five_reports(fact: DataFrame, config: AnalysisConfig) -> dict[str, DataFrame
         "primary_key": primary_key_report(prepared, config),
         "volume": volume_report(prepared, config),
         "volume_top": volume_top_report(prepared, config),
+    }
+
+
+# grouping-set membership bitmasks over (query, pk, ks, cf, minute):
+# grouping_id() sets bit i (MSB = first groupBy column) when the column
+# is AGGREGATED AWAY in that set
+_GS_COLS = ["query", "primary_key", "keyspace", "column_family", "minute"]
+_GID = {
+    "query": 0b01111,
+    "query_pk": 0b00111,
+    "primary_key": 0b10001,
+    "volume": 0b11110,
+    "volume_top": 0b00110,
+}
+
+
+def five_reports_shared_shuffle(
+    fact: DataFrame, config: AnalysisConfig
+) -> dict[str, DataFrame]:
+    """The five reports as ONE ``GROUPING SETS`` aggregation — the
+    single-shuffle alternative SURVEY.md §4 left open.
+
+    One Expand (×5 per input row) feeds one hash aggregate and one
+    shuffle keyed on the synthetic grouping id; each report is a
+    ``_gid`` slice of the persisted result with the same post-processing
+    (HAVING / top-N / carried-dims back-join) as the fan-out path.
+    Per-report row filters (A2's pk≠'', A3's three-dims-present) commute
+    with grouping on those same columns, so they apply post-agg to the
+    slices.
+
+    Measured at sf0.1 (see bench note in SURVEY.md §4): the Expand
+    multiplies the pre-combine row stream ×5, so map-side work grows by
+    ~the set count while only job/shuffle *scheduling* overhead is
+    saved; the persist-once fan-out stays the default and this variant
+    exists for measurement and for shuffle-constrained clusters.
+    """
+    prepared = prepare_fact(fact)
+    gs = (
+        prepared.groupingSets(
+            [
+                ["query"],
+                ["query", "primary_key"],
+                ["keyspace", "column_family", "primary_key"],
+                ["minute"],
+                ["minute", "query", "primary_key"],
+            ],
+            *[F.col(c) for c in _GS_COLS],
+        )
+        .agg(
+            *_measures(),
+            F.min("ts").alias("_min_ts"),
+            F.grouping_id().alias("_gid"),
+        )
+        .persist()
+    )
+
+    def slice_(name: str, *extra) -> DataFrame:
+        out = gs.filter(F.col("_gid") == _GID[name])
+        for cond in extra:
+            out = out.filter(cond)
+        return out.drop("_gid")
+
+    a1 = _carried_dims_post(slice_("query"), prepared, ["query"], config)
+    a2 = _carried_dims_post(
+        slice_("query_pk", F.col("primary_key") != ""),
+        prepared.filter(F.col("primary_key") != ""),
+        ["query", "primary_key"],
+        config,
+    )
+    a3_keys = ["keyspace", "column_family", "primary_key"]
+    a3 = top_n(
+        _with_avg(
+            _having(
+                slice_(
+                    "primary_key",
+                    (F.col("primary_key") != "")
+                    & (F.col("keyspace") != "")
+                    & (F.col("column_family") != ""),
+                ).select(*a3_keys, "count", "duration"),
+                config,
+            )
+        ),
+        config.order_by,
+        config.top_n,
+        tiebreaks=a3_keys,
+    )
+    a4 = (
+        _with_avg(
+            _having(slice_("volume").select("minute", "count", "duration"), config)
+        ).orderBy("minute")
+    )
+    a5_cells = _with_avg(
+        _having(
+            slice_("volume_top").select(
+                "minute", "query", "primary_key", "count", "duration"
+            ),
+            config,
+        )
+    )
+    a5 = grouped_top_k(
+        a5_cells,
+        ["minute"],
+        config.order_by,
+        config.rows_per_minute,
+        tiebreaks=["query", "primary_key"],
+    ).orderBy("minute", F.col(config.order_by).desc(), "query", "primary_key")
+    return {
+        "query": a1,
+        "query_pk": a2,
+        "primary_key": a3,
+        "volume": a4,
+        "volume_top": a5,
     }

@@ -181,6 +181,31 @@ def test_report_shapes(reports):
     ]
 
 
+def test_grouping_sets_variant_equals_fanout(spark, kibana_file):
+    """The single-shuffle GROUPING SETS five-report variant must produce
+    exactly the frames of the persist-once fan-out (SURVEY.md §4)."""
+    from cassandra_slow_queries_spark.operators.aggregates import (
+        five_reports,
+        five_reports_shared_shuffle,
+    )
+    from cassandra_slow_queries_spark.plans.pipeline import parse_messages
+
+    cfg = AnalysisConfig(min_count=2, schema=SCHEMA, tags={"prod": "ks1"})
+    fact = parse_messages(
+        read_kibana_json(spark, kibana_file), spark, cfg
+    ).persist()
+    fan = five_reports(fact, cfg)
+    shared = five_reports_shared_shuffle(fact, cfg)
+    try:
+        for name in fan:
+            a = [tuple(r) for r in fan[name].collect()]
+            b = [tuple(r) for r in shared[name].collect()]
+            assert a == b, f"report {name} diverged"
+            assert fan[name].columns == shared[name].columns
+    finally:
+        fact.unpersist()
+
+
 def test_observation_and_incident_report(spark, kibana_file):
     from pyspark.sql import Observation
 
