@@ -118,14 +118,18 @@ def shingle_candidate_pairs(
     cross-document collisions; the doc-frequency cap bounds it against
     corpus-hot shingles (see :func:`_distinct_shingles`).
     """
-    sh = _distinct_shingles(df, text_col, id_col, n, max_doc_freq)
+    # persist: the capped shingle frame feeds both join sides — without
+    # the cache each side re-runs the explode+distinct (+cap) over the
+    # corpus, i.e. two full input passes instead of one
+    sh = _distinct_shingles(df, text_col, id_col, n, max_doc_freq).persist()
     a = sh.alias("a")
     b = sh.alias("b")
-    return (
+    result = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    return _materialize_release(result, sh)
 
 
 def ngram_jaccard_pairs(
@@ -150,7 +154,9 @@ def ngram_jaccard_pairs(
     corpus scale. The candidate side is the small one after thresholding;
     AQE picks a broadcast join at runtime exactly when it actually fits.
     """
-    sh = _distinct_shingles(df, text_col, id_col, n, max_doc_freq)
+    # persist: sh feeds the two self-join sides AND the sizes aggregate —
+    # three corpus re-explodes without the cache
+    sh = _distinct_shingles(df, text_col, id_col, n, max_doc_freq).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -159,7 +165,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
-    return (
+    result = (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "size_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "size_b"}), "id_b")
         .withColumn(
@@ -173,6 +179,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _materialize_release(result, sh)
 
 
 def _materialize_release(result: DataFrame, intermediate: DataFrame) -> DataFrame:
@@ -376,7 +383,8 @@ def verified_near_dup_pairs(
     shingle frame joins the (small) candidate pair list on id, so cost is
     O(shingles-of-candidate-docs), not O(corpus²).
     """
-    sh = _distinct_shingles(df, text_col, id_col, n, max_doc_freq)
+    # persist: sh feeds both intersection sides and the sizes aggregate
+    sh = _distinct_shingles(df, text_col, id_col, n, max_doc_freq).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     pairs = candidates.select("id_a", "id_b")
     a_sh = pairs.join(sh.withColumnsRenamed({"id": "id_a"}), "id_a")
@@ -385,7 +393,7 @@ def verified_near_dup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
-    return (
+    result = (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "size_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "size_b"}), "id_b")
         .withColumn(
@@ -399,6 +407,7 @@ def verified_near_dup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    return _materialize_release(result, sh)
 
 
 # ---------------------------------------------------------------------------
