@@ -928,18 +928,41 @@ ORDER BY media_id
 
 
 def q_mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction (fake decoder) —
-    rows-only check (the feature hash isn't SQL-expressible)."""
-    from cassandra_slow_queries_spark.operators.multimodal import extract_features
+    """Arrow-batched mapInPandas feature extraction (fake decoder),
+    gated on its SQL-checkable invariants: the feature VALUES are a
+    Python rolling hash (not SQL-expressible; per-value determinism is
+    pinned in pytest), but the plumbing contract is — every payload
+    produces exactly one row, ``n_bytes`` must round-trip the true byte
+    lengths through the Arrow batches, every vector has FEATURE_DIM
+    entries in [0, 1). A broken batch iterator, schema, or truncated
+    column flips one of these and breaks the driver hash."""
+    from cassandra_slow_queries_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+    )
 
     docs = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("content"),
     )
     feats = extract_features(docs)
-    return feats.select(
-        "media_id", "n_bytes", F.round(F.element_at("features", 1), 6).alias("f0")
-    ).orderBy("media_id")
+    return feats.agg(
+        F.count("*").cast("long").alias("n_media"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.bool_and(F.size("features") == FEATURE_DIM).alias("dims_ok"),
+        F.bool_and(
+            F.forall("features", lambda v: (v >= 0) & (v < 1))
+        ).alias("bounds_ok"),
+    )
+
+
+MM_FEATURES_GATE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_media,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       TRUE AS dims_ok,
+       TRUE AS bounds_ok
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1068,6 +1091,59 @@ SELECT CASE event_type WHEN 'view' THEN 'ks1' WHEN 'click' THEN 'ks2' END
            AS keyspace,
        CASE event_type WHEN 'view' THEN 't_view' WHEN 'click' THEN 't_click'
             WHEN 'purchase' THEN 'bare_tbl' END AS column_family,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY 1, 2
+ORDER BY keyspace NULLS FIRST, column_family NULLS FIRST
+"""
+
+
+def q_p6_insert_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: INSERT table-segment parse (after ``'INSERT INTO '`` up to the
+    next space, lowercase fallback — analyze_slow_queries.py:766-769) +
+    P7 ks.cf split, over four statement variants."""
+    from cassandra_slow_queries_spark.functions.parse import (
+        insert_table_segment,
+        split_keyspace_cf,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    q = (
+        F.when(
+            F.col("event_type") == "view",
+            F.lit("INSERT INTO Ks1.T_ins (a, b) VALUES (1, 2)"),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.lit("insert into ks2.t2 (c) values (3)"),
+        )
+        .when(
+            F.col("event_type") == "purchase",
+            F.lit("INSERT INTO bare_ins (d) VALUES (4)"),
+        )
+        .otherwise(F.lit("SELECT 1"))  # no INSERT marker → NULL segment
+    )
+    seg = insert_table_segment(q)
+    split = split_keyspace_cf(seg)
+    return (
+        ev.select(
+            split["keyspace"].alias("keyspace"),
+            split["column_family"].alias("column_family"),
+        )
+        .groupBy("keyspace", "column_family")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(
+            F.col("keyspace").asc_nulls_first(),
+            F.col("column_family").asc_nulls_first(),
+        )
+    )
+
+
+P6_SQL = """
+SELECT CASE event_type WHEN 'view' THEN 'ks1' WHEN 'click' THEN 'ks2' END
+           AS keyspace,
+       CASE event_type WHEN 'view' THEN 't_ins' WHEN 'click' THEN 't2'
+            WHEN 'purchase' THEN 'bare_ins' END AS column_family,
        CAST(COUNT(*) AS BIGINT) AS cnt
 FROM events
 GROUP BY 1, 2
@@ -1568,12 +1644,17 @@ CATALOG: dict[str, QueryDef] = {
         q_mm_binary_meta, MM_META_SQL, "multimodal binary metadata"
     ),
     "mm_fake_features": QueryDef(
-        q_mm_fake_features, None, "mapInPandas feature extraction (rows-only)"
+        q_mm_fake_features,
+        MM_FEATURES_GATE_SQL,
+        "mapInPandas feature extraction invariants (hash-gated)",
     ),
     # --- remaining §2 operators: S3, J3, P5-P7, P9, J5 + streaming tier ---
     "s3_nested_json": QueryDef(q_s3_nested_json, S3_SQL, "S3 nested-JSON scan"),
     "j3_tag_first_match": QueryDef(q_j3_tag_first_match, J3_SQL, "J3 tag lookup"),
     "p5_table_segments": QueryDef(q_p5_table_segments, P5_SQL, "P5/P7 table parse"),
+    "p6_insert_segments": QueryDef(
+        q_p6_insert_segments, P6_SQL, "P6 INSERT table parse"
+    ),
     "p9_pattern_rewrite": QueryDef(q_p9_pattern_rewrite, P9_SQL, "P9 pattern rewrite"),
     "j5_endpoints": QueryDef(q_j5_endpoints, J5_SQL, "J5 mapInPandas endpoints"),
     "stream_volume": QueryDef(q_stream_volume, A4_SQL, "A4 via Structured Streaming"),
