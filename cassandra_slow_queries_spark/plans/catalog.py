@@ -717,6 +717,32 @@ ORDER BY doc_id
 """
 
 
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint (order-sensitive xxhash chain) gated on its
+    content-identity invariants: the hash itself isn't SQL-expressible,
+    but "same text ⇒ same fingerprint" and "distinct text ⇒ distinct
+    fingerprint (no collisions on this corpus)" reduce to
+    ``count_distinct(fp) == count_distinct(text)`` — a constant or
+    nondeterministic fingerprint breaks the driver hash."""
+    from cassandra_slow_queries_spark.functions.text import fingerprint
+
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select("text", fingerprint("text").alias("fp"))
+    return fp.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("text").cast("long").alias("n_distinct_texts"),
+        (F.count_distinct("fp") == F.count_distinct("text")).alias("fp_ok"),
+    )
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts,
+       TRUE AS fp_ok
+FROM documents
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_slow_queries_spark.operators.similarity import (
         cosine_topk_bruteforce,
@@ -1632,6 +1658,11 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "text_stats": QueryDef(q_text_stats, TEXT_STATS_SQL, "token/quality stats"),
     "text_langid": QueryDef(q_text_langid, _langid_sql(), "language-ID heuristic"),
+    "text_fingerprint": QueryDef(
+        q_text_fingerprint,
+        TEXT_FINGERPRINT_SQL,
+        "doc fingerprint content-identity gate (hash-gated)",
+    ),
     "ann_cosine_topk": QueryDef(
         q_ann_cosine_topk, ANN_SQL, "brute-force cosine top-K"
     ),
