@@ -381,8 +381,20 @@ def verified_near_dup_pairs(
 
     Scale shape: the exact verify never self-joins the corpus — the
     shingle frame joins the (small) candidate pair list on id, so cost is
-    O(shingles-of-candidate-docs), not O(corpus²).
+    O(shingles-of-candidate-docs), not O(corpus²). With
+    ``max_doc_freq=None`` the input is additionally semi-joined to the
+    candidate documents BEFORE the shingle explode, so the verify pass
+    never even scans non-candidate text; a doc-frequency cap forces a
+    full-corpus explode (frequencies are corpus-global by definition),
+    so pass ``None`` when the blocker already bounds the join.
     """
+    if max_doc_freq is None:
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("_cid"))
+            .union(candidates.select(F.col("id_b").alias("_cid")))
+            .distinct()
+        )
+        df = df.join(cand_ids, F.col(id_col) == F.col("_cid"), "left_semi")
     # persist: sh feeds both intersection sides and the sizes aggregate
     sh = _distinct_shingles(df, text_col, id_col, n, max_doc_freq).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))

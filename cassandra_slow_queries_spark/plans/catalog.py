@@ -826,15 +826,25 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_lsh_pairs(
         docs, "text", "doc_id", num_hashes=32, bands=16, shingle_n=3
     )
+    # uncapped verification universe: the blocker already bounds the
+    # pair set, so the verify pass semi-joins to candidate docs and
+    # never re-explodes the corpus (see verified_near_dup_pairs)
     return verified_near_dup_pairs(
-        docs, cand, "text", "doc_id", n=3, threshold=0.5, max_doc_freq=100
+        docs, cand, "text", "doc_id", n=3, threshold=0.5, max_doc_freq=None
     ).orderBy("id_a", "id_b")
 
 
-def _jaccard_allpairs_sql(width: int, threshold: float) -> str:
-    """Exact all-pairs capped-universe Jaccard (the oracle for the
-    verified blocking pipelines). ``width`` = n-1 in DuckDB list-slice
-    terms (toks[i:i+width] is an n-gram)."""
+def _jaccard_allpairs_sql(width: int, threshold: float, cap: int | None = 100) -> str:
+    """Exact all-pairs Jaccard over the (optionally doc-frequency-capped)
+    shingle universe — the oracle for the verified blocking pipelines.
+    ``width`` = n in tokens; DuckDB list slices are inclusive, so the
+    n-gram is ``toks[i:i+n-1]``."""
+    if cap is None:
+        universe = "SELECT id, shingle FROM sh"
+    else:
+        universe = f"""SELECT sh.id, sh.shingle FROM sh JOIN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {cap}
+    ) rare USING (shingle)"""
     return f"""
 WITH sh AS (
     SELECT DISTINCT doc_id AS id, shingle
@@ -844,10 +854,8 @@ WITH sh AS (
                        for i in range(1, len(toks) - {width - 2})]) AS shingle
         FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     )
-), rare AS (
-    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100
 ), shc AS (
-    SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)
+    {universe}
 ), sizes AS (
     SELECT id, COUNT(*) AS n FROM shc GROUP BY id
 ), inter AS (
@@ -865,7 +873,7 @@ ORDER BY id_a, id_b
 """
 
 
-DEDUP_MINHASH_VERIFIED_SQL = _jaccard_allpairs_sql(3, 0.5)
+DEDUP_MINHASH_VERIFIED_SQL = _jaccard_allpairs_sql(3, 0.5, cap=None)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -238,8 +238,12 @@ def test_verified_blocking_equals_exact_on_testdata(spark):
     def pairs(df):
         return {(r.id_a, r.id_b): r.jaccard for r in df.collect()}
 
+    # uncapped universe on both sides — mirrors the catalog entry (the
+    # candidate-restricted verify path only activates with cap=None)
     exact3 = pairs(
-        ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+        ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.5, max_doc_freq=None
+        )
     )
     mh = pairs(
         verified_near_dup_pairs(
@@ -251,6 +255,7 @@ def test_verified_blocking_equals_exact_on_testdata(spark):
             "doc_id",
             n=3,
             threshold=0.5,
+            max_doc_freq=None,
         )
     )
     assert mh == exact3
