@@ -181,16 +181,20 @@ def test_report_shapes(reports):
     ]
 
 
-def test_grouping_sets_variant_equals_fanout(spark, kibana_file):
+@pytest.mark.parametrize("order_by", ["duration", "count", "avg_duration"])
+def test_grouping_sets_variant_equals_fanout(spark, kibana_file, order_by):
     """The single-shuffle GROUPING SETS five-report variant must produce
-    exactly the frames of the persist-once fan-out (SURVEY.md §4)."""
+    exactly the frames of the persist-once fan-out (SURVEY.md §4) under
+    every configurable sort key."""
     from cassandra_slow_queries_spark.operators.aggregates import (
         five_reports,
         five_reports_shared_shuffle,
     )
     from cassandra_slow_queries_spark.plans.pipeline import parse_messages
 
-    cfg = AnalysisConfig(min_count=2, schema=SCHEMA, tags={"prod": "ks1"})
+    cfg = AnalysisConfig(
+        min_count=2, schema=SCHEMA, tags={"prod": "ks1"}, order_by=order_by
+    )
     fact = parse_messages(
         read_kibana_json(spark, kibana_file), spark, cfg
     ).persist()
