@@ -717,6 +717,38 @@ ORDER BY doc_id
 """
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact form): all pairs with
+    cosine ≥ 0.4, value-level hash-gated against DuckDB's
+    list_cosine_similarity. Exact all-pairs is the small-N baseline by
+    definition (O(N²)), so the entry bounds the input to 500 vectors —
+    the whole corpus at the correctness SFs, a fixed-cost sample at
+    bench scale. The LSH-blocked scale path
+    (cosine_near_dup_pairs_blocked) is recall-gated against this exact
+    operator in pytest."""
+    from cassandra_slow_queries_spark.operators.similarity import (
+        cosine_near_dup_pairs_exact,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return cosine_near_dup_pairs_exact(emb, threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+DEDUP_EMBEDDING_SQL = """
+SELECT a.vec_id AS id_a,
+       b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 500 AND b.vec_id < 500
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint (order-sensitive xxhash chain) gated on its
     content-identity invariants: the hash itself isn't SQL-expressible,
@@ -1666,6 +1698,11 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "text_stats": QueryDef(q_text_stats, TEXT_STATS_SQL, "token/quality stats"),
     "text_langid": QueryDef(q_text_langid, _langid_sql(), "language-ID heuristic"),
+    "dedup_embedding": QueryDef(
+        q_dedup_embedding,
+        DEDUP_EMBEDDING_SQL,
+        "embedding-cosine near-dup pairs, exact baseline",
+    ),
     "text_fingerprint": QueryDef(
         q_text_fingerprint,
         TEXT_FINGERPRINT_SQL,

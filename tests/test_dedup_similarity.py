@@ -290,6 +290,35 @@ def test_simhash_blocking_recall_on_testdata(spark):
     assert len(cand) <= 0.05 * n_docs * (n_docs - 1) / 2
 
 
+@needs_testdata
+def test_embedding_near_dup_blocked_recall(spark):
+    """LSH-blocked embedding near-dup vs the exact operator: blocked
+    output must be a SUBSET with identical similarity values (the verify
+    step is exact), recall ≥ 0.9 at threshold 0.4 even on these
+    isotropic embeddings, and the candidate work must stay below the
+    full pair space (blocking does something)."""
+    from cassandra_slow_queries_spark.operators.similarity import (
+        cosine_near_dup_pairs_blocked,
+        cosine_near_dup_pairs_exact,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_near_dup_pairs_exact(emb, threshold=0.4).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_near_dup_pairs_blocked(emb, threshold=0.4).collect()
+    }
+    assert exact, "seeded embeddings must contain near-dup pairs at 0.4"
+    assert set(blocked) <= set(exact)
+    for p, v in blocked.items():
+        assert v == exact[p]
+    recall = len(blocked) / len(exact)
+    assert recall >= 0.9, f"blocked recall {recall:.3f} < 0.9"
+
+
 def test_multimodal_fake_features(spark):
     from cassandra_slow_queries_spark.operators.multimodal import (
         FEATURE_DIM,
