@@ -72,6 +72,28 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, constrained to constructs shared by
+# Java regex (Spark) and RE2 (DuckDB): contraction suffixes, then
+# optional-leading-space letter runs / digit runs / punctuation runs.
+# Deliberately NO lookahead (RE2 has none) and no \p classes (kept ASCII
+# so both engines agree on class membership). Whitespace itself is not a
+# token — runs between matches are simply skipped, which is the
+# "BPE-ish" approximation: real BPE merges whitespace into the following
+# token, which the ``" ?"`` prefixes model.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Approximate LLM-token count via the GPT-2 pre-tokenizer regex —
+    the standard corpus-budget unit for training-data pipelines (real
+    BPE then splits each pre-token further, so this is a stable lower
+    bound proportional to true token counts). One JVM-side
+    ``regexp_extract_all`` + ``size``; no Python per row."""
+    return F.size(
+        F.regexp_extract_all(_col(text), F.lit(BPE_TOKEN_RE), 0)
+    ).cast("long")
+
+
 def word_shingles(text: Column | str, n: int = 8) -> Column:
     """All n-word shingles (space-joined) — the dedup candidate unit.
     Documents shorter than n words yield an empty array."""

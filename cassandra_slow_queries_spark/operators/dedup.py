@@ -423,6 +423,114 @@ def verified_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected pair graph: ``(id, comp)``
+    with ``comp`` = minimum id reachable from ``id``.
+
+    Pairwise near-dup operators (MinHash-LSH, SimHash, embedding-cosine)
+    emit *edges*; a curation pipeline needs *clusters* — keep one
+    representative per component, drop the rest. This is the classic
+    iterative min-label propagation: each round every vertex takes the
+    minimum of its own label and its neighbors' labels, converging in
+    ``diameter`` rounds. Near-dup components are near-cliques (diameter
+    2-3 in practice), so the round count stays tiny even at corpus
+    scale; for adversarial long-path graphs the large-star/small-star
+    scheme (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") converges in O(log n) rounds — propagation is chosen here
+    because dedup graphs are shallow and it needs one shuffle per round
+    instead of two.
+
+    Scale shape per round: one join of the (narrow, symmetrized) edge
+    list with the label frame on the vertex key + one min-aggregate —
+    both shuffle on the same key, and AQE coalesces the tiny tail as
+    components collapse. ``localCheckpoint`` truncates the growing
+    iteration lineage (without it every round re-plans all previous
+    rounds and the plan explodes exponentially). The driver-side loop is
+    plan-level only (one ``count()`` action per round for the
+    convergence test — the same pattern as MLlib's iterative
+    algorithms); no row data ever reaches the driver.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = sym.select(F.col("u").alias("id")).distinct().select(
+        "id", F.col("id").alias("comp")
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(labels, sym["u"] == labels["id"])
+                .groupBy(F.col("v").alias("_nid"))
+                .agg(F.min("comp").alias("_nbr_comp"))
+            )
+            stepped = (
+                labels.join(nbr_min, labels["id"] == F.col("_nid"), "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("comp"), F.coalesce("_nbr_comp", "comp")
+                    ).alias("comp"),
+                    (F.coalesce("_nbr_comp", "comp") < F.col("comp")).alias(
+                        "_changed"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            labels = stepped.select("id", "comp")
+            if stepped.filter("_changed").limit(1).count() == 0:
+                break
+        return labels
+    finally:
+        sym.unpersist()
+
+
+def assign_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Attach ``cluster_id``/``is_keeper`` to every document given a
+    near-dup pair frame ``(id_a, id_b)``.
+
+    Documents in no pair form singleton clusters (``cluster_id`` = own
+    id). The keeper is the minimum id of the component — deterministic,
+    mirrors :func:`exact_dedup_groups`. The component frame is
+    pair-graph-sized (only docs that appear in some pair), so the final
+    join is broadcast-sized in the common case where near-dups are a
+    small fraction of the corpus; AQE picks the strategy at runtime.
+    """
+    comp = connected_components(pairs)
+    return (
+        df.join(comp, df[id_col] == comp["id"], "left")
+        .select(
+            df["*"],
+            F.coalesce("comp", df[id_col]).alias("cluster_id"),
+        )
+        .withColumn("is_keeper", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
+def keep_cluster_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Near-dup dedup at the row level: keep exactly one representative
+    (the minimum id) per connected component, all singletons included —
+    the cluster-level analog of :func:`drop_exact_duplicates`."""
+    clustered = assign_clusters(df, pairs, id_col)
+    return clustered.filter(F.col("is_keeper")).drop("cluster_id", "is_keeper")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -749,6 +749,97 @@ ORDER BY id_a, id_b
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (not just pairs): exact 3-gram Jaccard ≥0.5
+    edges → connected components (iterative min-label propagation) →
+    per-document (cluster_id, is_keeper). The oracle recomputes the
+    transitive closure with a recursive CTE, so a wrong component
+    assignment — not merely a wrong pair — breaks the driver hash."""
+    from cassandra_slow_queries_spark.operators.dedup import (
+        assign_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, max_doc_freq=100
+    )
+    out = (
+        assign_clusters(docs, pairs, "doc_id")
+        .select("doc_id", "cluster_id", "is_keeper")
+        .orderBy("doc_id")
+    )
+    # components are localCheckpoint-materialized inside assign_clusters,
+    # so the pairs cache (persisted by _materialize_release) is done
+    pairs.unpersist()
+    return out
+
+
+def _dedup_clusters_sql() -> str:
+    # deferred: _jaccard_allpairs_sql is defined further down the module
+    return f"""
+WITH RECURSIVE pairs AS (
+    {_jaccard_allpairs_sql(3, 0.5, cap=100)}
+), edges AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach(id, lab) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.id
+), comp AS (
+    SELECT id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(c.cluster_id, d.doc_id) AS is_keeper
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+ORDER BY doc_id
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + BPE-ish token counting — the two per-document
+    numbers a training-data pipeline filters and budgets on."""
+    from cassandra_slow_queries_spark.functions.text import (
+        bpe_token_count,
+        quality_score,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(quality_score("text"), 6).alias("quality"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+def _text_quality_sql() -> str:
+    from cassandra_slow_queries_spark.functions.text import BPE_TOKEN_RE
+
+    pattern = BPE_TOKEN_RE.replace("'", "''")
+    sw = (
+        "len(list_filter(string_split(text, ' '), "
+        f"t -> lower(t) IN ({_STOPWORDS_IN}))) / len(string_split(text, ' '))"
+    )
+    atl = (
+        "list_aggregate(list_transform("
+        "list_filter(string_split(text, ' '), t -> len(t) > 0), "
+        "t -> CAST(len(t) AS DOUBLE)), 'avg')"
+    )
+    return f"""
+SELECT doc_id,
+       ROUND((CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.4
+           + (CASE WHEN COALESCE(({sw}) > 0.05, FALSE) THEN 1.0 ELSE 0.0 END) * 0.3
+           + (CASE WHEN COALESCE(({atl}) BETWEEN 2 AND 12, FALSE) THEN 1.0 ELSE 0.0 END) * 0.3,
+           6) AS quality,
+       CAST(len(regexp_extract_all(text, '{pattern}')) AS BIGINT) AS bpe_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint (order-sensitive xxhash chain) gated on its
     content-identity invariants: the hash itself isn't SQL-expressible,
@@ -1696,7 +1787,15 @@ CATALOG: dict[str, QueryDef] = {
         DEDUP_SIMHASH_GATE_SQL,
         "SimHash blocking recall + efficiency gate (hash-gated)",
     ),
+    "dedup_clusters": QueryDef(
+        q_dedup_clusters,
+        _dedup_clusters_sql(),
+        "connected-components near-dup clustering (recursive-CTE oracle)",
+    ),
     "text_stats": QueryDef(q_text_stats, TEXT_STATS_SQL, "token/quality stats"),
+    "text_quality": QueryDef(
+        q_text_quality, _text_quality_sql(), "quality score + BPE-ish token count"
+    ),
     "text_langid": QueryDef(q_text_langid, _langid_sql(), "language-ID heuristic"),
     "dedup_embedding": QueryDef(
         q_dedup_embedding,

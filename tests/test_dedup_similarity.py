@@ -343,3 +343,67 @@ def test_multimodal_real_decoder_stubbed(spark):
     df = spark.createDataFrame([(1, b"\x00")], "media_id long, content binary")
     with pytest.raises(Exception, match="NotImplementedError|not present"):
         extract_features(df, decoder="real").collect()
+
+
+# ---------------------------------------------------------------------------
+# Connected-components clustering
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A path graph 1-2-3-4 (diameter 3 → needs >1 propagation round),
+    a separate island (10, 11), and an untouched vertex universe."""
+    from cassandra_slow_queries_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_empty_edges(spark):
+    from cassandra_slow_queries_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(edges).count() == 0
+
+
+def test_assign_clusters_singletons_and_keepers(spark, docs):
+    from cassandra_slow_queries_spark.operators.dedup import (
+        assign_clusters,
+        keep_cluster_representatives,
+    )
+
+    pairs = spark.createDataFrame([(0, 1), (1, 3)], "id_a long, id_b long")
+    out = assign_clusters(docs, pairs, "doc_id")
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_keeper"]) for r in out.collect()}
+    assert rows[0] == (0, True)
+    assert rows[1] == (0, False)
+    assert rows[3] == (0, False)
+    # untouched docs are their own singleton cluster
+    assert rows[2] == (2, True)
+    kept = keep_cluster_representatives(docs, pairs, "doc_id")
+    assert set(kept.columns) == set(docs.columns)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert kept_ids == {0, 2}
+
+
+def test_bpe_token_count_basics(spark):
+    from cassandra_slow_queries_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),          # 2 word tokens
+            (2, "don't stop"),           # don + 't + stop
+            (3, "abc123 x-y"),           # abc + 123 + x + - + y
+            (4, ""),                     # no tokens
+            (5, "   "),                  # whitespace only
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", bpe_token_count("text").alias("n")).collect()
+    }
+    assert got == {1: 2, 2: 3, 3: 5, 4: 0, 5: 0}
