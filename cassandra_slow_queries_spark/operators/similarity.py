@@ -347,6 +347,22 @@ def cosine_topk_lsh(
         .select("q_id", "neighbor_id")
         .distinct()
     )
+    return _rerank_candidates(corpus, queries, cand, k, id_col, vec_col)
+
+
+def _rerank_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cand: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact cosine top-K over a ``(q_id, neighbor_id)`` candidate frame —
+    the shared re-rank tail of every blocked ANN path (LSH, IVF).
+
+    Vectors are fetched back only for surviving candidates; the query
+    side is broadcast by construction. Ties break on neighbor_id."""
     c_vec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
@@ -369,3 +385,135 @@ def cosine_topk_lsh(
     return grouped_top_k(scored, ["q_id"], "sim", k, tiebreaks=["neighbor_id"]).orderBy(
         "q_id", F.col("sim").desc(), "neighbor_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    refine_iters: int = 1,
+    seed: int = 42,
+):
+    """Spherical-k-means coarse quantizer: deterministic seeds + Lloyd
+    refinement, returning ``n_centroids`` L2-normalized centroid rows as
+    plain Python lists.
+
+    - **Seeds**: the ``n_centroids`` corpus vectors minimizing
+      ``xxhash64(id, seed)`` — a deterministic uniform sample computed
+      with one TakeOrderedAndProject pass (no RNG state, reproducible
+      across runs/partitionings, unlike ``df.sample``).
+    - **Refinement**: each Lloyd iteration assigns every vector to its
+      argmax-cosine centroid via the Arrow GEMM bucketizer (one matmul
+      per batch), then recomputes per-cell means with a whole-stage
+      codegen hash aggregate of ``dim`` avg columns — the same
+      explode-free fixed-width-agg shape as the MinHash signature path,
+      i.e. one shuffle of C×dim doubles per iteration regardless of
+      corpus size. Cells that lose all members keep their old centroid.
+    - Only the C×dim centroid matrix ever reaches the driver
+      (collect of ``n_centroids`` rows — the k-means contract; MLlib
+      does the same).
+    """
+    seeds = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = _np.array([list(r["v"]) for r in seeds], dtype=_np.float64)
+    cents /= _np.maximum(_np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    for _ in range(refine_iters):
+        assign = ivf_cell_udf(cents, n_probe=1)
+        means = (
+            corpus.select(assign(F.col(vec_col))[0].alias("cell"), F.col(vec_col).alias("v"))
+            .groupBy("cell")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
+            .collect()
+        )
+        new = cents.copy()
+        for r in means:
+            new[r["cell"]] = [r[f"c{i}"] for i in range(dim)]
+        new /= _np.maximum(_np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+        cents = new
+    return [[float(x) for x in row] for row in cents]
+
+
+def ivf_cell_udf(centroids, n_probe: int = 1):
+    """Arrow-vectorized cell assignment: ``embedding → array<int>`` of
+    the ``n_probe`` nearest centroids by cosine, best first. One
+    ``(B, dim) @ (dim, C)`` GEMM per batch — the same sanctioned
+    Pandas-UDF seam as :func:`bucket_ids_udf`; ties break on the lower
+    cell id via a stable sort so assignment is deterministic."""
+    cmat = _np.asarray(centroids, dtype=_np.float64)
+    cmat = cmat / _np.maximum(_np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    probe = min(n_probe, len(cmat))
+
+    @_pandas_udf("array<int>")
+    def _cells(v: _pd.Series) -> _pd.Series:
+        mat = _np.stack(v.to_numpy()).astype(_np.float64)  # (B, dim)
+        sims = mat @ cmat.T  # (B, C); argmax cosine == argmax dot vs unit centroids
+        # stable descending sort → deterministic lowest-id tie-break
+        order = _np.argsort(-sims, axis=1, kind="stable")[:, :probe]
+        return _pd.Series(list(order.astype(_np.int32)))
+
+    return _cells
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    refine_iters: int = 1,
+    seed: int = 42,
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate top-K: coarse-quantize the corpus into
+    ``n_centroids`` cells, probe the ``n_probe`` best cells per query,
+    exact-cosine re-rank within the probed cells.
+
+    The 100 TB shape: the corpus is scanned once into narrow
+    ``(id, cell)`` rows (at real scale you would persist this as the
+    index, partitioned by cell — pass precomputed ``centroids`` to skip
+    training and reuse an index); each query then touches ~n_probe/C of
+    the corpus. Expected recall on *clustered* corpora (the real use
+    case — near-dup neighbors share a cell) is high at small n_probe
+    (pinned at 1.0 on a clustered fixture in
+    tests/test_dedup_similarity.py); on ISOTROPIC data (the driver
+    testdata — ANN's worst case) cell membership of true neighbors is
+    nearly independent of the query's, so recall ≈ n_probe/C, the scan
+    fraction. That floor plus index invariants (balanced cells, bounded
+    candidate count) is what the ``ann_cosine_ivf`` catalog gate pins —
+    an assignment/probe bug (wrong dim, degenerate centroids) collapses
+    cells or zeroes recall and breaks the driver hash.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids, id_col, vec_col, dim, refine_iters, seed
+        )
+    assign = ivf_cell_udf(centroids, n_probe=1)
+    probe = ivf_cell_udf(centroids, n_probe=n_probe)
+    c_cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"), assign(F.col(vec_col))[0].alias("cell")
+    )
+    q_cells = queries.select(
+        F.col(id_col).alias("q_id"), F.explode(probe(F.col(vec_col))).alias("cell")
+    )
+    cand = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id")
+        .distinct()
+    )
+    return _rerank_candidates(corpus, queries, cand, k, id_col, vec_col)

@@ -933,6 +933,98 @@ SELECT CAST(8 AS BIGINT) AS n_queries, TRUE AS recall_ok
 """
 
 
+def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN index-invariant gate: spherical-k-means coarse quantizer
+    (16 cells, 1 Lloyd pass), probe 4/16 cells per query, exact re-rank.
+
+    The testdata embeddings are ISOTROPIC — ANN's worst case, where IVF
+    recall is bounded near the scan fraction (see cosine_topk_ivf
+    docstring; the clustered-corpus recall=1.0 case is pinned in
+    pytest). So the oracle pins what IS invariant at every SF:
+
+    - ``recall_ok``: recall@5 ≥ 0.4 vs brute force (measured 0.50-0.53
+      at sf0.001/0.01/0.1 with 25% scan — ~2× the random-cell floor; a
+      degenerate quantizer or probe bug collapses this toward 0);
+    - ``cells_ok``: all 16 cells populated AND max cell ≤ 2× mean
+      (measured ≤1.25×) — catches collapsed/empty-cell centroids;
+    - ``scan_ok``: candidates ≤ 35% of N·Q (measured ~25%) — catches
+      the opposite failure, everything-in-probed-cells "recall for free".
+    """
+    from cassandra_slow_queries_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        ivf_cell_udf,
+        train_ivf_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    cents = train_ivf_centroids(emb, n_centroids=16, refine_iters=1)
+    exact = cosine_topk_bruteforce(emb, queries, k=5).select("q_id", "neighbor_id")
+    ivf = cosine_topk_ivf(
+        emb, queries, k=5, n_centroids=16, n_probe=4, centroids=cents
+    ).select("q_id", "neighbor_id")
+    hit = exact.join(ivf, ["q_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    tot = exact.agg(
+        F.count("*").alias("n_total"),
+        F.count_distinct("q_id").alias("n_queries"),
+    )
+    assign = ivf_cell_udf(cents, n_probe=1)
+    probe = ivf_cell_udf(cents, n_probe=4)
+    cell_stats = (
+        emb.select(assign(F.col("embedding"))[0].alias("cell"))
+        .groupBy("cell")
+        .count()
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.max("count").alias("max_cell"),
+            F.sum("count").alias("n_vecs"),
+        )
+    )
+    c_cells = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        assign(F.col("embedding"))[0].alias("cell"),
+    )
+    q_cells = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.explode(probe(F.col("embedding"))).alias("cell"),
+    )
+    n_cand = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id")
+        .distinct()
+        .agg(F.count("*").alias("n_cand"))
+    )
+    return (
+        hit.crossJoin(tot)
+        .crossJoin(cell_stats)
+        .crossJoin(n_cand)
+        .select(
+            F.col("n_queries").cast("long").alias("n_queries"),
+            (F.col("n_hit") / F.col("n_total") >= 0.4).alias("recall_ok"),
+            (
+                (F.col("n_cells") == 16)
+                & (F.col("max_cell") * 16 <= 2 * F.col("n_vecs"))
+            ).alias("cells_ok"),
+            (
+                F.col("n_cand")
+                <= 0.35 * F.col("n_vecs") * F.col("n_queries")
+            ).alias("scan_ok"),
+        )
+    )
+
+
+ANN_IVF_GATE_SQL = """
+SELECT CAST(8 AS BIGINT) AS n_queries,
+       TRUE AS recall_ok,
+       TRUE AS cells_ok,
+       TRUE AS scan_ok
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates → exact n-gram Jaccard verification ≥0.5 —
     the production blocking+verify pipeline. Because every true pair
@@ -1814,6 +1906,11 @@ CATALOG: dict[str, QueryDef] = {
         q_ann_cosine_lsh,
         ANN_LSH_RECALL_SQL,
         "multiprobe-LSH top-K recall gate vs exact (hash-gated)",
+    ),
+    "ann_cosine_ivf": QueryDef(
+        q_ann_cosine_ivf,
+        ANN_IVF_GATE_SQL,
+        "IVF coarse-quantizer index-invariant gate (hash-gated)",
     ),
     "mm_binary_meta": QueryDef(
         q_mm_binary_meta, MM_META_SQL, "multimodal binary metadata"

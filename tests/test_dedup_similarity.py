@@ -407,3 +407,78 @@ def test_bpe_token_count_basics(spark):
         for r in df.select("id", bpe_token_count("text").alias("n")).collect()
     }
     assert got == {1: 2, 2: 3, 3: 5, 4: 0, 5: 0}
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+
+def _clustered_vectors(spark, dim=8, per_cluster=20):
+    """Three tight clusters around orthogonal axes — the geometry IVF is
+    built for (near neighbors share a cell)."""
+    rows = []
+    vid = 0
+    for axis in (0, 3, 6):
+        for j in range(per_cluster):
+            v = [0.0] * dim
+            v[axis] = 1.0
+            v[(axis + 1) % dim] = 0.01 * (j % 5)  # tiny deterministic jitter
+            rows.append((vid, axis, v))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, cluster int, embedding array<float>"
+    )
+
+
+def test_ivf_recall_perfect_on_clustered_data(spark):
+    from cassandra_slow_queries_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    vecs = _clustered_vectors(spark)
+    queries = vecs.filter("vec_id IN (0, 20, 40)")
+    exact = cosine_topk_bruteforce(vecs, queries, k=5, dim=None).select(
+        "q_id", "neighbor_id"
+    )
+    approx = cosine_topk_ivf(
+        vecs, queries, k=5, dim=8, n_centroids=3, n_probe=1, refine_iters=2
+    ).select("q_id", "neighbor_id")
+    exact_set = {(r["q_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_set = {(r["q_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert exact_set == approx_set  # recall 1.0 with a single probed cell
+
+
+def test_ivf_cells_partition_clusters(spark):
+    """After Lloyd refinement each true cluster maps to exactly one cell."""
+    from pyspark.sql import functions as F
+
+    from cassandra_slow_queries_spark.operators.similarity import (
+        ivf_cell_udf,
+        train_ivf_centroids,
+    )
+
+    vecs = _clustered_vectors(spark)
+    cents = train_ivf_centroids(vecs, n_centroids=3, dim=8, refine_iters=2)
+    assign = ivf_cell_udf(cents, n_probe=1)
+    rows = vecs.select(
+        "cluster", assign(F.col("embedding"))[0].alias("cell")
+    ).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], set()).add(r["cell"])
+    assert all(len(cells) == 1 for cells in by_cluster.values())
+    assert len({c for s in by_cluster.values() for c in s}) == 3
+
+
+def test_ivf_deterministic(spark):
+    from cassandra_slow_queries_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 3")
+    a = cosine_topk_ivf(emb, queries, k=5, n_centroids=8, n_probe=2).collect()
+    b = cosine_topk_ivf(emb, queries, k=5, n_centroids=8, n_probe=2).collect()
+    assert a == b
