@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cassandra_slow_queries_spark.functions.text import tokens, word_shingles
+from cassandra_slow_queries_spark.session import spread_input
 
 # Prime modulus for the affine MinHash family. 31-bit on purpose: ANSI mode
 # (Spark 4 default) raises on long overflow, so a*h+b must stay < 2^63 —
@@ -85,7 +86,8 @@ def _distinct_shingles(
     one extra shuffle that is co-partitioned with the join it protects.
     """
     sh = (
-        df.select(
+        spread_input(df, by=id_col)
+        .select(
             F.col(id_col).alias("id"),
             F.explode(word_shingles(text_col, n)).alias("shingle"),
         )
@@ -263,7 +265,7 @@ def minhash_signatures(
     ~10× slower at sf0.1. Documents with no shingles produce no row
     (mirrors the NULL-signature filter of the expression form).
     """
-    ex = df.select(
+    ex = spread_input(df, by=id_col).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("s"),
     ).select("id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31)).alias("h"))
@@ -601,7 +603,7 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
     fingerprint 0, matching the expression form.
     """
     toks = F.filter(tokens(text_col), lambda t: F.length(t) > 0)
-    ex = df.select(
+    ex = spread_input(df, by=id_col).select(
         F.col(id_col).alias("id"), F.explode_outer(toks).alias("t")
     ).select(
         "id", F.xxhash64("t").alias("h"), F.col("t").isNotNull().alias("ok")

@@ -53,6 +53,11 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NOTE: no blanket spread_input() here — measured at sf0.1, a load-level
+    # exchange wins big on explode-heavy dedup stages but regresses cheap
+    # single-agg entries and pandas-UDF entries (32× per-partition batch
+    # overhead); the explode-heavy operators spread selectively instead
+    # (operators/dedup.py).
     return df
 
 

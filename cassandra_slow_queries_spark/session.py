@@ -17,9 +17,39 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def spread_input(df: DataFrame, by: str | None = None) -> DataFrame:
+    """Guard against unsplittable landing files serializing stage 1.
+
+    A single-row-group Parquet file (or a gzip JSON log, or any fat
+    unsplittable blob) yields ONE input split, so every per-row-heavy
+    expression downstream — parse chains, shingle explodes, HOF folds —
+    runs on one core no matter how many executors exist. The driver
+    testdata is exactly this shape (one row group per table). When the
+    scan has fewer splits than the session's shuffle parallelism, insert
+    one cheap row-level exchange of the RAW rows (before any explode
+    fan-out, so the shuffled volume is the small input, not the
+    exploded one); otherwise no-op, so a real many-file corpus read at
+    cluster scale pays nothing.
+
+    The partition count is passed EXPLICITLY: AQE's partition coalescing
+    would otherwise merge the small shuffle right back into one
+    partition (explicit counts are exempt from coalescing). Deterministic
+    filters still push through the exchange to the scan. Streaming
+    frames are returned untouched (`.rdd` is undefined for them).
+    """
+    if df.isStreaming:
+        return df
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    cols = [F.col(by)] if by is not None else []
+    return df.repartition(target, *cols)
 
 
 def get_spark(
