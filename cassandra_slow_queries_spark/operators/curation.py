@@ -1,0 +1,211 @@
+"""Corpus-curation operators for training-data pipelines (Tier 3).
+
+The selection half of a data pipeline: after dedup and quality scoring
+(operators/dedup.py, functions/text.py), a run still has to *choose*
+what goes into the training mix. Four operators, all expression-first
+and shuffle-conscious:
+
+- **Deterministic stratified sampling** — per-stratum keep rates via a
+  portable content hash. Reproducible across runs AND engines (the
+  sampling decision is a pure function of the id), which is what makes
+  a 100 TB sampling job restartable and auditable; ``df.sample`` is
+  neither (seed × partitioning dependent).
+- **Per-group capping** — at most N documents per source/domain, the
+  standard anti-boilerplate guard (a crawl dump where one domain is 30%
+  of the corpus would otherwise dominate the mix).
+- **Token-budget selection** — take documents in priority order until a
+  global token budget is exhausted: a distributed prefix-sum (range
+  repartition → per-partition local window → broadcast partition
+  offsets), NOT a single-partition global window, so it holds at
+  corpus scale.
+- **Contamination check** — n-gram overlap between the corpus and a
+  (small) benchmark/eval set, the standard train-test leakage gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_slow_queries_spark.functions.text import word_shingles
+from cassandra_slow_queries_spark.session import spread_input
+
+#: buckets for the sampling hash — rates are expressed out of 10_000
+SAMPLE_BUCKETS = 10_000
+
+
+def sample_bucket(id_col: Column | str) -> Column:
+    """Deterministic, engine-portable bucket in [0, 10000): the first 15
+    hex chars of md5(id-as-string) read as an integer, mod 10000.
+
+    md5 (not xxhash64/hash) on purpose: the oracle must reproduce the
+    exact same buckets in DuckDB — ``CAST('0x'||substr(md5(...),1,15) AS
+    BIGINT) % 10000``. 15 hex chars = 60 bits, safely inside a long.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
+    return F.pmod(h.cast("bigint"), F.lit(SAMPLE_BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff ``bucket(id) < rate[stratum] · 10000``.
+
+    ``rates`` maps stratum value → keep fraction (e.g. ``{"en": 0.1,
+    "de": 0.5}``); unlisted strata use ``default_rate``. The rate table
+    is a literal when-chain (driver-side dict, same pattern as the
+    dispatch operator) — no join, no shuffle, the filter sits directly
+    above the scan and combines with predicate pushdown. Expected-size
+    accounting is exact in distribution: buckets are uniform over the
+    id space, so a 0.37 rate keeps 37.00% ± binomial noise.
+    """
+    threshold = F.lit(int(default_rate * SAMPLE_BUCKETS))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * SAMPLE_BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(sample_bucket(id_col) < threshold)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_col: str,
+    id_col: str,
+    descending: bool = True,
+) -> DataFrame:
+    """Keep the top ``n`` rows per group by ``(order_col, id)`` — the
+    per-domain cap of a crawl-curation pipeline.
+
+    One hash-partitioned window per group key: groups (domains) are
+    many and individually small relative to the corpus, so the shuffle
+    is well distributed; a pathologically hot domain is exactly what the
+    cap is for, and AQE's skew handling splits its sort. The id
+    tiebreak makes the kept set deterministic.
+    """
+    order = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    priority_col: str,
+    id_col: str,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Select documents in (priority desc, id asc) order while the
+    cumulative token count stays ≤ ``budget`` — "fill the training mix
+    with the best documents first, stop at the budget".
+
+    The cumulative sum is a DISTRIBUTED prefix-sum, not
+    ``Window.orderBy`` over an unpartitioned frame (which Spark executes
+    on a single task — the classic scale trap for running totals):
+
+    1. ``repartitionByRange`` on the selection order splits the corpus
+       into ``num_ranges`` ordered, non-overlapping chunks;
+    2. each partition computes its LOCAL running sum with a window
+       partitioned by ``spark_partition_id()`` (local sort, no extra
+       shuffle — the range exchange already clustered the data);
+    3. per-partition totals (``num_ranges`` rows) come to the driver
+       once and go back as a broadcast literal offset map — the only
+       driver round-trip, O(num_ranges) bytes.
+
+    Output keeps ``cum_tokens`` (the inclusive prefix sum) for audit.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(priority_col).desc(), F.col(id_col).asc()]
+    ranged = df.repartitionByRange(num_ranges, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    try:
+        # tiny: num_ranges rows; the ONLY data that visits the driver
+        totals = {
+            r["_pid"]: r["_t"]
+            for r in ranged.groupBy("_pid")
+            .agg(F.sum(F.col(token_col)).alias("_t"))
+            .collect()
+        }
+        offsets = {}
+        acc = 0
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += totals[pid]
+        offset_expr: Column = F.lit(0).cast("long")
+        for pid, off in offsets.items():
+            offset_expr = (
+                F.when(F.col("_pid") == pid, F.lit(off).cast("long"))
+                .otherwise(offset_expr)
+            )
+        w = Window.partitionBy("_pid").orderBy(*order)
+        out = (
+            ranged.withColumn(
+                "cum_tokens",
+                F.sum(F.col(token_col)).over(w) + offset_expr,
+            )
+            .filter(F.col("cum_tokens") <= budget)
+            .drop("_pid")
+        )
+        # the budget head is small by construction — materialize it so
+        # the ranged cache can be released before returning
+        out = out.localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()
+    return out
+
+
+def contamination_check(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Train-test leakage gate: for every corpus document sharing at
+    least ``min_shared`` distinct n-gram shingles with any eval/benchmark
+    document, report ``(id, eval_id, n_shared)``.
+
+    The eval set is small by nature (a benchmark), so its shingle frame
+    broadcasts; the corpus side streams through one explode with NO
+    self-join — cost is O(corpus shingles), the same single-pass shape
+    as the dedup blockers. Shingle width 8 (long shingles) keeps the
+    signal precise: an 8-word verbatim overlap is quotation, not chance.
+    """
+    corpus_sh = (
+        spread_input(docs, by=id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(text_col, n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    eval_sh = (
+        eval_docs.select(
+            F.col(id_col).alias("eval_id"),
+            F.explode(word_shingles(text_col, n)).alias("shingle"),
+        )
+        .distinct()
+    )
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -886,6 +886,145 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# Curation: sampling / capping / budgeting / contamination
+# ---------------------------------------------------------------------------
+
+#: per-language keep rates for the stratified-sampling entry — the
+#: standard training-mix rebalance (downsample the dominant language,
+#: keep the scarce ones). Mirrored literally in the oracle CASE.
+CURATION_RATES = {"en": 0.25, "de": 1.0, "fr": 0.5, "es": 0.5, "zh": 0.1}
+
+
+def q_cur_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language: portable md5
+    bucket < per-stratum threshold. Value-level oracle parity proves
+    the sampling decision is a pure engine-independent function of the
+    id — what makes a 100 TB sampling job reproducible and auditable."""
+    from cassandra_slow_queries_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "lang", CURATION_RATES, "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+_RATE_CASE = " ".join(
+    f"WHEN '{s}' THEN {int(r * 10000)}" for s, r in sorted(CURATION_RATES.items())
+)
+CUR_SAMPLE_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+      < CASE lang {_RATE_CASE} ELSE 0 END
+ORDER BY doc_id
+"""
+
+
+def q_cur_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap: keep the 10 longest documents per source — the
+    anti-boilerplate guard against one domain dominating the mix."""
+    from cassandra_slow_queries_spark.operators.curation import cap_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        cap_per_group(docs, "source", 10, "n_chars", "doc_id")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+CUR_DOMAIN_CAP_SQL = """
+SELECT doc_id, source, n_chars
+FROM (
+    SELECT doc_id, source, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+           ) AS rn
+    FROM documents
+)
+WHERE rn <= 10
+ORDER BY doc_id
+"""
+
+
+def q_cur_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection via distributed prefix-sum: largest
+    documents first until 100k cumulative chars. The oracle's global
+    ``SUM() OVER (ORDER BY ...)`` is exactly what the operator refuses
+    to execute as a single-partition window — range repartition + local
+    windows + broadcast offsets compute the same total order at scale.
+    """
+    from cassandra_slow_queries_spark.operators.curation import (
+        token_budget_select,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        token_budget_select(
+            docs, 100_000, token_col="n_chars", priority_col="n_chars",
+            id_col="doc_id",
+        )
+        .select("doc_id", "n_chars", F.col("cum_tokens").cast("long"))
+        .orderBy("doc_id")
+    )
+
+
+CUR_TOKEN_BUDGET_SQL = """
+SELECT doc_id, n_chars, cum_tokens
+FROM (
+    SELECT doc_id, n_chars,
+           CAST(SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id)
+                AS BIGINT) AS cum_tokens
+    FROM documents
+)
+WHERE cum_tokens <= 100000
+ORDER BY doc_id
+"""
+
+
+def q_cur_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-test contamination gate: corpus documents sharing an
+    8-word verbatim shingle with the pseudo-eval set (doc_id % 83 = 0 —
+    a deterministic stand-in for a benchmark table). Self-matches
+    excluded; near-dups of eval docs are exactly what must surface."""
+    from cassandra_slow_queries_spark.operators.curation import (
+        contamination_check,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 83 == 0)
+    return (
+        contamination_check(docs, eval_docs, "text", "doc_id", n=8)
+        .filter(F.col("id") != F.col("eval_id"))
+        .orderBy("id", "eval_id")
+    )
+
+
+CUR_CONTAMINATION_SQL = """
+WITH sh AS (
+    SELECT DISTINCT doc_id AS id, shingle
+    FROM (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+7], ' ')
+                       for i in range(1, len(toks) - 6)]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    )
+), ev AS (
+    SELECT id AS eval_id, shingle FROM sh WHERE id % 83 = 0
+)
+SELECT s.id, e.eval_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM sh s JOIN ev e USING (shingle)
+WHERE s.id <> e.eval_id
+GROUP BY 1, 2
+ORDER BY id, eval_id
+"""
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_slow_queries_spark.operators.similarity import (
         cosine_topk_bruteforce,
@@ -1932,6 +2071,18 @@ CATALOG: dict[str, QueryDef] = {
         q_dedup_embedding,
         DEDUP_EMBEDDING_SQL,
         "embedding-cosine near-dup pairs, exact baseline",
+    ),
+    "cur_sample_stratified": QueryDef(
+        q_cur_sample_stratified, CUR_SAMPLE_SQL, "deterministic stratified sample"
+    ),
+    "cur_domain_cap": QueryDef(
+        q_cur_domain_cap, CUR_DOMAIN_CAP_SQL, "per-source cap"
+    ),
+    "cur_token_budget": QueryDef(
+        q_cur_token_budget, CUR_TOKEN_BUDGET_SQL, "distributed prefix-sum budget"
+    ),
+    "cur_contamination": QueryDef(
+        q_cur_contamination, CUR_CONTAMINATION_SQL, "eval-set contamination gate"
     ),
     "text_fingerprint": QueryDef(
         q_text_fingerprint,
