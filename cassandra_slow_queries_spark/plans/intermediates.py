@@ -28,17 +28,20 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-_CACHE: dict[tuple, DataFrame] = {}
+_CACHE: dict[tuple, object] = {}
 
 
 def shared_intermediate(
-    spark: SparkSession, key: tuple, build: Callable[[], DataFrame]
-) -> DataFrame:
-    """Return the persisted frame for ``key``, building it on first use.
+    spark: SparkSession, key: tuple, build: Callable[[], object]
+) -> object:
+    """Return the artifact for ``key``, building it on first use.
 
-    ``build`` must return an already-persisted (ideally eagerly
-    materialized) DataFrame; the registry owns its lifecycle from then
-    on — callers must NOT unpersist what they receive.
+    DataFrame artifacts: ``build`` must return an already-persisted
+    (ideally eagerly materialized) frame; the registry owns its
+    lifecycle from then on — callers must NOT unpersist what they
+    receive. Non-DataFrame artifacts (a trained centroid matrix, a
+    plane bank) are stored as-is — the index-reuse path of a real ANN
+    serving layer (train once per session, search many times).
     """
     app = spark.sparkContext.applicationId
     _prune_dead(app)
@@ -57,10 +60,12 @@ def evict_shared(spark: SparkSession | None = None) -> int:
     app = spark.sparkContext.applicationId if spark is not None else None
     doomed = [k for k in _CACHE if app is None or k[0] == app]
     for k in doomed:
-        try:
-            _CACHE.pop(k).unpersist()
-        except Exception:  # session already stopped — nothing to release
-            pass
+        obj = _CACHE.pop(k)
+        if isinstance(obj, DataFrame):
+            try:
+                obj.unpersist()
+            except Exception:  # session already stopped — nothing to release
+                pass
     return len(doomed)
 
 
