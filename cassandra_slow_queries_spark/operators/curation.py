@@ -20,6 +20,12 @@ and shuffle-conscious:
   corpus scale.
 - **Contamination check** — n-gram overlap between the corpus and a
   (small) benchmark/eval set, the standard train-test leakage gate.
+- **Sequence packing** — concat-and-chunk assignment of documents to
+  fixed-size context windows (the training-batch layout step), built on
+  the same distributed prefix-sum as the budget selector.
+- **PII scrubbing** — regex redaction of emails / IPv4 / phone numbers
+  with per-kind audit counts, pure ``regexp_replace`` chains (JVM-side,
+  no Python).
 """
 
 from __future__ import annotations
