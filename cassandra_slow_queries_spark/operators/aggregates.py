@@ -223,11 +223,16 @@ def five_reports_shared_shuffle(
     with grouping on those same columns, so they apply post-agg to the
     slices.
 
-    Measured at sf0.1 (see bench note in SURVEY.md §4): the Expand
-    multiplies the pre-combine row stream ×5, so map-side work grows by
-    ~the set count while only job/shuffle *scheduling* overhead is
-    saved; the persist-once fan-out stays the default and this variant
-    exists for measurement and for shuffle-constrained clusters.
+    Measured at sf0.1 (see bench note in SURVEY.md §4): one shared
+    Expand pass beats the persist-once fan-out by ~3.7× end-to-end, so
+    this IS the production default (``run_analysis(shared_shuffle=True)``
+    in plans/pipeline.py); the fan-out path remains available for
+    clusters where the ×5 Expand row stream is the binding constraint.
+
+    The five report frames are eagerly materialized (they are top-N /
+    per-minute sized, i.e. tiny) so the grouping-sets intermediate can be
+    unpersisted before returning — no storage residue in long-lived
+    sessions.
     """
     prepared = prepare_fact(fact)
     gs = (
@@ -299,10 +304,18 @@ def five_reports_shared_shuffle(
         config.rows_per_minute,
         tiebreaks=["query", "primary_key"],
     ).orderBy("minute", F.col(config.order_by).desc(), "query", "primary_key")
-    return {
+    reports = {
         "query": a1,
         "query_pk": a2,
         "primary_key": a3,
         "volume": a4,
         "volume_top": a5,
     }
+    # materialize the (tiny) reports while the grouping-sets cache is
+    # hot, then release it — same lifecycle contract as
+    # dedup._materialize_release
+    reports = {
+        name: df.localCheckpoint(eager=True) for name, df in reports.items()
+    }
+    gs.unpersist()
+    return reports

@@ -106,6 +106,64 @@ def cap_per_group(
     )
 
 
+def _distributed_prefix_sum(
+    df: DataFrame,
+    token_col: str,
+    order: list[Column],
+    num_ranges: int,
+    out_col: str = "cum_tokens",
+) -> tuple[DataFrame, DataFrame]:
+    """Inclusive running sum of ``token_col`` over the GLOBAL ``order``,
+    computed as a distributed prefix-sum rather than ``Window.orderBy``
+    over an unpartitioned frame (which Spark executes on a single task —
+    the classic scale trap for running totals):
+
+    1. ``repartitionByRange`` on the order splits the corpus into
+       ``num_ranges`` ordered, non-overlapping chunks;
+    2. each partition computes its LOCAL running sum with a window
+       partitioned by ``spark_partition_id()`` (local sort, no extra
+       shuffle — the range exchange already clustered the data);
+    3. per-partition totals (``num_ranges`` rows) come to the driver
+       once and go back as a broadcast literal offset map — the only
+       driver round-trip, O(num_ranges) bytes.
+
+    Returns ``(summed, ranged)``: the frame with ``out_col`` added (and
+    the transient ``_pid`` column dropped), plus the PERSISTED ranged
+    intermediate — the caller materializes its output and then
+    unpersists ``ranged`` (both existing callers do this via
+    ``localCheckpoint``).
+    """
+    from pyspark.sql import Window
+
+    ranged = df.repartitionByRange(num_ranges, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    # tiny: num_ranges rows; the ONLY data that visits the driver
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in ranged.groupBy("_pid")
+        .agg(F.sum(F.col(token_col)).alias("_t"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    offset_expr: Column = F.lit(0).cast("long")
+    for pid, off in offsets.items():
+        offset_expr = (
+            F.when(F.col("_pid") == pid, F.lit(off).cast("long"))
+            .otherwise(offset_expr)
+        )
+    w = Window.partitionBy("_pid").orderBy(*order)
+    summed = ranged.withColumn(
+        out_col, F.sum(F.col(token_col)).over(w) + offset_expr
+    ).drop("_pid")
+    return summed, ranged
+
+
 def token_budget_select(
     df: DataFrame,
     budget: int,
@@ -118,62 +176,119 @@ def token_budget_select(
     cumulative token count stays ≤ ``budget`` — "fill the training mix
     with the best documents first, stop at the budget".
 
-    The cumulative sum is a DISTRIBUTED prefix-sum, not
-    ``Window.orderBy`` over an unpartitioned frame (which Spark executes
-    on a single task — the classic scale trap for running totals):
-
-    1. ``repartitionByRange`` on the selection order splits the corpus
-       into ``num_ranges`` ordered, non-overlapping chunks;
-    2. each partition computes its LOCAL running sum with a window
-       partitioned by ``spark_partition_id()`` (local sort, no extra
-       shuffle — the range exchange already clustered the data);
-    3. per-partition totals (``num_ranges`` rows) come to the driver
-       once and go back as a broadcast literal offset map — the only
-       driver round-trip, O(num_ranges) bytes.
-
-    Output keeps ``cum_tokens`` (the inclusive prefix sum) for audit.
+    The cumulative sum is the distributed prefix-sum of
+    :func:`_distributed_prefix_sum`; output keeps ``cum_tokens`` (the
+    inclusive prefix sum) for audit.
     """
-    from pyspark.sql import Window
-
     order = [F.col(priority_col).desc(), F.col(id_col).asc()]
-    ranged = df.repartitionByRange(num_ranges, *order).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    ranged = ranged.persist()
+    summed, ranged = _distributed_prefix_sum(df, token_col, order, num_ranges)
     try:
-        # tiny: num_ranges rows; the ONLY data that visits the driver
-        totals = {
-            r["_pid"]: r["_t"]
-            for r in ranged.groupBy("_pid")
-            .agg(F.sum(F.col(token_col)).alias("_t"))
-            .collect()
-        }
-        offsets = {}
-        acc = 0
-        for pid in sorted(totals):
-            offsets[pid] = acc
-            acc += totals[pid]
-        offset_expr: Column = F.lit(0).cast("long")
-        for pid, off in offsets.items():
-            offset_expr = (
-                F.when(F.col("_pid") == pid, F.lit(off).cast("long"))
-                .otherwise(offset_expr)
-            )
-        w = Window.partitionBy("_pid").orderBy(*order)
-        out = (
-            ranged.withColumn(
-                "cum_tokens",
-                F.sum(F.col(token_col)).over(w) + offset_expr,
-            )
-            .filter(F.col("cum_tokens") <= budget)
-            .drop("_pid")
-        )
+        out = summed.filter(F.col("cum_tokens") <= budget)
         # the budget head is small by construction — materialize it so
         # the ranged cache can be released before returning
         out = out.localCheckpoint(eager=True)
     finally:
         ranged.unpersist()
     return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    window: int,
+    token_col: str,
+    id_col: str,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Sequence packing: lay documents end-to-end in ``id`` order and
+    chunk the concatenated token stream into fixed-size context windows
+    of ``window`` tokens — the training-batch layout step ("which
+    sequence does each document start in, and at what offset").
+
+    Built on the same distributed prefix-sum as
+    :func:`token_budget_select` (the exclusive prefix ``start_offset`` is
+    the inclusive sum minus the document's own tokens). Emitted per
+    document:
+
+    - ``start_offset`` — position of the document's first token in the
+      concatenated stream;
+    - ``pack_id`` — ``floor(start_offset / window)``: the context window
+      the document STARTS in (greedy concat-and-chunk; a document may
+      spill into the next window, which training-side attention masking
+      handles — the standard layout);
+    - ``pack_pos`` — offset within that window;
+    - ``n_spans`` — how many windows the document touches (1 = fits
+      without crossing a boundary).
+
+    Everything after the prefix sum is arithmetic on ``start_offset`` —
+    no extra shuffle beyond the range exchange the sum already paid.
+    """
+    order = [F.col(id_col).asc()]
+    summed, ranged = _distributed_prefix_sum(df, token_col, order, num_ranges)
+    try:
+        start = (F.col("cum_tokens") - F.col(token_col)).cast("long")
+        end = (F.col("cum_tokens") - F.lit(1)).cast("long")  # last token
+        out = (
+            summed.withColumn("start_offset", start)
+            .withColumn(
+                "pack_id", F.floor(F.col("start_offset") / window).cast("long")
+            )
+            .withColumn(
+                "pack_pos", F.pmod(F.col("start_offset"), F.lit(window)).cast("long")
+            )
+            .withColumn(
+                "n_spans",
+                (F.floor(end / window) - F.col("pack_id") + F.lit(1)).cast("long"),
+            )
+            .drop("cum_tokens")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()
+    return out
+
+
+#: PII detectors, ordered — replacements are applied in this sequence.
+#: Cross-engine-safe subset (works identically under Java regex and RE2/
+#: DuckDB, the same constraint as functions/text.py's BPE_TOKEN_RE):
+#: explicit character classes, no lookaround, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    # local@domain.tld — the pragmatic redaction form, not full RFC 5322
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # dotted quad with word boundaries so version strings ("1.2.3") and
+    # longer digit runs don't half-match
+    "ip": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    # international-prefix form: + then 8..16 digits/dashes ending in a
+    # digit — conservative on purpose (bare 10-digit runs are usually ids,
+    # not phones; over-redaction destroys training text)
+    "phone": r"\+[0-9][0-9-]{6,14}[0-9]",
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str, out_col: str | None = None
+) -> DataFrame:
+    """Redact emails / IPv4 addresses / phone numbers from ``text_col``,
+    with per-kind audit counts — the standard curation-stage privacy
+    pass before text enters a training mix.
+
+    Pure ``regexp_replace`` / ``regexp_count`` chains: JVM-side, inside
+    whole-stage codegen, no Python in the path, combinable with
+    predicate pushdown (it's a projection). Counts are measured on the
+    ORIGINAL text (what WAS there, for the audit trail); replacements
+    apply in ``PII_PATTERNS`` order, each kind to its ``<KIND>`` token.
+    Adds ``n_<kind>`` columns and writes the scrubbed text to
+    ``out_col`` (default: replaces ``text_col`` in place).
+    """
+    out_col = out_col or text_col
+    original = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        df = df.withColumn(
+            f"n_{kind}", F.regexp_count(original, F.lit(pat)).cast("long")
+        )
+    scrubbed = original
+    for kind, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return df.withColumn(out_col, scrubbed)
 
 
 def contamination_check(

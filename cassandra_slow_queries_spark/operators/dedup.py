@@ -170,33 +170,38 @@ def ngram_jaccard_pairs(
     result = (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "size_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "size_b"}), "id_b")
+        # threshold on the UNROUNDED ratio (the round-6 value may sit just
+        # below threshold while the exact ratio is above it, and vice
+        # versa); round only in the output projection — matching both the
+        # oracle SQL and the cosine operators' convention
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
-                6,
-            ),
+            "jaccard_raw",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select(
+            "id_a", "id_b", F.round(F.col("jaccard_raw"), 6).alias("jaccard")
+        )
     )
     return _materialize_release(result, sh)
 
 
 def _materialize_release(result: DataFrame, intermediate: DataFrame) -> DataFrame:
-    """Persist + eagerly materialize the (small) pairs ``result``, then
-    release the (large) cached ``intermediate``.
+    """Eagerly materialize the (small) pairs ``result`` via
+    ``localCheckpoint``, then release the (large) cached ``intermediate``.
 
     The signature/fingerprint frames are read 3× per call, so caching
     them is right — but leaving them cached accumulates executor storage
     across calls in a long-lived session. Materializing the final pairs
-    while the intermediate cache is hot lets us drop it immediately; the
-    returned frame is itself persisted (it is candidate-pair sized, i.e.
-    tiny relative to the corpus) and the CALLER owns its unpersist().
+    while the intermediate cache is hot lets us drop it immediately.
+    ``localCheckpoint`` rather than ``persist`` on purpose: the
+    checkpointed blocks (candidate-pair sized, tiny) are reclaimed by the
+    ContextCleaner as soon as the returned frame is garbage collected, so
+    one-shot callers owe no explicit ``unpersist()`` — the round-2 "caller
+    owns unpersist" contract was honored by nobody and leaked.
     """
-    result = result.persist()
-    result.count()
+    result = result.localCheckpoint(eager=True)
     intermediate.unpersist()
     return result
 
@@ -410,16 +415,16 @@ def verified_near_dup_pairs(
     result = (
         inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "size_a"}), "id_a")
         .join(sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "size_b"}), "id_b")
+        # unrounded threshold, rounded output — see ngram_jaccard_pairs
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_common")
-                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
-                6,
-            ),
+            "jaccard_raw",
+            F.col("n_common")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .filter(F.col("jaccard_raw") >= threshold)
+        .select(
+            "id_a", "id_b", F.round(F.col("jaccard_raw"), 6).alias("jaccard")
+        )
     )
     return _materialize_release(result, sh)
 

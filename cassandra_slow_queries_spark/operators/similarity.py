@@ -205,15 +205,7 @@ def cosine_near_dup_pairs_blocked(
         F.col(id_col).alias("id"),
         F.posexplode(bucketize(F.col(vec_col))).alias("table", "bucket"),
     )
-    probed = base
-    if multiprobe >= 1:
-        probes = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
-        )
-        probed = base.select(
-            "id", "table", F.explode(probes).alias("bucket")
-        )
+    probed = _multiprobe(base, n_planes, multiprobe, "id")
     a = probed.alias("a")
     b = base.alias("b")
     cand = (
@@ -246,6 +238,43 @@ def cosine_near_dup_pairs_blocked(
         .withColumn("_sim", sim)
         .filter(F.col("_sim") >= threshold)
         .select("id_a", "id_b", F.round("_sim", 6).alias("cos_sim"))
+    )
+
+
+def _probe_masks(n_planes: int, radius: int) -> list[int]:
+    """XOR masks for every bucket within Hamming distance ≤ ``radius`` of
+    the home bucket (mask 0 = the bucket itself). ``radius`` is a genuine
+    count: radius 1 adds the ``n_planes`` one-bit flips, radius 2 adds the
+    ``C(n_planes, 2)`` two-bit flips, and so on — the standard multiprobe
+    ladder (probe count grows combinatorially, so radius > 2 is rarely
+    worth it over adding a table)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, min(radius, n_planes) + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def _multiprobe(
+    bucketed: DataFrame, n_planes: int, radius: int, *cols: str
+) -> DataFrame:
+    """Explode a ``(*cols, table, bucket)`` frame to its Hamming ≤ radius
+    probe neighborhood; radius 0 is the identity (no explode)."""
+    if radius <= 0:
+        return bucketed
+    probes = F.array(
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(m))
+            for m in _probe_masks(n_planes, radius)
+        ]
+    )
+    return bucketed.select(
+        *cols, "table", F.explode(probes).alias("bucket")
     )
 
 
@@ -298,9 +327,11 @@ def cosine_topk_lsh(
 
     Recall is tunable via (n_planes, n_tables); at 2^n_planes buckets per
     table the corpus-side shuffle is n_tables rows per vector.
-    ``multiprobe=1`` additionally probes every Hamming-1 bucket on the
-    QUERY side (query rows × (n_planes+1) — still tiny, still broadcast;
-    the corpus side stays at one bucket per table). This is the standard
+    ``multiprobe`` is the Hamming probe RADIUS on the QUERY side: radius
+    1 probes the ``n_planes`` one-bit-flip buckets, radius 2 additionally
+    the ``C(n_planes, 2)`` two-bit flips, etc. (query rows ×
+    |Hamming ≤ r ball| — still tiny, still broadcast; the corpus side
+    stays at one bucket per table). This is the standard
     recall lever when the corpus is isotropic: the driver testdata's
     embeddings have NO cluster structure (top-5 cosine ≈ 0.3-0.4, i.e.
     ~70° angles — see tests/test_dedup_similarity.py recall gate), which
@@ -335,18 +366,7 @@ def cosine_topk_lsh(
         )
 
     c_b = bucket_rows(corpus, "neighbor_id")
-    q_b = bucket_rows(queries, "q_id")
-    if multiprobe >= 1:
-        probes = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << p))
-                for p in range(n_planes)
-            ],
-        )
-        q_b = q_b.select(
-            "q_id", "table", F.explode(probes).alias("bucket")
-        )
+    q_b = _multiprobe(bucket_rows(queries, "q_id"), n_planes, multiprobe, "q_id")
     cand = (
         c_b.join(F.broadcast(q_b), on=["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("q_id"))

@@ -1734,9 +1734,15 @@ def q_e2e_query_pk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist-once contract (plans/pipeline.run_analysis): the report
     # references the fact frame more than once (agg pass + carried-dims
-    # fetch) — without the persist the whole parse would re-execute
+    # fetch) — without the persist the whole parse would re-execute.
+    # Materialize the (top-N-sized) report while the cache is hot, then
+    # release the fact frame — no storage residue across repeated runs
+    # (the _materialize_release lifecycle, operators/dedup.py).
     fact = prepare_fact(parse_messages(raw, spark, cfg)).persist()
-    return query_pk_report(fact, cfg)
+    try:
+        return query_pk_report(fact, cfg).localCheckpoint(eager=True)
+    finally:
+        fact.unpersist()
 
 
 E2E_QUERY_PK_SQL = """
