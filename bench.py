@@ -31,11 +31,17 @@ def main() -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     start_all = time.perf_counter()
     for name, qd in CATALOG.items():
         t0 = time.perf_counter()
-        qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one broken entry must not kill the bench
+            timings[name] = round(time.perf_counter() - t0, 3)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
     total = round(time.perf_counter() - start_all, 3)
 
     print(
@@ -45,6 +51,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -50,9 +50,15 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong conf, session.py);
     # truncate to micros exactly like DuckDB does when reading the same file.
+    # Newer testdata writes plain TIMESTAMP(MICROS) without tz, which Spark 4
+    # reads as TIMESTAMP_NTZ; normalize to TIMESTAMP (session tz is pinned
+    # UTC, so values are unchanged and DuckDB oracle parity holds) so
+    # withWatermark() and window() accept the column downstream.
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and field.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     # NOTE: no blanket spread_input() here — measured at sf0.1, a load-level
     # exchange wins big on explode-heavy dedup stages but regresses cheap
     # single-agg entries and pandas-UDF entries (32× per-partition batch
