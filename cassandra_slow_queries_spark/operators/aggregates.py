@@ -313,9 +313,12 @@ def five_reports_shared_shuffle(
     }
     # materialize the (tiny) reports while the grouping-sets cache is
     # hot, then release it — same lifecycle contract as
-    # dedup._materialize_release
-    reports = {
-        name: df.localCheckpoint(eager=True) for name, df in reports.items()
-    }
-    gs.unpersist()
+    # dedup._materialize_release; unpersist in finally so a failed
+    # materialization can't leak the cache
+    try:
+        reports = {
+            name: df.localCheckpoint(eager=True) for name, df in reports.items()
+        }
+    finally:
+        gs.unpersist()
     return reports

@@ -139,13 +139,19 @@ def _distributed_prefix_sum(
         "_pid", F.spark_partition_id()
     )
     ranged = ranged.persist()
-    # tiny: num_ranges rows; the ONLY data that visits the driver
-    totals = {
-        r["_pid"]: r["_t"]
-        for r in ranged.groupBy("_pid")
-        .agg(F.sum(F.col(token_col)).alias("_t"))
-        .collect()
-    }
+    try:
+        # tiny: num_ranges rows; the ONLY data that visits the driver
+        totals = {
+            r["_pid"]: r["_t"]
+            for r in ranged.groupBy("_pid")
+            .agg(F.sum(F.col(token_col)).alias("_t"))
+            .collect()
+        }
+    except Exception:
+        # a failed totals job must not leak the cached intermediate —
+        # the caller's try/finally only starts after we return
+        ranged.unpersist()
+        raise
     offsets = {}
     acc = 0
     for pid in sorted(totals):
@@ -217,7 +223,9 @@ def pack_sequences(
       handles — the standard layout);
     - ``pack_pos`` — offset within that window;
     - ``n_spans`` — how many windows the document touches (1 = fits
-      without crossing a boundary).
+      without crossing a boundary; 0, uniformly, for zero-token
+      documents — they occupy no tokens, but keep their ``pack_id`` /
+      ``pack_pos`` so downstream layout knows where they WOULD start).
 
     Everything after the prefix sum is arithmetic on ``start_offset`` —
     no extra shuffle beyond the range exchange the sum already paid.
@@ -237,7 +245,9 @@ def pack_sequences(
             )
             .withColumn(
                 "n_spans",
-                (F.floor(end / window) - F.col("pack_id") + F.lit(1)).cast("long"),
+                F.when(F.col(token_col) <= 0, F.lit(0))
+                .otherwise(F.floor(end / window) - F.col("pack_id") + F.lit(1))
+                .cast("long"),
             )
             .drop("cum_tokens")
         )
@@ -273,22 +283,30 @@ def pii_scrub(
 
     Pure ``regexp_replace`` / ``regexp_count`` chains: JVM-side, inside
     whole-stage codegen, no Python in the path, combinable with
-    predicate pushdown (it's a projection). Counts are measured on the
-    ORIGINAL text (what WAS there, for the audit trail); replacements
-    apply in ``PII_PATTERNS`` order, each kind to its ``<KIND>`` token.
-    Adds ``n_<kind>`` columns and writes the scrubbed text to
-    ``out_col`` (default: replaces ``text_col`` in place).
+    predicate pushdown (it's a projection). Replacements apply in
+    ``PII_PATTERNS`` order, each kind to its ``<KIND>`` token, and each
+    ``n_<kind>`` count is measured on the PROGRESSIVELY-scrubbed text —
+    so counts always equal the ``<KIND>`` tokens actually emitted (a
+    phone embedded in an email local part is consumed by the email
+    replacement and counts as email, not phone). Adds ``n_<kind>``
+    columns and writes the scrubbed text to ``out_col`` (default:
+    replaces ``text_col`` in place).
+
+    Known pragmatic limits (pinned by tests): the IPv4 pattern accepts
+    out-of-range quads (``999.999.999.999`` → redacted: over-redaction
+    is the safe direction for PII) and redacts the first four components
+    of a 5-part dotted run — RE2/DuckDB compatibility forbids the
+    lookaround needed to reject those, and the cross-engine oracle
+    matters more than the edge.
     """
     out_col = out_col or text_col
-    original = F.col(text_col)
+    scrubbed = F.col(text_col)
+    new_cols: dict[str, Column] = {}
     for kind, pat in PII_PATTERNS.items():
-        df = df.withColumn(
-            f"n_{kind}", F.regexp_count(original, F.lit(pat)).cast("long")
-        )
-    scrubbed = original
-    for kind, pat in PII_PATTERNS.items():
+        new_cols[f"n_{kind}"] = F.regexp_count(scrubbed, F.lit(pat)).cast("long")
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
-    return df.withColumn(out_col, scrubbed)
+    new_cols[out_col] = scrubbed
+    return df.withColumns(new_cols)
 
 
 def contamination_check(

@@ -99,7 +99,11 @@ def _update(
     else:
         n, ema = 0, None
     for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
+        # duration as a tie-break makes the fold deterministic when the
+        # upstream feed is (ts, duration)-sorted: equal (ts, duration)
+        # rows are interchangeable in the EMA, unequal ones get a fixed
+        # order regardless of arrival interleaving
+        pdf = pdf.sort_values(["ts", "duration"])
         n += len(pdf)
         ema = _fold_ema(ema, pdf["duration"].to_numpy(), alpha)
     state.update((n, float(ema if ema is not None else 0.0)))

@@ -119,3 +119,149 @@ def test_contamination_plan_broadcasts_eval_side(spark):
     ev = df.filter(F.col("doc_id") < 2)
     plan = contamination_check(df, ev, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("num_ranges", [1, 4, 32])
+def test_pack_sequences_equals_global_window(spark, docs, num_ranges):
+    """Packing layout must equal the single-window form for ANY range
+    count (same contract as token_budget_select)."""
+    from pyspark.sql import Window
+
+    from cassandra_slow_queries_spark.operators.curation import pack_sequences
+
+    out = pack_sequences(
+        docs, window=64, token_col="n_chars", id_col="doc_id",
+        num_ranges=num_ranges,
+    ).select("doc_id", "start_offset", "pack_id", "pack_pos", "n_spans")
+    w = Window.orderBy(F.col("doc_id").asc())
+    start = F.sum("n_chars").over(w) - F.col("n_chars")
+    end = F.sum("n_chars").over(w) - F.lit(1)
+    ref = docs.select(
+        "doc_id",
+        start.alias("start_offset"),
+        F.floor(start / 64).alias("pack_id"),
+        F.pmod(start, F.lit(64)).alias("pack_pos"),
+        F.when(F.col("n_chars") <= 0, F.lit(0))
+        .otherwise(F.floor(end / 64) - F.floor(start / 64) + 1)
+        .alias("n_spans"),
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in ref.collect()}
+    assert got == want and len(want) == 300
+
+
+def test_pack_sequences_invariants(spark, docs):
+    """start_offset contiguity, token conservation, n_spans arithmetic."""
+    from cassandra_slow_queries_spark.operators.curation import pack_sequences
+
+    rows = sorted(
+        pack_sequences(docs, window=100, token_col="n_chars", id_col="doc_id")
+        .select("doc_id", "n_chars", "start_offset", "pack_id", "pack_pos", "n_spans")
+        .collect(),
+        key=lambda r: r.doc_id,
+    )
+    # contiguity: each doc starts exactly where the previous one ended
+    offset = 0
+    for r in rows:
+        assert r.start_offset == offset
+        offset += r.n_chars
+    # conservation: the final offset is the total token count
+    assert offset == sum(r.n_chars for r in rows)
+    for r in rows:
+        assert r.pack_id == r.start_offset // 100
+        assert r.pack_pos == r.start_offset % 100
+        last = r.start_offset + r.n_chars - 1
+        assert r.n_spans == last // 100 - r.start_offset // 100 + 1
+
+
+def test_pack_sequences_zero_token_docs_uniform(spark):
+    """Zero-token documents get n_spans = 0 regardless of whether their
+    start_offset is window-aligned (the ADVICE-flagged inconsistency)."""
+    from cassandra_slow_queries_spark.operators.curation import pack_sequences
+
+    rows = [(0, 64), (1, 0), (2, 30), (3, 0), (4, 34), (5, 0)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = {
+        r.doc_id: r
+        for r in pack_sequences(
+            df, window=64, token_col="n_chars", id_col="doc_id"
+        ).collect()
+    }
+    # doc 1 window-aligned (offset 64), doc 3 mid-window (offset 94),
+    # doc 5 window-aligned again (offset 128): all must report 0 spans
+    assert out[1].start_offset == 64 and out[1].n_spans == 0
+    assert out[3].start_offset == 94 and out[3].n_spans == 0
+    assert out[5].start_offset == 128 and out[5].n_spans == 0
+    assert out[0].n_spans == 1 and out[2].n_spans == 1
+    # doc 4 spans tokens 94..127 — ends exactly at the window-2 boundary
+    # without crossing it, so a single span
+    assert out[4].n_spans == 1
+
+
+@pytest.mark.parametrize(
+    "text,expect_scrubbed,expect_counts",
+    [
+        (
+            "mail me at a.b+c@example.org today",
+            "mail me at <EMAIL> today",
+            {"n_email": 1, "n_ip": 0, "n_phone": 0},
+        ),
+        (
+            "host 192.168.0.1 and 8.8.8.8 up",
+            "host <IP> and <IP> up",
+            {"n_email": 0, "n_ip": 2, "n_phone": 0},
+        ),
+        # version strings must NOT be redacted (3 parts, not 4)
+        (
+            "upgrade to v1.2.3 now",
+            "upgrade to v1.2.3 now",
+            {"n_email": 0, "n_ip": 0, "n_phone": 0},
+        ),
+        # 5-part dotted run: first four components match (documented limit)
+        (
+            "build 1.2.3.4.5 shipped",
+            "build <IP>.5 shipped",
+            {"n_email": 0, "n_ip": 1, "n_phone": 0},
+        ),
+        # out-of-range quad still redacts (over-redaction is the safe side)
+        (
+            "fake 999.999.999.999 addr",
+            "fake <IP> addr",
+            {"n_email": 0, "n_ip": 1, "n_phone": 0},
+        ),
+        (
+            "call +1-202-555-0147 now",
+            "call <PHONE> now",
+            {"n_email": 0, "n_ip": 0, "n_phone": 1},
+        ),
+        # bare digit runs are ids, not phones — conservative by design
+        (
+            "order 12345678901 confirmed",
+            "order 12345678901 confirmed",
+            {"n_email": 0, "n_ip": 0, "n_phone": 0},
+        ),
+        # phone inside an email local part: consumed by the email pass,
+        # so counts equal emitted tokens (no phantom n_phone)
+        (
+            "reach +1234567890@x.com ok",
+            "reach <EMAIL> ok",
+            {"n_email": 1, "n_ip": 0, "n_phone": 0},
+        ),
+    ],
+)
+def test_pii_scrub_table(spark, text, expect_scrubbed, expect_counts):
+    from cassandra_slow_queries_spark.operators.curation import pii_scrub
+
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = pii_scrub(df, "text").collect()[0]
+    assert row.text == expect_scrubbed
+    for col, want in expect_counts.items():
+        assert getattr(row, col) == want, (col, row)
+
+
+def test_pii_scrub_out_col_preserves_original(spark):
+    from cassandra_slow_queries_spark.operators.curation import pii_scrub
+
+    df = spark.createDataFrame([(0, "a@b.co x")], "doc_id long, text string")
+    row = pii_scrub(df, "text", out_col="clean").collect()[0]
+    assert row.text == "a@b.co x" and row.clean == "<EMAIL> x"
