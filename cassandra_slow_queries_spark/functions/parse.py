@@ -287,6 +287,24 @@ def dml_table_segment(query: Column | str) -> Column:
     )
 
 
+#: dotted-quad matcher shared with operators/curation.py PII scrubbing —
+#: cross-engine-safe (no lookaround), word-bounded
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def coordinator_ip(message: Column | str) -> Column:
+    """First IPv4 literal in the log message — the coordinator node that
+    reported the slow query (Cassandra logs it as ``/10.0.1.2``-style).
+    NULL when the message carries no address. Implements the reference's
+    TODO chain at analyze_slow_queries.py:64-68 ("Pull coordinator IP
+    out of log message" + downstream reports/filters); the reference
+    never shipped it, so the extraction shape (first dotted quad) is
+    ours, pinned by tests and the x_coordinator_report oracle."""
+    m = _col(message)
+    hit = F.regexp_extract(m, IPV4_RE, 0)
+    return F.when(hit != "", hit)
+
+
 def split_keyspace_cf(table: Column | str) -> Column:
     """``ks.cf`` → struct ``(keyspace, column_family)``, both lowercased;
     a bare ``cf`` yields NULL keyspace (to be filled by the

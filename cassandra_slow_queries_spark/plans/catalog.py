@@ -1866,6 +1866,87 @@ ORDER BY query
 """
 
 
+def q_x_coordinator_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-parity: coordinator extraction + report + whitelist — the
+    reference's TODO chain (analyze_slow_queries.py:64-68). Messages are
+    synthesized with a Cassandra-style ``/ip`` coordinator suffix, the
+    real ``coordinator_ip`` regex pulls it back out, a broadcast-sized
+    hostname map renames known nodes (TODO:66), the report groups
+    (query, primary_key, coordinator) with the A-report contract
+    (TODO:67), and a coordinator whitelist filters it (TODO:68)."""
+    from cassandra_slow_queries_spark.functions.parse import coordinator_ip
+
+    ev = load(spark, sf_dir, "events")
+    msg = F.concat(
+        F.lit("INFO Query too slow, took "),
+        _dur().cast("string"),
+        F.lit(" ms: SELECT * FROM ks1.t1; coordinator /10.0."),
+        (F.col("user_id") % 8).cast("string"),
+        F.lit("."),
+        (F.col("user_id") % 5).cast("string"),
+    )
+    ip = coordinator_ip(msg)
+    hosts = F.create_map(
+        F.lit("10.0.1.1"), F.lit("cass-a"),
+        F.lit("10.0.2.2"), F.lit("cass-b"),
+        F.lit("10.0.3.3"), F.lit("cass-c"),
+        F.lit("10.0.4.4"), F.lit("cass-d"),
+    )
+    whitelist = ["10.0.1.1", "10.0.2.2", "10.0.3.3", "10.0.4.4", "10.0.5.0"]
+    fact = ev.select(
+        F.col("event_type").alias("query"),
+        (F.col("user_id") % 10).cast("string").alias("primary_key"),
+        _dur().alias("duration"),
+        ip.alias("ip"),
+    ).filter(F.col("ip").isin(whitelist))
+    return (
+        fact.select(
+            "query",
+            "primary_key",
+            F.coalesce(hosts[F.col("ip")], F.col("ip")).alias("coordinator"),
+            "duration",
+        )
+        .groupBy("query", "primary_key", "coordinator")
+        .agg(F.count("*").alias("cnt"), F.sum("duration").alias("duration"))
+        .filter(F.col("cnt") >= 5)
+        .select(
+            "query",
+            "primary_key",
+            "coordinator",
+            "cnt",
+            "duration",
+            F.floor(F.col("duration") / F.col("cnt")).cast("long").alias(
+                "avg_duration"
+            ),
+        )
+        .orderBy("query", "primary_key", "coordinator")
+    )
+
+
+X_COORDINATOR_SQL = """
+WITH f AS (
+    SELECT event_type AS query,
+           CAST(user_id % 10 AS VARCHAR) AS primary_key,
+           CAST(FLOOR(value) AS BIGINT) AS duration,
+           '10.0.' || CAST(user_id % 8 AS VARCHAR) || '.'
+               || CAST(user_id % 5 AS VARCHAR) AS ip
+    FROM events
+)
+SELECT query, primary_key,
+       CASE ip WHEN '10.0.1.1' THEN 'cass-a' WHEN '10.0.2.2' THEN 'cass-b'
+               WHEN '10.0.3.3' THEN 'cass-c' WHEN '10.0.4.4' THEN 'cass-d'
+               ELSE ip END AS coordinator,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(duration) AS BIGINT) AS duration,
+       CAST(FLOOR(SUM(duration) / COUNT(*)) AS BIGINT) AS avg_duration
+FROM f
+WHERE ip IN ('10.0.1.1', '10.0.2.2', '10.0.3.3', '10.0.4.4', '10.0.5.0')
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 5
+ORDER BY query, primary_key, coordinator
+"""
+
+
 P9_PATTERNS = [{"start": "SELECT * FROM ks1.t1 WHERE", "parameters": ["k"]}]
 
 
@@ -2471,6 +2552,11 @@ CATALOG: dict[str, QueryDef] = {
     "x_range_report": QueryDef(
         q_x_range_report, X_RANGE_SQL, "slow range-query report (ref TODO:60)"
     ),
+    "x_coordinator_report": QueryDef(
+        q_x_coordinator_report,
+        X_COORDINATOR_SQL,
+        "coordinator parse+hostname+whitelist report (ref TODO:64-68)",
+    ),
     "j5_endpoints": QueryDef(q_j5_endpoints, J5_SQL, "J5 mapInPandas endpoints"),
     "stream_e2e_parse": QueryDef(
         q_stream_e2e_parse, A4_SQL, "production parse pipeline under streaming"
@@ -2492,18 +2578,18 @@ CATALOG: dict[str, QueryDef] = {
     "e2e_query_pk_report": QueryDef(
         q_e2e_query_pk_report, E2E_QUERY_PK_SQL, "full parse→enrich→A2 pipeline"
     ),
-    "x_session_window": QueryDef(
-        q_x_session_window, X_SESSION_SQL, "session windows vs gaps-and-islands"
-    ),
     # --- tail: beyond the driver's 50-entry check window; each is fully
     # covered elsewhere (T1 by a1_top_queries; P5-P7 grammar by
     # p2_parse_roundtrip + e2e_query_pk_report + p_dml_segments;
     # streaming A4 by stream_e2e_parse which runs the same oracle through
-    # the deeper production parse path; TPC-H Q1 and the rollup showcase
-    # by the GROUPING SETS production path inside e2e_query_pk_report)
-    # and all are still DuckDB-verified in tests/test_entry_oracle.py
-    # every run ---
+    # the deeper production parse path; TPC-H Q1, the rollup and
+    # session-window showcases by the GROUPING SETS / window production
+    # paths inside e2e_query_pk_report and w_rank_orders) and all are
+    # still DuckDB-verified in tests/test_entry_oracle.py every run ---
     "t1_top_events": QueryDef(q_t1_top_events, T1_SQL, "T1 global top-N"),
+    "x_session_window": QueryDef(
+        q_x_session_window, X_SESSION_SQL, "session windows vs gaps-and-islands"
+    ),
     "p5_table_segments": QueryDef(q_p5_table_segments, P5_SQL, "P5/P7 table parse"),
     "p6_insert_segments": QueryDef(
         q_p6_insert_segments, P6_SQL, "P6 INSERT table parse"

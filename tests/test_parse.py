@@ -211,3 +211,17 @@ def test_assemble_primary_key(spark):
 def test_dml_table_segment(spark, q, expected):
     [out] = eval_expr(spark, [(q,)], "q string", P.dml_table_segment("q"))
     assert out == expected
+
+
+@pytest.mark.parametrize(
+    "msg,expected",
+    [
+        ("slow query; coordinator /10.0.1.2 replied", "10.0.1.2"),
+        ("took 514 ms from 192.168.0.1:9042", "192.168.0.1"),
+        ("no address here, v1.2.3 only", None),  # 3-part version ≠ IP
+        ("first 1.1.1.1 then 2.2.2.2", "1.1.1.1"),  # first match wins
+    ],
+)
+def test_coordinator_ip(spark, msg, expected):
+    [out] = eval_expr(spark, [(msg,)], "q string", P.coordinator_ip("q"))
+    assert out == expected

@@ -94,3 +94,76 @@ def test_five_report_invariants(spark, rows):
         per_minute[r.minute] = per_minute.get(r.minute, 0) + 1
     assert all(v <= cfg.rows_per_minute for v in per_minute.values())
     prepared.unpersist()
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=80),
+    window=st.integers(min_value=1, max_value=256),
+)
+def test_pack_sequences_properties(spark, tokens, window):
+    """Random token lists: offsets are contiguous, tokens conserved,
+    n_spans matches the boundary arithmetic, zero-token docs always 0."""
+    from cassandra_slow_queries_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        list(enumerate(tokens)), "doc_id long, n_chars long"
+    )
+    rows = sorted(
+        pack_sequences(df, window=window, token_col="n_chars", id_col="doc_id",
+                       num_ranges=4).collect(),
+        key=lambda r: r.doc_id,
+    )
+    offset = 0
+    for r, t in zip(rows, tokens):
+        assert r.start_offset == offset
+        assert r.pack_id == offset // window
+        assert r.pack_pos == offset % window
+        if t == 0:
+            assert r.n_spans == 0
+        else:
+            assert r.n_spans == (offset + t - 1) // window - offset // window + 1
+        offset += t
+    assert offset == sum(tokens)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="abc @.+-0123456789\n", min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_pii_scrub_idempotent_and_counts_match_tokens(spark, texts):
+    """Scrubbing is idempotent (the <KIND> tokens never re-match any
+    pattern) and every audit count equals the tokens actually emitted."""
+    from cassandra_slow_queries_spark.operators.curation import pii_scrub
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    once = pii_scrub(df, "text").collect()
+    for r, original in zip(sorted(once, key=lambda r: r.doc_id), texts):
+        assert r.text.count("<EMAIL>") == r.n_email
+        assert r.text.count("<IP>") == r.n_ip
+        assert r.text.count("<PHONE>") == r.n_phone
+    twice = pii_scrub(
+        spark.createDataFrame(
+            [(r.doc_id, r.text) for r in once], "doc_id long, text string"
+        ),
+        "text",
+    ).collect()
+    assert {(r.doc_id, r.text) for r in twice} == {
+        (r.doc_id, r.text) for r in once
+    }
