@@ -41,6 +41,7 @@ def _build_config(args: argparse.Namespace):
         schema=schema,
         queries=queries,
         tags=tags,
+        ignored_column_families=tuple(getattr(args, "ignore_cf", ()) or ()),
     )
 
 
@@ -210,6 +211,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="Order results by",
     )
     a.add_argument("--out", default="reports", help="Output directory")
+    a.add_argument(
+        "--ignore-cf",
+        action="append",
+        default=[],
+        metavar="CF",
+        help="Column family to exclude from analysis ('cf' or 'ks.cf'; "
+        "repeatable — reference TODO analyze_slow_queries.py:61)",
+    )
     a.add_argument(
         "-v", dest="verbose", action="store_true", default=False,
         help="Verbose output",

@@ -28,6 +28,11 @@ class AnalysisConfig:
     queries: list = field(default_factory=list)
     # tags: {tag: keyspace}
     tags: dict = field(default_factory=dict)
+    # Column families to drop from analysis — "cf" or "ks.cf" entries
+    # (reference TODO analyze_slow_queries.py:61: high-volume CFs create
+    # noise when everything is slow). Applied after parse/enrich, before
+    # the reports, so the scan-side plan is unchanged.
+    ignored_column_families: tuple = ()
 
     def __post_init__(self) -> None:
         if self.order_by not in VALID_ORDER_BY:

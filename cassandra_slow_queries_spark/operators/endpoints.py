@@ -97,6 +97,26 @@ def attach_endpoints(
     return df.mapInPandas(lookup_batches, out_schema)
 
 
+def filter_pks_spanning_nodes(
+    enriched: DataFrame,
+    nodes: list[str],
+    endpoints_col: str = "endpoints",
+) -> DataFrame:
+    """Keep only rows whose replica set covers ALL the given nodes — the
+    reference's "3 node hotspot" TODO (analyze_slow_queries.py:70:
+    "Filter reports to only PKs that cross all nodes in whitelist").
+
+    Pure Catalyst set containment (``array_except(wanted, endpoints)``
+    empty), evaluated row-local after the J5 endpoint attach — no
+    shuffle, no Python."""
+    if not nodes:  # empty whitelist: vacuously spanned
+        return enriched
+    want = F.array(*[F.lit(n) for n in nodes])
+    return enriched.filter(
+        F.array_size(F.array_except(want, F.col(endpoints_col))) == 0
+    )
+
+
 def endpoints_report(enriched: DataFrame, max_endpoints: int = 6) -> DataFrame:
     """K3: fixed-width endpoint columns ``Endpoint0..EndpointN-1``
     (find_pk_nodes.py:90-117 prints exactly 6 header columns)."""

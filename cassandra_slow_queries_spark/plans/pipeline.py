@@ -165,6 +165,16 @@ def parse_messages(
     ).withColumn(
         "bound_values", F.when(is_enriched("type"), F.col("bound_values")).otherwise(empty_map)
     )
+    if config.ignored_column_families:
+        # Reference TODO (analyze_slow_queries.py:61): drop configured
+        # noise CFs. Accepts bare "cf" and qualified "ks.cf" entries;
+        # unresolved rows (NULL cf) are never ignored.
+        ignore = [e.lower() for e in config.ignored_column_families]
+        qualified = F.concat_ws(".", F.col("keyspace"), F.col("column_family"))
+        parsed = parsed.filter(
+            F.col("column_family").isNull()
+            | ~(F.col("column_family").isin(ignore) | qualified.isin(ignore))
+        )
     if with_incidents:
         # Aggregated-incident-logger analog (analyze_slow_queries.py:209-292):
         # tag the same conditions the reference warns on, per row.

@@ -245,3 +245,30 @@ def test_observation_and_incident_report(spark, kibana_file):
             "no schema entry for keyspace.column_family",
             "bad bound values",
         }
+
+
+def test_ignored_column_families_filter(spark, kibana_file):
+    """Reference TODO:61 — configured noise CFs are dropped after
+    enrichment; both bare-cf and ks.cf-qualified forms work, and rows
+    with unresolved cf are never touched."""
+    base = AnalysisConfig(min_count=1, schema=SCHEMA, tags={"prod": "ks1"})
+    raw = read_kibana_json(spark, kibana_file)
+    full = parse_messages(raw, spark, base)
+    assert full.filter("column_family = 'events'").count() > 0
+    unresolved = full.filter("column_family IS NULL").count()
+
+    for ignore in (("events",), ("ks1.events",), ("EVENTS",)):
+        cfg = AnalysisConfig(
+            min_count=1, schema=SCHEMA, tags={"prod": "ks1"},
+            ignored_column_families=ignore,
+        )
+        got = parse_messages(raw, spark, cfg)
+        assert got.filter("column_family = 'events'").count() == 0, ignore
+        # BATCH/unknown-cf rows survive
+        assert got.filter("column_family IS NULL").count() == unresolved
+
+    other = AnalysisConfig(
+        min_count=1, schema=SCHEMA, tags={"prod": "ks1"},
+        ignored_column_families=("ks2.events", "other_cf"),
+    )
+    assert parse_messages(raw, spark, other).count() == full.count()

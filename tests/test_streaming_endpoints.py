@@ -358,3 +358,30 @@ def test_stateful_burst_detection(spark, fact_dir):
     assert by_q["q0"].n_events == 6 and by_q["q1"].n_events == 6
     assert by_q["q0"].bursting == 1 and by_q["q1"].bursting == 1
     assert by_q["q0"].ema_duration > 0
+
+
+def test_filter_pks_spanning_nodes(spark):
+    """Reference TODO:70 — only PKs whose replica set covers every
+    whitelisted node survive; subset/overlap is not enough."""
+    from cassandra_slow_queries_spark.operators.endpoints import (
+        filter_pks_spanning_nodes,
+    )
+
+    df = spark.createDataFrame(
+        [(f"ks1", "cf1", f"pk{i}") for i in range(64)],
+        "keyspace string, column_family string, primary_key string",
+    )
+    enriched = attach_endpoints(df, provider="fake", n_nodes=6, rf=3)
+    want = ["node1", "node2"]
+    kept = filter_pks_spanning_nodes(enriched, want).collect()
+    assert len(kept) > 0
+    for r in kept:
+        assert set(want) <= set(r.endpoints)
+    # complement check: every dropped row misses at least one wanted node
+    dropped = enriched.count() - len(kept)
+    missing = enriched.filter(
+        ~(F.array_contains("endpoints", "node1") & F.array_contains("endpoints", "node2"))
+    ).count()
+    assert dropped == missing
+    # spanning an empty whitelist keeps everything
+    assert filter_pks_spanning_nodes(enriched, []).count() == 64
