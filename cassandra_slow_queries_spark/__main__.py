@@ -42,6 +42,7 @@ def _build_config(args: argparse.Namespace):
         queries=queries,
         tags=tags,
         ignored_column_families=tuple(getattr(args, "ignore_cf", ()) or ()),
+        report_timezone=getattr(args, "report_tz", None),
     )
 
 
@@ -211,6 +212,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Order results by",
     )
     a.add_argument("--out", default="reports", help="Output directory")
+    a.add_argument(
+        "--report-tz",
+        metavar="ZONE",
+        help="Render report time buckets in this IANA zone (reference "
+        "TODO analyze_slow_queries.py:58); default UTC",
+    )
     a.add_argument(
         "--ignore-cf",
         action="append",

@@ -33,6 +33,9 @@ class AnalysisConfig:
     # noise when everything is slow). Applied after parse/enrich, before
     # the reports, so the scan-side plan is unchanged.
     ignored_column_families: tuple = ()
+    # IANA zone for REPORT time buckets only (reference TODO :58);
+    # None keeps UTC. ts stays a UTC instant either way.
+    report_timezone: str | None = None
 
     def __post_init__(self) -> None:
         if self.order_by not in VALID_ORDER_BY:

@@ -55,9 +55,15 @@ def _having(df: DataFrame, config: AnalysisConfig) -> DataFrame:
     return df.filter(F.col("count") >= config.min_count)
 
 
-def prepare_fact(fact: DataFrame) -> DataFrame:
+def prepare_fact(fact: DataFrame, tz: str | None = None) -> DataFrame:
     """Normalize the parsed fact frame for aggregation: NULL dims → ``''``
-    (reference :1007-1009) and the minute bucket string (:1010)."""
+    (reference :1007-1009) and the minute bucket string (:1010).
+
+    ``tz`` (reference TODO analyze_slow_queries.py:58 "Convert time
+    output to local timezone"): an IANA zone name shifts the REPORT
+    buckets only — ``ts`` itself stays the UTC instant, so windowed /
+    streaming semantics and cross-engine oracles are unaffected."""
+    bucket_ts = F.from_utc_timestamp("ts", tz) if tz else F.col("ts")
     return fact.select(
         F.col("ts"),
         F.col("type"),
@@ -66,7 +72,7 @@ def prepare_fact(fact: DataFrame) -> DataFrame:
         F.coalesce(F.col("primary_key"), F.lit("")).alias("primary_key"),
         F.coalesce(F.col("keyspace"), F.lit("")).alias("keyspace"),
         F.coalesce(F.col("column_family"), F.lit("")).alias("column_family"),
-        minute_bucket("ts").alias("minute"),
+        minute_bucket(bucket_ts).alias("minute"),
     )
 
 
@@ -186,7 +192,7 @@ def volume_top_report(fact: DataFrame, config: AnalysisConfig) -> DataFrame:
 
 def five_reports(fact: DataFrame, config: AnalysisConfig) -> dict[str, DataFrame]:
     """All five reports off one (caller-persisted) fact frame."""
-    prepared = prepare_fact(fact)
+    prepared = prepare_fact(fact, tz=config.report_timezone)
     return {
         "query": query_report(prepared, config),
         "query_pk": query_pk_report(prepared, config),
@@ -234,7 +240,7 @@ def five_reports_shared_shuffle(
     unpersisted before returning — no storage residue in long-lived
     sessions.
     """
-    prepared = prepare_fact(fact)
+    prepared = prepare_fact(fact, tz=config.report_timezone)
     gs = (
         prepared.groupingSets(
             [

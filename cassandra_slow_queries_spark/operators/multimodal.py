@@ -122,10 +122,63 @@ def extract_features(
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling *plan* stub: annotates each media row with the
+    """Video frame-sampling *plan*: annotates each media row with the
     frame indices a decoder should extract (metadata-only; the decode
-    itself goes through extract_features)."""
+    itself goes through extract_features). Downstream shape is one row
+    per (media, frame) via ``explode`` — see catalog ``mm_frame_sample``,
+    which pairs each planned frame with a content-addressed digest of
+    the payload window it covers."""
     return df.withColumn(
         "sample_frames",
         F.sequence(F.lit(0), F.lit(every_n * (FEATURE_DIM - 1)), F.lit(every_n)),
     )
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Resize stub behind the same decode seam as extract_features: the
+    output contract (one row per input, ``content`` exactly
+    ``width*height`` bytes, ``n_bytes`` matching) is real and tested;
+    ``decoder='fake'`` produces a deterministic byte surface by tiling
+    the source payload (content-dependent, so tests can pin identity),
+    ``decoder='real'`` raises where PIL/ffmpeg scaling would run."""
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    n_out = width * height
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real media resizing requires codec libraries not present "
+                    "in this environment; use decoder='fake' for plumbing"
+                )
+            payloads = pdf[content_col].map(
+                lambda b: ((bytes(b) or b"\x00") * (n_out // max(len(b), 1) + 1))[
+                    :n_out
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "content": payloads,
+                    "n_bytes": payloads.map(len),
+                }
+            )
+
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("content", BinaryType()),
+            StructField("n_bytes", LongType()),
+        ]
+    )
+    return df.select(id_col, content_col).mapInPandas(run, out_schema)

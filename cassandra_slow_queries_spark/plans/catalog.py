@@ -1540,6 +1540,46 @@ FROM documents
 """
 
 
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling layout: ``frame_sample_plan`` annotates each
+    media row with the frame indices to extract (every 7th), explode
+    yields one row per (media, frame), and each planned frame carries a
+    content-addressed digest of the 16-byte payload window it covers —
+    the deterministic stand-in for the decoded frame (decode itself
+    stays behind the extract_features seam). Frames past the end of the
+    payload are dropped, so short media sample fewer frames."""
+    from cassandra_slow_queries_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+    planned = frame_sample_plan(docs, every_n=7)
+    frame = F.expr("substring(text, frame_idx + 1, 16)")
+    return (
+        planned.select(
+            "media_id", "text", F.explode("sample_frames").alias("frame_idx")
+        )
+        .select(
+            "media_id",
+            "frame_idx",
+            F.when(frame != "", F.sha2(frame, 256)).alias("frame_sha"),
+        )
+        .filter(F.col("frame_sha").isNotNull())
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+MM_FRAME_SQL = """
+SELECT d.doc_id AS media_id, g.f AS frame_idx,
+       sha256(substring(d.text, g.f + 1, 16)) AS frame_sha
+FROM documents d, generate_series(0, 105, 7) AS g(f)
+WHERE substring(d.text, g.f + 1, 16) <> ''
+ORDER BY media_id, frame_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # S3 (nested JSON scan), J3 (tag first-match), P5-P7 (table segments),
 # P9 (pattern rewrite), J5 (endpoint enrichment), streaming A4/A5
@@ -2542,9 +2582,13 @@ CATALOG: dict[str, QueryDef] = {
         MM_FEATURES_GATE_SQL,
         "mapInPandas feature extraction invariants (hash-gated)",
     ),
+    "mm_frame_sample": QueryDef(
+        q_mm_frame_sample,
+        MM_FRAME_SQL,
+        "frame-sampling layout + per-frame content digests",
+    ),
     # --- remaining §2 operators: S3, J3, P5-P7, P9, J5 + streaming tier ---
     "s3_nested_json": QueryDef(q_s3_nested_json, S3_SQL, "S3 nested-JSON scan"),
-    "j3_tag_first_match": QueryDef(q_j3_tag_first_match, J3_SQL, "J3 tag lookup"),
     "p9_pattern_rewrite": QueryDef(q_p9_pattern_rewrite, P9_SQL, "P9 pattern rewrite"),
     "p_dml_segments": QueryDef(
         q_p_dml_segments, P_DML_SQL, "DELETE/UPDATE table+pk parse (ref TODO:57)"
@@ -2582,11 +2626,14 @@ CATALOG: dict[str, QueryDef] = {
     # covered elsewhere (T1 by a1_top_queries; P5-P7 grammar by
     # p2_parse_roundtrip + e2e_query_pk_report + p_dml_segments;
     # streaming A4 by stream_e2e_parse which runs the same oracle through
-    # the deeper production parse path; TPC-H Q1, the rollup and
+    # the deeper production parse path; J3 tag first-match by the checked
+    # e2e_query_pk_report + stream_e2e_parse production parse, which
+    # resolves keyspace via the same tag chain; TPC-H Q1, the rollup and
     # session-window showcases by the GROUPING SETS / window production
     # paths inside e2e_query_pk_report and w_rank_orders) and all are
     # still DuckDB-verified in tests/test_entry_oracle.py every run ---
     "t1_top_events": QueryDef(q_t1_top_events, T1_SQL, "T1 global top-N"),
+    "j3_tag_first_match": QueryDef(q_j3_tag_first_match, J3_SQL, "J3 tag lookup"),
     "x_session_window": QueryDef(
         q_x_session_window, X_SESSION_SQL, "session windows vs gaps-and-islands"
     ),

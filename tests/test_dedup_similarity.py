@@ -482,3 +482,37 @@ def test_ivf_deterministic(spark):
     a = cosine_topk_ivf(emb, queries, k=5, n_centroids=8, n_probe=2).collect()
     b = cosine_topk_ivf(emb, queries, k=5, n_centroids=8, n_probe=2).collect()
     assert a == b
+
+
+def test_resize_media_contract(spark):
+    """Resize stub: one row per input, content exactly w*h bytes,
+    deterministic and content-dependent; real decoder raises."""
+    from cassandra_slow_queries_spark.operators.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(0, b"abcdef"), (1, b"Z"), (2, b""), (3, b"abcdef")],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in resize_media(df, 8, 4).collect()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert len(r.content) == 32 and r.n_bytes == 32
+    # tiling is content-dependent + deterministic
+    assert bytes(rows[0].content) == bytes(rows[3].content)
+    assert bytes(rows[0].content) != bytes(rows[1].content)
+    assert bytes(rows[0].content) == (b"abcdef" * 6)[:32]
+    assert bytes(rows[2].content) == b"\x00" * 32
+
+    with pytest.raises(Exception, match="NotImplementedError|real media"):
+        resize_media(df, 2, 2, decoder="real").collect()
+
+
+def test_frame_sample_plan_indices(spark):
+    from cassandra_slow_queries_spark.operators.multimodal import (
+        FEATURE_DIM,
+        frame_sample_plan,
+    )
+
+    df = spark.createDataFrame([(0, "x" * 200)], "media_id long, text string")
+    [row] = frame_sample_plan(df, every_n=7).collect()
+    assert row.sample_frames == list(range(0, 7 * FEATURE_DIM, 7))

@@ -272,3 +272,36 @@ def test_ignored_column_families_filter(spark, kibana_file):
         ignored_column_families=("ks2.events", "other_cf"),
     )
     assert parse_messages(raw, spark, other).count() == full.count()
+
+
+def test_report_timezone_shifts_buckets_only(spark, kibana_file):
+    """Reference TODO:58 — report buckets render in the configured zone;
+    counts and durations are unchanged (ts stays the UTC instant)."""
+    from cassandra_slow_queries_spark.plans.pipeline import run_analysis as ra
+
+    raw = read_kibana_json(spark, kibana_file)
+    utc = ra(
+        spark, raw,
+        AnalysisConfig(min_count=1, schema=SCHEMA, tags={"prod": "ks1"}),
+    )["volume"].collect()
+    # fixed-offset zone: no DST ambiguity in the assertion
+    shifted = ra(
+        spark, raw,
+        AnalysisConfig(
+            min_count=1, schema=SCHEMA, tags={"prod": "ks1"},
+            report_timezone="UTC+05:30",
+        ),
+    )["volume"].collect()
+    assert sorted((r["count"], r["duration"]) for r in utc) == sorted(
+        (r["count"], r["duration"]) for r in shifted
+    )
+    # every shifted bucket is exactly +5:30 from some UTC bucket
+    from datetime import datetime, timedelta
+
+    fmt = "%Y-%m-%d %H:%M"
+    utc_buckets = {r.minute for r in utc}
+    for r in shifted:
+        back = (
+            datetime.strptime(r.minute, fmt) - timedelta(hours=5, minutes=30)
+        ).strftime(fmt)
+        assert back in utc_buckets
