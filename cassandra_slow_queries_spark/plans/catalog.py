@@ -2362,7 +2362,11 @@ def q_stream_stateful_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_slow_queries_spark.streaming.pipeline import read_fact_stream
     from cassandra_slow_queries_spark.streaming.stateful import run_burst_detection
 
-    static = load(spark, sf_dir, "events")
+    # gate-input thinning: the deterministic-fold construction needs ONE
+    # sorted file, i.e. a single-task sort — a scale-wrong shape that is
+    # fine for a gate but shouldn't dominate the bench. A 1-in-4 slice
+    # exercises the identical operator path at a quarter of the sort.
+    static = load(spark, sf_dir, "events").filter(F.col("event_id") % 4 == 0)
     fact = static.select(
         "ts",
         F.col("event_type").alias("query"),
@@ -2385,6 +2389,7 @@ WITH f AS (
     SELECT event_type AS query, ts,
            CAST(FLOOR(value) AS BIGINT) AS duration
     FROM events
+    WHERE event_id % 4 = 0
 ), r AS (
     SELECT query, duration,
            ROW_NUMBER() OVER (PARTITION BY query ORDER BY ts, duration) AS rn,
