@@ -1110,6 +1110,72 @@ ORDER BY doc_id
 """
 
 
+def q_cur_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation pipeline END-TO-END, composed from the
+    real operators as one job: quality filter (length floor) → exact
+    dedup (hash-groupBy keeper) → token-budget selection (distributed
+    prefix-sum, largest-first) → sequence packing (prefix-sum layout in
+    doc_id order). One corpus scan feeds the whole chain; the only
+    materialization points are the two prefix-sum range exchanges the
+    budget/pack operators already own. The oracle replays the chain as
+    nested SQL windows."""
+    from cassandra_slow_queries_spark.operators.curation import (
+        pack_sequences,
+        token_budget_select,
+    )
+    from cassandra_slow_queries_spark.operators.dedup import (
+        drop_exact_duplicates,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 120)
+    kept = drop_exact_duplicates(docs, "text", "doc_id")
+    budgeted = token_budget_select(
+        kept, 50_000, token_col="n_chars", priority_col="n_chars",
+        id_col="doc_id",
+    ).select("doc_id", "n_chars")
+    packed = pack_sequences(
+        budgeted, window=2048, token_col="n_chars", id_col="doc_id"
+    )
+    return packed.select(
+        "doc_id", "n_chars", "start_offset", "pack_id", "pack_pos", "n_spans"
+    ).orderBy("doc_id")
+
+
+CUR_PIPELINE_SQL = """
+WITH q AS (
+    SELECT doc_id, text, n_chars FROM documents WHERE n_chars >= 120
+), d AS (
+    SELECT doc_id, n_chars FROM (
+        SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM q
+    ) WHERE rn = 1
+), b AS (
+    SELECT doc_id, n_chars,
+           CAST(SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id)
+                AS BIGINT) AS cum
+    FROM d
+), s AS (
+    SELECT doc_id, n_chars FROM b WHERE cum <= 50000
+), p AS (
+    SELECT doc_id, n_chars,
+           CAST(SUM(n_chars) OVER (ORDER BY doc_id) - n_chars AS BIGINT)
+               AS start_offset,
+           CAST(SUM(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+    FROM s
+)
+SELECT doc_id, n_chars, start_offset,
+       CAST(FLOOR(start_offset / 2048) AS BIGINT) AS pack_id,
+       start_offset % 2048 AS pack_pos,
+       CAST(CASE WHEN n_chars <= 0 THEN 0
+                 ELSE FLOOR((cum - 1) / 2048)
+                      - FLOOR(start_offset / 2048) + 1
+            END AS BIGINT) AS n_spans
+FROM p
+ORDER BY doc_id
+"""
+
+
 def q_cur_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-test contamination gate: corpus documents sharing an
     8-word verbatim shingle with the pseudo-eval set (doc_id % 83 = 0 —
@@ -2649,4 +2715,11 @@ CATALOG: dict[str, QueryDef] = {
     "stream_volume": QueryDef(q_stream_volume, A4_SQL, "A4 via Structured Streaming"),
     "q1_pricing_summary": QueryDef(q_q1_pricing_summary, Q1_SQL, "TPC-H Q1 rollup"),
     "x_rollup": QueryDef(q_x_rollup, X_ROLLUP_SQL, "grouping-sets rollup"),
+    "cur_pipeline_e2e": QueryDef(
+        q_cur_pipeline_e2e,
+        CUR_PIPELINE_SQL,
+        "curation pipeline e2e: quality→dedup→budget→pack (stages "
+        "individually driver-checked via cur_token_budget / "
+        "cur_pack_sequences / dedup_exact)",
+    ),
 }
