@@ -1,0 +1,62 @@
+"""Small utility surfaces not covered by the operator suites: char
+n-grams, squared-L2, the corrupt-record counter, and the nodetool call
+shape (mocked — no Cassandra in the container)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from tests.conftest import eval_expr
+
+
+def test_char_ngrams(spark):
+    from cassandra_slow_queries_spark.functions.text import char_ngrams
+
+    [out] = eval_expr(spark, [("abcdef",)], "t string", char_ngrams("t", 5))
+    assert out == ["abcde", "bcdef"]
+    [short] = eval_expr(spark, [("abc",)], "t string", char_ngrams("t", 5))
+    assert short == []
+
+
+def test_squared_l2(spark):
+    from cassandra_slow_queries_spark.functions.vectors import squared_l2
+
+    [out] = eval_expr(
+        spark,
+        [([1.0, 2.0, 3.0], [4.0, 0.0, 3.0]),],
+        "a array<double>, b array<double>",
+        squared_l2("a", "b"),
+    )
+    assert out == pytest.approx(9.0 + 4.0)
+
+
+def test_corrupt_record_count(spark, tmp_path):
+    from cassandra_slow_queries_spark.sources.kibana import corrupt_record_count
+
+    good = {"responses": [{"hits": {"hits": []}}]}
+    (tmp_path / "good.json").write_text(json.dumps(good))
+    (tmp_path / "bad.json").write_text("{this is : not json")
+    n = corrupt_record_count(
+        spark, [str(tmp_path / "good.json"), str(tmp_path / "bad.json")]
+    )
+    assert n == 1
+
+
+def test_nodetool_endpoints_call_shape(monkeypatch):
+    from cassandra_slow_queries_spark.operators import endpoints as ep
+
+    calls = {}
+
+    class FakeResult:
+        stdout = "10.0.0.1\n10.0.0.2\n\n"
+
+    def fake_run(cmd, capture_output, text, check):
+        calls["cmd"] = cmd
+        return FakeResult()
+
+    monkeypatch.setattr(ep.subprocess, "run", fake_run)
+    out = ep.nodetool_endpoints("ks1", "cf1", "pk1")
+    assert out == ["10.0.0.1", "10.0.0.2"]
+    assert calls["cmd"] == ["nodetool", "getendpoints", "ks1", "cf1", "pk1"]
