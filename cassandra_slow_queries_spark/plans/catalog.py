@@ -2445,7 +2445,9 @@ def q_stream_stateful_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(fact_dir)
     parsed = read_fact_stream(spark, fact_dir)
-    return run_burst_detection(parsed, alpha=0.2, burst_threshold=1000).orderBy(
+    # threshold sits between the sliced per-key counts at sf0.001 (~50)
+    # and sf0.01 (~500) so BOTH burst branches stay live at driver scale
+    return run_burst_detection(parsed, alpha=0.2, burst_threshold=300).orderBy(
         "query"
     )
 
@@ -2467,7 +2469,7 @@ SELECT query,
        ROUND(SUM(CASE WHEN rn = 1 THEN POWER(0.8, n - 1) * duration
                       ELSE 0.2 * POWER(0.8, n - rn) * duration END), 6)
            AS ema_duration,
-       CAST(CASE WHEN MAX(n) >= 1000 THEN 1 ELSE 0 END AS BIGINT) AS bursting
+       CAST(CASE WHEN MAX(n) >= 300 THEN 1 ELSE 0 END AS BIGINT) AS bursting
 FROM r
 GROUP BY query
 ORDER BY query
