@@ -286,6 +286,35 @@ def minhash_signatures(
     )
 
 
+def _cap_block_freq(
+    blocked: DataFrame, keys: list[str], max_block_freq: int | None
+) -> DataFrame:
+    """Drop blocking keys whose document frequency exceeds
+    ``max_block_freq`` BEFORE the self-join — the same load-bearing scale
+    guard as :func:`_distinct_shingles`'s ``max_doc_freq``.
+
+    A degenerate blocking key shared by k documents (empty docs,
+    boilerplate-identical content — common in web corpora) produces
+    k·(k-1)/2 join rows on ONE skewed key: quadratic fan-out that no AQE
+    skew split can bound at corpus scale. A hot block carries near-zero
+    pair-specific signal (its members are either exact duplicates — the
+    job of :func:`drop_exact_duplicates`, which should run FIRST in a
+    curation pipeline — or chance collisions); dropping it costs recall
+    only for pairs whose *every* shared block is corpus-hot. The groupBy
+    and semi-join key on the same columns as the self-join they protect,
+    so the cap is co-partitioned with it. ``None`` disables.
+    """
+    if max_block_freq is None:
+        return blocked
+    small = (
+        blocked.groupBy(*keys)
+        .agg(F.count("*").alias("_bf"))
+        .filter(F.col("_bf") <= max_block_freq)
+        .select(*keys)
+    )
+    return blocked.join(small, keys, "left_semi")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -294,13 +323,17 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 5,
     seed: int = 42,
+    max_block_freq: int | None = 100,
 ) -> DataFrame:
     """Banded-LSH candidate pairs with estimated Jaccard.
 
     signature → ``bands`` band hashes → explode → self-join on
     (band, hash) → distinct pairs → signature-agreement estimate.
     Rows per doc after explode = ``bands`` (constant!), which is what
-    makes this the 100 TB path vs. the shingle self-join.
+    makes this the 100 TB path vs. the shingle self-join — and
+    ``max_block_freq`` bounds the one remaining quadratic exposure, a
+    degenerate band bucket holding a huge identical-signature class
+    (see :func:`_cap_block_freq`; run exact dedup first for those).
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
@@ -326,6 +359,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = _cap_block_freq(banded, ["band", "bh"], max_block_freq)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -434,6 +468,16 @@ def verified_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+class ConvergenceError(RuntimeError):
+    """Iterative algorithm exhausted its round budget with work pending.
+
+    Raised instead of returning silently-wrong results: a label frame
+    that stopped propagating mid-graph LOOKS valid (right schema, right
+    row count) but assigns different cluster ids to connected vertices —
+    the worst failure mode for a dedup pipeline (duplicates silently
+    survive)."""
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -465,6 +509,13 @@ def connected_components(
     plan-level only (one ``count()`` action per round for the
     convergence test — the same pattern as MLlib's iterative
     algorithms); no row data ever reaches the driver.
+
+    Raises :class:`ConvergenceError` if labels are still changing after
+    ``max_iter`` rounds — a partially-propagated label frame is
+    silently WRONG (connected vertices with different labels), and a
+    graph that deep means the input is not a near-dup graph: raise
+    ``max_iter`` or switch to the O(log n) large-star/small-star scheme
+    cited above.
     """
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -476,6 +527,7 @@ def connected_components(
         "id", F.col("id").alias("comp")
     )
     try:
+        converged = False
         for _ in range(max_iter):
             nbr_min = (
                 sym.join(labels, sym["u"] == labels["id"])
@@ -497,7 +549,15 @@ def connected_components(
             )
             labels = stepped.select("id", "comp")
             if stepped.filter("_changed").limit(1).count() == 0:
+                converged = True
                 break
+        if not converged:
+            raise ConvergenceError(
+                f"connected_components did not converge in {max_iter} "
+                "rounds; the pair graph has a path longer than max_iter "
+                "hops — raise max_iter or use a large-star/small-star "
+                "decomposition for deep graphs"
+            )
         return labels
     finally:
         sym.unpersist()
@@ -632,14 +692,32 @@ def simhash_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    max_block_freq: int | None = 100,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 16-bit fingerprint quarters
     (a pair within Hamming≤3 of 64 bits must agree on ≥1 of 4 quarters —
-    pigeonhole), then verify exact Hamming distance."""
+    pigeonhole), then verify exact Hamming distance.
+
+    Two guards bound the self-join against degenerate fingerprints:
+
+    - token-less documents (fingerprint 0 by construction — see
+      :func:`simhash_fingerprints`) are EXCLUDED from blocking: every
+      empty doc shares all four quarters with every other, and pairs of
+      empty docs are exact duplicates — :func:`drop_exact_duplicates`
+      territory, not near-dup detection;
+    - ``max_block_freq`` caps the per-(quarter, qh) document frequency
+      (see :func:`_cap_block_freq`): an identical-content class of k
+      docs shares all four quarters → 4 hot keys × k·(k-1)/2 rows each.
+      Route exact-identical content through exact dedup first; the cap
+      makes the blocker survive it either way.
+    """
     fp = simhash_fingerprints(df, text_col, id_col)
     fp = fp.persist()  # released below once the pairs are materialized
-    blocked = fp.select(
+    blocked = fp.filter(F.col("fp") != 0).select(
         "id",
         "fp",
         F.explode(
@@ -656,6 +734,7 @@ def simhash_near_pairs(
             )
         ).alias("qq"),
     ).select("id", "fp", F.col("qq.quarter").alias("quarter"), F.col("qq.qh").alias("qh"))
+    blocked = _cap_block_freq(blocked, ["quarter", "qh"], max_block_freq)
     a = blocked.alias("a")
     b = blocked.alias("b")
     result = (

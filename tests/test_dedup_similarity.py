@@ -369,6 +369,72 @@ def test_connected_components_empty_edges(spark):
     assert connected_components(edges).count() == 0
 
 
+def test_connected_components_nonconvergence_raises(spark):
+    """A 30-node path graph cannot converge in 5 min-propagation rounds;
+    the loop must raise instead of returning partially-propagated (and
+    therefore wrong) labels."""
+    from cassandra_slow_queries_spark.operators.dedup import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(ConvergenceError, match="did not converge in 5"):
+        connected_components(edges, max_iter=5)
+    # with enough rounds the same graph resolves to one component
+    got = connected_components(edges, max_iter=31).collect()
+    assert {r["comp"] for r in got} == {0}
+
+
+def test_simhash_degenerate_blocks_capped(spark):
+    """1k identical docs + empty docs: blocking must stay bounded.
+
+    Identical content collapses to one fingerprint → all four quarter
+    blocks go hot → the block cap drops them (exact dedup's job);
+    token-less docs (fingerprint 0) are excluded from blocking outright.
+    Real near-dup pairs in the same corpus must still surface."""
+    from cassandra_slow_queries_spark.operators.dedup import simhash_near_pairs
+
+    rows = (
+        [(i, "identical boilerplate page content here") for i in range(1000)]
+        + [(2000, ""), (2001, "   "), (2002, "")]
+        + [(3000, DOC_A), (3001, DOC_A2)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_near_pairs(df, "text", "doc_id", max_hamming=8).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # bounded: no quadratic fan-out from the 1000-doc identical class
+    # (499500 pairs) nor the empty docs — only the true near-dup pair
+    assert got == {(3000, 3001)}
+    # cap disabled → the identical class floods through (the behavior
+    # the cap exists to prevent; pins that the cap is load-bearing)
+    flood = simhash_near_pairs(
+        df.filter("doc_id < 50 or doc_id >= 3000"),
+        "text",
+        "doc_id",
+        max_hamming=8,
+        max_block_freq=None,
+    )
+    assert flood.count() == 50 * 49 // 2 + 1
+
+
+def test_minhash_degenerate_bands_capped(spark):
+    """Same guard on the MinHash band buckets: an identical-signature
+    class larger than max_block_freq must not reach the self-join."""
+    rows = [(i, "identical boilerplate page content here") for i in range(300)] + [
+        (3000, DOC_A),
+        (3001, DOC_A2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(
+        df, "text", "doc_id", num_hashes=64, bands=32, shingle_n=3
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(3000, 3001)}
+
+
 def test_assign_clusters_singletons_and_keepers(spark, docs):
     from cassandra_slow_queries_spark.operators.dedup import (
         assign_clusters,
