@@ -161,11 +161,14 @@ def resize_media(
                     "real media resizing requires codec libraries not present "
                     "in this environment; use decoder='fake' for plumbing"
                 )
-            payloads = pdf[content_col].map(
-                lambda b: ((bytes(b) or b"\x00") * (n_out // max(len(b), 1) + 1))[
-                    :n_out
-                ]
-            )
+            def tile(b) -> bytes:
+                # NULL payloads tile like empty ones (defensive, matching
+                # the rest of the multimodal surface) — never TypeError
+                # inside the executor
+                b = bytes(b) if b is not None else b""
+                return ((b or b"\x00") * (n_out // max(len(b), 1) + 1))[:n_out]
+
+            payloads = pdf[content_col].map(tile)
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],

@@ -15,12 +15,28 @@ environment) and on a large cluster reading ~100 TB:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def scratch_dir(prefix: str) -> str:
+    """``mkdtemp`` with process-exit cleanup registered.
+
+    Staging inputs and streaming checkpoints need a fresh directory per
+    use, but a long-lived process (bench loop, test session) invoking
+    them repeatedly must not accumulate one copy per call — every
+    scratch dir is removed at interpreter exit.
+    """
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 def spread_input(df: DataFrame, by: str | None = None) -> DataFrame:

@@ -28,13 +28,13 @@ stream length.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_slow_queries_spark.operators.topk import grouped_top_k
+from cassandra_slow_queries_spark.session import scratch_dir
 
 WINDOW = "1 minute"
 
@@ -120,7 +120,7 @@ def run_volume_top_stream(
     the parquet overwrite makes re-triggers idempotent.
     """
     cells = volume_top_cells_stream(parsed, window, watermark)
-    out_dir = tempfile.mkdtemp(prefix="volume_top_stream_")
+    out_dir = scratch_dir("volume_top_stream_")
 
     def emit(batch_df: DataFrame, _batch_id: int) -> None:
         top = grouped_top_k(
@@ -175,8 +175,8 @@ def run_volume_top_stream_append(
     tests/test_streaming_endpoints.py.
     """
     cells = volume_top_cells_stream(parsed, window, watermark)
-    out_dir = tempfile.mkdtemp(prefix="volume_top_append_")
-    ckpt = tempfile.mkdtemp(prefix="volume_top_append_ckpt_")
+    out_dir = scratch_dir("volume_top_append_")
+    ckpt = scratch_dir("volume_top_append_ckpt_")
 
     def emit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

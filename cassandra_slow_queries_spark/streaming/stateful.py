@@ -89,7 +89,11 @@ def _update(
             {
                 "query": [key[0]],
                 "n_events": [n],
-                "ema_duration": [round(ema, 6)],
+                # 4 digits, matching the oracle: the closed-form SQL replay
+                # sums the weighted terms in a different order, and two
+                # float sums agree to ~1e-10 relative — 1e-4 absolute is
+                # safely inside that for ms-scale durations
+                "ema_duration": [round(ema, 4)],
                 "bursting": [0],
             }
         )
@@ -113,7 +117,7 @@ def _update(
         {
             "query": [key[0]],
             "n_events": [n],
-            "ema_duration": [round(ema or 0.0, 6)],
+            "ema_duration": [round(ema or 0.0, 4)],  # see timeout branch note
             "bursting": [1 if n >= burst_threshold else 0],
         }
     )
@@ -166,8 +170,9 @@ def run_burst_detection(
     """Drive the stateful operator over a finite stream with AvailableNow
     and return the FINAL state per key as a batch frame (later batches
     overwrite earlier emissions of the same key)."""
-    import tempfile
     import uuid
+
+    from cassandra_slow_queries_spark.session import scratch_dir
 
     out = burst_state_stream(fact_stream, alpha, burst_threshold, idle_timeout_ms)
     name = f"burst_{uuid.uuid4().hex}"
@@ -175,7 +180,7 @@ def run_burst_detection(
         out.writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="burst_ckpt_"))
+        .option("checkpointLocation", scratch_dir("burst_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )

@@ -556,11 +556,11 @@ def test_resize_media_contract(spark):
     from cassandra_slow_queries_spark.operators.multimodal import resize_media
 
     df = spark.createDataFrame(
-        [(0, b"abcdef"), (1, b"Z"), (2, b""), (3, b"abcdef")],
+        [(0, b"abcdef"), (1, b"Z"), (2, b""), (3, b"abcdef"), (4, None)],
         "media_id long, content binary",
     )
     rows = {r.media_id: r for r in resize_media(df, 8, 4).collect()}
-    assert len(rows) == 4
+    assert len(rows) == 5
     for r in rows.values():
         assert len(r.content) == 32 and r.n_bytes == 32
     # tiling is content-dependent + deterministic
@@ -568,6 +568,8 @@ def test_resize_media_contract(spark):
     assert bytes(rows[0].content) != bytes(rows[1].content)
     assert bytes(rows[0].content) == (b"abcdef" * 6)[:32]
     assert bytes(rows[2].content) == b"\x00" * 32
+    # NULL payload tiles like empty — no executor TypeError
+    assert bytes(rows[4].content) == b"\x00" * 32
 
     with pytest.raises(Exception, match="NotImplementedError|real media"):
         resize_media(df, 2, 2, decoder="real").collect()
