@@ -1062,18 +1062,7 @@ def q_cur_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_slow_queries_spark.operators.curation import pii_scrub
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
-    salted = docs.select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"),
-            F.col("doc_id").cast("string"),
-            F.lit("@mail.example.com from 10.1."),
-            (F.col("doc_id") % 256).cast("string"),
-            F.lit(".7 call +1-202-555-01"),
-            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
-        ).alias("text"),
-    )
+    salted = docs.select("doc_id", _pii_salt().alias("text"))
     return (
         pii_scrub(salted, "text", out_col="scrubbed")
         .select(
@@ -1100,12 +1089,7 @@ def _cur_pii_sql() -> str:
     )
     return f"""
 WITH salted AS (
-    SELECT doc_id,
-           text || ' contact user' || CAST(doc_id AS VARCHAR)
-                || '@mail.example.com from 10.1.'
-                || CAST(doc_id % 256 AS VARCHAR)
-                || '.7 call +1-202-555-01'
-                || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS text
+    SELECT doc_id, {_PII_SALT_SQL} AS text
     FROM documents
     WHERE doc_id % 7 = 0
 ), s1 AS (
@@ -1131,17 +1115,52 @@ ORDER BY doc_id
 """
 
 
+#: salt expression shared by cur_pii and the pipeline entry: every 7th
+#: document gets a deterministic email/IP/phone suffix so the scrub stage
+#: has real work to do (the corpus itself carries no PII)
+def _pii_salt(text_col: str = "text") -> Column:
+    return F.concat(
+        F.col(text_col),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10.1."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1-202-555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+
+
+_PII_SALT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com from 10.1.'"
+    " || CAST(doc_id % 256 AS VARCHAR)"
+    " || '.7 call +1-202-555-01'"
+    " || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+)
+
+
 def q_cur_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-data curation pipeline END-TO-END, composed from the
-    real operators as one job: quality filter (length floor) → exact
-    dedup (hash-groupBy keeper) → token-budget selection (distributed
-    prefix-sum, largest-first) → sequence packing (prefix-sum layout in
-    doc_id order). One corpus scan feeds the whole chain; the only
-    materialization points are the two prefix-sum range exchanges the
-    budget/pack operators already own. The oracle replays the chain as
-    nested SQL windows."""
+    """Training-data curation pipeline END-TO-END in the full production
+    order, composed from the real operators as one job:
+
+    quality filter (length floor) → PII scrub (every 7th doc salted
+    with deterministic email/IP/phone, token count recomputed from the
+    scrubbed text so redaction feeds the budget) → exact dedup
+    (hash-groupBy keeper) → contamination gate (anti-join against docs
+    sharing an 8-shingle with the pseudo-eval set, doc_id % 83) →
+    token-budget selection (distributed prefix-sum, largest-first) →
+    sequence packing (prefix-sum layout in doc_id order).
+
+    One corpus scan feeds the whole chain; the materialization points
+    are the two prefix-sum range exchanges the budget/pack operators
+    already own. Every stage is also individually driver-gated
+    (cur_pii / dedup_exact / cur_contamination / cur_token_budget /
+    cur_pack_sequences); this entry gates their COMPOSITION — the
+    oracle replays the chain as nested SQL."""
     from cassandra_slow_queries_spark.operators.curation import (
+        contamination_check,
         pack_sequences,
+        pii_scrub,
         token_budget_select,
     )
     from cassandra_slow_queries_spark.operators.dedup import (
@@ -1149,52 +1168,111 @@ def q_cur_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 120)
-    kept = drop_exact_duplicates(docs, "text", "doc_id")
+    salted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, _pii_salt()).otherwise(
+            F.col("text")
+        ).alias("text"),
+    )
+    scrubbed = pii_scrub(salted, "text").select(
+        "doc_id", "text", F.length("text").cast("long").alias("n_tokens")
+    )
+    kept = drop_exact_duplicates(scrubbed, "text", "doc_id")
+    eval_docs = kept.filter(F.col("doc_id") % 83 == 0)
+    contaminated = (
+        contamination_check(kept, eval_docs, "text", "doc_id", n=8)
+        .filter(F.col("id") != F.col("eval_id"))
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+    )
+    clean = kept.join(contaminated, "doc_id", "left_anti")
     budgeted = token_budget_select(
-        kept, 50_000, token_col="n_chars", priority_col="n_chars",
+        clean, 50_000, token_col="n_tokens", priority_col="n_tokens",
         id_col="doc_id",
-    ).select("doc_id", "n_chars")
+    ).select("doc_id", "n_tokens")
     packed = pack_sequences(
-        budgeted, window=2048, token_col="n_chars", id_col="doc_id"
+        budgeted, window=2048, token_col="n_tokens", id_col="doc_id"
     )
     return packed.select(
-        "doc_id", "n_chars", "start_offset", "pack_id", "pack_pos", "n_spans"
+        "doc_id", "n_tokens", "start_offset", "pack_id", "pack_pos", "n_spans"
     ).orderBy("doc_id")
 
 
-CUR_PIPELINE_SQL = """
+def _cur_pipeline_sql() -> str:
+    """Oracle for the full curation chain, built from the live
+    PII_PATTERNS (same no-drift pattern as _cur_pii_sql)."""
+    from cassandra_slow_queries_spark.operators.curation import PII_PATTERNS
+
+    email, ip, phone = (
+        PII_PATTERNS["email"],
+        PII_PATTERNS["ip"],
+        PII_PATTERNS["phone"],
+    )
+    return f"""
 WITH q AS (
-    SELECT doc_id, text, n_chars FROM documents WHERE n_chars >= 120
+    SELECT doc_id, text FROM documents WHERE n_chars >= 120
+), salted AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN {_PII_SALT_SQL} ELSE text END AS text
+    FROM q
+), scrub AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{email}', '<EMAIL>', 'g'),
+               '{ip}', '<IP>', 'g'),
+               '{phone}', '<PHONE>', 'g') AS text
+    FROM salted
+), t AS (
+    SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_tokens FROM scrub
 ), d AS (
-    SELECT doc_id, n_chars FROM (
-        SELECT doc_id, n_chars,
+    SELECT doc_id, text, n_tokens FROM (
+        SELECT doc_id, text, n_tokens,
                ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
-        FROM q
+        FROM t
     ) WHERE rn = 1
+), sh AS (
+    SELECT DISTINCT doc_id AS id, shingle
+    FROM (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+7], ' ')
+                       for i in range(1, len(toks) - 6)]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d)
+    )
+), contam AS (
+    SELECT DISTINCT s.id FROM sh s
+    JOIN (SELECT id AS eval_id, shingle FROM sh WHERE id % 83 = 0) e
+         USING (shingle)
+    WHERE s.id <> e.eval_id
+), clean AS (
+    SELECT doc_id, n_tokens FROM d
+    WHERE doc_id NOT IN (SELECT id FROM contam)
 ), b AS (
-    SELECT doc_id, n_chars,
-           CAST(SUM(n_chars) OVER (ORDER BY n_chars DESC, doc_id)
+    SELECT doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id)
                 AS BIGINT) AS cum
-    FROM d
+    FROM clean
 ), s AS (
-    SELECT doc_id, n_chars FROM b WHERE cum <= 50000
+    SELECT doc_id, n_tokens FROM b WHERE cum <= 50000
 ), p AS (
-    SELECT doc_id, n_chars,
-           CAST(SUM(n_chars) OVER (ORDER BY doc_id) - n_chars AS BIGINT)
+    SELECT doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT)
                AS start_offset,
-           CAST(SUM(n_chars) OVER (ORDER BY doc_id) AS BIGINT) AS cum
+           CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum
     FROM s
 )
-SELECT doc_id, n_chars, start_offset,
+SELECT doc_id, n_tokens, start_offset,
        CAST(FLOOR(start_offset / 2048) AS BIGINT) AS pack_id,
        start_offset % 2048 AS pack_pos,
-       CAST(CASE WHEN n_chars <= 0 THEN 0
+       CAST(CASE WHEN n_tokens <= 0 THEN 0
                  ELSE FLOOR((cum - 1) / 2048)
                       - FLOOR(start_offset / 2048) + 1
             END AS BIGINT) AS n_spans
 FROM p
 ORDER BY doc_id
 """
+
+
+CUR_PIPELINE_SQL = _cur_pipeline_sql()
 
 
 def q_cur_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1559,6 +1637,102 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
        TRUE AS recall_ok,
        TRUE AS blocking_ok
 FROM ({_jaccard_allpairs_sql(3, 0.5)})
+"""
+
+
+_SKEW_BOILERPLATE = (
+    "duplicated boilerplate page content shared by half the corpus "
+    "exactly the degenerate shape web crawls produce"
+)
+
+
+def q_skew_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial-skew gate: derive a deliberately skewed corpus from
+    ``documents`` — 50% of rows collapsed into ONE duplicate text class
+    and ONE hot domain (the degenerate shape real web crawls produce) —
+    and pin that the curation operators stay bounded on it:
+
+    - ``n_hot_kept``: cap_per_group holds the hot domain at the cap (its
+      window sort is the one place skew concentrates; AQE skew-split
+      handles the sort, the cap bounds the output);
+    - ``n_exact_groups``: exact dedup collapses the duplicate class in
+      one hash shuffle — the cheap path that SHOULD own identical
+      content;
+    - ``dup_class_blocked``: simhash blocking emits ZERO pairs from
+      inside the duplicate class — the max_block_freq cap drops its
+      4 hot quarter keys before the self-join, the guard that keeps the
+      blocker linear (without it: 2500 docs → ~3.1 M join rows at
+      sf0.1, growing quadratically with corpus size);
+    - ``blocking_ok``: total candidates stay ≤ 5% of all doc pairs.
+
+    The skewed derivation is a pure projection both engines replay, so
+    the gate is hash-compared end-to-end."""
+    from cassandra_slow_queries_spark.operators.curation import cap_per_group
+    from cassandra_slow_queries_spark.operators.dedup import (
+        exact_dedup_groups,
+        simhash_near_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    hot = F.col("doc_id") % 2 == 0
+    skewed = docs.select(
+        "doc_id",
+        F.when(hot, F.lit(_SKEW_BOILERPLATE)).otherwise(F.col("text")).alias(
+            "text"
+        ),
+        F.when(hot, F.lit("hot.example")).otherwise(F.col("source")).alias(
+            "source"
+        ),
+        "n_chars",
+    )
+    n_docs = skewed.agg(F.count("*").alias("n_docs"))
+    n_hot_kept = (
+        cap_per_group(skewed, "source", 10, "n_chars", "doc_id")
+        .filter(F.col("source") == "hot.example")
+        .agg(F.count("*").alias("n_hot_kept"))
+    )
+    n_groups = exact_dedup_groups(skewed, "text", "doc_id").agg(
+        F.count("*").alias("n_exact_groups")
+    )
+    cand = simhash_near_pairs(skewed, "text", "doc_id", max_hamming=8)
+    n_dup_class = cand.filter(
+        (F.col("id_a") % 2 == 0) & (F.col("id_b") % 2 == 0)
+    ).agg(F.count("*").alias("n_dup_class"))
+    n_cand = cand.agg(F.count("*").alias("n_cand"))
+    return (
+        n_docs.crossJoin(n_hot_kept)
+        .crossJoin(n_groups)
+        .crossJoin(n_dup_class)
+        .crossJoin(n_cand)
+        .select(
+            F.col("n_docs").cast("long"),
+            F.col("n_hot_kept").cast("long"),
+            F.col("n_exact_groups").cast("long"),
+            (F.col("n_dup_class") == 0).alias("dup_class_blocked"),
+            (
+                F.col("n_cand")
+                <= 0.05 * F.col("n_docs") * (F.col("n_docs") - 1) / 2
+            ).alias("blocking_ok"),
+        )
+    )
+
+
+SKEW_ROBUSTNESS_SQL = f"""
+WITH skewed AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN '{_SKEW_BOILERPLATE}'
+                ELSE text END AS text,
+           CASE WHEN doc_id % 2 = 0 THEN 'hot.example'
+                ELSE source END AS source
+    FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(LEAST(10, SUM(CASE WHEN source = 'hot.example' THEN 1
+                               ELSE 0 END)) AS BIGINT) AS n_hot_kept,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact_groups,
+       TRUE AS dup_class_blocked,
+       TRUE AS blocking_ok
+FROM skewed
 """
 
 
@@ -2677,6 +2851,11 @@ CATALOG: dict[str, QueryDef] = {
         q_dedup_clusters,
         _dedup_clusters_sql(),
         "connected-components near-dup clustering (recursive-CTE oracle)",
+    ),
+    "skew_robustness": QueryDef(
+        q_skew_robustness,
+        SKEW_ROBUSTNESS_SQL,
+        "adversarial skew: hot domain + 50% duplicate class stay bounded",
     ),
     "text_stats": QueryDef(q_text_stats, TEXT_STATS_SQL, "token/quality stats"),
     "text_quality": QueryDef(
