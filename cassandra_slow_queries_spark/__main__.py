@@ -75,7 +75,7 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         raw, spark, cfg, observation=obs, with_incidents=True
     ).persist(StorageLevel.MEMORY_AND_DISK)
     reports = five_reports_shared_shuffle(fact.drop("_incidents"), cfg)
-    write_reports(reports, args.out)
+    run_dir = write_reports(reports, args.out, run_tag=args.run_tag)
     # shard-failure accounting (download_slow_queries.py:110-128 analog):
     # a failed shard means that page's hits are silently incomplete
     for row in shard_failure_report(spark, args.file).collect():
@@ -95,7 +95,7 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         "unknown statement: {n_unknown_statement})".format(**m),
         file=sys.stderr,
     )
-    print(f"reports written to {args.out}", file=sys.stderr)
+    print(f"reports written to {run_dir}", file=sys.stderr)
     return 0
 
 
@@ -212,6 +212,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="Order results by",
     )
     a.add_argument("--out", default="reports", help="Output directory")
+    a.add_argument(
+        "--run-tag",
+        dest="run_tag",
+        metavar="TAG",
+        help="Per-run folder name under --out (default: current "
+        "date/time as YYYY-MM-DD_HHMM — reference TODO "
+        "analyze_slow_queries.py:62-63)",
+    )
     a.add_argument(
         "--report-tz",
         metavar="ZONE",

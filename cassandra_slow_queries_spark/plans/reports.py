@@ -66,14 +66,36 @@ def shape_report(df: DataFrame, report: str) -> DataFrame:
     return df.select(*[F.col(src).alias(header) for header, src in cols])
 
 
+def run_folder_name(when: "datetime | None" = None) -> str:
+    """Per-run report folder name, ``YYYY-MM-DD_HHMM`` (reference TODO
+    analyze_slow_queries.py:62-63: "Output all reports into a folder.
+    Name with date/time"). ``when`` is injectable for tests."""
+    from datetime import datetime
+
+    return (when or datetime.now()).strftime("%Y-%m-%d_%H%M")
+
+
 def write_reports(
-    reports: dict[str, DataFrame], out_dir: str, single_file: bool = True
-) -> None:
-    """Write each report as CSV with header (reference K1)."""
+    reports: dict[str, DataFrame],
+    out_dir: str,
+    single_file: bool = True,
+    run_tag: str | None = None,
+) -> str:
+    """Write each report as CSV with header (reference K1) into a
+    per-run folder ``out_dir/<run_tag>/<report>`` and return that
+    folder's path.
+
+    ``run_tag`` defaults to the date/time name of :func:`run_folder_name`
+    (reference TODO :63) — pass an explicit tag for deterministic
+    layouts (CI, reproducible pipelines); successive runs never
+    overwrite each other unless they share a tag.
+    """
+    run_dir = f"{out_dir}/{run_tag or run_folder_name()}"
     for name, df in reports.items():
         shaped = shape_report(df, name)
         if single_file:
             shaped = shaped.coalesce(1)
         shaped.write.mode("overwrite").option("header", "true").csv(
-            f"{out_dir}/{REPORT_FILES[name]}"
+            f"{run_dir}/{REPORT_FILES[name]}"
         )
+    return run_dir

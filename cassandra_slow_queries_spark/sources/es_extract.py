@@ -166,6 +166,62 @@ class PageRequest:
     ndjson: str  # header line + body line, ready to POST
 
 
+def build_page_headers(cookie: str = "") -> dict[str, str]:
+    """HTTP headers of the reference's curl command
+    (download_slow_queries.py:263-286). ``Accept-Encoding``/
+    ``--compressed`` are left to the HTTP client."""
+    headers = {
+        "kbn-version": "6.3.2",
+        "Content-Type": "application/json;charset=UTF-8",
+        "Accept": "application/json, text/plain, */*",
+    }
+    if cookie:
+        headers["Cookie"] = cookie
+    return headers
+
+
+def fetch_pages(
+    pages: list[PageRequest],
+    out_dir: str,
+    cookie: str = "",
+    timeout: float = 30.0,
+) -> list[str]:
+    """Execute a planned page fan-out: POST each request's NDJSON to its
+    url and write the raw response body to ``out_dir/<filename>`` — the
+    landing zone ``read_kibana_json`` consumes. Mirrors ``execute_curl``
+    (download_slow_queries.py:288-297: one file per page, response
+    streamed to disk), via stdlib urllib instead of a curl subprocess.
+
+    Each page is independent and idempotent — the retry unit the
+    reference's TODO asks for (download_slow_queries.py:30-31). This
+    driver-side loop is the single-node path; at scale dispatch the
+    page list as Spark tasks (``parallelize(pages).foreach`` with this
+    body) or use the elasticsearch-hadoop connector, which also pushes
+    the S2 predicate down natively.
+
+    Returns the written file paths, in page order.
+    """
+    import urllib.request
+    from pathlib import Path
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    headers = build_page_headers(cookie)
+    written: list[str] = []
+    for page in pages:
+        req = urllib.request.Request(
+            page.url,
+            data=page.ndjson.encode("utf-8"),
+            headers=headers,
+            method="POST",
+        )
+        dest = out / page.filename
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            dest.write_bytes(resp.read())
+        written.append(str(dest))
+    return written
+
+
 def plan_extraction(
     url: str,
     index: str,

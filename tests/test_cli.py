@@ -57,9 +57,13 @@ def test_cli_analyze_writes_five_reports(spark, tmp_path):
             "2",
             "--out",
             out,
+            "--run-tag",
+            "run1",
         ]
     )
     assert rc == 0
+    # reports land in the per-run folder (reference TODO :63)
+    out = os.path.join(out, "run1")
     expected_headers = {
         "slow_queries": "Count,Duration,Avg. Duration,Query",
         "slow_primary_keys": "Count,Duration,Avg. Duration,Primary Key,Query",
@@ -85,6 +89,33 @@ def test_cli_analyze_writes_five_reports(spark, tmp_path):
     [q_csv] = [f for f in os.listdir(q_dir) if f.endswith(".csv")]
     rows = open(os.path.join(q_dir, q_csv)).read().splitlines()[1:]
     assert len(rows) == 1 and rows[0].startswith("8,")
+
+
+def test_write_reports_default_dated_folder(spark, tmp_path):
+    """Without a run tag, reports land in a YYYY-MM-DD_HHMM folder and
+    successive runs never overwrite each other (reference TODO
+    analyze_slow_queries.py:62-63)."""
+    import re
+
+    from cassandra_slow_queries_spark.plans.reports import (
+        run_folder_name,
+        write_reports,
+    )
+
+    assert re.fullmatch(r"\d{4}-\d{2}-\d{2}_\d{4}", run_folder_name())
+    df = spark.createDataFrame(
+        [(3, 300, 100, "SELECT q")], "count long, duration long, avg_duration long, query string"
+    )
+    out = str(tmp_path / "reports")
+    run_dir = write_reports({"query": df}, out)
+    name = os.path.basename(run_dir)
+    assert re.fullmatch(r"\d{4}-\d{2}-\d{2}_\d{4}", name)
+    files = os.listdir(os.path.join(run_dir, "slow_queries"))
+    assert any(f.endswith(".csv") for f in files)
+    # explicit tags separate runs
+    d1 = write_reports({"query": df}, out, run_tag="a")
+    d2 = write_reports({"query": df}, out, run_tag="b")
+    assert d1 != d2 and os.path.isdir(d1) and os.path.isdir(d2)
 
 
 def test_cli_find_pk_nodes_stdout(spark, tmp_path, capsys):

@@ -103,3 +103,80 @@ def test_parse_curl_command():
 def test_default_size_matches_reference_constant():
     assert DEFAULT_SIZE == 10_000
     assert page_filename(datetime(2026, 1, 5), 7) == "01_05_7.json"
+
+
+def test_es_extraction_runner_end_to_end(spark, tmp_path):
+    """The full reference extraction workflow against a loopback HTTP
+    stub (download_slow_queries.py:44-68 pagination): probe page 0 →
+    peek hits.total → plan the page fan-out → fetch every page to the
+    landing zone → read_kibana_json parses the downloaded files into
+    the raw log frame."""
+    import http.server
+    import threading
+
+    from cassandra_slow_queries_spark.sources.es_extract import fetch_pages
+    from cassandra_slow_queries_spark.sources.kibana import read_kibana_json
+
+    N, SIZE = 15, 10
+
+    def make_hit(i: int) -> dict:
+        return {
+            "_source": {
+                "@timestamp": f"2026-08-13T10:{i:02d}:00.000000Z",
+                "message": (
+                    f"INFO Query too slow, took {100 + i} ms: "
+                    "[1 bound values] SELECT * FROM ks1.events "
+                    f"WHERE a=? LIMIT 10; [a:'v{i}']"
+                ),
+                "tags": ["prod"],
+            }
+        }
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        cookies_seen: list[str | None] = []
+
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            type(self).cookies_seen.append(self.headers.get("Cookie"))
+            req = json.loads(body.decode().splitlines()[1])
+            hits = [make_hit(i) for i in range(N)][
+                req["from"] : req["from"] + req["size"]
+            ]
+            # compact separators like real ES output — the hits.total
+            # peek relies on the marker having no spaces
+            payload = json.dumps(
+                {"responses": [{"hits": {"total": N, "hits": hits}}]},
+                separators=(",", ":"),
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *args):  # quiet test output
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/elasticsearch/_msearch"
+        start, end = get_time_interval("2026-08-13 05:00", "2026-08-13 12:00")
+        # page-0 probe: fetch one page, peek hits.total from the first
+        # chunk (the reference's 1000-char peek, :84-107)
+        probe = plan_extraction(url, "ix", start, end, total_hits=1, size=SIZE)
+        [page0] = fetch_pages(probe, str(tmp_path / "probe"), cookie="tok=abc")
+        total = peek_total_hits(open(page0).read(1000))
+        assert total == N
+        assert plan_pages(total, SIZE) == 2  # ceil(15/10)
+        # full fan-out → landing zone
+        pages = plan_extraction(url, "ix", start, end, total, size=SIZE)
+        assert [p.filename for p in pages] == ["08_13_0.json", "08_13_1.json"]
+        files = fetch_pages(pages, str(tmp_path / "landing"), cookie="tok=abc")
+        assert all(Handler.cookies_seen) and len(Handler.cookies_seen) == 3
+        # the landing zone parses through the production reader
+        raw = read_kibana_json(spark, files)
+        assert raw.count() == N
+        msgs = {r.message for r in raw.select("message").collect()}
+        assert any("took 100 ms" in m for m in msgs)
+    finally:
+        srv.shutdown()
