@@ -167,3 +167,51 @@ def test_pii_scrub_idempotent_and_counts_match_tokens(spark, texts):
     assert {(r.doc_id, r.text) for r in twice} == {
         (r.doc_id, r.text) for r in once
     }
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    tokens=st.lists(
+        st.integers(min_value=0, max_value=500), min_size=1, max_size=40
+    ),
+    num_ranges=st.sampled_from([1, 2, 7, 40, 100]),
+)
+def test_distributed_prefix_sum_matches_single_window(spark, tokens, num_ranges):
+    """The distributed prefix-sum (range repartition + local windows +
+    broadcast offsets) must equal a single global running sum for EVERY
+    partitioning — including the adversarial range counts: 1 (all local),
+    2 (one boundary), row-count, and > row-count (empty ranges).
+
+    Partition boundaries are exactly where the offset bookkeeping can go
+    wrong; equal keys straddling a range boundary are exercised by the
+    narrow token domain."""
+    from pyspark.sql import Window
+
+    from cassandra_slow_queries_spark.operators.curation import (
+        _distributed_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "id long, tok long"
+    )
+    order = [F.col("tok").desc(), F.col("id").asc()]
+    summed, ranged = _distributed_prefix_sum(df, "tok", order, num_ranges)
+    try:
+        got = {
+            r["id"]: r["cum_tokens"]
+            for r in summed.select("id", "cum_tokens").collect()
+        }
+    finally:
+        ranged.unpersist()
+    w = Window.orderBy(*order)  # single-task global window: the oracle
+    want = {
+        r["id"]: r["cum"]
+        for r in df.withColumn(
+            "cum", F.sum("tok").over(w)
+        ).select("id", "cum").collect()
+    }
+    assert got == want
