@@ -555,16 +555,144 @@ def connected_components(
             raise ConvergenceError(
                 f"connected_components did not converge in {max_iter} "
                 "rounds; the pair graph has a path longer than max_iter "
-                "hops — raise max_iter or use a large-star/small-star "
-                "decomposition for deep graphs"
+                "hops — raise max_iter or use connected_components_star "
+                "(O(log n) rounds) for deep graphs"
             )
         return labels
     finally:
         sym.unpersist()
 
 
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star contraction round (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond").
+
+    ``edges`` is the symmetric adjacency ``(u, v)``. For each center u
+    with m = min(Γ(u) ∪ {u}):
+
+    - large-star rewires every STRICTLY LARGER neighbor to m —
+      ``(v, m) for v in Γ(u), v > u``;
+    - small-star rewires every not-larger neighbor (and u itself) to
+      the minimum of that subset — ``(v, m⁻) for v in Γ⁻(u) ∪ {u}``
+      with Γ⁻ = neighbors ≤ u.
+
+    Both are one groupBy + one join on the center key; self-loops are
+    dropped on output. Alternating the two converges to stars (every
+    vertex directly attached to its component minimum) in O(log n)
+    rounds even on path/chain graphs.
+    """
+    if large:
+        mins = (
+            edges.select("u", "v")
+            .union(edges.select(F.col("u"), F.col("u").alias("v")))
+            .groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+        rewired = (
+            edges.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+    else:
+        lesser = edges.filter(F.col("v") <= F.col("u")).union(
+            edges.select(F.col("u"), F.col("u").alias("v")).distinct()
+        )
+        mins = lesser.groupBy("u").agg(F.min("v").alias("m"))
+        rewired = lesser.join(mins, "u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+    return (
+        rewired.filter(F.col("u") != F.col("v"))
+        .union(rewired.filter(F.col("u") != F.col("v")).select(
+            F.col("v").alias("u"), F.col("u").alias("v")
+        ))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction — the O(log n)-round escape hatch for graphs too deep
+    for :func:`connected_components`' min-label propagation (which
+    needs ``diameter`` rounds and raises past ``max_iter``).
+
+    Same contract as :func:`connected_components`: returns ``(id,
+    comp)`` with ``comp`` = minimum id of the component, one row per
+    vertex that appears in any edge. Near-dup graphs are near-cliques,
+    so propagation (one shuffle/round) is the default; use this for
+    adversarial shapes — long chains from transitive near-dup edges at
+    low thresholds, or social/link graphs reused through this API.
+
+    Scale shape per round: one min-aggregate + one join, both keyed on
+    the center vertex (co-partitioned), edge set never grows beyond the
+    input adjacency size (star-contraction is monotone); convergence is
+    detected by the edge set reaching the star form (every edge already
+    points at the component minimum — checked with one aggregate on the
+    rewired frame, no driver-side data).
+
+    Raises :class:`ConvergenceError` if ``max_rounds`` alternations do
+    not reach star form (only possible for ``max_rounds`` ≪ log n).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # remember the true vertex universe: contraction drops vertices as
+    # they attach to their root, so membership comes from the input
+    vertices = sym.select(F.col("u").alias("id")).distinct().localCheckpoint(
+        eager=True
+    )
+    cur = sym.localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        if cur.limit(1).count() == 0:
+            break
+        stepped = _star_round(_star_round(cur, large=True), large=False)
+        stepped = stepped.localCheckpoint(eager=True)
+        # star-forest test (the fixpoint): in a star rooted at the
+        # component minimum, the root has ONLY larger neighbors and each
+        # child has EXACTLY ONE smaller neighbor (the root) and no
+        # larger ones. Any vertex with >1 smaller neighbor, or with both
+        # a smaller and a larger neighbor, means contraction must go on.
+        not_star = (
+            stepped.groupBy("u")
+            .agg(
+                F.sum((F.col("v") < F.col("u")).cast("int")).alias("n_lt"),
+                F.sum((F.col("v") > F.col("u")).cast("int")).alias("n_gt"),
+            )
+            .filter(
+                (F.col("n_lt") > 1)
+                | ((F.col("n_lt") >= 1) & (F.col("n_gt") >= 1))
+            )
+            .limit(1)
+            .count()
+            > 0
+        )
+        cur = stepped
+        if not not_star:
+            break
+    else:
+        raise ConvergenceError(
+            f"connected_components_star did not reach star form in "
+            f"{max_rounds} rounds — raise max_rounds"
+        )
+    # star edges: (child, root) with root < child; roots label themselves
+    labels = cur.filter(F.col("v") < F.col("u")).select(
+        F.col("u").alias("id"), F.col("v").alias("comp")
+    )
+    return vertices.join(labels, "id", "left").select(
+        "id", F.coalesce("comp", F.col("id")).alias("comp")
+    )
+
+
 def assign_clusters(
-    df: DataFrame, pairs: DataFrame, id_col: str
+    df: DataFrame, pairs: DataFrame, id_col: str, algorithm: str = "propagation"
 ) -> DataFrame:
     """Attach ``cluster_id``/``is_keeper`` to every document given a
     near-dup pair frame ``(id_a, id_b)``.
@@ -575,8 +703,19 @@ def assign_clusters(
     pair-graph-sized (only docs that appear in some pair), so the final
     join is broadcast-sized in the common case where near-dups are a
     small fraction of the corpus; AQE picks the strategy at runtime.
+
+    ``algorithm``: ``"propagation"`` (default — one shuffle/round,
+    right for shallow near-clique dedup graphs) or ``"star"``
+    (:func:`connected_components_star`, O(log n) rounds for deep
+    graphs).
     """
-    comp = connected_components(pairs)
+    if algorithm not in ("propagation", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    comp = (
+        connected_components_star(pairs)
+        if algorithm == "star"
+        else connected_components(pairs)
+    )
     return (
         df.join(comp, df[id_col] == comp["id"], "left")
         .select(

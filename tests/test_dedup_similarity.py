@@ -584,3 +584,39 @@ def test_frame_sample_plan_indices(spark):
     df = spark.createDataFrame([(0, "x" * 200)], "media_id long, text string")
     [row] = frame_sample_plan(df, every_n=7).collect()
     assert row.sample_frames == list(range(0, 7 * FEATURE_DIM, 7))
+
+
+def test_star_cc_matches_propagation_and_handles_deep_graphs(spark):
+    """large-star/small-star contraction: same labels as propagation on
+    shallow graphs, and converges in O(log n) rounds on a path graph
+    deep enough that propagation raises."""
+    from cassandra_slow_queries_spark.operators.dedup import (
+        ConvergenceError,
+        connected_components,
+        connected_components_star,
+    )
+
+    # shallow mixed graph: triangle + chain + island + 2-cycle edge
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (5, 6), (6, 7), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    prop = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    star = {r["id"]: r["comp"] for r in connected_components_star(edges).collect()}
+    assert star == prop == {
+        1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 5, 10: 10, 11: 10, 20: 20, 21: 20
+    }
+
+    # 120-hop path: propagation at max_iter=10 raises; star contraction
+    # resolves it in <= 10 alternations (log2(120) ~ 7)
+    deep = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "id_a long, id_b long"
+    )
+    with pytest.raises(ConvergenceError):
+        connected_components(deep, max_iter=10)
+    got = connected_components_star(deep, max_rounds=10).collect()
+    assert len(got) == 121 and {r["comp"] for r in got} == {0}
+
+    # empty edge frame
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(empty).count() == 0
