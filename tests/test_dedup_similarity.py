@@ -620,3 +620,39 @@ def test_star_cc_matches_propagation_and_handles_deep_graphs(spark):
     # empty edge frame
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components_star(empty).count() == 0
+
+
+def test_as_of_join_semantics(spark):
+    """Union+window as-of join: at-or-before matching, same-instant
+    quote visible, NULL before the first quote, probe payload carried."""
+    from cassandra_slow_queries_spark.operators.asof import as_of_join
+
+    quotes = spark.createDataFrame(
+        [("a", 10, 100), ("a", 20, 200), ("b", 15, 900)],
+        "k string, ts long, state long",
+    )
+    probe = spark.createDataFrame(
+        [
+            ("a", 5, 1),    # before any quote → NULL
+            ("a", 10, 2),   # same instant → sees 100
+            ("a", 19, 3),   # between → sees 100
+            ("a", 25, 4),   # after both → sees 200
+            ("b", 30, 5),
+            ("c", 7, 6),    # key with no quotes at all → NULL
+        ],
+        "k string, ts long, payload long",
+    )
+    rows = {
+        r.payload: (r.asof_state, r.asof_ts)
+        for r in as_of_join(probe, quotes, ["k"], "ts").collect()
+    }
+    assert rows == {
+        1: (None, None),
+        2: (100, 10),
+        3: (100, 10),
+        4: (200, 20),
+        5: (900, 15),
+        6: (None, None),
+    }
+    # every probe row survives exactly once (left semantics)
+    assert len(rows) == 6
