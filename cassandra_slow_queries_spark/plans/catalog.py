@@ -2597,6 +2597,55 @@ ORDER BY p.event_id
 """
 
 
+def q_x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: interval (range) join — the other join shape Spark
+    lacks natively, encoded as bucket banding
+    (operators/rangejoin.py: explode intervals into covered buckets,
+    equi-join on bucket id, exact residual filter — bounded fan-out, no
+    BroadcastNestedLoopJoin). Points: every event's floored duration;
+    intervals: a sparse deterministic slice (every 211th id) opened to
+    37-wide half-open duration bands. Per-interval membership counts and
+    sums are value-checked against DuckDB's native inequality range join
+    (IEJoin), so a banding bug — wrong bucket math, boundary off-by-one,
+    double-produced pairs — breaks the hash."""
+    from cassandra_slow_queries_spark.operators.rangejoin import interval_join
+
+    ev = load(spark, sf_dir, "events")
+    points = ev.select("event_id", _dur().alias("v"))
+    intervals = ev.filter(F.col("event_id") % 211 == 0).select(
+        F.col("event_id").alias("iv_id"),
+        _dur().alias("lo"),
+        (_dur() + 37).alias("hi"),
+    )
+    joined = interval_join(points, intervals, "v", "lo", "hi", bucket_width=64)
+    return (
+        joined.groupBy("iv_id", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("v").alias("sum_v"),
+        )
+        .orderBy("iv_id")
+    )
+
+
+X_RANGE_JOIN_SQL = """
+WITH p AS (
+    SELECT event_id, CAST(FLOOR(value) AS BIGINT) AS v FROM events
+), i AS (
+    SELECT event_id AS iv_id,
+           CAST(FLOOR(value) AS BIGINT) AS lo,
+           CAST(FLOOR(value) AS BIGINT) + 37 AS hi
+    FROM events WHERE event_id % 211 = 0
+)
+SELECT iv_id, lo, hi,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(v) AS BIGINT) AS sum_v
+FROM p JOIN i ON p.v >= i.lo AND p.v < i.hi
+GROUP BY 1, 2, 3
+ORDER BY iv_id
+"""
+
+
 def q_x_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: INTERSECT / EXCEPT / UNION in one result (the reference
     has only union — SURVEY.md §2.8)."""
@@ -2874,9 +2923,9 @@ ORDER BY bucket, duration DESC, query, primary_key
 
 
 # Ordering note: the driver's correctness gate checks the FIRST 50 entries
-# in dict order. The catalog holds 62, so the window is curated each round:
+# in dict order. The catalog holds 63, so the window is curated each round:
 # every entry whose operator code changed this round, plus every entry whose
-# last driver-green row was stale, sits inside the first 50; the 12 tail
+# last driver-green row was stale, sits inside the first 50; the 13 tail
 # entries are long-stable (green in CORRECTNESS_r04, code untouched this
 # round) with their semantics additionally covered by in-window entries —
 # see the tail comment below. Every entry, tail included, is still
@@ -2899,7 +2948,6 @@ CATALOG: dict[str, QueryDef] = {
         q_p6_insert_segments, P6_SQL, "P6 INSERT table parse"
     ),
     "s3_nested_json": QueryDef(q_s3_nested_json, S3_SQL, "S3 nested-JSON scan"),
-    "j5_endpoints": QueryDef(q_j5_endpoints, J5_SQL, "J5 mapInPandas endpoints"),
     "x_coordinator_report": QueryDef(
         q_x_coordinator_report,
         X_COORDINATOR_SQL,
@@ -2912,6 +2960,9 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "x_asof_join": QueryDef(
         q_x_asof_join, X_ASOF_SQL, "as-of join via union+ordered window"
+    ),
+    "x_range_join": QueryDef(
+        q_x_range_join, X_RANGE_JOIN_SQL, "interval join via bucket banding"
     ),
     "e2e_query_pk_report": QueryDef(
         q_e2e_query_pk_report, E2E_QUERY_PK_SQL, "full parse→enrich→A2 pipeline"
@@ -3047,7 +3098,9 @@ CATALOG: dict[str, QueryDef] = {
     # coordinator-report parse path gated by x_coordinator_report;
     # p_dml_segments' DELETE/UPDATE grammar family keeps three in-window
     # representatives (p2 positional parse, p5/p6 segments, d_dispatch
-    # statement classification).
+    # statement classification); j5_endpoints' Arrow mapInPandas plumbing
+    # is the same seam mm_fake_features and mm_resize gate in-window, and
+    # its ring/endpoint logic is pinned by test_streaming_endpoints.
     # All are still DuckDB-verified locally every run. ---
     "set_anti_join": QueryDef(
         q_set_customers_without_orders, SET_SQL, "anti join extension"
@@ -3069,4 +3122,5 @@ CATALOG: dict[str, QueryDef] = {
     "p_dml_segments": QueryDef(
         q_p_dml_segments, P_DML_SQL, "DELETE/UPDATE table+pk parse (ref TODO:57)"
     ),
+    "j5_endpoints": QueryDef(q_j5_endpoints, J5_SQL, "J5 mapInPandas endpoints"),
 }

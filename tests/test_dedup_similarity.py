@@ -656,3 +656,42 @@ def test_as_of_join_semantics(spark):
     }
     # every probe row survives exactly once (left semantics)
     assert len(rows) == 6
+
+
+def test_interval_join_semantics(spark):
+    """Bucket-banded interval join: half-open boundaries, intervals
+    wider than a bucket, empty intervals, left-join NULL survival, and
+    exactly-once pair production."""
+    from cassandra_slow_queries_spark.operators.rangejoin import interval_join
+
+    intervals = spark.createDataFrame(
+        [
+            (1, 0, 10),     # within one bucket
+            (2, 5, 200),    # spans many buckets (w=8)
+            (3, 10, 10),    # empty: matches nothing
+            (4, 64, 65),    # width 1, exactly a bucket boundary
+        ],
+        "iv_id long, lo long, hi long",
+    )
+    points = spark.createDataFrame(
+        [(0, 0), (1, 9), (2, 10), (3, 64), (4, 199), (5, 200), (6, 500)],
+        "p_id long, v long",
+    )
+    inner = {
+        (r.p_id, r.iv_id)
+        for r in interval_join(points, intervals, "v", bucket_width=8).collect()
+    }
+    assert inner == {
+        (0, 1),            # 0 in [0,10)
+        (1, 1), (1, 2),    # 9 in both
+        (2, 2),            # 10: excluded from [0,10) (half-open), in [5,200)
+        (3, 2), (3, 4),    # 64 in [5,200) and [64,65)
+        (4, 2),            # 199 in [5,200)
+        # 200 excluded from [5,200); 500 matches nothing
+    }
+    left = interval_join(points, intervals, "v", bucket_width=8, how="left")
+    rows = left.collect()
+    # every inner pair once + the two unmatched points with NULLs
+    assert len(rows) == len(inner) + 2
+    unmatched = {r.p_id for r in rows if r.iv_id is None}
+    assert unmatched == {5, 6}
