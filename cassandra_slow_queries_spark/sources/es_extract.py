@@ -185,6 +185,8 @@ def fetch_pages(
     out_dir: str,
     cookie: str = "",
     timeout: float = 30.0,
+    retries: int = 2,
+    backoff: float = 1.0,
 ) -> list[str]:
     """Execute a planned page fan-out: POST each request's NDJSON to its
     url and write the raw response body to ``out_dir/<filename>`` — the
@@ -192,15 +194,20 @@ def fetch_pages(
     (download_slow_queries.py:288-297: one file per page, response
     streamed to disk), via stdlib urllib instead of a curl subprocess.
 
-    Each page is independent and idempotent — the retry unit the
-    reference's TODO asks for (download_slow_queries.py:30-31). This
-    driver-side loop is the single-node path; at scale dispatch the
-    page list as Spark tasks (``parallelize(pages).foreach`` with this
-    body) or use the elasticsearch-hadoop connector, which also pushes
-    the S2 predicate down natively.
+    Each page is independent and idempotent, which makes it the retry
+    unit the reference's TODO asks for (download_slow_queries.py:30-31):
+    a failed POST is retried up to ``retries`` more times with linear
+    ``backoff`` seconds between attempts before the whole fetch aborts —
+    a page that ultimately fails must fail the run (a silently missing
+    page is silently missing data). This driver-side loop is the
+    single-node path; at scale dispatch the page list as Spark tasks
+    (``parallelize(pages).foreach`` with this body) or use the
+    elasticsearch-hadoop connector, which also pushes the S2 predicate
+    down natively.
 
     Returns the written file paths, in page order.
     """
+    import time
     import urllib.request
     from pathlib import Path
 
@@ -209,15 +216,23 @@ def fetch_pages(
     headers = build_page_headers(cookie)
     written: list[str] = []
     for page in pages:
-        req = urllib.request.Request(
-            page.url,
-            data=page.ndjson.encode("utf-8"),
-            headers=headers,
-            method="POST",
-        )
         dest = out / page.filename
-        with urllib.request.urlopen(req, timeout=timeout) as resp:
-            dest.write_bytes(resp.read())
+        for attempt in range(retries + 1):
+            req = urllib.request.Request(
+                page.url,
+                data=page.ndjson.encode("utf-8"),
+                headers=headers,
+                method="POST",
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    dest.write_bytes(resp.read())
+                break
+            except OSError:
+                # urllib raises HTTPError/URLError/timeouts — all OSError
+                if attempt == retries:
+                    raise
+                time.sleep(backoff * (attempt + 1))
         written.append(str(dest))
     return written
 

@@ -180,3 +180,53 @@ def test_es_extraction_runner_end_to_end(spark, tmp_path):
         assert any("took 100 ms" in m for m in msgs)
     finally:
         srv.shutdown()
+
+
+def test_fetch_pages_retries_transient_failures(tmp_path):
+    """A page whose first attempt returns 500 succeeds on retry; a page
+    that keeps failing raises after exhausting retries (a silently
+    missing page would be silently missing data)."""
+    import http.server
+    import threading
+    import urllib.error
+
+    from cassandra_slow_queries_spark.sources.es_extract import fetch_pages
+
+    attempts: dict[str, int] = {}
+
+    class Flaky(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            frm = json.loads(body.decode().splitlines()[1])["from"]
+            attempts[frm] = attempts.get(frm, 0) + 1
+            # page 0: fail the first attempt only; page 10: always fail
+            if (frm == 0 and attempts[frm] == 1) or frm == 10:
+                self.send_response(500)
+                self.end_headers()
+                return
+            payload = b'{"responses":[]}'
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Flaky)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/_msearch"
+        start = datetime(2026, 8, 13, 5)
+        end = datetime(2026, 8, 13, 12)
+        ok_page = plan_extraction(url, "ix", start, end, total_hits=1, size=10)
+        [f] = fetch_pages(ok_page, str(tmp_path / "a"), backoff=0.0)
+        assert attempts[0] == 2  # failed once, retried, succeeded
+        assert open(f).read() == '{"responses":[]}'
+
+        bad = plan_extraction(url, "ix", start, end, total_hits=20, size=10)[1:]
+        with pytest.raises(urllib.error.HTTPError):
+            fetch_pages(bad, str(tmp_path / "b"), retries=2, backoff=0.0)
+        assert attempts[10] == 3  # initial + 2 retries, then raised
+    finally:
+        srv.shutdown()
