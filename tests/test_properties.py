@@ -215,3 +215,96 @@ def test_distributed_prefix_sum_matches_single_window(spark, tokens, num_ranges)
         ).select("id", "cum").collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    quotes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # key
+            st.integers(min_value=0, max_value=50),  # ts
+            st.integers(min_value=0, max_value=99),  # state
+        ),
+        max_size=15,
+    ),
+    probes=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+)
+def test_as_of_join_matches_bruteforce(spark, quotes, probes):
+    """Union+window as-of join equals the brute-force per-probe scan
+    ("latest quote at or before, per key") on random inputs — including
+    duplicate probe timestamps and keys with no quotes."""
+    from cassandra_slow_queries_spark.operators.asof import as_of_join
+
+    # dedupe quotes per (key, ts) deterministically (max state), as the
+    # operator contract requires
+    qmap = {}
+    for k, ts, state in quotes:
+        qmap[(k, ts)] = max(state, qmap.get((k, ts), -1))
+    qrows = [(k, ts, v) for (k, ts), v in qmap.items()]
+    qdf = spark.createDataFrame(qrows or [(99, 0, 0)], "k long, ts long, state long")
+    pdf = spark.createDataFrame(
+        [(i, k, ts) for i, (k, ts) in enumerate(probes)],
+        "p_id long, k long, ts long",
+    )
+    got = {
+        r.p_id: r.asof_state
+        for r in as_of_join(pdf, qdf, ["k"], "ts").collect()
+    }
+    want = {}
+    for i, (k, ts) in enumerate(probes):
+        cands = [(qts, v) for (qk, qts), v in qmap.items() if qk == k and qts <= ts]
+        want[i] = max(cands)[1] if cands else None
+    assert got == want
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    points=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=25),
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=300),  # lo
+            st.integers(min_value=0, max_value=80),   # width (0 → empty)
+        ),
+        max_size=12,
+    ),
+    width=st.sampled_from([1, 7, 64, 512]),
+)
+def test_interval_join_matches_bruteforce(spark, points, intervals, width):
+    """Bucket-banded interval join equals the brute-force containment
+    scan for every bucket width — including widths smaller than, equal
+    to, and far larger than the intervals."""
+    from cassandra_slow_queries_spark.operators.rangejoin import interval_join
+
+    ivs = [(i, lo, lo + w) for i, (lo, w) in enumerate(intervals)]
+    pdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(points)], "p_id long, v long"
+    )
+    idf = spark.createDataFrame(
+        ivs or [(99, 0, 0)], "iv_id long, lo long, hi long"
+    )
+    got = {
+        (r.p_id, r.iv_id)
+        for r in interval_join(pdf, idf, "v", bucket_width=width).collect()
+    }
+    want = {
+        (pi, ii)
+        for pi, v in enumerate(points)
+        for ii, lo, hi in ivs
+        if lo <= v < hi
+    }
+    assert got == want
