@@ -287,7 +287,10 @@ def minhash_signatures(
 
 
 def _cap_block_freq(
-    blocked: DataFrame, keys: list[str], max_block_freq: int | None
+    blocked: DataFrame,
+    keys: list[str],
+    max_block_freq: int | None,
+    observation: "Observation | None" = None,
 ) -> DataFrame:
     """Drop blocking keys whose document frequency exceeds
     ``max_block_freq`` BEFORE the self-join — the same load-bearing scale
@@ -302,17 +305,51 @@ def _cap_block_freq(
     curation pipeline — or chance collisions); dropping it costs recall
     only for pairs whose *every* shared block is corpus-hot. The groupBy
     and semi-join key on the same columns as the self-join they protect,
-    so the cap is co-partitioned with it. ``None`` disables.
+    so the cap is co-partitioned with it. ``None`` (the default on both
+    callers) disables.
+
+    **Recall blind spot (why the cap is opt-in):** a genuine NEAR-dup —
+    not byte-identical — cluster of more than ``max_block_freq`` members
+    (templated web pages, mirrored articles) makes *every* block its
+    members share corpus-hot, so the whole cluster is dropped and emits
+    ZERO pairs — and exact dedup cannot catch it either. Enable the cap
+    only after exact dedup has run, with a cap comfortably above the
+    largest legitimate near-dup cluster you expect, and pass an
+    ``observation`` so the loss is visible, not silent.
+
+    ``observation`` (a ``pyspark.sql.Observation``): when given, the
+    capped frame reports ``rows_in_hot_blocks`` (blocking rows dropped),
+    ``n_hot_blocks`` (distinct keys dropped) and ``max_block_freq_seen``.
+    The observed path uses an inner freq-join instead of the semi-join
+    (same key, same shuffle) so dropped rows exist in the plan long
+    enough to be counted, and then EAGERLY materializes the capped frame
+    via ``localCheckpoint``: the callers self-join this frame, and a
+    ``CollectMetrics`` node duplicated across both join sides corrupts
+    the metrics row (``Observation.get`` dies in ``toPyRow``) — the
+    checkpoint truncates the logical plan so the metrics node executes
+    exactly once, and as a bonus the metrics are readable as soon as
+    this function returns. Cost: the blocking frame (linear in corpus —
+    bands·docs or 4·docs rows) lands in executor local storage; leave
+    ``observation=None`` for production runs where that spill matters.
     """
     if max_block_freq is None:
         return blocked
-    small = (
-        blocked.groupBy(*keys)
-        .agg(F.count("*").alias("_bf"))
-        .filter(F.col("_bf") <= max_block_freq)
-        .select(*keys)
+    freq = blocked.groupBy(*keys).agg(F.count("*").alias("_bf"))
+    if observation is None:
+        small = freq.filter(F.col("_bf") <= max_block_freq).select(*keys)
+        return blocked.join(small, keys, "left_semi")
+    hot = F.col("_bf") > max_block_freq
+    tagged = blocked.join(freq, keys).observe(
+        observation,
+        F.sum(hot.cast("long")).alias("rows_in_hot_blocks"),
+        # observe() forbids DISTINCT aggregates; a hot block contributes
+        # exactly _bf rows, so Σ 1/_bf over hot rows == #distinct blocks
+        F.round(
+            F.sum(F.when(hot, F.lit(1.0) / F.col("_bf")).otherwise(F.lit(0.0)))
+        ).cast("long").alias("n_hot_blocks"),
+        F.max("_bf").alias("max_block_freq_seen"),
     )
-    return blocked.join(small, keys, "left_semi")
+    return tagged.filter(~hot).drop("_bf").localCheckpoint(eager=True)
 
 
 def minhash_lsh_pairs(
@@ -323,7 +360,8 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 5,
     seed: int = 42,
-    max_block_freq: int | None = 100,
+    max_block_freq: int | None = None,
+    observation: "Observation | None" = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs with estimated Jaccard.
 
@@ -332,8 +370,13 @@ def minhash_lsh_pairs(
     Rows per doc after explode = ``bands`` (constant!), which is what
     makes this the 100 TB path vs. the shingle self-join — and
     ``max_block_freq`` bounds the one remaining quadratic exposure, a
-    degenerate band bucket holding a huge identical-signature class
-    (see :func:`_cap_block_freq`; run exact dedup first for those).
+    degenerate band bucket holding a huge identical-signature class.
+
+    ``max_block_freq`` is OPT-IN (default off): capping drops every pair
+    of a near-dup cluster larger than the cap — a recall loss exact
+    dedup cannot recover (see :func:`_cap_block_freq` for the full
+    blind-spot note). When enabling it, pass a ``pyspark.sql.Observation``
+    as ``observation`` to see how many blocking rows the cap dropped.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
@@ -359,7 +402,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    banded = _cap_block_freq(banded, ["band", "bh"], max_block_freq)
+    banded = _cap_block_freq(banded, ["band", "bh"], max_block_freq, observation)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -835,7 +878,8 @@ def simhash_near_pairs(
     text_col: str,
     id_col: str,
     max_hamming: int = 3,
-    max_block_freq: int | None = 100,
+    max_block_freq: int | None = None,
+    observation: "Observation | None" = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 16-bit fingerprint quarters
     (a pair within Hamming≤3 of 64 bits must agree on ≥1 of 4 quarters —
@@ -848,11 +892,14 @@ def simhash_near_pairs(
       empty doc shares all four quarters with every other, and pairs of
       empty docs are exact duplicates — :func:`drop_exact_duplicates`
       territory, not near-dup detection;
-    - ``max_block_freq`` caps the per-(quarter, qh) document frequency
-      (see :func:`_cap_block_freq`): an identical-content class of k
-      docs shares all four quarters → 4 hot keys × k·(k-1)/2 rows each.
+    - ``max_block_freq`` (OPT-IN, default off) caps the per-(quarter,
+      qh) document frequency: an identical-content class of k docs
+      shares all four quarters → 4 hot keys × k·(k-1)/2 rows each.
       Route exact-identical content through exact dedup first; the cap
-      makes the blocker survive it either way.
+      makes the blocker survive it either way — at the cost of also
+      dropping every pair of a GENUINE near-dup cluster larger than the
+      cap (see :func:`_cap_block_freq` for the blind-spot note and the
+      ``observation`` metrics that make the loss visible).
     """
     fp = simhash_fingerprints(df, text_col, id_col)
     fp = fp.persist()  # released below once the pairs are materialized
@@ -873,7 +920,7 @@ def simhash_near_pairs(
             )
         ).alias("qq"),
     ).select("id", "fp", F.col("qq.quarter").alias("quarter"), F.col("qq.qh").alias("qh"))
-    blocked = _cap_block_freq(blocked, ["quarter", "qh"], max_block_freq)
+    blocked = _cap_block_freq(blocked, ["quarter", "qh"], max_block_freq, observation)
     a = blocked.alias("a")
     b = blocked.alias("b")
     result = (

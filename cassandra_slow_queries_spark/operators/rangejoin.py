@@ -26,8 +26,23 @@ a point with only its plausible intervals.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _bucket_of(col_sql: str, w: int) -> Column:
+    """Exact ``floor(col / w)`` over the FULL long range.
+
+    ``F.floor(col / w)`` routes through double division, and above 2^53
+    a point and its containing interval can round into DIFFERENT buckets
+    — a silently dropped match (the residual filter only removes false
+    positives; it cannot recover a missed bucket collision). Pure long
+    arithmetic instead: ``pmod`` is non-negative, so subtracting it
+    leaves an exact multiple of ``w`` and the integral ``div`` equals
+    mathematical floor for negative values too. ``col_sql`` is an SQL
+    snippet (``div`` has no PySpark Column operator).
+    """
+    return F.expr(f"(({col_sql}) - pmod(({col_sql}), {w})) div {w}")
 
 
 def interval_join(
@@ -60,12 +75,12 @@ def interval_join(
         "_bucket",
         F.explode(
             F.sequence(
-                F.floor(F.col(lo_col) / w),
-                F.floor((F.col(hi_col) - 1) / w),
+                _bucket_of(f"`{lo_col}`", w),
+                _bucket_of(f"`{hi_col}` - 1", w),
             )
         ),
     )
-    pt = points.withColumn("_bucket", F.floor(F.col(point_col) / w))
+    pt = points.withColumn("_bucket", _bucket_of(f"`{point_col}`", w))
     cond = (
         (pt["_bucket"] == iv["_bucket"])
         & (pt[point_col] >= iv[lo_col])

@@ -1530,7 +1530,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build_cand() -> DataFrame:
         docs = load(spark, sf_dir, "documents")
         return minhash_lsh_pairs(
-            docs, "text", "doc_id", num_hashes=32, bands=16, shingle_n=3
+            docs, "text", "doc_id", num_hashes=32, bands=16, shingle_n=3,
+            max_block_freq=100,
         )
 
     cand = shared_intermediate(spark, ("minhash_cand", sf_dir), build_cand)
@@ -1612,7 +1613,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
 
     def build_cand() -> DataFrame:
-        return simhash_near_pairs(docs, "text", "doc_id", max_hamming=8)
+        return simhash_near_pairs(
+            docs, "text", "doc_id", max_hamming=8, max_block_freq=100
+        )
 
     cand = shared_intermediate(
         spark, ("simhash_cand", sf_dir), build_cand
@@ -1702,7 +1705,9 @@ def q_skew_robustness(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_groups = exact_dedup_groups(skewed, "text", "doc_id").agg(
         F.count("*").alias("n_exact_groups")
     )
-    cand = simhash_near_pairs(skewed, "text", "doc_id", max_hamming=8)
+    cand = simhash_near_pairs(
+        skewed, "text", "doc_id", max_hamming=8, max_block_freq=100
+    )
     n_dup_class = cand.filter(
         (F.col("id_a") % 2 == 0) & (F.col("id_b") % 2 == 0)
     ).agg(F.count("*").alias("n_dup_class"))

@@ -67,12 +67,16 @@ def shape_report(df: DataFrame, report: str) -> DataFrame:
 
 
 def run_folder_name(when: "datetime | None" = None) -> str:
-    """Per-run report folder name, ``YYYY-MM-DD_HHMM`` (reference TODO
-    analyze_slow_queries.py:62-63: "Output all reports into a folder.
-    Name with date/time"). ``when`` is injectable for tests."""
+    """Per-run report folder name, ``YYYY-MM-DD_HHMMSS.ffffff``
+    (reference TODO analyze_slow_queries.py:62-63: "Output all reports
+    into a folder. Name with date/time"). Second + microsecond precision
+    is the collision guard: ``write_reports`` uses ``mode("overwrite")``
+    per report, so two untagged runs sharing a folder name would clobber
+    each other — at minute granularity that is one impatient re-run
+    away. ``when`` is injectable for tests."""
     from datetime import datetime
 
-    return (when or datetime.now()).strftime("%Y-%m-%d_%H%M")
+    return (when or datetime.now()).strftime("%Y-%m-%d_%H%M%S.%f")
 
 
 def write_reports(

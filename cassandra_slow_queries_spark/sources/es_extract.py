@@ -208,6 +208,7 @@ def fetch_pages(
     Returns the written file paths, in page order.
     """
     import time
+    import urllib.error
     import urllib.request
     from pathlib import Path
 
@@ -228,8 +229,15 @@ def fetch_pages(
                 with urllib.request.urlopen(req, timeout=timeout) as resp:
                     dest.write_bytes(resp.read())
                 break
+            except urllib.error.HTTPError as exc:
+                # 4xx is non-transient (expired cookie, bad request):
+                # re-POSTing it identically just hammers the endpoint
+                # with doomed attempts — fail fast. 5xx may recover.
+                if exc.code < 500 or attempt == retries:
+                    raise
+                time.sleep(backoff * (attempt + 1))
             except OSError:
-                # urllib raises HTTPError/URLError/timeouts — all OSError
+                # URLError / socket timeout — transient, retry
                 if attempt == retries:
                     raise
                 time.sleep(backoff * (attempt + 1))

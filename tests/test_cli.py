@@ -92,9 +92,10 @@ def test_cli_analyze_writes_five_reports(spark, tmp_path):
 
 
 def test_write_reports_default_dated_folder(spark, tmp_path):
-    """Without a run tag, reports land in a YYYY-MM-DD_HHMM folder and
-    successive runs never overwrite each other (reference TODO
-    analyze_slow_queries.py:62-63)."""
+    """Without a run tag, reports land in a second+microsecond-precision
+    dated folder — so successive untagged runs never collide, even
+    within the same minute — and never overwrite each other (reference
+    TODO analyze_slow_queries.py:62-63)."""
     import re
 
     from cassandra_slow_queries_spark.plans.reports import (
@@ -102,14 +103,17 @@ def test_write_reports_default_dated_folder(spark, tmp_path):
         write_reports,
     )
 
-    assert re.fullmatch(r"\d{4}-\d{2}-\d{2}_\d{4}", run_folder_name())
+    stamp = r"\d{4}-\d{2}-\d{2}_\d{6}\.\d{6}"
+    assert re.fullmatch(stamp, run_folder_name())
+    # two calls in the same minute produce distinct folder names
+    assert run_folder_name() != run_folder_name()
     df = spark.createDataFrame(
         [(3, 300, 100, "SELECT q")], "count long, duration long, avg_duration long, query string"
     )
     out = str(tmp_path / "reports")
     run_dir = write_reports({"query": df}, out)
     name = os.path.basename(run_dir)
-    assert re.fullmatch(r"\d{4}-\d{2}-\d{2}_\d{4}", name)
+    assert re.fullmatch(stamp, name)
     files = os.listdir(os.path.join(run_dir, "slow_queries"))
     assert any(f.endswith(".csv") for f in files)
     # explicit tags separate runs

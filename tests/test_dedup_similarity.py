@@ -403,19 +403,31 @@ def test_simhash_degenerate_blocks_capped(spark):
         + [(3000, DOC_A), (3001, DOC_A2)]
     )
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    pairs = simhash_near_pairs(df, "text", "doc_id", max_hamming=8).collect()
+    from pyspark.sql import Observation
+
+    obs = Observation("hot-blocks")
+    pairs = simhash_near_pairs(
+        df, "text", "doc_id", max_hamming=8, max_block_freq=100,
+        observation=obs,
+    ).collect()
     got = {(r.id_a, r.id_b) for r in pairs}
     # bounded: no quadratic fan-out from the 1000-doc identical class
     # (499500 pairs) nor the empty docs — only the true near-dup pair
     assert got == {(3000, 3001)}
-    # cap disabled → the identical class floods through (the behavior
-    # the cap exists to prevent; pins that the cap is load-bearing)
+    # the recall loss is observable: the 1000-doc class floods all four
+    # quarter blocks, each dropped and counted (4000 blocking rows)
+    metrics = obs.get
+    assert metrics["n_hot_blocks"] == 4
+    assert metrics["rows_in_hot_blocks"] == 4000
+    assert metrics["max_block_freq_seen"] == 1000
+    # cap is OPT-IN: by default the identical class floods through (the
+    # quadratic shape the cap exists to prevent; pins both the default
+    # and that the cap is load-bearing when enabled)
     flood = simhash_near_pairs(
         df.filter("doc_id < 50 or doc_id >= 3000"),
         "text",
         "doc_id",
         max_hamming=8,
-        max_block_freq=None,
     )
     assert flood.count() == 50 * 49 // 2 + 1
 
@@ -429,7 +441,8 @@ def test_minhash_degenerate_bands_capped(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = minhash_lsh_pairs(
-        df, "text", "doc_id", num_hashes=64, bands=32, shingle_n=3
+        df, "text", "doc_id", num_hashes=64, bands=32, shingle_n=3,
+        max_block_freq=100,
     ).collect()
     got = {(r.id_a, r.id_b) for r in pairs}
     assert got == {(3000, 3001)}
@@ -695,3 +708,30 @@ def test_interval_join_semantics(spark):
     assert len(rows) == len(inner) + 2
     unmatched = {r.p_id for r in rows if r.iv_id is None}
     assert unmatched == {5, 6}
+
+
+def test_interval_join_exact_buckets_above_2_53(spark):
+    """Bucket ids must be exact long arithmetic: double division rounds
+    values above 2^53, so a point and its containing interval can land
+    in DIFFERENT buckets — a silently dropped match the residual filter
+    cannot recover. Also pins negative-coordinate floor semantics."""
+    from cassandra_slow_queries_spark.operators.rangejoin import interval_join
+
+    big = 1 << 60  # doubles round to multiples of 256 up here
+    intervals = spark.createDataFrame(
+        [(1, big + 1, big + 5), (2, big + 64, big + 80), (3, -130, -120)],
+        "iv_id long, lo long, hi long",
+    )
+    points = spark.createDataFrame(
+        [(big + 3,), (big + 70,), (big + 5,), (-125,), (-120,)], "v long"
+    )
+    got = {
+        (r.v, r.iv_id)
+        for r in interval_join(points, intervals, "v", bucket_width=64).collect()
+    }
+    assert got == {
+        (big + 3, 1),    # would be lost to double rounding
+        (big + 70, 2),
+        (-125, 3),       # floor (not truncate-toward-zero) bucketing
+        # big+5 excluded (half-open); -120 excluded (half-open)
+    }

@@ -200,8 +200,13 @@ def test_fetch_pages_retries_transient_failures(tmp_path):
             frm = json.loads(body.decode().splitlines()[1])["from"]
             attempts[frm] = attempts.get(frm, 0) + 1
             # page 0: fail the first attempt only; page 10: always fail
+            # with a 500; page 20: always fail with a 403 (non-transient)
             if (frm == 0 and attempts[frm] == 1) or frm == 10:
                 self.send_response(500)
+                self.end_headers()
+                return
+            if frm == 20:
+                self.send_response(403)
                 self.end_headers()
                 return
             payload = b'{"responses":[]}'
@@ -228,5 +233,13 @@ def test_fetch_pages_retries_transient_failures(tmp_path):
         with pytest.raises(urllib.error.HTTPError):
             fetch_pages(bad, str(tmp_path / "b"), retries=2, backoff=0.0)
         assert attempts[10] == 3  # initial + 2 retries, then raised
+
+        # 4xx is non-transient (expired cookie, bad request): fail fast,
+        # no doomed re-POSTs with backoff
+        auth = plan_extraction(url, "ix", start, end, total_hits=30, size=10)[2:]
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            fetch_pages(auth, str(tmp_path / "c"), retries=2, backoff=0.0)
+        assert exc_info.value.code == 403
+        assert attempts[20] == 1  # single attempt, no retries
     finally:
         srv.shutdown()
