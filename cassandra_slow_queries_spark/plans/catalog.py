@@ -481,19 +481,34 @@ ORDER BY event_id
 
 
 def q_set_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join (extension: reference has only union — SURVEY.md §2.8)."""
+    """Anti join (extension: reference has only union — SURVEY.md §2.8):
+    customers with NO order since 2001 — churn candidates.
+
+    The orders side is date-restricted so genuine anti-matches exist at
+    every SF (round-5 verdict item 2: the previous form anti-joined the
+    full orders table, whose synthetic keys cover every customer, so the
+    oracle matched on a 0-row result — vacuous, since any broken filter
+    that also yields empty would "pass" too). The date filter sits ON
+    THE SCAN (pushed to parquet), so at scale the anti join's right side
+    shrinks before the shuffle."""
     cust = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey")
+        cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey")
     )
 
 
 SET_SQL = """
-SELECT c_custkey FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+)
 ORDER BY c_custkey
 """
 
