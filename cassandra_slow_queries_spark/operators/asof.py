@@ -34,6 +34,7 @@ def as_of_join(
     ts_col: str = "ts",
     value_cols: list[str] | None = None,
     prefix: str = "asof_",
+    salt_bands: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``probe`` row, plus ``<prefix><col>`` for
     each quote ``value_cols`` entry taken from the latest quote row of
@@ -49,8 +50,24 @@ def as_of_join(
     inherits one exchange), then a per-key sort feeds running
     ``last(..., ignorenulls=True)`` windows — no non-equi join, no
     nested loop, cost linear in |probe| + |quotes|. A skewed key is one
-    sort partition — the same exposure as any keyed window, handled by
-    AQE; there is no pairwise blow-up to amplify it.
+    sort partition — the same exposure as any keyed window; there is no
+    pairwise blow-up to amplify it, but at 100× scale a degenerate key
+    (one symbol = half the quotes) still serializes into ONE sort task.
+
+    ``salt_bands=N`` (round-5 verdict item 4) bounds that: the time
+    axis is cut into N equal-range bands, the running fill windows on
+    (key, band) — so a hot key becomes N parallel sort tasks of ~1/N
+    the rows — and a per-(key, band) "carry-in" (the latest quote of
+    all EARLIER bands, computed with one tiny windows-over-band-
+    summaries pass, O(keys·bands) rows) seeds each band so probes whose
+    matching quote lives in an earlier band still fill correctly. Band
+    assignment only needs to be monotone in ts and identical across
+    both sides (double-precision banding is fine — imprecision shifts
+    band BOUNDARIES, never the quote-before-probe order), so the
+    result is row-identical to the unsalted path (property-tested).
+    Costs one extra aggregation pass for the global [min, max] ts
+    (broadcast 1-row frame, no driver round-trip) — leave ``None``
+    unless a key dominates the corpus.
     """
     from pyspark.sql import Window
 
@@ -79,22 +96,147 @@ def as_of_join(
         *[F.col(c).alias(f"_p_{c}")
           for c in probe_cols if c not in (*key_cols, ts_col)],
     )
-    w = (
-        Window.partitionBy(*key_cols)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     carried = [f"{prefix}{c}" for c in value_cols] + [f"{prefix}{ts_col}"]
-    filled = q.unionByName(p).select(
-        *key_cols,
-        ts_col,
-        "_side",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
-        *[F.col(f"_p_{c}")
-          for c in probe_cols if c not in (*key_cols, ts_col)],
-    )
+    passthrough = [
+        f"_p_{c}" for c in probe_cols if c not in (*key_cols, ts_col)
+    ]
+    u = q.unionByName(p)
+
+    if salt_bands is not None and salt_bands > 1:
+        filled = _banded_fill(u, key_cols, ts_col, carried, passthrough,
+                              int(salt_bands))
+    else:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = u.select(
+            *key_cols,
+            ts_col,
+            "_side",
+            *[F.last(c, ignorenulls=True).over(w).alias(c) for c in carried],
+            *passthrough,
+        )
     out = filled.filter(F.col("_side") == 1).drop("_side")
     renames = {
         f"_p_{c}": c for c in probe_cols if c not in (*key_cols, ts_col)
     }
     return out.withColumnsRenamed(renames)
+
+
+def _assign_bands(u: DataFrame, ts_col: str, n_bands: int) -> DataFrame:
+    """Attach ``_band`` = ``clamp(floor((ts - lo) / width), 0, N-1)``
+    with [lo, hi] the frame's global ts range, computed as a broadcast
+    1-row aggregate that stays in the plan (no driver action). Monotone
+    in ts and identical for equal timestamps — the two facts
+    :func:`_banded_fill`'s carry-in correctness rests on."""
+    ts_num = F.col(ts_col).cast("double")
+    bounds = F.broadcast(
+        u.agg(F.min(ts_num).alias("_lo"), F.max(ts_num).alias("_hi"))
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bands))
+    band = F.when(F.col("_hi") <= F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bands - 1),
+            F.greatest(F.lit(0), F.floor((ts_num - F.col("_lo")) / width)),
+        )
+    ).cast("int")
+    return u.crossJoin(bounds).withColumn("_band", band).drop("_lo", "_hi")
+
+
+def band_occupancy(
+    probe: DataFrame,
+    quotes: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    salt_bands: int = 8,
+) -> DataFrame:
+    """Diagnostic: rows per (key, band) sort partition the salted
+    :func:`as_of_join` would create — ``(*key_cols, _band, n_rows)``.
+    Uses the SAME banding as the operator (no reimplementation to
+    drift), so a skew gate can pin "no single sort partition exceeds X%
+    of the corpus" against the real partitioning."""
+    u = quotes.select(*key_cols, ts_col).unionByName(
+        probe.select(*key_cols, ts_col)
+    )
+    return (
+        _assign_bands(u, ts_col, salt_bands)
+        .groupBy(*key_cols, "_band")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+def _banded_fill(
+    u: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    carried: list[str],
+    passthrough: list[str],
+    n_bands: int,
+) -> DataFrame:
+    """The salted fill: window on (key, band) + carry-in from earlier
+    bands. See :func:`as_of_join`'s ``salt_bands`` note for semantics.
+
+    Band assignment: ``band = clamp(floor((ts - lo) / width), 0, N-1)``
+    with [lo, hi] the global ts range (one aggregate, broadcast as a
+    1-row frame — stays in the plan, no driver action). Monotone in ts
+    by construction, so a quote in band b' < b always precedes every
+    probe in band b, and equal timestamps always share a band — the two
+    facts the carry-in correctness rests on.
+    """
+    from pyspark.sql import Window
+
+    banded = _assign_bands(u, ts_col, n_bands)
+
+    # Per-(key, band) summary: the latest quote's carried values — NULL
+    # for probe-only bands. max_by on (ts, _side) mirrors the unsalted
+    # tie order (at equal ts the quote row, _side=0, wins by being the
+    # only side aggregated). O(keys · bands) rows.
+    summary = (
+        banded.filter(F.col("_side") == 0)
+        .groupBy(*key_cols, "_band")
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in carried]), F.col(ts_col)
+            ).alias("_last_quote")
+        )
+    )
+    # Probe-only bands still need a carry row; left-join the summary
+    # onto the distinct (key, band) universe before the running last.
+    universe = banded.select(*key_cols, "_band").distinct()
+    wb = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_band").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        universe.join(summary, [*key_cols, "_band"], "left")
+        .select(
+            *key_cols,
+            "_band",
+            F.last("_last_quote", ignorenulls=True).over(wb).alias("_carry"),
+        )
+    )
+
+    w = (
+        Window.partitionBy(*key_cols, "_band")
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        banded.join(carry, [*key_cols, "_band"], "left")
+        .select(
+            *key_cols,
+            ts_col,
+            "_side",
+            *[
+                F.coalesce(
+                    F.last(c, ignorenulls=True).over(w),
+                    F.col("_carry").getField(c),
+                ).alias(c)
+                for c in carried
+            ],
+            *passthrough,
+        )
+    )

@@ -2617,6 +2617,94 @@ ORDER BY p.event_id
 """
 
 
+def q_x_asof_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial-skew gate for the SALTED as-of join (round-5 verdict
+    item 4): ONE key owns half of both sides — the degenerate shape
+    where the unsalted encoding serializes into a single sort task at
+    scale — and the salted path (``salt_bands=8``) must still be
+    row-correct AND actually split the hot key.
+
+    The whole salted output is reduced to (n_probes, n_matched,
+    sum_state) and hash-compared against DuckDB's native ASOF LEFT JOIN
+    on the same skewed derivation, so a carry-in bug (probe matched to
+    the wrong band's quote, a dropped boundary row) changes the checksum
+    and breaks the hash — not just a row count. ``bands_bounded`` pins
+    the efficiency half via :func:`band_occupancy` (the operator's OWN
+    banding, not a reimplementation): no (key, band) sort partition may
+    exceed 20% of the union — without salting the hot key would hold
+    ~50% in one partition."""
+    from cassandra_slow_queries_spark.operators.asof import (
+        as_of_join,
+        band_occupancy,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    k = (
+        F.when(F.col("user_id") % 2 == 0, F.lit(-1))
+        .otherwise(F.col("user_id") % 50)
+        .cast("long")
+    )
+    probe = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", k.alias("k"), "ts"
+    )
+    quotes = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .select(k.alias("k"), "ts", _dur().alias("state"))
+        .groupBy("k", "ts")
+        .agg(F.max("state").alias("state"))
+    )
+    out = as_of_join(
+        probe, quotes, key_cols=["k"], ts_col="ts",
+        value_cols=["state"], salt_bands=8,
+    )
+    stats = out.agg(
+        F.count("*").alias("n_probes"),
+        F.count("asof_state").alias("n_matched"),
+        F.sum("asof_state").alias("sum_state"),
+    )
+    occ = band_occupancy(probe, quotes, ["k"], "ts", salt_bands=8)
+    # union size as a broadcast 1-row frame — no driver action
+    tot = (
+        probe.select(F.lit(1).alias("_one"))
+        .unionAll(quotes.select(F.lit(1).alias("_one")))
+        .agg(F.count("*").alias("_n"))
+    )
+    bounded = occ.crossJoin(F.broadcast(tot)).agg(
+        (F.max("n_rows") <= 0.2 * F.max("_n")).alias("bands_bounded")
+    )
+    return stats.crossJoin(bounded).select(
+        F.col("n_probes").cast("long"),
+        F.col("n_matched").cast("long"),
+        F.col("sum_state").cast("long"),
+        "bands_bounded",
+    )
+
+
+X_ASOF_SALTED_SQL = """
+WITH probe AS (
+    SELECT event_id,
+           CASE WHEN user_id % 2 = 0 THEN -1 ELSE user_id % 50 END AS k,
+           ts
+    FROM events WHERE event_id % 2 = 1
+), quotes AS (
+    SELECT CASE WHEN user_id % 2 = 0 THEN -1 ELSE user_id % 50 END AS k,
+           ts,
+           MAX(CAST(FLOOR(value) AS BIGINT)) AS state
+    FROM events WHERE event_id % 2 = 0
+    GROUP BY 1, 2
+), j AS (
+    SELECT p.event_id, q.state
+    FROM probe p ASOF LEFT JOIN quotes q
+      ON p.k = q.k AND p.ts >= q.ts
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(COUNT(state) AS BIGINT) AS n_matched,
+       CAST(SUM(state) AS BIGINT) AS sum_state,
+       TRUE AS bands_bounded
+FROM j
+"""
+
+
 def q_x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: interval (range) join — the other join shape Spark
     lacks natively, encoded as bucket banding
@@ -2980,6 +3068,11 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "x_asof_join": QueryDef(
         q_x_asof_join, X_ASOF_SQL, "as-of join via union+ordered window"
+    ),
+    "x_asof_salted_skew": QueryDef(
+        q_x_asof_salted_skew,
+        X_ASOF_SALTED_SQL,
+        "salted as-of join under one-key-dominant skew (hash-gated)",
     ),
     "x_range_join": QueryDef(
         q_x_range_join, X_RANGE_JOIN_SQL, "interval join via bucket banding"

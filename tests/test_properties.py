@@ -266,6 +266,17 @@ def test_as_of_join_matches_bruteforce(spark, quotes, probes):
         cands = [(qts, v) for (qk, qts), v in qmap.items() if qk == k and qts <= ts]
         want[i] = max(cands)[1] if cands else None
     assert got == want
+    # the salted (time-banded) variant is row-identical to the unsalted
+    # path — including band counts larger than the distinct-ts count,
+    # where most bands are empty and carry-in does all the work
+    for n_bands in (2, 7, 64):
+        salted = {
+            r.p_id: r.asof_state
+            for r in as_of_join(
+                pdf, qdf, ["k"], "ts", salt_bands=n_bands
+            ).collect()
+        }
+        assert salted == want, f"salt_bands={n_bands}"
 
 
 @settings(
