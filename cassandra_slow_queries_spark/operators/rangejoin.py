@@ -45,13 +45,27 @@ def _bucket_of(col_sql: str, w: int) -> Column:
     return F.expr(f"(({col_sql}) - pmod(({col_sql}), {w})) div {w}")
 
 
+def _tuned_width(intervals: DataFrame, lo_col: str, hi_col: str) -> int:
+    """Median non-empty interval length via ``approxQuantile`` (one
+    distributed pass, O(1) driver result). Falls back to 64 when the
+    intervals frame is empty — the width is then irrelevant anyway."""
+    quantiles = (
+        intervals.select(
+            (F.col(hi_col) - F.col(lo_col)).cast("double").alias("_len")
+        )
+        .filter(F.col("_len") > 0)
+        .approxQuantile("_len", [0.5], 0.01)
+    )
+    return max(1, int(quantiles[0])) if quantiles else 64
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,
     point_col: str,
     lo_col: str = "lo",
     hi_col: str = "hi",
-    bucket_width: int = 64,
+    bucket_width: int | None = None,
     how: str = "inner",
 ) -> DataFrame:
     """Join every ``points`` row to each ``intervals`` row whose
@@ -61,13 +75,34 @@ def interval_join(
     responsibility, as with a plain join). ``how`` supports ``inner``
     and ``left`` (unmatched points survive with NULL interval columns).
 
+    ``bucket_width=None`` (default) self-tunes to the MEDIAN interval
+    length, estimated with one distributed ``approxQuantile`` pass over
+    the intervals side (small driver result, like any stats collection).
+    A fixed width is a footgun the caller can't see: intervals much
+    longer than the width pay length/width explode fan-out, width much
+    longer than the intervals pairs each point with every interval in
+    an over-wide bucket — median length keeps per-interval fan-out at
+    ~1-2 rows while buckets stay selective. Pass an explicit width to
+    skip the estimation pass (e.g. when calling in a loop, or when the
+    length distribution is known and heavily skewed — a few huge
+    intervals pull their own fan-out up under any width choice, but a
+    heavy long tail may justify a width above the median).
+
+    Result rows are identical for ANY width (the residual filter is
+    exact; property-tested across adversarial width/length ratios) —
+    width is purely a performance knob.
+
     Scale shape: one explode bounded by interval-length/width, one
     hash-partitioned equi-join on the bucket id, residual filter pushed
     into the join condition — no nested loop, no cartesian pairing.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how {how!r}")
-    w = int(bucket_width)
+    w = (
+        int(bucket_width)
+        if bucket_width is not None
+        else _tuned_width(intervals, lo_col, hi_col)
+    )
     # empty intervals match nothing — and must not reach sequence(),
     # whose auto step would count DOWN for hi-1 < lo
     intervals = intervals.filter(F.col(hi_col) > F.col(lo_col))

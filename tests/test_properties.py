@@ -293,12 +293,13 @@ def test_as_of_join_matches_bruteforce(spark, quotes, probes):
         ),
         max_size=12,
     ),
-    width=st.sampled_from([1, 7, 64, 512]),
+    width=st.sampled_from([1, 7, 64, 512, None]),
 )
 def test_interval_join_matches_bruteforce(spark, points, intervals, width):
     """Bucket-banded interval join equals the brute-force containment
     scan for every bucket width — including widths smaller than, equal
-    to, and far larger than the intervals."""
+    to, and far larger than the intervals, and the self-tuned
+    median-length default (``None``)."""
     from cassandra_slow_queries_spark.operators.rangejoin import interval_join
 
     ivs = [(i, lo, lo + w) for i, (lo, w) in enumerate(intervals)]
