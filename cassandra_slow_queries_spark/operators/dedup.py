@@ -748,17 +748,30 @@ def assign_clusters(
     small fraction of the corpus; AQE picks the strategy at runtime.
 
     ``algorithm``: ``"propagation"`` (default — one shuffle/round,
-    right for shallow near-clique dedup graphs) or ``"star"``
+    right for shallow near-clique dedup graphs), ``"star"``
     (:func:`connected_components_star`, O(log n) rounds for deep
-    graphs).
+    graphs), or ``"auto"`` — propagation first, and on
+    :class:`ConvergenceError` (a path deeper than its round budget)
+    transparently re-run with star contraction. Auto keeps the cheap
+    one-shuffle-per-round path for the overwhelmingly common shallow
+    case while making adversarial graph shapes a retry instead of a
+    failure; the propagation rounds already spent are wasted work, so
+    pipelines that KNOW their graphs are deep should ask for ``"star"``
+    directly. The iteration loops are driver-side plan builders (their
+    per-round convergence ``count()`` is the only action), so the
+    failure surfaces here in the builder call, not mid-action later.
     """
-    if algorithm not in ("propagation", "star"):
+    if algorithm not in ("propagation", "star", "auto"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
-    comp = (
-        connected_components_star(pairs)
-        if algorithm == "star"
-        else connected_components(pairs)
-    )
+    if algorithm == "star":
+        comp = connected_components_star(pairs)
+    elif algorithm == "auto":
+        try:
+            comp = connected_components(pairs)
+        except ConvergenceError:
+            comp = connected_components_star(pairs)
+    else:
+        comp = connected_components(pairs)
     return (
         df.join(comp, df[id_col] == comp["id"], "left")
         .select(

@@ -635,6 +635,29 @@ def test_star_cc_matches_propagation_and_handles_deep_graphs(spark):
     assert connected_components_star(empty).count() == 0
 
 
+def test_assign_clusters_auto_falls_back_to_star(spark, docs):
+    """algorithm="auto": propagation's ConvergenceError on a deep path
+    graph transparently retries with star contraction instead of
+    failing the pipeline (round-5 verdict item 8)."""
+    from cassandra_slow_queries_spark.operators.dedup import assign_clusters
+
+    # a 500-hop path: diameter far beyond propagation's 25-round budget
+    deep = spark.createDataFrame(
+        [(i, i + 1) for i in range(500)], "id_a long, id_b long"
+    )
+    members = spark.range(0, 501).withColumnRenamed("id", "doc_id")
+    out = assign_clusters(members, deep, "doc_id", algorithm="auto")
+    rows = out.collect()
+    assert len(rows) == 501
+    assert all(r["cluster_id"] == 0 for r in rows)
+    assert sum(r["is_keeper"] for r in rows) == 1
+    # shallow graphs stay on the cheap propagation path and agree
+    pairs = spark.createDataFrame([(0, 1), (1, 3)], "id_a long, id_b long")
+    auto = assign_clusters(docs, pairs, "doc_id", algorithm="auto")
+    prop = assign_clusters(docs, pairs, "doc_id", algorithm="propagation")
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, prop.collect()))
+
+
 def test_as_of_join_semantics(spark):
     """Union+window as-of join: at-or-before matching, same-instant
     quote visible, NULL before the first quote, probe payload carried."""
