@@ -3,12 +3,18 @@
 Design per the north star: image/audio/video travel as ``binary`` columns
 with a metadata struct; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` (the one sanctioned Python surface — per-batch, not
-per-row). The actual codecs aren't available in this environment, so the
-decode step is STUBBED: ``decoder="fake"`` produces deterministic
-hash-derived features (full plumbing testable end-to-end), and
-``decoder="real"`` raises ``NotImplementedError`` where a PIL/ffmpeg call
-would go. The Spark-side contract — schemas, batch iteration, partition
-sizing — is real.
+per-row). Two decoders share every seam:
+
+- ``decoder="fake"`` — deterministic hash-derived features / tiled
+  resize surfaces, importable anywhere, keeps the full plumbing
+  (schemas, batch iteration, partition sizing) testable end-to-end;
+- ``decoder="real"`` — IMPORT-GUARDED Pillow path (round-5 verdict
+  item 6): decodes image payloads with ``PIL.Image`` inside the
+  executor batches when Pillow is importable there, and raises a clear
+  ``NotImplementedError`` naming the missing dependency otherwise (this
+  container ships no codec libraries — the PIL tier is exercised by
+  ``pytest.importorskip`` tests that run wherever Pillow exists).
+  Audio/video codecs (torchaudio/ffmpeg) remain stub-only.
 """
 
 from __future__ import annotations
@@ -71,6 +77,34 @@ def attach_binary_metadata(df: DataFrame, content_col: str = "content") -> DataF
     )
 
 
+def _require_pil():
+    """Import Pillow or fail with an actionable message. Called INSIDE
+    the mapInPandas batches so the check runs on the executor that
+    would do the decoding (driver and executors can differ)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+    except ImportError as exc:
+        raise NotImplementedError(
+            "decoder='real' requires Pillow on the executors "
+            "(pip install Pillow); use decoder='fake' for plumbing-only "
+            "runs in codec-less environments"
+        ) from exc
+    return Image
+
+
+def _pil_features(Image, payload: bytes | None) -> list[float]:
+    """Decode an image payload and reduce it to FEATURE_DIM floats: the
+    4×4 grayscale thumbnail, scaled to [0, 1] — deterministic, and a
+    genuine content feature (nearby images → nearby vectors), unlike
+    the hash-derived fake. Undecodable payloads fail the job loudly —
+    silently null features would poison downstream similarity search."""
+    import io
+
+    img = Image.open(io.BytesIO(bytes(payload or b"")))
+    thumb = img.convert("L").resize((4, 4))
+    return [p / 255.0 for p in thumb.getdata()]
+
+
 def _fake_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for a decoded-media feature vector: bytes →
     rolling FNV-ish hash per dimension, scaled to [0, 1)."""
@@ -93,8 +127,11 @@ def extract_features(
 ) -> DataFrame:
     """Decode + featurize media payloads via Arrow-batched mapInPandas.
 
-    ``decoder='real'`` marks where an actual codec (PIL / torchaudio /
-    ffmpeg) plugs in — not available in this environment.
+    ``decoder='real'`` decodes IMAGE payloads with Pillow when it is
+    importable on the executors (4×4 grayscale thumbnail →
+    ``FEATURE_DIM`` floats in [0, 1]); without Pillow it raises a clear
+    ``NotImplementedError`` at first batch. ``decoder='fake'`` is the
+    codec-free deterministic stand-in.
     """
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
@@ -102,18 +139,18 @@ def extract_features(
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        featurize = _fake_features
+        if decoder == "real":
+            Image = _require_pil()
+            featurize = lambda payload: _pil_features(Image, payload)  # noqa: E731
+
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real media decoding requires codec libraries not present "
-                    "in this environment; use decoder='fake' for plumbing"
-                )
             payloads = pdf[content_col]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
                     "n_bytes": payloads.map(len),
-                    "features": payloads.map(_fake_features),
+                    "features": payloads.map(featurize),
                 }
             )
 
@@ -142,25 +179,31 @@ def resize_media(
     id_col: str = "media_id",
     decoder: str = "fake",
 ) -> DataFrame:
-    """Resize stub behind the same decode seam as extract_features: the
+    """Resize behind the same decode seam as extract_features: the
     output contract (one row per input, ``content`` exactly
-    ``width*height`` bytes, ``n_bytes`` matching) is real and tested;
-    ``decoder='fake'`` produces a deterministic byte surface by tiling
-    the source payload (content-dependent, so tests can pin identity),
-    ``decoder='real'`` raises where PIL/ffmpeg scaling would run."""
+    ``width*height`` bytes, ``n_bytes`` matching) is identical for both
+    decoders. ``decoder='fake'`` produces a deterministic byte surface
+    by tiling the source payload (content-dependent, so tests can pin
+    identity); ``decoder='real'`` decodes with Pillow where importable
+    on the executors (grayscale resample to width×height, raw ``L``
+    bytes out — exactly ``width*height`` of them) and raises the clear
+    ``NotImplementedError`` otherwise."""
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
     n_out = width * height
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import io
+
         import pandas as pd
 
+        Image = _require_pil() if decoder == "real" else None
+
+        def pil_resize(b) -> bytes:
+            img = Image.open(io.BytesIO(bytes(b or b"")))
+            return img.convert("L").resize((width, height)).tobytes()
+
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real media resizing requires codec libraries not present "
-                    "in this environment; use decoder='fake' for plumbing"
-                )
             def tile(b) -> bytes:
                 # NULL payloads tile like empty ones (defensive, matching
                 # the rest of the multimodal surface) — never TypeError
@@ -168,7 +211,9 @@ def resize_media(
                 b = bytes(b) if b is not None else b""
                 return ((b or b"\x00") * (n_out // max(len(b), 1) + 1))[:n_out]
 
-            payloads = pdf[content_col].map(tile)
+            payloads = pdf[content_col].map(
+                pil_resize if decoder == "real" else tile
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],

@@ -337,12 +337,52 @@ def test_multimodal_fake_features(spark):
     assert [r.features for r in feats] == [r.features for r in again]
 
 
-def test_multimodal_real_decoder_stubbed(spark):
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="Pillow installed: real tier active")
+def test_multimodal_real_decoder_clear_error_without_pil(spark):
+    """Without Pillow, decoder='real' fails at first batch with an
+    actionable message naming the missing dependency — not a bare
+    ImportError from executor depths."""
     from cassandra_slow_queries_spark.operators.multimodal import extract_features
 
     df = spark.createDataFrame([(1, b"\x00")], "media_id long, content binary")
-    with pytest.raises(Exception, match="NotImplementedError|not present"):
+    with pytest.raises(Exception, match="NotImplementedError|Pillow"):
         extract_features(df, decoder="real").collect()
+
+
+def test_multimodal_real_decoder_with_pil(spark):
+    """Where Pillow IS importable, decoder='real' genuinely decodes:
+    a solid 8x8 PNG featurizes to FEATURE_DIM constant values and
+    resizes to exactly width*height grayscale bytes."""
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from cassandra_slow_queries_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        resize_media,
+    )
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (8, 8), color=(200, 200, 200)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, png)], "media_id long, content binary"
+    )
+    [feat] = extract_features(df, decoder="real").collect()
+    assert len(feat.features) == FEATURE_DIM
+    # solid image → every thumbnail pixel identical, in [0, 1]
+    assert len(set(feat.features)) == 1 and 0.0 <= feat.features[0] <= 1.0
+    [rs] = resize_media(df, 4, 2, decoder="real").collect()
+    assert len(rs.content) == 8 and rs.n_bytes == 8
 
 
 # ---------------------------------------------------------------------------
@@ -584,8 +624,9 @@ def test_resize_media_contract(spark):
     # NULL payload tiles like empty — no executor TypeError
     assert bytes(rows[4].content) == b"\x00" * 32
 
-    with pytest.raises(Exception, match="NotImplementedError|real media"):
-        resize_media(df, 2, 2, decoder="real").collect()
+    if not _pil_available():
+        with pytest.raises(Exception, match="NotImplementedError|Pillow"):
+            resize_media(df, 2, 2, decoder="real").collect()
 
 
 def test_frame_sample_plan_indices(spark):
