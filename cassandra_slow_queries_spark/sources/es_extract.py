@@ -245,6 +245,85 @@ def fetch_pages(
     return written
 
 
+def es_reader_options(
+    url: str,
+    index: str,
+    start: datetime,
+    end: datetime,
+    query: str | None = None,
+    cookie: str = "",
+) -> dict[str, str]:
+    """Option map for the elasticsearch-hadoop Spark connector
+    (``org.elasticsearch.spark.sql``), carrying the SAME pushed-down
+    predicate as the landing-zone path: ``es.query`` is
+    :func:`build_request_body`'s bool query (match_phrase slow-query
+    marker + epoch-second range + optional query_string), so the S2
+    pushdown reaches ES natively instead of through a planned page
+    fan-out. Pure and unit-testable — no network, no jar.
+
+    ``size``/``from`` pagination is intentionally absent: the connector
+    parallelizes by index shard (one Spark partition per shard, scroll
+    per partition), which supersedes the reference's page loop.
+    """
+    from urllib.parse import urlparse
+
+    parsed = urlparse(url if "//" in url else f"//{url}")
+    opts = {
+        "es.nodes": parsed.hostname or "localhost",
+        "es.port": str(parsed.port or 9200),
+        "es.resource": index,
+        # strip the wrapper: es.query takes the query object itself
+        "es.query": json.dumps(
+            {"query": json.loads(build_request_body(start, end, query=query))["query"]}
+        ),
+        "es.read.field.as.array.include": "tags",
+        "es.net.ssl": "true" if parsed.scheme == "https" else "false",
+    }
+    if cookie:
+        opts["es.net.http.header.Cookie"] = cookie
+    return opts
+
+
+def read_es(
+    spark,
+    url: str,
+    index: str,
+    start: datetime,
+    end: datetime,
+    query: str | None = None,
+    cookie: str = "",
+):
+    """Live Elasticsearch scan via the elasticsearch-hadoop connector —
+    the production alternative to fetch_pages + read_kibana_json
+    (round-5 verdict item 7). Emits the documented
+    ``spark.read.format("org.elasticsearch.spark.sql")`` plan with the
+    S2 predicate pushed down through ``es.query``
+    (:func:`es_reader_options`).
+
+    Requires the ``elasticsearch-hadoop`` jar on the Spark classpath
+    (``spark.jars.packages=org.elasticsearch:elasticsearch-spark-30_2.13:<ver>``);
+    without it the load fails at plan time and this function re-raises
+    with that instruction instead of a bare ClassNotFoundException. Not
+    exercisable in this environment (no network, no jar) — the option
+    map is what the tests pin.
+    """
+    reader = spark.read.format("org.elasticsearch.spark.sql").options(
+        **es_reader_options(url, index, start, end, query, cookie)
+    )
+    try:
+        return reader.load()
+    except Exception as exc:
+        if "elasticsearch" in str(exc).lower() or "ClassNotFound" in str(exc):
+            raise RuntimeError(
+                "elasticsearch-hadoop connector not on the Spark classpath; "
+                "add spark.jars.packages="
+                "org.elasticsearch:elasticsearch-spark-30_2.13:<version> "
+                "(or use plan_extraction + fetch_pages + read_kibana_json "
+                "for the landing-zone path)"
+            ) from exc
+        raise
+
+
 def plan_extraction(
     url: str,
     index: str,

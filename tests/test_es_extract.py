@@ -63,6 +63,48 @@ def test_header_shape():
     assert h == {"index": "my-index:log*", "ignore_unavailable": True, "timeout": 30000}
 
 
+def test_es_reader_options_pushdown():
+    """The connector option map carries the same S2 predicate as the
+    landing-zone path, plus node/port/ssl parsed from the url."""
+    from cassandra_slow_queries_spark.sources.es_extract import es_reader_options
+
+    start, end = datetime(2026, 8, 13, 5), datetime(2026, 8, 13, 12)
+    opts = es_reader_options(
+        "https://kibana.example.com:9243/elasticsearch/_msearch",
+        "logstash-*",
+        start,
+        end,
+        query="ks1",
+        cookie="session=abc",
+    )
+    assert opts["es.nodes"] == "kibana.example.com"
+    assert opts["es.port"] == "9243"
+    assert opts["es.resource"] == "logstash-*"
+    assert opts["es.net.ssl"] == "true"
+    assert opts["es.net.http.header.Cookie"] == "session=abc"
+    q = json.loads(opts["es.query"])["query"]["bool"]["must"]
+    assert q[0] == {"match_phrase": {"message": {"query": "Query too slow"}}}
+    assert q[1]["range"]["@timestamp"]["format"] == "epoch_second"
+    assert q[2]["query_string"]["query"] == '"ks1"'
+    # pagination keys must NOT leak in: the connector scrolls per shard
+    assert not any("size" in k or "from" in k for k in opts)
+    # defaults: port 9200, no ssl, no cookie header
+    bare = es_reader_options("http://es-host/_msearch", "ix", start, end)
+    assert bare["es.port"] == "9200" and bare["es.net.ssl"] == "false"
+    assert "es.net.http.header.Cookie" not in bare
+
+
+def test_read_es_clear_error_without_connector(spark):
+    """Without the elasticsearch-hadoop jar, read_es fails at plan time
+    with the spark.jars.packages instruction, not a bare
+    ClassNotFoundException."""
+    from cassandra_slow_queries_spark.sources.es_extract import read_es
+
+    start, end = datetime(2026, 8, 13, 5), datetime(2026, 8, 13, 12)
+    with pytest.raises(Exception, match="elasticsearch|jars.packages"):
+        read_es(spark, "http://localhost:9200", "ix", start, end)
+
+
 def test_peek_total_hits():
     sample = '{"responses":[{"took":3,"hits":{"total":12345,"max_score":null}}]}'
     assert peek_total_hits(sample) == 12345
