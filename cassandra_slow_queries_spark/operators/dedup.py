@@ -352,6 +352,98 @@ def _cap_block_freq(
     return tagged.filter(~hot).drop("_bf").localCheckpoint(eager=True)
 
 
+def _self_join_pairs(blocked: DataFrame, keys: list[str]) -> DataFrame:
+    """Ordered ``(id_a, id_b)`` pairs from a self-join on block equality."""
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    for k in keys:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    return a.join(b, cond).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    )
+
+
+def _block_candidate_pairs(
+    blocked: DataFrame,
+    keys: list[str],
+    max_block_freq: int | None = None,
+    hot_block_policy: str = "drop",
+    num_representatives: int = 8,
+    observation: "Observation | None" = None,
+) -> DataFrame:
+    """Distinct ``(id_a, id_b)`` candidate pairs from an ``(id, *keys)``
+    blocking frame, with a bounded strategy for hot blocks.
+
+    Cold blocks (document frequency ≤ ``max_block_freq``) self-join as
+    usual. For hot blocks, ``hot_block_policy`` picks between:
+
+    - ``"drop"`` — discard the block entirely (the historical behavior,
+      via :func:`_cap_block_freq`). Costs ALL recall on any genuine
+      near-dup cluster larger than the cap.
+    - ``"sample"`` — emit member×representative pairs instead of the full
+      k·(k-1)/2 self-join: every member of a hot block is paired with a
+      small representative set (the block's min id — guaranteed, chosen
+      by a scale-safe partial-aggregating ``min`` — plus rows picked by a
+      deterministic hash sample at expected rate
+      ``num_representatives``/freq). Cost is O(k·R) per hot block instead
+      of O(k²), yet the block's members stay *connected*: a
+      larger-than-cap near-dup cluster (templated pages, mirrored
+      articles — the blind spot of ``"drop"``) forms a star around its
+      representatives, so verification + clustering still recover it as
+      one component. Chance-collision hot blocks cost O(k·R) false
+      candidates that exact verification disposes of. Representative
+      choice is deterministic (id-hash), so results are reproducible.
+
+    With an ``observation``, the same three metrics as
+    :func:`_cap_block_freq` are reported; under ``"sample"`` the
+    ``rows_in_hot_blocks`` rows are rerouted into representative stars
+    rather than dropped. The tagged frame is eagerly
+    ``localCheckpoint``-ed in sample mode — it is consumed by up to four
+    subplans (cold self-join ×2, hot members, representative pick), and
+    when observed the CollectMetrics node must execute exactly once.
+    """
+    if max_block_freq is None:
+        return _self_join_pairs(blocked, keys).distinct()
+    if hot_block_policy == "drop":
+        capped = _cap_block_freq(blocked, keys, max_block_freq, observation)
+        return _self_join_pairs(capped, keys).distinct()
+    if hot_block_policy != "sample":
+        raise ValueError(
+            f"hot_block_policy must be 'drop' or 'sample', got {hot_block_policy!r}"
+        )
+    freq = blocked.groupBy(*keys).agg(F.count("*").alias("_bf"))
+    hot = F.col("_bf") > max_block_freq
+    tagged = blocked.join(freq, keys)
+    if observation is not None:
+        tagged = tagged.observe(
+            observation,
+            F.sum(hot.cast("long")).alias("rows_in_hot_blocks"),
+            F.round(
+                F.sum(F.when(hot, F.lit(1.0) / F.col("_bf")).otherwise(F.lit(0.0)))
+            ).cast("long").alias("n_hot_blocks"),
+            F.max("_bf").alias("max_block_freq_seen"),
+        )
+    tagged = tagged.localCheckpoint(eager=True)
+    cold_pairs = _self_join_pairs(tagged.filter(~hot).drop("_bf"), keys)
+    hot_rows = tagged.filter(hot)
+    min_rep = hot_rows.groupBy(*keys).agg(F.min("id").alias("rid"))
+    sampled = hot_rows.filter(
+        F.pmod(F.xxhash64(*keys, "id"), F.col("_bf"))
+        < F.least(F.lit(num_representatives), F.col("_bf"))
+    ).select(*keys, F.col("id").alias("rid"))
+    reps = min_rep.unionByName(sampled).distinct()
+    hot_pairs = (
+        hot_rows.join(reps, keys)
+        .filter(F.col("id") != F.col("rid"))
+        .select(
+            F.least("id", "rid").alias("id_a"),
+            F.greatest("id", "rid").alias("id_b"),
+        )
+    )
+    return cold_pairs.unionByName(hot_pairs).distinct()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -361,6 +453,8 @@ def minhash_lsh_pairs(
     shingle_n: int = 5,
     seed: int = 42,
     max_block_freq: int | None = None,
+    hot_block_policy: str = "drop",
+    num_representatives: int = 8,
     observation: "Observation | None" = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs with estimated Jaccard.
@@ -372,11 +466,16 @@ def minhash_lsh_pairs(
     ``max_block_freq`` bounds the one remaining quadratic exposure, a
     degenerate band bucket holding a huge identical-signature class.
 
-    ``max_block_freq`` is OPT-IN (default off): capping drops every pair
-    of a near-dup cluster larger than the cap — a recall loss exact
-    dedup cannot recover (see :func:`_cap_block_freq` for the full
-    blind-spot note). When enabling it, pass a ``pyspark.sql.Observation``
-    as ``observation`` to see how many blocking rows the cap dropped.
+    ``max_block_freq`` is OPT-IN (default off): with the default
+    ``hot_block_policy="drop"`` capping discards every pair of a
+    near-dup cluster larger than the cap — a recall loss exact dedup
+    cannot recover. ``hot_block_policy="sample"`` removes that blind
+    spot: hot blocks emit member×representative star pairs (O(k·R), R =
+    ``num_representatives``) so oversized near-dup clusters stay
+    connected while the quadratic fan-out stays bounded (see
+    :func:`_block_candidate_pairs`). When enabling the cap, pass a
+    ``pyspark.sql.Observation`` as ``observation`` to see how many
+    blocking rows the cap dropped/sampled.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
@@ -402,18 +501,13 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    banded = _cap_block_freq(banded, ["band", "bh"], max_block_freq, observation)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    cand = _block_candidate_pairs(
+        banded,
+        ["band", "bh"],
+        max_block_freq,
+        hot_block_policy,
+        num_representatives,
+        observation,
     )
     sa = sig.withColumnsRenamed({"id": "id_a", "sig": "sig_a"})
     sb = sig.withColumnsRenamed({"id": "id_b", "sig": "sig_b"})
@@ -892,6 +986,8 @@ def simhash_near_pairs(
     id_col: str,
     max_hamming: int = 3,
     max_block_freq: int | None = None,
+    hot_block_policy: str = "drop",
+    num_representatives: int = 8,
     observation: "Observation | None" = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 16-bit fingerprint quarters
@@ -909,10 +1005,13 @@ def simhash_near_pairs(
       qh) document frequency: an identical-content class of k docs
       shares all four quarters → 4 hot keys × k·(k-1)/2 rows each.
       Route exact-identical content through exact dedup first; the cap
-      makes the blocker survive it either way — at the cost of also
-      dropping every pair of a GENUINE near-dup cluster larger than the
-      cap (see :func:`_cap_block_freq` for the blind-spot note and the
-      ``observation`` metrics that make the loss visible).
+      makes the blocker survive it either way — under the default
+      ``hot_block_policy="drop"`` at the cost of also dropping every
+      pair of a GENUINE near-dup cluster larger than the cap, while
+      ``"sample"`` keeps such clusters connected via member×representative
+      star pairs at O(k·R) (see :func:`_block_candidate_pairs` for both
+      policies and the ``observation`` metrics that make the hot-block
+      load visible).
     """
     fp = simhash_fingerprints(df, text_col, id_col)
     fp = fp.persist()  # released below once the pairs are materialized
@@ -933,22 +1032,25 @@ def simhash_near_pairs(
             )
         ).alias("qq"),
     ).select("id", "fp", F.col("qq.quarter").alias("quarter"), F.col("qq.qh").alias("qh"))
-    blocked = _cap_block_freq(blocked, ["quarter", "qh"], max_block_freq, observation)
-    a = blocked.alias("a")
-    b = blocked.alias("b")
+    cand = _block_candidate_pairs(
+        blocked.select("id", "quarter", "qh"),
+        ["quarter", "qh"],
+        max_block_freq,
+        hot_block_policy,
+        num_representatives,
+        observation,
+    )
+    # hamming verify on the (small) distinct candidate list: re-join the
+    # persisted fingerprints instead of carrying fp through the blocking
+    # self-join — same result (hamming is a pure function of the two fps)
     result = (
-        a.join(
-            b,
-            (F.col("a.quarter") == F.col("b.quarter"))
-            & (F.col("a.qh") == F.col("b.qh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        cand.join(fp.withColumnsRenamed({"id": "id_a", "fp": "fp_a"}), "id_a")
+        .join(fp.withColumnsRenamed({"id": "id_b", "fp": "fp_b"}), "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+            "id_a",
+            "id_b",
+            hamming64(F.col("fp_a"), F.col("fp_b")).alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
     return _materialize_release(result, fp)

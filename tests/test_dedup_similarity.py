@@ -488,6 +488,131 @@ def test_minhash_degenerate_bands_capped(spark):
     assert got == {(3000, 3001)}
 
 
+_TEMPLATE = (
+    "breaking news article template header navigation sidebar footer "
+    "copyright notice subscribe button share widget related stories "
+    "advertising block comment section terms of service privacy policy"
+)
+
+
+@pytest.fixture(scope="module")
+def oversized_near_dup_corpus(spark):
+    """300 GENUINE near-dups (templated pages, per-doc mutation — NOT
+    byte-identical, so exact dedup cannot catch them) + a control pair."""
+    rows = [
+        (i, f"{_TEMPLATE} story number {i} about topic {i % 7}")
+        for i in range(300)
+    ] + [(1000, DOC_A), (1001, DOC_A2)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _cluster_coverage(pairs) -> set[int]:
+    covered = set()
+    for r in pairs:
+        covered.add(r.id_a)
+        covered.add(r.id_b)
+    return {i for i in covered if i < 300}
+
+
+def test_hot_block_sample_policy_reconnects_oversized_cluster_minhash(
+    spark, oversized_near_dup_corpus
+):
+    """The "drop" blind spot (ADVICE r5): a near-dup cluster larger than
+    max_block_freq loses members because every block its members share is
+    corpus-hot. "sample" reroutes hot blocks into member×representative
+    stars — every member stays covered, clustering recovers ONE component,
+    and the pair count stays far below the quadratic fan-out."""
+    from cassandra_slow_queries_spark.operators.dedup import assign_clusters
+
+    kw = dict(num_hashes=64, bands=16, shingle_n=3, max_block_freq=50)
+    dropped = minhash_lsh_pairs(
+        oversized_near_dup_corpus, "text", "doc_id",
+        hot_block_policy="drop", **kw,
+    ).collect()
+    sampled_df = minhash_lsh_pairs(
+        oversized_near_dup_corpus, "text", "doc_id",
+        hot_block_policy="sample", **kw,
+    )
+    sampled = sampled_df.collect()
+    # drop demonstrably loses cluster members (the blind spot)...
+    assert len(_cluster_coverage(dropped)) < 300
+    # ...sample covers every member
+    assert len(_cluster_coverage(sampled)) == 300
+    # star pairs are bounded: far below the 300*299/2 quadratic fan-out
+    assert len(sampled) < 300 * 299 // 2 // 2
+    # and the cluster comes back as a single connected component
+    cl = assign_clusters(
+        oversized_near_dup_corpus, sampled_df.select("id_a", "id_b"), "doc_id"
+    )
+    sizes = {
+        r["cluster_id"]: r["n"]
+        for r in cl.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes[0] == 300  # min-id representative roots the component
+    # control near-dup pair outside the hot cluster still found
+    assert any(r.id_a == 1000 and r.id_b == 1001 for r in sampled)
+
+
+def test_hot_block_sample_policy_reconnects_oversized_cluster_simhash(
+    spark, oversized_near_dup_corpus
+):
+    kw = dict(max_hamming=8, max_block_freq=50)
+    dropped = simhash_near_pairs(
+        oversized_near_dup_corpus, "text", "doc_id",
+        hot_block_policy="drop", **kw,
+    ).collect()
+    sampled = simhash_near_pairs(
+        oversized_near_dup_corpus, "text", "doc_id",
+        hot_block_policy="sample", **kw,
+    ).collect()
+    assert len(_cluster_coverage(dropped)) < 300
+    assert len(_cluster_coverage(sampled)) == 300
+    assert len(sampled) < 300 * 299 // 2 // 2
+    # sample pairs are a superset of drop pairs (cold blocks unchanged)
+    assert {(r.id_a, r.id_b) for r in dropped} <= {
+        (r.id_a, r.id_b) for r in sampled
+    }
+
+
+def test_block_candidate_pairs_sample_mechanics(spark):
+    """Hand-built blocking frame: one hot block (10 ids, cap 3) and one
+    cold block (3 ids). Cold self-joins fully; hot emits only ordered
+    member×representative pairs that all include a representative, and
+    every hot member is covered."""
+    from cassandra_slow_queries_spark.operators.dedup import (
+        _block_candidate_pairs,
+    )
+
+    rows = [(i, 0, 7) for i in range(10)] + [(i, 1, 9) for i in (100, 101, 102)]
+    blocked = spark.createDataFrame(rows, "id long, band int, bh long")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in _block_candidate_pairs(
+            blocked, ["band", "bh"], max_block_freq=3,
+            hot_block_policy="sample", num_representatives=2,
+        ).collect()
+    }
+    cold_expected = {(100, 101), (100, 102), (101, 102)}
+    assert cold_expected <= pairs
+    hot_pairs = pairs - cold_expected
+    # every pair well-ordered; every hot member covered; bounded fan-out
+    assert all(a < b for a, b in hot_pairs)
+    covered = {x for p in hot_pairs for x in p}
+    assert covered == set(range(10))
+    # reps = min-id (0) plus expected ~2 hash-sampled: star, not clique
+    reps = {a for a, _ in hot_pairs} & set(range(10))
+    assert 0 in {min(p) for p in hot_pairs}  # min-id rep present
+    assert len(hot_pairs) <= 10 * 4  # << 45-pair clique only for tiny caps,
+    # but must stay strictly below the full self-join
+    assert len(hot_pairs) < 45
+
+    with pytest.raises(ValueError):
+        _block_candidate_pairs(
+            blocked, ["band", "bh"], max_block_freq=3,
+            hot_block_policy="nonsense",
+        )
+
+
 def test_assign_clusters_singletons_and_keepers(spark, docs):
     from cassandra_slow_queries_spark.operators.dedup import (
         assign_clusters,
