@@ -348,3 +348,86 @@ def contamination_check(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_words: int = 4,
+) -> DataFrame:
+    """Within-document repetition profile — the Gopher repetition rules
+    (Rae et al. 2021 §A1.1) adapted to span-structured text:
+    ``(id, dup_chunk_frac, top_bigram_frac, top_word_frac)``.
+
+    - ``dup_chunk_frac`` — fraction of the document's
+      ``chunk_words``-word chunks that are repeats of an earlier chunk
+      in the SAME document (``1 − distinct/total``); the "duplicate
+      paragraph fraction" analogue for text without paragraph breaks.
+    - ``top_bigram_frac`` — occurrences of the most frequent word
+      bigram over total bigrams (0.0 for documents under two words).
+    - ``top_word_frac`` — occurrences of the most frequent word over
+      total words.
+
+    High values flag degenerate, loop-generated, or keyword-stuffed
+    documents that length/stopword heuristics (``quality_score``) miss.
+
+    Scale shape: three explode → hash-aggregate pipelines joined on the
+    document id. Each aggregation is map-side combinable and keyed by
+    (id, gram) then (id) — no windows, no Python, no corpus-global
+    state, so the cost is linear in token count and the shuffles are
+    keyed on the (high-cardinality) document id.
+    """
+    from cassandra_slow_queries_spark.operators.dedup import word_chunk_spans
+
+    did = F.col(id_col).alias("id")
+    words_arr = F.split(F.col(text_col), " ", -1)
+    base = spread_input(df, by=id_col)
+
+    def top_frac(exploded: DataFrame) -> DataFrame:
+        per_gram = exploded.groupBy("id", "g").agg(F.count("*").alias("c"))
+        return per_gram.groupBy("id").agg(
+            (F.max("c") / F.sum("c")).alias("frac")
+        )
+
+    word_frac = top_frac(
+        base.select(did, F.explode(words_arr).alias("g"))
+    ).withColumnRenamed("frac", "top_word_frac")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(words_arr) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words_arr, i), F.element_at(words_arr, i + 1)
+        ),
+    )
+    bigram_frac = top_frac(
+        base.filter(F.size(words_arr) >= 2).select(
+            did, F.explode(bigrams).alias("g")
+        )
+    ).withColumnRenamed("frac", "top_bigram_frac")
+    chunk_frac = (
+        word_chunk_spans(df, text_col, id_col, chunk_words)
+        .groupBy("id")
+        .agg(
+            (1 - F.count_distinct("span") / F.count("*")).alias(
+                "dup_chunk_frac"
+            )
+        )
+    )
+    return (
+        df.select(did)
+        .join(chunk_frac, "id", "left")
+        .join(bigram_frac, "id", "left")
+        .join(word_frac, "id", "left")
+        .select(
+            "id",
+            F.round(F.coalesce("dup_chunk_frac", F.lit(0.0)), 6).alias(
+                "dup_chunk_frac"
+            ),
+            F.round(F.coalesce("top_bigram_frac", F.lit(0.0)), 6).alias(
+                "top_bigram_frac"
+            ),
+            F.round(F.coalesce("top_word_frac", F.lit(0.0)), 6).alias(
+                "top_word_frac"
+            ),
+        )
+    )

@@ -1054,3 +1054,143 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return _materialize_release(result, fp)
+
+
+# ---------------------------------------------------------------------------
+# Span-level exact dedup (paragraph / fixed word-chunk granularity)
+#
+# Document-level dedup (everything above) cannot remove boilerplate that is
+# EMBEDDED in otherwise-unique documents — navigation text, license headers,
+# templated footers. The published fix (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better") removes duplicated substrings;
+# the common distributed approximation — used here — works at span
+# granularity: split every document into spans (paragraphs on a separator for
+# real corpora, fixed-width word chunks for unstructured text), find spans
+# that recur across >= min_dup_docs distinct documents with ONE corpus-wide
+# groupBy, and rebuild each document without them. Everything is native
+# expressions: explode -> hash aggregate -> anti-join -> ordered re-assembly.
+# ---------------------------------------------------------------------------
+
+
+def split_spans(
+    df: DataFrame, text_col: str, id_col: str, sep: str = "\n\n"
+) -> DataFrame:
+    """``(id, pos, span)`` — one row per separator-delimited paragraph.
+
+    ``pos`` is the 0-based paragraph index, which makes re-assembly
+    (:func:`strip_duplicate_spans`) order-exact. Empty documents yield a
+    single empty span, mirroring ``str.split`` semantics.
+    """
+    return spread_input(df, by=id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(text_col, F.lit(sep), F.lit(-1))).alias(
+            "pos", "span"
+        ),
+    )
+
+
+def word_chunk_spans(
+    df: DataFrame, text_col: str, id_col: str, chunk_words: int = 4
+) -> DataFrame:
+    """``(id, pos, span)`` — fixed ``chunk_words``-word chunks.
+
+    The span definition for corpora without paragraph structure: the
+    token stream is cut into consecutive ``chunk_words``-wide windows
+    (the last chunk may be shorter). Chunking is a pure expression —
+    ``split`` + ``sequence`` + ``transform``/``slice`` — so the explode
+    fans out ~tokens/chunk_words rows per document with no Python.
+    """
+    words = F.split(F.col(text_col), " ", -1)
+    n_chunks = F.greatest(
+        F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int"), F.lit(1)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    return spread_input(df, by=id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunks).alias("pos", "span"),
+    )
+
+
+def corpus_hot_spans(spans: DataFrame, min_dup_docs: int = 2) -> DataFrame:
+    """Spans recurring across ``>= min_dup_docs`` DISTINCT documents:
+    ``(span, n_docs, n_occurrences)``.
+
+    One corpus-wide hash aggregate keyed on the span text. Map-side
+    partial aggregation collapses within-partition repeats before the
+    shuffle; at extreme scale, key on ``xxhash64(span)`` instead and
+    carry ``min(span)`` if shuffle width on long spans ever dominates —
+    the output contract is unchanged.
+    """
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_dup_docs)
+    )
+
+
+def strip_duplicate_spans(
+    spans: DataFrame,
+    hot: DataFrame,
+    joiner: str = " ",
+) -> DataFrame:
+    """Rebuild documents without corpus-duplicated spans:
+    ``(id, n_spans, n_dup_spans, clean_text)``.
+
+    ``spans`` is a ``(id, pos, span)`` frame; ``hot`` is
+    :func:`corpus_hot_spans` output (only its ``span`` column is used).
+    Kept spans re-assemble in original order via a per-document
+    ``collect_list`` + ``array_sort`` on ``(pos, span)`` structs — a
+    document's own spans always fit one aggregation buffer, so this is
+    NOT a global sort. A document whose every span is hot survives with
+    ``clean_text = ''`` (the left join from the per-doc span counts),
+    so downstream length filters — not silent row loss — decide its
+    fate.
+    """
+    kept = spans.join(hot.select("span"), "span", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count("*").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda s: s["span"],
+            ),
+            joiner,
+        ).alias("clean_text"),
+    )
+    totals = spans.groupBy("id").agg(F.count("*").alias("n_spans"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            "n_spans",
+            (F.col("n_spans") - F.coalesce("_n_kept", F.lit(0))).alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def strip_corpus_duplicate_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_words: int = 4,
+    min_dup_docs: int = 2,
+) -> DataFrame:
+    """Convenience composition: chunk → find corpus-hot chunks → strip.
+
+    Output ``(id, n_spans, n_dup_spans, clean_text)``; see
+    :func:`strip_duplicate_spans` for the re-assembly contract.
+    """
+    spans = word_chunk_spans(df, text_col, id_col, chunk_words)
+    hot = corpus_hot_spans(spans, min_dup_docs)
+    return strip_duplicate_spans(spans, hot)

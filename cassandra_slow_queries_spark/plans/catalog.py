@@ -615,6 +615,46 @@ ORDER BY h
 """
 
 
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (Lee et al. 2022 at chunk granularity):
+    cut every document into 4-word chunks, find chunks recurring across
+    ≥2 distinct documents with one corpus-wide aggregate, and rebuild
+    each document without them. Catches boilerplate EMBEDDED in
+    otherwise-unique documents — invisible to whole-document dedup.
+    The full reconstructed text is part of the hash compare, so the
+    ordered re-assembly (collect_list + array_sort on (pos, span)) is
+    oracle-pinned, not just the counts."""
+    from cassandra_slow_queries_spark.operators.dedup import (
+        strip_corpus_duplicate_chunks,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = strip_corpus_duplicate_chunks(
+        docs, "text", "doc_id", chunk_words=4, min_dup_docs=2
+    )
+    return out.withColumnRenamed("id", "doc_id").orderBy("doc_id")
+
+
+DEDUP_PARAGRAPH_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+c AS (SELECT doc_id, i AS pos,
+             array_to_string(words[(i*4+1):(i*4+4)], ' ') AS span
+      FROM w, LATERAL (SELECT UNNEST(generate_series(0,
+             GREATEST(CAST(CEIL(len(words)/4.0) AS INT), 1) - 1)) AS i) gs),
+hot AS (SELECT span FROM c GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2),
+kept AS (SELECT c.* FROM c LEFT JOIN hot USING (span) WHERE hot.span IS NULL),
+reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(span, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id),
+st AS (SELECT doc_id, COUNT(*) AS n_spans FROM c GROUP BY doc_id)
+SELECT st.doc_id, CAST(st.n_spans AS BIGINT) AS n_spans,
+       CAST(st.n_spans - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_dup_spans,
+       COALESCE(reb.clean_text, '') AS clean_text
+FROM st LEFT JOIN reb USING (doc_id)
+ORDER BY st.doc_id
+"""
+
+
 def q_dedup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_slow_queries_spark.operators.dedup import shingle_candidate_pairs
 
@@ -898,6 +938,50 @@ SELECT doc_id,
            6) AS quality,
        CAST(len(regexp_extract_all(text, '{pattern}')) AS BIGINT) AS bpe_tokens
 FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition profile (duplicate-chunk
+    fraction, top-bigram fraction, top-word fraction) — flags the
+    degenerate/loop-generated documents that length and stopword
+    heuristics miss. Three explode → hash-aggregate pipelines keyed on
+    the document id; no windows, no Python."""
+    from cassandra_slow_queries_spark.operators.curation import (
+        repetition_metrics,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        repetition_metrics(docs, "text", "doc_id", chunk_words=4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REPETITION_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+wx AS (SELECT doc_id, UNNEST(words) AS g FROM w),
+wf AS (SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS top_word_frac
+       FROM (SELECT doc_id, g, COUNT(*) AS c FROM wx GROUP BY 1, 2) GROUP BY doc_id),
+bx AS (SELECT doc_id, UNNEST([words[i] || ' ' || words[i+1]
+                              for i in range(1, len(words))]) AS g
+       FROM w WHERE len(words) >= 2),
+bf AS (SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS top_bigram_frac
+       FROM (SELECT doc_id, g, COUNT(*) AS c FROM bx GROUP BY 1, 2) GROUP BY doc_id),
+c AS (SELECT doc_id,
+             array_to_string(words[(i*4+1):(i*4+4)], ' ') AS span
+      FROM w, LATERAL (SELECT UNNEST(generate_series(0,
+             GREATEST(CAST(CEIL(len(words)/4.0) AS INT), 1) - 1)) AS i) gs),
+cf AS (SELECT doc_id, 1 - COUNT(DISTINCT span)::DOUBLE / COUNT(*) AS dup_chunk_frac
+       FROM c GROUP BY doc_id)
+SELECT d.doc_id,
+       ROUND(COALESCE(cf.dup_chunk_frac, 0), 6) AS dup_chunk_frac,
+       ROUND(COALESCE(bf.top_bigram_frac, 0), 6) AS top_bigram_frac,
+       ROUND(COALESCE(wf.top_word_frac, 0), 6) AS top_word_frac
+FROM documents d
+LEFT JOIN cf USING (doc_id) LEFT JOIN bf USING (doc_id) LEFT JOIN wf USING (doc_id)
 ORDER BY doc_id
 """
 
@@ -3082,6 +3166,11 @@ CATALOG: dict[str, QueryDef] = {
     ),
     # --- extension tier: dedup / similarity / text ---
     "dedup_exact": QueryDef(q_dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
+    "dedup_paragraph": QueryDef(
+        q_dedup_paragraph,
+        DEDUP_PARAGRAPH_SQL,
+        "span-level exact dedup: strip corpus-duplicated 4-word chunks",
+    ),
     "dedup_shingle_candidates": QueryDef(
         q_dedup_shingles, DEDUP_SHINGLES_SQL, "shared-shingle candidate pairs"
     ),
@@ -3117,6 +3206,11 @@ CATALOG: dict[str, QueryDef] = {
         q_text_quality, _text_quality_sql(), "quality score + BPE-ish token count"
     ),
     "text_langid": QueryDef(q_text_langid, _langid_sql(), "language-ID heuristic"),
+    "text_repetition": QueryDef(
+        q_text_repetition,
+        TEXT_REPETITION_SQL,
+        "Gopher repetition profile: dup-chunk / top-bigram / top-word fractions",
+    ),
     "text_fingerprint": QueryDef(
         q_text_fingerprint,
         TEXT_FINGERPRINT_SQL,

@@ -265,3 +265,35 @@ def test_pii_scrub_out_col_preserves_original(spark):
     df = spark.createDataFrame([(0, "a@b.co x")], "doc_id long, text string")
     row = pii_scrub(df, "text", out_col="clean").collect()[0]
     assert row.text == "a@b.co x" and row.clean == "<EMAIL> x"
+
+
+def test_repetition_metrics_hand_computed(spark):
+    """Gopher-style repetition profile on hand-built docs:
+
+    - doc 0: "x y x y x y x y" — one bigram dominates; chunks
+      ("x y x y", "x y x y") are within-doc duplicates.
+    - doc 1: all-distinct words — no repetition anywhere.
+    - doc 2: single word — no bigrams (frac 0.0 by convention).
+    - doc 3: empty text — one empty token, one empty chunk.
+    """
+    from cassandra_slow_queries_spark.operators.curation import (
+        repetition_metrics,
+    )
+
+    rows = [
+        (0, "x y x y x y x y"),
+        (1, "a b c d e f g h"),
+        (2, "solo"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: (r.dup_chunk_frac, r.top_bigram_frac, r.top_word_frac)
+        for r in repetition_metrics(df, "text", "doc_id", chunk_words=4).collect()
+    }
+    # doc 0: 8 words → 2 chunks, both "x y x y" → dup 1/2; bigrams:
+    # 7 total, "x y" appears 4× → 4/7; words: "x" 4 of 8 → 1/2
+    assert out[0] == (0.5, round(4 / 7, 6), 0.5)
+    assert out[1] == (0.0, round(1 / 7, 6), 0.125)
+    assert out[2] == (0.0, 0.0, 1.0)
+    assert out[3] == (0.0, 0.0, 1.0)

@@ -613,6 +613,57 @@ def test_block_candidate_pairs_sample_mechanics(spark):
         )
 
 
+def test_strip_duplicate_spans_paragraph_mode(spark):
+    """Separator-paragraph mode: a license-header paragraph shared by
+    two docs is stripped from both; unique paragraphs survive in order;
+    a doc made ENTIRELY of boilerplate survives with empty clean_text."""
+    from cassandra_slow_queries_spark.operators.dedup import (
+        corpus_hot_spans,
+        split_spans,
+        strip_duplicate_spans,
+    )
+
+    boiler = "licensed under apache two"
+    rows = [
+        (0, f"{boiler}\n\nunique body alpha\n\nunique tail alpha"),
+        (1, f"{boiler}\n\nunique body beta"),
+        (2, boiler),
+        (3, "no boilerplate here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = split_spans(df, "text", "doc_id", sep="\n\n")
+    hot = corpus_hot_spans(spans, min_dup_docs=2)
+    assert {r.span for r in hot.collect()} == {boiler}
+    out = {
+        r.id: (r.n_spans, r.n_dup_spans, r.clean_text)
+        for r in strip_duplicate_spans(spans, hot, joiner="\n\n").collect()
+    }
+    assert out[0] == (3, 1, "unique body alpha\n\nunique tail alpha")
+    assert out[1] == (2, 1, "unique body beta")
+    assert out[2] == (1, 1, "")  # all-boilerplate doc NOT silently lost
+    assert out[3] == (1, 0, "no boilerplate here at all")
+
+
+def test_word_chunk_spans_shapes(spark):
+    """Chunking: last chunk may be short; empty text yields one empty
+    span (split semantics); reconstruction is order-exact."""
+    from cassandra_slow_queries_spark.operators.dedup import word_chunk_spans
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, "")], "doc_id long, text string"
+    )
+    rows = sorted(
+        (r.id, r.pos, r.span)
+        for r in word_chunk_spans(df, "text", "doc_id", chunk_words=3).collect()
+    )
+    assert rows == [
+        (0, 0, "a b c"),
+        (0, 1, "d e f"),
+        (0, 2, "g"),
+        (1, 0, ""),
+    ]
+
+
 def test_assign_clusters_singletons_and_keepers(spark, docs):
     from cassandra_slow_queries_spark.operators.dedup import (
         assign_clusters,
