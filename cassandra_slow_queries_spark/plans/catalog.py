@@ -2600,6 +2600,66 @@ ORDER BY query NULLS FIRST, bucket NULLS FIRST
 """
 
 
+def q_x_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join over bucketed storage: orders and
+    lineitem are staged ONCE per session as 16-bucket tables hashed on
+    the join key, so the sort-merge join (forced via the merge hint —
+    broadcast would trivially win at test SF and hide the property)
+    reads both sides pre-partitioned and plans ZERO exchanges below the
+    join. The ``join_exchanges`` column carries that plan inspection
+    into the driver's hash compare (oracle pins it to 0): if bucketing
+    ever stops eliding the shuffle, the entry FAILS rather than
+    silently re-shuffling 100 TB per analysis run. See plans/layout.py."""
+    from cassandra_slow_queries_spark.plans.layout import (
+        bucketed_table,
+        exchange_count,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_").replace("-", "_")
+    bo = bucketed_table(
+        spark,
+        f"bkt_orders_{tag}",
+        lambda: load(spark, sf_dir, "orders"),
+        ["o_orderkey"],
+        16,
+        ["o_orderkey"],
+    )
+    bl = bucketed_table(
+        spark,
+        f"bkt_lineitem_{tag}",
+        lambda: load(spark, sf_dir, "lineitem"),
+        ["l_orderkey"],
+        16,
+        ["l_orderkey"],
+    )
+    joined = bo.hint("merge").join(
+        bl, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    n_exchanges = exchange_count(
+        joined.select("o_orderkey", "o_orderpriority", "l_quantity")
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            _sum_dec("l_quantity").alias("sum_qty"),
+        )
+        .withColumn("join_exchanges", F.lit(n_exchanges).cast("long"))
+        .orderBy("o_orderpriority")
+    )
+
+
+X_BUCKETED_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(0 AS BIGINT) AS join_exchanges
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_x_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: per-user sessionization with a 30-minute inactivity gap
     (``session_window`` built-in; oracle is the gaps-and-islands SQL)."""
@@ -3147,6 +3207,11 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "q1_pricing_summary": QueryDef(q_q1_pricing_summary, Q1_SQL, "TPC-H Q1 rollup"),
     "x_rollup": QueryDef(q_x_rollup, X_ROLLUP_SQL, "grouping-sets rollup"),
+    "x_bucketed_join": QueryDef(
+        q_x_bucketed_join,
+        X_BUCKETED_SQL,
+        "co-located bucketed fact join: zero exchanges below the join, plan-gated",
+    ),
     "x_session_window": QueryDef(
         q_x_session_window, X_SESSION_SQL, "session windows vs gaps-and-islands"
     ),

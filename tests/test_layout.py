@@ -1,0 +1,90 @@
+"""Bucketed-layout seam (plans/layout.py): co-located joins must plan
+zero exchanges, and the create-once staging must actually create once."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_slow_queries_spark.plans.layout import (
+    bucketed_table,
+    exchange_count,
+    write_bucketed,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucketed_join_elides_both_exchanges(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    bo = bucketed_table(
+        spark, "t_bkt_orders", lambda: orders, ["o_orderkey"], 8, ["o_orderkey"]
+    )
+    bl = bucketed_table(
+        spark,
+        "t_bkt_lineitem",
+        lambda: lineitem,
+        ["l_orderkey"],
+        8,
+        ["l_orderkey"],
+    )
+    # merge hint: broadcast would trivially win at this SF and hide the
+    # co-location property under a BroadcastExchange
+    j = bo.hint("merge").join(bl, bo.o_orderkey == bl.l_orderkey).select(
+        "o_orderkey", "o_orderpriority", "l_quantity"
+    )
+    plain = (
+        orders.hint("merge")
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select("o_orderkey", "o_orderpriority", "l_quantity")
+    )
+    assert exchange_count(j) == 0
+    assert exchange_count(plain) >= 2  # both sides shuffle without buckets
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "Bucketed: true" in plan
+    # same rows either way — layout is a physical property only
+    assert j.count() == plain.count()
+
+
+def test_bucketed_agg_on_bucket_key_elides_exchange(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    bo = bucketed_table(
+        spark, "t_bkt_orders", lambda: orders, ["o_orderkey"], 8, ["o_orderkey"]
+    )
+    agg = bo.groupBy("o_orderkey").agg(F.count("*").alias("n"))
+    assert exchange_count(agg) == 0
+    # grouping on a NON-bucket key still needs its shuffle
+    other = bo.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+    assert exchange_count(other) == 1
+
+
+def test_bucketed_table_creates_once(spark):
+    calls = []
+    df = spark.range(10).withColumnRenamed("id", "k")
+
+    def build():
+        calls.append(1)
+        return df
+
+    a = bucketed_table(spark, "t_bkt_once", build, ["k"], 4)
+    b = bucketed_table(spark, "t_bkt_once", build, ["k"], 4)
+    assert len(calls) == 1
+    assert a.count() == b.count() == 10
+
+
+def test_write_bucketed_mismatched_counts_still_correct(spark):
+    """Different bucket counts between the sides: Spark must fall back
+    to shuffling (at least one side) but results stay correct — sizing
+    is a perf contract, not a correctness one."""
+    left = spark.range(100).withColumnRenamed("id", "k")
+    right = spark.range(50).withColumnRenamed("id", "k")
+    from cassandra_slow_queries_spark.session import scratch_dir
+
+    write_bucketed(left, "t_bkt_8", ["k"], 8, path=scratch_dir("bkt8_"))
+    write_bucketed(right, "t_bkt_4", ["k"], 4, path=scratch_dir("bkt4_"))
+    j = (
+        spark.table("t_bkt_8")
+        .hint("merge")
+        .join(spark.table("t_bkt_4"), "k")
+    )
+    assert j.count() == 50
