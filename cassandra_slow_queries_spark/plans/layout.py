@@ -92,6 +92,52 @@ def bucketed_table(
     return spark.table(table)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write ``df`` as hive-layout partitioned parquet
+    (``path/col=value/…``) — the directory-level data-skipping layout.
+
+    Bucketing (above) optimizes *joins* on a high-cardinality key;
+    partitioning optimizes *scans* on a low-cardinality predicate
+    column (date, event type, tenant): a filter on a partition column
+    prunes whole directories at planning time, so a day-filtered query
+    over a year of 100 TB logs reads ~1/365th of the files. Keep
+    partition columns low-cardinality — a high-cardinality partition
+    column creates millions of tiny files and kills the listing step
+    (that is what bucketing is for).
+    """
+    w = df.write.mode("overwrite")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.partitionBy(*partition_cols).parquet(path)
+
+
+def scan_partition_filters(df: DataFrame) -> str:
+    """The ``PartitionFilters: [...]`` clause of the plan's file scan
+    (empty string when none) — the test hook pinning that a predicate
+    actually prunes directories instead of being applied post-scan."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "PartitionFilters:" in line:
+            start = line.index("PartitionFilters:") + len("PartitionFilters:")
+            # the clause ends at the matching close bracket
+            rest = line[start:].strip()
+            depth = 0
+            for i, ch in enumerate(rest):
+                if ch == "[":
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+                    if depth == 0:
+                        return rest[: i + 1]
+            return rest
+    return ""
+
+
 def exchange_count(df: DataFrame) -> int:
     """Number of Exchange (shuffle/broadcast-exchange) operators in the
     physical plan — 0 on a fully co-located plan.

@@ -88,3 +88,28 @@ def test_write_bucketed_mismatched_counts_still_correct(spark):
         .join(spark.table("t_bkt_4"), "k")
     )
     assert j.count() == 50
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    from cassandra_slow_queries_spark.plans.layout import (
+        scan_partition_filters,
+        write_partitioned,
+    )
+
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    path = str(tmp_path / "events_by_type")
+    write_partitioned(events, path, ["event_type"])
+    part = spark.read.parquet(path)
+    filtered = part.filter(F.col("event_type") == "click").select(
+        "event_id", "value"
+    )
+    pf = scan_partition_filters(filtered)
+    # the equality predicate reaches the scan as a PARTITION filter
+    # (directory pruning), not a post-scan data filter
+    assert "event_type" in pf and "click" in pf
+    # and the layout is a physical property only: same rows as the
+    # unpartitioned source
+    want = events.filter(F.col("event_type") == "click").count()
+    assert filtered.count() == want
+    # unfiltered scan has no partition filters
+    assert scan_partition_filters(part.select("event_id")) in ("", "[]")
