@@ -2953,6 +2953,55 @@ ORDER BY query
 """
 
 
+def q_x_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates with exact-comparison gates. At 100 TB an exact
+    COUNT(DISTINCT) shuffles every distinct value and an exact
+    percentile sorts every group; the scale path is fixed-size mergeable
+    sketches — HyperLogLog++ (``approx_count_distinct``) and the
+    quantile sketch behind ``approx_percentile`` — whose partial states
+    merge map-side like any other aggregate. This entry runs BOTH next
+    to their exact counterparts and emits per-group tolerance booleans
+    (HLL within 3·rsd relative error; percentile within 5% + 1): the
+    oracle pins the exact values and TRUE, so sketch drift beyond
+    tolerance fails the driver's hash compare. Sketches are
+    deterministic given the data (hash-based, no RNG), so the gate is
+    stable across runs."""
+    ev = load(spark, sf_dir, "events").withColumn("dur", _dur())
+    agg = ev.groupBy(F.col("event_type").alias("query")).agg(
+        F.count_distinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("_hll"),
+        F.expr("percentile(dur, 0.95)").alias("_p95_exact"),
+        F.expr("approx_percentile(dur, 0.95, 10000)").alias("_p95_sketch"),
+    )
+    return agg.select(
+        "query",
+        "n_users_exact",
+        (
+            F.abs(F.col("_hll") - F.col("n_users_exact"))
+            <= F.greatest(
+                F.ceil(F.col("n_users_exact") * 0.06), F.lit(2)
+            )
+        ).alias("hll_ok"),
+        F.round("_p95_exact", 6).alias("p95_exact"),
+        (
+            F.abs(F.col("_p95_sketch") - F.col("_p95_exact"))
+            <= F.col("_p95_exact") * 0.05 + F.lit(1.0)
+        ).alias("pctl_ok"),
+    ).orderBy("query")
+
+
+X_SKETCH_SQL = """
+SELECT event_type AS query,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       TRUE AS hll_ok,
+       ROUND(quantile_cont(CAST(FLOOR(value) AS BIGINT), 0.95), 6) AS p95_exact,
+       TRUE AS pctl_ok
+FROM events
+GROUP BY 1
+ORDER BY query
+"""
+
+
 def _event_fact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a genuine file-source stream shaped like the parsed fact
     frame (ts/query/primary_key/duration).
@@ -3207,6 +3256,11 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "q1_pricing_summary": QueryDef(q_q1_pricing_summary, Q1_SQL, "TPC-H Q1 rollup"),
     "x_rollup": QueryDef(q_x_rollup, X_ROLLUP_SQL, "grouping-sets rollup"),
+    "x_sketch_gate": QueryDef(
+        q_x_sketch_gate,
+        X_SKETCH_SQL,
+        "HLL++ distinct + quantile sketch, tolerance-gated against exact",
+    ),
     "x_bucketed_join": QueryDef(
         q_x_bucketed_join,
         X_BUCKETED_SQL,
