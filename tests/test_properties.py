@@ -320,3 +320,65 @@ def test_interval_join_matches_bruteforce(spark, points, intervals, width):
         if lo <= v < hi
     }
     assert got == want
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "ee"]),
+            min_size=0,
+            max_size=17,
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    ),
+    chunk_words=st.sampled_from([1, 3, 4]),
+    min_dup_docs=st.sampled_from([2, 3]),
+)
+def test_strip_duplicate_chunks_matches_pure_python(
+    spark, texts, chunk_words, min_dup_docs
+):
+    """Span-level exact dedup equals a direct Python re-implementation
+    on random small-alphabet corpora (heavy chunk collisions by
+    construction): chunking boundaries, hot-span selection by DISTINCT
+    doc count, order-exact reconstruction, and all-hot documents
+    surviving with empty clean_text."""
+    from cassandra_slow_queries_spark.operators.dedup import (
+        strip_corpus_duplicate_chunks,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.id: (r.n_spans, r.n_dup_spans, r.clean_text)
+        for r in strip_corpus_duplicate_chunks(
+            df, "text", "doc_id", chunk_words, min_dup_docs
+        ).collect()
+    }
+
+    def chunks(t: str) -> list[str]:
+        words = t.split(" ")
+        return [
+            " ".join(words[i : i + chunk_words])
+            for i in range(0, len(words), chunk_words)
+        ]
+
+    from collections import defaultdict
+
+    docs_per_span = defaultdict(set)
+    for i, t in enumerate(texts):
+        for c in chunks(t):
+            docs_per_span[c].add(i)
+    hot = {c for c, d in docs_per_span.items() if len(d) >= min_dup_docs}
+    want = {}
+    for i, t in enumerate(texts):
+        cs = chunks(t)
+        kept = [c for c in cs if c not in hot]
+        want[i] = (len(cs), len(cs) - len(kept), " ".join(kept))
+    assert got == want
