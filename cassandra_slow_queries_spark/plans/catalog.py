@@ -3029,6 +3029,35 @@ def _event_fact_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_fact_stream(spark, fact_dir)
 
 
+def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time streaming dedup: first occurrence per (hour
+    bucket, query, primary_key) via ``dropDuplicatesWithinWatermark`` —
+    per-key state evicted once the watermark passes, so state is
+    bounded by the horizon, not stream length. With the whole fact dir
+    in one AvailableNow batch the emitted set is exactly the batch
+    DISTINCT, which is what the oracle computes."""
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        distinct_keys_stream,
+        run_stream_to_batch,
+    )
+
+    parsed = _event_fact_stream(spark, sf_dir)
+    out = run_stream_to_batch(
+        distinct_keys_stream(parsed, window="1 hour", watermark="90 minutes"),
+        output_mode="append",
+    )
+    return out.orderBy("bucket", "query", "primary_key")
+
+
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT date_trunc('hour', ts) AS bucket,
+       event_type AS query,
+       CAST(user_id % 10 AS VARCHAR) AS primary_key
+FROM events
+ORDER BY bucket, query, primary_key
+"""
+
+
 def q_stream_e2e_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION parse pipeline under Structured Streaming: raw
     reference-grammar lines staged to a directory → readStream →
@@ -3392,6 +3421,11 @@ CATALOG: dict[str, QueryDef] = {
     # --- streaming tier ---
     "stream_e2e_parse": QueryDef(
         q_stream_e2e_parse, A4_SQL, "production parse pipeline under streaming"
+    ),
+    "stream_dedup_keys": QueryDef(
+        q_stream_dedup_keys,
+        STREAM_DEDUP_SQL,
+        "streaming ingestion dedup: dropDuplicatesWithinWatermark, bounded state",
     ),
     "stream_stateful_burst": QueryDef(
         q_stream_stateful_burst,

@@ -89,6 +89,39 @@ def volume_top_cells_stream(
     )
 
 
+def distinct_keys_stream(
+    parsed: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "90 minutes",
+) -> DataFrame:
+    """Ingestion-time streaming dedup: first occurrence per
+    ``(window-bucket, query, primary_key)``, duplicates arriving within
+    the watermark horizon dropped — ``(bucket, query, primary_key)``.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state entry per key and
+    EVICTS it once the watermark passes the first-seen event time, so
+    state is bounded by (watermark horizon × key arrival rate), not by
+    stream length — the requirement for an unbounded 100 TB/day intake.
+    The documented trade: a duplicate arriving after its key's state was
+    evicted re-emits (exactly-once dedup only within the horizon);
+    cross-horizon dedup is batch territory (operators/dedup.py). Runs in
+    append mode — dedup emits rows immediately rather than holding them
+    to the watermark, so the finite-stream tail-drop pitfall of
+    watermarked aggregations does not apply.
+    """
+    return (
+        parsed.withWatermark("ts", watermark)
+        .select(
+            F.window("ts", window).start.alias("bucket"),
+            "query",
+            "primary_key",
+            "ts",  # the event-time column must survive into the dedup
+        )
+        .dropDuplicatesWithinWatermark(["bucket", "query", "primary_key"])
+        .drop("ts")
+    )
+
+
 def run_stream_to_batch(streaming_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Execute a finite streaming frame with ``Trigger.AvailableNow`` into
     an in-memory sink and return the final contents as a batch frame."""

@@ -385,3 +385,37 @@ def test_filter_pks_spanning_nodes(spark):
     assert dropped == missing
     # spanning an empty whitelist keeps everything
     assert filter_pks_spanning_nodes(enriched, []).count() == 64
+
+
+def test_stream_dedup_keys_drops_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark ingestion dedup: repeated
+    (bucket, query, pk) arrivals within the horizon emit exactly once;
+    distinct keys all survive."""
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        distinct_keys_stream,
+        run_stream_to_batch,
+    )
+
+    rows = []
+    for rep in range(5):  # 5 duplicate arrivals of the same keys
+        for i in range(3):
+            rows.append((f"2026-08-13 05:00:{10 + rep}", f"q{i}", str(i), 100))
+    rows.append(("2026-08-13 06:00:01", "q0", "0", 100))  # next hour bucket
+    df = spark.createDataFrame(
+        rows, "ts_s string, query string, primary_key string, duration long"
+    ).select(F.to_timestamp("ts_s").alias("ts"), "query", "primary_key", "duration")
+    out = str(tmp_path / "facts")
+    df.write.mode("overwrite").parquet(out)
+    stream = read_fact_stream(spark, out)
+    got = sorted(
+        (str(r.bucket), r.query, r.primary_key)
+        for r in run_stream_to_batch(
+            distinct_keys_stream(stream), output_mode="append"
+        ).collect()
+    )
+    assert got == [
+        ("2026-08-13 05:00:00", "q0", "0"),
+        ("2026-08-13 05:00:00", "q1", "1"),
+        ("2026-08-13 05:00:00", "q2", "2"),
+        ("2026-08-13 06:00:00", "q0", "0"),
+    ]
