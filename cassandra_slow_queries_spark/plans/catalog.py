@@ -1848,6 +1848,112 @@ FROM skewed
 """
 
 
+_SAMPLE_TEMPLATE = (
+    "breaking news article template header navigation sidebar footer "
+    "copyright notice subscribe button share widget related stories "
+    "advertising block comment section terms of service privacy policy"
+)
+
+
+def q_dedup_sample_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oversized-near-dup-cluster gate for ``hot_block_policy="sample"``
+    (the round-6 fix for the drop-policy blind spot): a FIFTH of the
+    corpus is rewritten into ONE templated near-dup cluster — per-doc
+    unique suffix, so exact dedup CANNOT collapse it — far larger than
+    ``max_block_freq=50`` at every SF (100 members at sf0.001, 1,000 at
+    sf0.1). Under ``"drop"`` every block the cluster
+    shares is hot and the whole cluster emits zero pairs; under
+    ``"sample"`` the gate pins that
+
+    - ``all_covered``: every cluster member appears in ≥1 verified pair
+      (est_jaccard ≥ 0.5 — the member×representative stars),
+    - ``one_component``: clustering over those pairs recovers the whole
+      cluster as a single connected component,
+    - ``pairs_linear``: the pair count stays ≤ 100·n — the
+      bands·(R+1) star fan-out bound (16·5 = 80·n worst case at R=4),
+      not the k²/2 clique (at sf0.1: 1,000-member cluster → quadratic
+      would be ~500 k pairs).
+
+    The derivation is a pure projection both engines replay; the oracle
+    pins the cluster size and TRUE for each guarantee."""
+    from cassandra_slow_queries_spark.operators.dedup import (
+        assign_clusters,
+        minhash_lsh_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    member = F.col("doc_id") % 5 == 0
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            member,
+            F.concat(
+                F.lit(_SAMPLE_TEMPLATE + " story number "),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    pairs = minhash_lsh_pairs(
+        corpus,
+        "text",
+        "doc_id",
+        num_hashes=64,
+        bands=16,
+        shingle_n=3,
+        max_block_freq=50,
+        hot_block_policy="sample",
+        num_representatives=4,
+    ).filter(F.col("est_jaccard") >= 0.5)
+    # minhash_lsh_pairs returns a localCheckpoint-ed frame, so the four
+    # consumers below re-read materialized blocks — no extra persist
+    n_members = corpus.filter(member).agg(
+        F.count("*").alias("n_cluster_docs")
+    )
+    covered = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .filter(F.col("id") % 5 == 0)
+        .agg(F.count_distinct("id").alias("n_covered"))
+    )
+    comp = (
+        assign_clusters(corpus, pairs.select("id_a", "id_b"), "doc_id")
+        .filter(member)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("sz"))
+        .agg(F.max("sz").alias("max_comp"))
+    )
+    n_pairs = pairs.agg(F.count("*").alias("n_pairs"))
+    return (
+        n_members.crossJoin(covered)
+        .crossJoin(comp)
+        .crossJoin(n_pairs)
+        .select(
+            F.col("n_cluster_docs").cast("long"),
+            (F.col("n_covered") == F.col("n_cluster_docs")).alias(
+                "all_covered"
+            ),
+            (F.col("max_comp") == F.col("n_cluster_docs")).alias(
+                "one_component"
+            ),
+            (F.col("n_pairs") <= 100 * F.col("n_cluster_docs")).alias(
+                "pairs_linear"
+            ),
+        )
+    )
+
+
+DEDUP_SAMPLE_POLICY_SQL = """
+SELECT CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cluster_docs,
+       TRUE AS all_covered,
+       TRUE AS one_component,
+       TRUE AS pairs_linear
+FROM documents
+"""
+
+
 def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata path: documents.text as opaque binary payload
     → typed metadata via native expressions (decode stays stubbed)."""
@@ -2965,14 +3071,26 @@ def q_x_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle pins the exact values and TRUE, so sketch drift beyond
     tolerance fails the driver's hash compare. Sketches are
     deterministic given the data (hash-based, no RNG), so the gate is
-    stable across runs."""
+    stable across runs.
+
+    Plan note: the distinct counts and the percentiles run as TWO
+    aggregations joined on the (tiny) group key, not one. A single agg
+    mixing COUNT(DISTINCT) (which expands every row per distinct group)
+    with large-buffer TypedImperative sketches (approx_percentile at
+    accuracy 10000) forces the expanded rows through the object-hash
+    aggregate — measured 6.5 s vs 1.4 s split at sf0.1. Two cheap scans
+    beat one pathological aggregate."""
     ev = load(spark, sf_dir, "events").withColumn("dur", _dur())
-    agg = ev.groupBy(F.col("event_type").alias("query")).agg(
+    by_q = lambda: ev.groupBy(F.col("event_type").alias("query"))  # noqa: E731
+    distincts = by_q().agg(
         F.count_distinct("user_id").alias("n_users_exact"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("_hll"),
+    )
+    pctls = by_q().agg(
         F.expr("percentile(dur, 0.95)").alias("_p95_exact"),
         F.expr("approx_percentile(dur, 0.95, 10000)").alias("_p95_sketch"),
     )
+    agg = distincts.join(pctls, "query")
     return agg.select(
         "query",
         "n_users_exact",
@@ -3314,6 +3432,11 @@ CATALOG: dict[str, QueryDef] = {
     ),
     # --- extension tier: dedup / similarity / text ---
     "dedup_exact": QueryDef(q_dedup_exact, DEDUP_EXACT_SQL, "exact hash dedup"),
+    "dedup_sample_policy": QueryDef(
+        q_dedup_sample_policy,
+        DEDUP_SAMPLE_POLICY_SQL,
+        "hot-block sample policy: oversized near-dup cluster covered, connected, linear",
+    ),
     "dedup_paragraph": QueryDef(
         q_dedup_paragraph,
         DEDUP_PARAGRAPH_SQL,
