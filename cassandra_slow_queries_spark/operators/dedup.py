@@ -1195,3 +1195,43 @@ def strip_corpus_duplicate_chunks(
     spans = word_chunk_spans(df, text_col, id_col, chunk_words)
     hot = corpus_hot_spans(spans, min_dup_docs)
     return strip_duplicate_spans(spans, hot)
+
+
+# ---------------------------------------------------------------------------
+# Incremental (snapshot) exact dedup
+# ---------------------------------------------------------------------------
+
+
+def incremental_exact_dedup(
+    incoming: DataFrame,
+    history_index: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against a persistent content-hash index — the
+    shape of a daily-intake pipeline, where re-hashing the full corpus
+    per batch (what :func:`drop_exact_duplicates` over history ∪ batch
+    would do) is a non-starter at 100 TB of history.
+
+    ``history_index`` is a one-column frame ``(h)`` of md5 content
+    hashes (16 bytes/doc — the only state the pipeline persists between
+    batches). Returns ``(kept, new_index)``:
+
+    - ``kept`` — incoming rows that are neither within-batch duplicates
+      (min-id keeper per hash) nor present in the index. One groupBy on
+      the hash + one anti-join against the index, both keyed on ``h`` —
+      co-partitioned, no corpus re-scan.
+    - ``new_index`` — the index with the kept batch's hashes appended;
+      write it back (e.g. a bucketed table on ``h`` — plans/layout.py)
+      so the next batch's anti-join is co-located too.
+    """
+    inc = incoming.withColumn("_h", content_hash(text_col))
+    keepers = inc.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    batch_kept = inc.join(keepers, ["_h", id_col], "left_semi")
+    kept = batch_kept.join(
+        history_index.select(F.col("h").alias("_h")), "_h", "left_anti"
+    )
+    new_index = history_index.unionByName(
+        kept.select(F.col("_h").alias("h"))
+    ).distinct()
+    return kept.drop("_h"), new_index

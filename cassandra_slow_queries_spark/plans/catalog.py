@@ -655,6 +655,44 @@ ORDER BY st.doc_id
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental intake dedup: even doc_ids play the corpus HISTORY
+    (persisted as a 16-byte/doc hash index — the only state a daily
+    pipeline keeps), odd doc_ids the incoming batch. Kept = incoming
+    minus within-batch duplicates (min-id keeper) minus anything already
+    in the index; ``index_size`` carries the updated index cardinality
+    into the hash compare. No history re-scan — one groupBy + one
+    anti-join, both keyed on the hash."""
+    from cassandra_slow_queries_spark.operators.dedup import (
+        content_hash,
+        incremental_exact_dedup,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    index = history.select(content_hash("text").alias("h")).distinct()
+    kept, new_index = incremental_exact_dedup(incoming, index, "text", "doc_id")
+    n_index = new_index.agg(F.count("*").cast("long").alias("index_size"))
+    return (
+        kept.select("doc_id").crossJoin(n_index).orderBy("doc_id")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH hist AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+inc AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1),
+keep AS (SELECT h, MIN(doc_id) AS doc_id FROM inc GROUP BY h),
+kept AS (SELECT k.doc_id, k.h FROM keep k LEFT JOIN hist USING (h)
+         WHERE hist.h IS NULL)
+SELECT kept.doc_id,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT h FROM hist UNION SELECT h FROM kept)) AS index_size
+FROM kept
+ORDER BY kept.doc_id
+"""
+
+
 def q_dedup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_slow_queries_spark.operators.dedup import shingle_candidate_pairs
 
@@ -3436,6 +3474,11 @@ CATALOG: dict[str, QueryDef] = {
         q_dedup_sample_policy,
         DEDUP_SAMPLE_POLICY_SQL,
         "hot-block sample policy: oversized near-dup cluster covered, connected, linear",
+    ),
+    "dedup_incremental": QueryDef(
+        q_dedup_incremental,
+        DEDUP_INCREMENTAL_SQL,
+        "incremental intake dedup against a persistent hash index",
     ),
     "dedup_paragraph": QueryDef(
         q_dedup_paragraph,

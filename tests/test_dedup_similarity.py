@@ -975,3 +975,33 @@ def test_interval_join_exact_buckets_above_2_53(spark):
         (-125, 3),       # floor (not truncate-toward-zero) bucketing
         # big+5 excluded (half-open); -120 excluded (half-open)
     }
+
+
+def test_incremental_exact_dedup(spark):
+    """New-batch dedup against a persistent hash index: within-batch
+    duplicates collapse to the min-id keeper, index hits drop entirely,
+    and the returned index gains exactly the kept hashes."""
+    from cassandra_slow_queries_spark.operators.dedup import (
+        content_hash,
+        incremental_exact_dedup,
+    )
+
+    history = spark.createDataFrame(
+        [(0, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    index = history.select(content_hash("text").alias("h")).distinct()
+    incoming = spark.createDataFrame(
+        [
+            (11, "brand new"),
+            (13, "brand new"),     # within-batch dup → 11 wins
+            (15, "seen before"),   # index hit → dropped
+            (17, "also new"),
+        ],
+        "doc_id long, text string",
+    )
+    kept, new_index = incremental_exact_dedup(incoming, index, "text", "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [11, 17]
+    assert new_index.count() == 4  # 2 historical + 2 kept
+    # idempotence: replaying the same batch against the new index keeps 0
+    kept2, _ = incremental_exact_dedup(incoming, new_index, "text", "doc_id")
+    assert kept2.count() == 0
