@@ -3097,6 +3097,60 @@ ORDER BY query
 """
 
 
+def q_x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column corpus profile (count / nulls / distinct / min / max)
+    in one aggregation pass — warehouse ANALYZE as a DataFrame. Exact
+    distincts here for oracle value-stability; the approx (sketch) mode
+    is the 100 TB default and its tolerance is gated by
+    ``x_sketch_gate``. See operators/profile.py."""
+    from cassandra_slow_queries_spark.operators.profile import profile_columns
+
+    li = load(spark, sf_dir, "lineitem")
+    return profile_columns(
+        li,
+        ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"],
+        distinct="exact",
+    ).orderBy("column")
+
+
+X_PROFILE_SQL = """
+SELECT * FROM (
+    SELECT 'l_orderkey' AS "column",
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(l_orderkey) AS VARCHAR) AS max_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_linenumber) AS BIGINT),
+           CAST(MIN(l_linenumber) AS VARCHAR),
+           CAST(MAX(l_linenumber) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+           CAST(MIN(l_returnflag) AS VARCHAR),
+           CAST(MAX(l_returnflag) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT l_linestatus) AS BIGINT),
+           CAST(MIN(l_linestatus) AS VARCHAR),
+           CAST(MAX(l_linestatus) AS VARCHAR)
+    FROM lineitem
+)
+ORDER BY "column"
+"""
+
+
 def q_x_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates with exact-comparison gates. At 100 TB an exact
     COUNT(DISTINCT) shuffles every distinct value and an exact
@@ -3441,6 +3495,11 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "q1_pricing_summary": QueryDef(q_q1_pricing_summary, Q1_SQL, "TPC-H Q1 rollup"),
     "x_rollup": QueryDef(q_x_rollup, X_ROLLUP_SQL, "grouping-sets rollup"),
+    "x_profile": QueryDef(
+        q_x_profile,
+        X_PROFILE_SQL,
+        "per-column corpus profile in one aggregation pass",
+    ),
     "x_sketch_gate": QueryDef(
         q_x_sketch_gate,
         X_SKETCH_SQL,

@@ -60,3 +60,28 @@ def test_nodetool_endpoints_call_shape(monkeypatch):
     out = ep.nodetool_endpoints("ks1", "cf1", "pk1")
     assert out == ["10.0.0.1", "10.0.0.2"]
     assert calls["cmd"] == ["nodetool", "getendpoints", "ks1", "cf1", "pk1"]
+
+
+def test_profile_columns_nulls_and_modes(spark):
+    from cassandra_slow_queries_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "b")],
+        "k long, s string",
+    )
+    out = {
+        r["column"]: (r.n_rows, r.n_nulls, r.n_distinct, r.min_value, r.max_value)
+        for r in profile_columns(df, ["k", "s"], distinct="exact").collect()
+    }
+    assert out["k"] == (4, 1, 2, "1", "2")
+    assert out["s"] == (4, 1, 2, "a", "b")
+    # approx mode: same shape, distinct within HLL tolerance (tiny input → exact)
+    approx = {
+        r["column"]: r.n_distinct
+        for r in profile_columns(df, ["k", "s"], distinct="approx").collect()
+    }
+    assert approx == {"k": 2, "s": 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile_columns(df, ["k"], distinct="bogus")
