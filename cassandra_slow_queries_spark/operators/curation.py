@@ -431,3 +431,56 @@ def repetition_metrics(
             ),
         )
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_quality: float = 0.75,
+    max_dup_chunk_frac: float = 0.5,
+    max_top_bigram_frac: float = 0.1,
+    lang: str = "en",
+    chunk_words: int = 4,
+) -> DataFrame:
+    """C4/Gopher-style composed keep/drop decision per document:
+    ``(id, quality, dup_chunk_frac, top_bigram_frac, pred_lang, keep)``.
+
+    The standard pre-training filter chain — length/stopword quality
+    score, within-document repetition profile, language ID — evaluated
+    together so the decision (and WHY a document failed: each criterion
+    column is carried, not collapsed) is one frame a pipeline can join,
+    audit, or re-threshold without recomputing the signals. ``keep`` is
+    the conjunction; flip thresholds per corpus.
+
+    Scale shape: the quality score and language ID are pure expressions
+    on the scan; only the repetition profile aggregates (three keyed
+    explode pipelines, see :func:`repetition_metrics`); one join on the
+    document id combines them.
+    """
+    from cassandra_slow_queries_spark.functions.text import (
+        lang_id,
+        quality_score,
+    )
+
+    rep = repetition_metrics(df, text_col, id_col, chunk_words)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.round(quality_score(text_col), 6).alias("quality"),
+        lang_id(text_col).alias("pred_lang"),
+    )
+    out = base.join(rep, "id")
+    keep = (
+        (F.col("quality") >= min_quality)
+        & (F.col("dup_chunk_frac") <= max_dup_chunk_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        & (F.col("pred_lang") == lang)
+    )
+    return out.select(
+        "id",
+        "quality",
+        "dup_chunk_frac",
+        "top_bigram_frac",
+        "pred_lang",
+        keep.alias("keep"),
+    )

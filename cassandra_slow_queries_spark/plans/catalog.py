@@ -1024,6 +1024,36 @@ ORDER BY doc_id
 """
 
 
+def q_cur_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed C4/Gopher-style pre-training filter: quality score +
+    repetition profile + language ID evaluated together, each criterion
+    carried so the keep/drop decision is auditable. Thresholds chosen to
+    split the corpus non-trivially (quality ≥ 0.75 drops ~40%, lang=en
+    drops the 'und' tail) — the gate is a real decision, not a
+    tautology."""
+    from cassandra_slow_queries_spark.operators.curation import quality_filter
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        quality_filter(docs, "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _cur_quality_filter_sql() -> str:
+    return f"""
+WITH q AS ({_text_quality_sql()}),
+l AS ({_langid_sql()}),
+r AS ({TEXT_REPETITION_SQL})
+SELECT q.doc_id, q.quality, r.dup_chunk_frac, r.top_bigram_frac, l.pred_lang,
+       (q.quality >= 0.75 AND r.dup_chunk_frac <= 0.5
+        AND r.top_bigram_frac <= 0.1 AND l.pred_lang = 'en') AS keep
+FROM q JOIN l USING (doc_id) JOIN r USING (doc_id)
+ORDER BY q.doc_id
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint (order-sensitive xxhash chain) gated on its
     content-identity invariants: the hash itself isn't SQL-expressible,
@@ -3583,6 +3613,11 @@ CATALOG: dict[str, QueryDef] = {
         q_text_repetition,
         TEXT_REPETITION_SQL,
         "Gopher repetition profile: dup-chunk / top-bigram / top-word fractions",
+    ),
+    "cur_quality_filter": QueryDef(
+        q_cur_quality_filter,
+        _cur_quality_filter_sql(),
+        "composed C4-style filter: quality + repetition + lang-ID, auditable keep",
     ),
     "text_fingerprint": QueryDef(
         q_text_fingerprint,
