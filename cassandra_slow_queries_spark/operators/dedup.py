@@ -1231,6 +1231,12 @@ def incremental_exact_dedup(
     kept = batch_kept.join(
         history_index.select(F.col("h").alias("_h")), "_h", "left_anti"
     )
+    # materialize the kept batch ONCE: it feeds both return values (the
+    # rows and the index update), and the caller's next step is writing
+    # the index back anyway — without this, consuming both outputs
+    # re-runs the hash + groupBy + anti-join lineage per consumer
+    # (measured 7 source scans for the catalog entry vs 4 after)
+    kept = kept.localCheckpoint(eager=True)
     new_index = history_index.unionByName(
         kept.select(F.col("_h").alias("h"))
     ).distinct()
