@@ -382,3 +382,55 @@ def test_strip_duplicate_chunks_matches_pure_python(
         kept = [c for c in cs if c not in hot]
         want[i] = (len(cs), len(cs) - len(kept), " ".join(kept))
     assert got == want
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "zz"]), min_size=0, max_size=14
+        ).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    chunk_words=st.sampled_from([2, 4]),
+)
+def test_repetition_metrics_match_pure_python(spark, texts, chunk_words):
+    """Gopher repetition fractions equal a direct Python re-computation
+    on random tiny-alphabet corpora (maximal repetition by construction):
+    within-doc duplicate chunks, modal bigram, modal word — including
+    empty and single-word documents."""
+    from collections import Counter
+
+    from cassandra_slow_queries_spark.operators.curation import (
+        repetition_metrics,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.id: (r.dup_chunk_frac, r.top_bigram_frac, r.top_word_frac)
+        for r in repetition_metrics(
+            df, "text", "doc_id", chunk_words
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        words = t.split(" ")
+        chunks = [
+            " ".join(words[j : j + chunk_words])
+            for j in range(0, len(words), chunk_words)
+        ]
+        dup = round(1 - len(set(chunks)) / len(chunks), 6)
+        bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+        bg = (
+            round(Counter(bigrams).most_common(1)[0][1] / len(bigrams), 6)
+            if bigrams
+            else 0.0
+        )
+        wd = round(Counter(words).most_common(1)[0][1] / len(words), 6)
+        assert got[i] == (dup, bg, wd), (i, t)
