@@ -419,3 +419,59 @@ def test_stream_dedup_keys_drops_duplicates(spark, tmp_path):
         ("2026-08-13 05:00:00", "q2", "2"),
         ("2026-08-13 06:00:00", "q0", "0"),
     ]
+
+
+def test_stream_dedup_checkpoint_restart_no_reemit(spark, tmp_path):
+    """Checkpointed restart: the dedup state lives in the checkpoint, so
+    a second run over NEW files must not re-emit keys already emitted in
+    the first run (within the watermark horizon) — the exactly-once
+    resume property a 24/7 intake job depends on."""
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        distinct_keys_stream,
+    )
+
+    src = tmp_path / "facts"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            rows, "ts_s string, query string, primary_key string, duration long"
+        ).select(
+            F.to_timestamp("ts_s").alias("ts"), "query", "primary_key", "duration"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    def run_once():
+        stream = read_fact_stream(spark, f"{src}/*")
+        q = (
+            distinct_keys_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_batch("b1", [("2026-08-13 05:00:10", "q0", "0", 100),
+                       ("2026-08-13 05:00:11", "q1", "1", 100)])
+    run_once()
+    first = spark.read.parquet(sink).count()
+    assert first == 2
+    # second batch: one repeat of (q0, 0) in the same hour + one new key,
+    # timestamps within the 90-minute horizon of batch 1
+    write_batch("b2", [("2026-08-13 05:30:00", "q0", "0", 100),
+                       ("2026-08-13 05:30:01", "q2", "2", 100)])
+    run_once()
+    rows = sorted(
+        (str(r.bucket), r.query, r.primary_key)
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert rows == [
+        ("2026-08-13 05:00:00", "q0", "0"),
+        ("2026-08-13 05:00:00", "q1", "1"),
+        ("2026-08-13 05:00:00", "q2", "2"),
+    ]
