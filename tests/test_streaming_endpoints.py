@@ -475,3 +475,62 @@ def test_stream_dedup_checkpoint_restart_no_reemit(spark, tmp_path):
         ("2026-08-13 05:00:00", "q1", "1"),
         ("2026-08-13 05:00:00", "q2", "2"),
     ]
+
+
+def test_windowed_agg_checkpoint_restart_append_semantics(spark, tmp_path):
+    """Append-mode watermarked aggregation across a checkpointed restart:
+    a window emits exactly once (when the watermark passes its end), a
+    restart does not re-emit already-closed windows, and late data for an
+    emitted window is dropped rather than double-counted."""
+    from cassandra_slow_queries_spark.streaming.pipeline import volume_stream
+
+    src = tmp_path / "facts"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(
+            rows, "ts_s string, query string, primary_key string, duration long"
+        ).select(
+            F.to_timestamp("ts_s").alias("ts"), "query", "primary_key", "duration"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    def run_once():
+        stream = read_fact_stream(spark, f"{src}/*")
+        q = (
+            volume_stream(stream, window="1 hour", watermark="90 minutes")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: hours 5, 6, 7 → watermark 07:30-90m = 06:00 → only the
+    # hour-5 window is closed and emitted
+    write_batch("b1", [
+        ("2026-08-13 05:10:00", "q", "0", 10),
+        ("2026-08-13 05:20:00", "q", "0", 20),
+        ("2026-08-13 06:10:00", "q", "0", 30),
+        ("2026-08-13 07:30:00", "q", "0", 40),
+    ])
+    run_once()
+    p1 = {(r.minute, r.cnt, r.duration) for r in spark.read.parquet(sink).collect()}
+    assert p1 == {("2026-08-13 05:00", 2, 30)}
+    # phase 2: hour 9 advances the watermark to 08:00 (closing windows 6
+    # and 7) and a LATE hour-5 event arrives behind the watermark
+    write_batch("b2", [
+        ("2026-08-13 09:30:00", "q", "0", 50),
+        ("2026-08-13 05:40:00", "q", "0", 999),  # late: window already emitted
+    ])
+    run_once()
+    p2 = {(r.minute, r.cnt, r.duration) for r in spark.read.parquet(sink).collect()}
+    assert p2 == {
+        ("2026-08-13 05:00", 2, 30),   # NOT re-emitted, late row dropped
+        ("2026-08-13 06:00", 1, 30),
+        ("2026-08-13 07:00", 1, 40),
+    }
