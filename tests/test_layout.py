@@ -113,3 +113,43 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     assert filtered.count() == want
     # unfiltered scan has no partition filters
     assert scan_partition_filters(part.select("event_id")) in ("", "[]")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session's AQE skew-join handling (session.py) must actually
+    engage on a one-key-dominant join: with thresholds scaled down to
+    test size, the FINAL adaptive plan marks the sort-merge join
+    skew=true (the hot partition was split across tasks) and the result
+    is still exactly the unskewed row count."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        pad = F.concat(*[F.lit("x" * 32)] * 8).alias("pad")
+        left = spark.range(50_000).select(
+            (F.col("id") * 0).alias("k"), pad
+        ).union(spark.range(1_000).select((F.col("id") % 100 + 1).alias("k"), pad))
+        right = spark.range(101).select(
+            F.col("id").alias("k"), F.lit("dim").alias("v")
+        )
+        j = left.hint("merge").join(right, "k")
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert len(rows) == 51_000
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
