@@ -153,3 +153,23 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_filter_pushdown_and_column_pruning_reach_the_scan(spark):
+    """A filtered two-column projection must reach the parquet scan as
+    PushedFilters + a pruned ReadSchema — if either regresses, the scan
+    reads (and decodes) the full table at 100 TB."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    q = ev.filter(
+        (F.col("event_type") == "click") & (F.col("value") > 10.0)
+    ).select("event_id", "value")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PushedFilters: [" in scan
+    for pf in ("EqualTo(event_type,click)", "GreaterThan(value,10.0)"):
+        assert pf in scan, scan
+    # pruned: only the referenced columns in ReadSchema — not all six
+    rs = scan.split("ReadSchema:", 1)[1]
+    assert "event_id" in rs and "value" in rs and "event_type" in rs
+    for absent in ("user_id", "props", "ts"):
+        assert absent not in rs, rs
