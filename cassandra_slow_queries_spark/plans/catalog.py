@@ -2834,6 +2834,54 @@ ORDER BY o_orderpriority
 """
 
 
+def q_x_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-pruned scan over a hive-partitioned layout: events are
+    staged ONCE per session partitioned by event_type; the filtered
+    aggregate's scan must carry the predicate as a PARTITION filter
+    (planning-time directory pruning — the 1/365th-of-the-files property
+    for date-partitioned logs). ``pruned`` carries the plan inspection
+    into the oracle hash compare, same pattern as ``x_bucketed_join``."""
+    from cassandra_slow_queries_spark.plans.layout import (
+        scan_partition_filters,
+        write_partitioned,
+    )
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    part_dir = _stage_once(
+        spark,
+        f"events_by_type_{tag}",
+        lambda d: write_partitioned(
+            load(spark, sf_dir, "events"), d, ["event_type"]
+        ),
+    )
+    part = spark.read.parquet(part_dir)
+    filtered = part.filter(F.col("event_type") == "click")
+    pruned = "event_type" in scan_partition_filters(
+        filtered.select("event_id", "value")
+    )
+    return (
+        filtered.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            _sum_dec("value").alias("sum_value"),
+        )
+        .withColumn("pruned", F.lit(pruned))
+        .orderBy("event_type")
+    )
+
+
+X_PARTITION_PRUNE_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       TRUE AS pruned
+FROM events
+WHERE event_type = 'click'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_x_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: per-user sessionization with a 30-minute inactivity gap
     (``session_window`` built-in; oracle is the gaps-and-islands SQL)."""
@@ -3539,6 +3587,11 @@ CATALOG: dict[str, QueryDef] = {
         q_x_bucketed_join,
         X_BUCKETED_SQL,
         "co-located bucketed fact join: zero exchanges below the join, plan-gated",
+    ),
+    "x_partition_prune": QueryDef(
+        q_x_partition_prune,
+        X_PARTITION_PRUNE_SQL,
+        "hive-partitioned scan: directory pruning carried into the hash compare",
     ),
     "x_session_window": QueryDef(
         q_x_session_window, X_SESSION_SQL, "session windows vs gaps-and-islands"
