@@ -87,11 +87,21 @@ def attach_endpoints(
                         )
                     ]
                 )
-            else:  # pragma: no cover - no nodetool in the test container
-                raise NotImplementedError(
-                    "nodetool provider requires a Cassandra installation on "
-                    "executors; see module docstring for the call shape"
+            else:
+                # one subprocess per key, same as the reference loop
+                # (find_pk_nodes.py:79-84) — executors must have nodetool
+                # on PATH. The call+parse shape is unit-tested against a
+                # fake `nodetool` executable (tests/test_streaming_endpoints);
+                # batch-level dedup below bounds the subprocess count by
+                # DISTINCT keys per batch, not rows.
+                keys = list(
+                    zip(pdf[keyspace_col], pdf[cf_col], pdf[pk_col])
                 )
+                cache: dict[tuple, list[str]] = {}
+                for k in keys:
+                    if k not in cache:
+                        cache[k] = nodetool_endpoints(*k)
+                pdf = pdf.assign(endpoints=[cache[k] for k in keys])
             yield pdf
 
     return df.mapInPandas(lookup_batches, out_schema)

@@ -334,11 +334,14 @@ def test_endpoints_report_fixed_columns(spark):
 
 
 def test_nodetool_provider_is_gated(spark):
+    """Without nodetool on executor PATH the real provider fails loudly
+    (subprocess launch error surfaced through the Python worker), never
+    silently; unknown providers are rejected at plan time."""
     df = spark.createDataFrame(
         [("ks1", "cf1", "pk1")],
         "keyspace string, column_family string, primary_key string",
     )
-    with pytest.raises(Exception, match="NotImplementedError|Cassandra"):
+    with pytest.raises(Exception, match="nodetool|No such file|NotFound"):
         attach_endpoints(df, provider="nodetool").collect()
     with pytest.raises(ValueError, match="unknown provider"):
         attach_endpoints(df, provider="bogus")
@@ -534,3 +537,33 @@ def test_windowed_agg_checkpoint_restart_append_semantics(spark, tmp_path):
         ("2026-08-13 06:00", 1, 30),
         ("2026-08-13 07:00", 1, 40),
     }
+
+
+def test_nodetool_endpoints_subprocess_shape(tmp_path, monkeypatch):
+    """The real nodetool provider's call + parse shape, driven against a
+    fake `nodetool` executable on PATH: argv order matches the reference
+    (getendpoints <ks> <cf> <pk>), one endpoint per non-blank stdout
+    line, whitespace stripped, failures raise."""
+    import os
+    import stat
+
+    from cassandra_slow_queries_spark.operators.endpoints import (
+        nodetool_endpoints,
+    )
+
+    fake = tmp_path / "nodetool"
+    fake.write_text(
+        "#!/bin/sh\n"
+        'if [ "$1" != "getendpoints" ]; then exit 2; fi\n'
+        'if [ "$4" = "boom" ]; then exit 1; fi\n'
+        'echo "10.0.0.1"\n'
+        "echo\n"
+        'echo "  10.0.0.2  "\n'
+    )
+    fake.chmod(fake.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{tmp_path}{os.pathsep}{os.environ['PATH']}")
+    assert nodetool_endpoints("ks1", "cf1", "pk1") == ["10.0.0.1", "10.0.0.2"]
+    import subprocess
+
+    with pytest.raises(subprocess.CalledProcessError):
+        nodetool_endpoints("ks1", "cf1", "boom")
