@@ -81,3 +81,44 @@ def profile_columns(
         ]
     )
     return wide.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def profile_embeddings(
+    df: DataFrame, vec_col: str = "embedding", expected_dim: int | None = None
+) -> DataFrame:
+    """One-row QA profile of an embedding column — the checks a vector
+    pipeline runs before indexing: ``(n_rows, n_nulls, min_dim, max_dim,
+    n_dim_mismatch, n_zero_norm, avg_norm)``.
+
+    A silent dim mismatch or a batch of zero vectors poisons every
+    downstream cosine (the round-1 LSH bug class was exactly a dim
+    mismatch); this surfaces both before any index is built.
+    ``n_dim_mismatch`` counts rows whose dimensionality differs from
+    ``expected_dim`` — or, when ``expected_dim`` is None, from the MAX
+    dimensionality observed (derived in a 1-row aggregate crossJoined
+    back, so the plan stays lazy and distributed). Norms are computed in
+    double (the array is cast first) with a left-fold sum, so the value
+    is bit-reproducible across engines that fold left.
+    """
+    v = F.col(vec_col)
+    norm = F.sqrt(
+        F.aggregate(
+            v.cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    dim = F.size(v)
+    if expected_dim is not None:
+        src = df.withColumn("_want", F.lit(expected_dim))
+    else:
+        src = df.crossJoin(df.agg(F.max(dim).alias("_want")))
+    return src.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(v.isNull().cast("long")).alias("n_nulls"),
+        F.min(dim).cast("long").alias("min_dim"),
+        F.max(dim).cast("long").alias("max_dim"),
+        F.sum(
+            (F.coalesce(dim, F.lit(-1)) != F.col("_want")).cast("long")
+        ).alias("n_dim_mismatch"),
+        F.sum((F.abs(norm) < 1e-12).cast("long")).alias("n_zero_norm"),
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+    )

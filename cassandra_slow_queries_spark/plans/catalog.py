@@ -3312,6 +3312,40 @@ ORDER BY "column"
 """
 
 
+def q_x_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column QA profile (dims, nulls, zero norms, average norm)
+    — the pre-indexing sanity pass every ANN build should run; a silent
+    dim mismatch here is exactly the round-1 LSH bug class. One scan,
+    double-precision left-fold norms. See operators/profile.py."""
+    from cassandra_slow_queries_spark.operators.profile import (
+        profile_embeddings,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return profile_embeddings(emb, "embedding")
+
+
+X_EMB_PROFILE_SQL = """
+WITH w AS (SELECT MAX(len(embedding)) AS want FROM embeddings),
+n AS (SELECT embedding,
+             sqrt(list_aggregate(
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                 'sum')) AS nrm
+      FROM embeddings)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       CAST(MIN(len(embedding)) AS BIGINT) AS min_dim,
+       CAST(MAX(len(embedding)) AS BIGINT) AS max_dim,
+       CAST(SUM(CASE WHEN COALESCE(len(embedding), -1) != w.want
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dim_mismatch,
+       CAST(SUM(CASE WHEN ABS(nrm) < 1e-12 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_norm,
+       ROUND(AVG(nrm), 4) AS avg_norm
+FROM n, w
+"""
+
+
 def q_x_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates with exact-comparison gates. At 100 TB an exact
     COUNT(DISTINCT) shuffles every distinct value and an exact
@@ -3666,6 +3700,11 @@ CATALOG: dict[str, QueryDef] = {
         q_x_profile,
         X_PROFILE_SQL,
         "per-column corpus profile in one aggregation pass",
+    ),
+    "x_embedding_profile": QueryDef(
+        q_x_embedding_profile,
+        X_EMB_PROFILE_SQL,
+        "embedding-column QA: dims, zero norms, average norm",
     ),
     "x_sketch_gate": QueryDef(
         q_x_sketch_gate,

@@ -85,3 +85,27 @@ def test_profile_columns_nulls_and_modes(spark):
 
     with _pytest.raises(ValueError):
         profile_columns(df, ["k"], distinct="bogus")
+
+
+def test_profile_embeddings_flags_mismatch_and_zero_norm(spark):
+    from cassandra_slow_queries_spark.operators.profile import (
+        profile_embeddings,
+    )
+
+    rows = [
+        (0, [3.0, 4.0]),        # norm 5
+        (1, [0.0, 0.0]),        # zero norm
+        (2, [1.0, 0.0, 0.0]),   # dim 3 (the max → the reference dim)
+        (3, None),              # null vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    [r] = profile_embeddings(df, "embedding").collect()
+    assert (r.n_rows, r.n_nulls, r.min_dim, r.max_dim) == (4, 1, 2, 3)
+    # rows 0, 1 (dim 2) and the NULL row mismatch the max dim 3
+    assert r.n_dim_mismatch == 3
+    assert r.n_zero_norm == 1
+    # avg over non-null norms: (5 + 0 + 1) / 3
+    assert r.avg_norm == 2.0
+    # explicit expected_dim: only the dim-3 row conforms... to dim 2
+    [r2] = profile_embeddings(df, "embedding", expected_dim=2).collect()
+    assert r2.n_dim_mismatch == 2  # dim-3 row + NULL row
