@@ -106,6 +106,52 @@ def cap_per_group(
     )
 
 
+#: denominator for the 60-bit md5 uniform draw in :func:`weighted_sample`
+_U_SPACE = float(1 << 60)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    key_col: str = "sample_key",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement of ``k`` rows:
+    inclusion probability proportional to ``weight_col`` (Efraimidis &
+    Spirakis 2006, "Weighted random sampling with a reservoir").
+
+    Each row draws a key ``u^(1/w)`` with ``u`` uniform in (0,1); the
+    ``k`` largest keys are exactly a weighted sample without
+    replacement. Instead of a PRNG, ``u`` comes from the same portable
+    md5 draw as :func:`sample_bucket` — ``(md5_60bit(id) + 0.5) / 2^60``
+    — so the sample is a pure function of the row ids: reproducible
+    across runs, restarts, partitionings, and engines (a DuckDB oracle
+    reproduces it bit-for-bit). Rows with non-positive weight are
+    excluded (zero weight = never sampled, matching the limit of the
+    E-S key as w→0⁺).
+
+    The key is ROUNDED to 12 digits before ranking (id-asc tiebreak) —
+    the catalog-wide float-ordering rule — and kept in the output
+    (``key_col``) for audit.
+
+    Scale: one global top-K — ``orderBy(...).limit(k)`` compiles to
+    TakeOrderedAndProject (per-partition heaps + driver merge of k·P
+    rows), no full sort, no shuffle of the corpus.
+    """
+    c = F.col(id_col)
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
+    u = (h.cast("bigint").cast("double") + F.lit(0.5)) / F.lit(_U_SPACE)
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.pow(u, F.lit(1.0) / w), 12)
+    return (
+        df.filter(w > 0)
+        .withColumn(key_col, key)
+        .orderBy(F.col(key_col).desc(), c.asc())
+        .limit(k)
+    )
+
+
 def _distributed_prefix_sum(
     df: DataFrame,
     token_col: str,

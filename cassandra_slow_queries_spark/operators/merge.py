@@ -1,0 +1,120 @@
+"""CDC merge (upsert) and scalable global row numbering.
+
+Extension tier (no reference counterpart — the reference pipeline is a
+one-shot batch job, analyze_slow_queries.py:112-148). A training-data
+corpus at 100 TB is not rebuilt from scratch per intake: new crawl
+batches arrive as change sets (new docs, re-crawled docs, takedown
+tombstones) and must merge into the standing snapshot. The classic
+engine answer is MERGE INTO; the Spark-first answer for latest-wins
+semantics is cheaper than a join:
+
+    union(snapshot, changes) → one hash shuffle on the key →
+    row_number() per key over (version desc) → keep rank 1 →
+    drop tombstones.
+
+One wide shuffle total, no join node, no driver round-trips —
+`merge_upsert` below. Deletes are first-class: a change row whose
+``tombstone_col`` is true wins like any other version but is dropped
+from the output (so a later re-insert with a higher version resurrects
+the key, and an older late-arriving update cannot).
+
+``assign_global_ids`` covers the other standing need of corpus
+assembly — contiguous global ids (sample indices, shard offsets) over
+a defined total order. ``Window.orderBy`` without partitioning is the
+classic single-task trap; this reuses the distributed prefix-sum from
+operators/curation.py with a constant weight of 1: range-partition on
+the order, local row numbers per range, O(num_ranges) driver offsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cassandra_slow_queries_spark.operators.curation import (
+    _distributed_prefix_sum,
+)
+
+_PRIO = "_merge_prio"
+_RANK = "_merge_rank"
+_TOMB = "_merge_tomb"
+
+
+def merge_upsert(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    version_cols: list[str],
+    tombstone_col: str | None = None,
+) -> DataFrame:
+    """Latest-wins merge of a change set into a snapshot.
+
+    For every key (``keys`` tuple), the surviving row is the one with
+    the highest ``version_cols`` tuple across BOTH inputs; on an exact
+    version tie the change row wins (the standard CDC convention —
+    a re-delivered row with the same version replaces, not duplicates).
+    If the winner's ``tombstone_col`` is true, the key is deleted
+    (absent from the output). Output schema = snapshot schema (the
+    tombstone column, if any, is dropped).
+
+    Scale: one ``row_number`` window keyed on ``keys`` — a single hash
+    shuffle over snapshot+changes. No join, so there is no small-side
+    assumption: a change set as large as the snapshot costs the same
+    shuffle. Skew = one hot key's versions in one task, which is the
+    row count of that key, not of the corpus.
+    """
+    cols = snapshot.columns
+    if tombstone_col is not None and tombstone_col not in changes.columns:
+        raise ValueError(f"changes is missing tombstone column {tombstone_col!r}")
+
+    def shaped(df: DataFrame, prio: int) -> DataFrame:
+        tomb: Column = (
+            F.coalesce(F.col(tombstone_col).cast("boolean"), F.lit(False))
+            if tombstone_col is not None and tombstone_col in df.columns
+            else F.lit(False)
+        )
+        return df.select(
+            *[F.col(c) for c in cols if c != tombstone_col],
+            tomb.alias(_TOMB),
+            F.lit(prio).alias(_PRIO),
+        )
+
+    merged = shaped(snapshot, 0).unionByName(shaped(changes, 1))
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(v).desc() for v in version_cols], F.col(_PRIO).desc()
+    )
+    return (
+        merged.withColumn(_RANK, F.row_number().over(w))
+        .filter((F.col(_RANK) == 1) & ~F.col(_TOMB))
+        .drop(_RANK, _PRIO, _TOMB)
+    )
+
+
+def assign_global_ids(
+    df: DataFrame,
+    order: list[Column],
+    out_col: str = "global_id",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Contiguous 1-based global ids over the total order ``order``
+    (which must be a strict total order — include a unique tiebreak
+    column, or equal rows get arbitrary relative ids).
+
+    Equivalent to ``row_number() OVER (ORDER BY order)`` but distributed:
+    the unpartitioned window form plans a single-partition sort (every
+    row through one task — fatal at 100 TB), while this runs a range
+    exchange + per-range local windows + an O(num_ranges) driver offset
+    map (see ``_distributed_prefix_sum``).
+
+    Returns a materialized (localCheckpoint) frame so the internal
+    cache is released before the caller consumes the result.
+    """
+    counted = df.withColumn("_one", F.lit(1).cast("long"))
+    summed, ranged = _distributed_prefix_sum(
+        counted, "_one", order, num_ranges, out_col=out_col
+    )
+    try:
+        out = summed.drop("_one").localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()
+    return out

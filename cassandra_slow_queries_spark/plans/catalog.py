@@ -3656,6 +3656,162 @@ ORDER BY bucket, duration DESC, query, primary_key
 """
 
 
+def q_x_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins merge (operators/merge.py): the standing per-user
+    state snapshot (latest pre-cutoff event) merged with a post-cutoff
+    change stream where ``event_type='error'`` rows act as tombstones.
+    One union + one keyed window — no join node; the oracle replays the
+    same semantics as a global latest-per-key with the tombstone rule.
+    """
+    from cassandra_slow_queries_spark.operators.merge import merge_upsert
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", _dur().alias("duration")
+    )
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    pre = ev.filter(F.col("ts") < cutoff)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snapshot = (
+        pre.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    changes = ev.filter(F.col("ts") >= cutoff).withColumn(
+        "deleted", F.col("event_type") == "error"
+    )
+    merged = merge_upsert(
+        snapshot, changes, ["user_id"], ["ts", "event_id"], tombstone_col="deleted"
+    )
+    return merged.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("duration").alias("last_duration"),
+    )
+
+
+X_MERGE_SQL = """
+WITH ranked AS (
+    SELECT user_id, event_id, ts, event_type,
+           CAST(FLOOR(value) AS BIGINT) AS duration,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id,
+       event_id AS last_event_id,
+       ts AS last_ts,
+       event_type AS last_type,
+       duration AS last_duration
+FROM ranked
+WHERE rn = 1
+  AND NOT (event_type = 'error' AND ts >= TIMESTAMP '2024-01-16')
+"""
+
+
+def q_x_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global ids over a total order WITHOUT the
+    single-partition ``Window.orderBy`` trap: range exchange → local
+    windows → O(num_ranges) broadcast offsets (operators/merge.py
+    ``assign_global_ids``). Oracle = plain ``ROW_NUMBER() OVER (ORDER
+    BY ...)``, which DuckDB can afford at sf0.01."""
+    from cassandra_slow_queries_spark.operators.merge import assign_global_ids
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = assign_global_ids(
+        docs,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        num_ranges=8,
+    )
+    return out.select("doc_id", "n_chars", "global_id")
+
+
+X_GLOBAL_IDS_SQL = """
+SELECT doc_id, n_chars,
+       ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS global_id
+FROM documents
+"""
+
+
+def q_cur_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis keys over the portable md5 draw,
+    operators/curation.py ``weighted_sample``): longer documents are
+    proportionally more likely to be kept. Keys are rounded to 12
+    digits before ranking (catalog float-ordering rule); the oracle
+    recomputes the identical keys and top-K in DuckDB."""
+    from cassandra_slow_queries_spark.operators.curation import weighted_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return weighted_sample(docs, weight_col="n_chars", k=100, id_col="doc_id")
+
+
+# CAST(... AS DOUBLE) BEFORE adding 0.5, mirroring Spark's cast-then-add:
+# exact DECIMAL addition would round once instead of twice and can differ
+# in the last ulp for 60-bit hashes.
+CUR_WEIGHTED_SQL = """
+WITH keyed AS (
+    SELECT doc_id, source, n_chars,
+           ROUND(POW(
+               (CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                          AS BIGINT) AS DOUBLE) + 0.5) / 1152921504606846976.0,
+               1.0 / CAST(n_chars AS DOUBLE)), 12) AS sample_key
+    FROM documents
+    WHERE CAST(n_chars AS DOUBLE) > 0
+)
+SELECT doc_id, source, n_chars, sample_key
+FROM keyed
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT 100
+"""
+
+
+def q_stream_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined per
+    micro-batch against a static broadcast dimension (customer), then a
+    streaming aggregation per market segment. The static side is
+    re-resolvable each trigger (dimension refresh comes free); the join
+    itself never shuffles the stream — broadcast hash join inside the
+    batch. With AvailableNow delivering the whole directory, the result
+    equals the batch join oracle."""
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        read_fact_stream,
+        run_stream_to_batch,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "ts", "user_id", _dur().alias("duration")
+    )
+    fact_dir = _stage_once(
+        spark,
+        f"fact_enrich_{sf_dir.replace('/', '_')}",
+        lambda d: ev.write.mode("overwrite").parquet(d),
+    )
+    stream = read_fact_stream(spark, fact_dir)
+    dim = F.broadcast(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    joined = stream.join(dim, stream.user_id == dim.c_custkey, "inner")
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").alias("cnt"),
+        F.sum("duration").alias("total_duration"),
+    )
+    return run_stream_to_batch(agg, output_mode="complete").orderBy("segment")
+
+
+STREAM_ENRICH_SQL = """
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS cnt,
+       SUM(CAST(FLOOR(value) AS BIGINT)) AS total_duration
+FROM events
+JOIN customer ON user_id = c_custkey
+GROUP BY 1
+ORDER BY segment
+"""
+
 
 # Ordering note: the driver's correctness gate checks the FIRST
 # rotation.CHECK_WINDOW (50) entries in dict order. Through round 5 that
@@ -3723,6 +3879,16 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "x_session_window": QueryDef(
         q_x_session_window, X_SESSION_SQL, "session windows vs gaps-and-islands"
+    ),
+    "x_merge_upsert": QueryDef(
+        q_x_merge_upsert,
+        X_MERGE_SQL,
+        "CDC latest-wins merge with tombstones: union + keyed window, no join",
+    ),
+    "x_global_ids": QueryDef(
+        q_x_global_ids,
+        X_GLOBAL_IDS_SQL,
+        "distributed global row ids: range exchange + local windows + offsets",
     ),
     "x_asof_join": QueryDef(
         q_x_asof_join, X_ASOF_SQL, "as-of join via union+ordered window"
@@ -3809,6 +3975,11 @@ CATALOG: dict[str, QueryDef] = {
     "cur_sample_stratified": QueryDef(
         q_cur_sample_stratified, CUR_SAMPLE_SQL, "deterministic stratified sample"
     ),
+    "cur_weighted_sample": QueryDef(
+        q_cur_weighted_sample,
+        CUR_WEIGHTED_SQL,
+        "Efraimidis-Spirakis weighted sample without replacement, engine-portable",
+    ),
     "cur_domain_cap": QueryDef(
         q_cur_domain_cap, CUR_DOMAIN_CAP_SQL, "per-source cap"
     ),
@@ -3867,6 +4038,11 @@ CATALOG: dict[str, QueryDef] = {
         q_stream_dedup_keys,
         STREAM_DEDUP_SQL,
         "streaming ingestion dedup: dropDuplicatesWithinWatermark, bounded state",
+    ),
+    "stream_enrich_join": QueryDef(
+        q_stream_enrich_join,
+        STREAM_ENRICH_SQL,
+        "stream-static broadcast enrichment join + streaming aggregation",
     ),
     "stream_stateful_burst": QueryDef(
         q_stream_stateful_burst,

@@ -18,6 +18,7 @@ from cassandra_slow_queries_spark.operators.curation import (
     sample_bucket,
     stratified_sample,
     token_budget_select,
+    weighted_sample,
 )
 
 
@@ -92,6 +93,32 @@ def test_token_budget_equals_global_window(spark, docs, num_ranges):
     got = {(r.doc_id, r.cum_tokens) for r in out.collect()}
     want = {(r.doc_id, r.cum_tokens) for r in ref.collect()}
     assert got == want and len(want) > 0
+
+
+def test_weighted_sample_deterministic_across_partitionings(spark, docs):
+    a = weighted_sample(docs, "n_chars", 50, "doc_id")
+    b = weighted_sample(docs.repartition(13), "n_chars", 50, "doc_id")
+    rows_a = sorted((r.doc_id, r.sample_key) for r in a.collect())
+    rows_b = sorted((r.doc_id, r.sample_key) for r in b.collect())
+    assert rows_a == rows_b
+    assert len(rows_a) == 50
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10), (4, 10)], "doc_id long, w long"
+    )
+    out = weighted_sample(df, "w", 10, "doc_id")
+    assert sorted(r.doc_id for r in out.collect()) == [3, 4]
+
+
+def test_weighted_sample_overwhelming_weight_always_kept(spark):
+    # E-S key u^(1/w): w=10^9 pushes the key to ~1 regardless of the
+    # hash draw, so the heavy row must land in any top-1 sample.
+    rows = [(i, 1) for i in range(500)] + [(999, 10**9)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample(df, "w", 1, "doc_id")
+    assert [r.doc_id for r in out.collect()] == [999]
 
 
 def test_token_budget_zero_budget_empty(spark, docs):

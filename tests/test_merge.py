@@ -1,0 +1,103 @@
+"""merge_upsert / assign_global_ids (operators/merge.py) semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_slow_queries_spark.operators.merge import (
+    assign_global_ids,
+    merge_upsert,
+)
+
+SNAP_SCHEMA = "k string, v long, payload string"
+CHG_SCHEMA = "k string, v long, payload string, dead boolean"
+
+
+def _merge(spark, snap_rows, chg_rows, **kw):
+    snap = spark.createDataFrame(snap_rows, SNAP_SCHEMA)
+    chg = spark.createDataFrame(chg_rows, CHG_SCHEMA)
+    out = merge_upsert(
+        snap, chg, keys=["k"], version_cols=["v"], tombstone_col="dead", **kw
+    )
+    return {r["k"]: (r["v"], r["payload"]) for r in out.collect()}
+
+
+def test_latest_version_wins_across_sides(spark):
+    got = _merge(
+        spark,
+        [("a", 2, "snap"), ("b", 5, "snap")],
+        [("a", 3, "chg", False), ("b", 1, "late", False)],
+    )
+    # a: change v3 beats snapshot v2; b: late change v1 loses to snapshot v5
+    assert got == {"a": (3, "chg"), "b": (5, "snap")}
+
+
+def test_equal_version_change_wins(spark):
+    got = _merge(spark, [("a", 2, "snap")], [("a", 2, "redelivered", False)])
+    assert got == {"a": (2, "redelivered")}
+
+
+def test_tombstone_deletes_and_higher_version_resurrects(spark):
+    got = _merge(
+        spark,
+        [("gone", 1, "snap"), ("back", 1, "snap")],
+        [
+            ("gone", 2, "x", True),
+            ("back", 2, "x", True),
+            ("back", 3, "reborn", False),
+            ("new", 1, "fresh", False),
+        ],
+    )
+    # 'gone' deleted by the winning tombstone; 'back' resurrected by v3;
+    # 'new' inserted with no snapshot row
+    assert got == {"back": (3, "reborn"), "new": (1, "fresh")}
+
+
+def test_old_tombstone_cannot_delete_newer_row(spark):
+    got = _merge(spark, [("a", 5, "snap")], [("a", 3, "x", True)])
+    assert got == {"a": (5, "snap")}
+
+
+def test_output_schema_is_snapshot_schema(spark):
+    snap = spark.createDataFrame([("a", 1, "p")], SNAP_SCHEMA)
+    chg = spark.createDataFrame([("a", 2, "q", False)], CHG_SCHEMA)
+    out = merge_upsert(snap, chg, ["k"], ["v"], tombstone_col="dead")
+    assert out.columns == snap.columns
+
+
+def test_missing_tombstone_column_raises(spark):
+    snap = spark.createDataFrame([("a", 1, "p")], SNAP_SCHEMA)
+    chg = spark.createDataFrame([("a", 2, "q")], SNAP_SCHEMA)
+    import pytest
+
+    with pytest.raises(ValueError, match="tombstone"):
+        merge_upsert(snap, chg, ["k"], ["v"], tombstone_col="dead")
+
+
+def test_merge_without_tombstones(spark):
+    snap = spark.createDataFrame([("a", 1, "p")], SNAP_SCHEMA)
+    chg = spark.createDataFrame([("a", 2, "q"), ("b", 1, "r")], SNAP_SCHEMA)
+    out = merge_upsert(snap, chg, ["k"], ["v"])
+    got = {r["k"]: r["payload"] for r in out.collect()}
+    assert got == {"a": "q", "b": "r"}
+
+
+def test_global_ids_match_row_number(spark):
+    rows = [(i, (i * 37) % 101) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, score long")
+    out = assign_global_ids(
+        df, [F.col("score").desc(), F.col("id").asc()], num_ranges=7
+    )
+    got = {r["id"]: r["global_id"] for r in out.collect()}
+    expected_order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    for rank, (rid, _score) in enumerate(expected_order, start=1):
+        assert got[rid] == rank
+    # contiguous 1..N exactly once
+    assert sorted(got.values()) == list(range(1, 201))
+
+
+def test_global_ids_more_ranges_than_rows(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    out = assign_global_ids(df, [F.col("id").asc()], num_ranges=16)
+    got = {r["id"]: r["global_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
