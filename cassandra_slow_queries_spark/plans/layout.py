@@ -138,6 +138,117 @@ def scan_partition_filters(df: DataFrame) -> str:
     return ""
 
 
+def zorder_key(cols: list, bits: int = 16):
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    column into one long, so rows close in EVERY dimension get close
+    keys. Sorting/range-partitioning files by this key bounds each
+    file's min/max range on all dimensions at once — parquet row-group
+    and file skipping then works for predicates on any of them, where a
+    linear sort only serves its leading column. (Single-dimension
+    directory pruning is :func:`write_partitioned`; z-order is the
+    multi-dimension analogue for high-cardinality numeric columns.)
+
+    Inputs must already be non-negative integers < 2**bits (rank or
+    scale them first — the caller owns normalization, which keeps this
+    a pure expression). Pure bitwise expressions, JVM codegen, no UDF:
+    ``bits × len(cols)`` shift/or terms.
+    """
+    from pyspark.sql import functions as F
+
+    exprs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(exprs):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * len(exprs) + i))
+    return z
+
+
+def zorder_key_sql(cols: list[str], bits: int = 16) -> str:
+    """The exact SQL-expression twin of :func:`zorder_key` (same term
+    order), so a DuckDB oracle reproduces identical keys."""
+    terms = []
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            shift = b * len(cols) + i
+            terms.append(f"(((CAST({c} AS BIGINT) >> {b}) & 1) << {shift})")
+    return " | ".join(terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcol,
+    num_files: int,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write ``df`` clustered by a pre-computed z-key column: range
+    exchange on the key (``num_files`` ordered chunks — sampled bounds,
+    fine for layout; the deterministic-cell analysis in the catalog
+    gate uses fixed-width cells instead) + in-partition sort, so each
+    output file covers one tight z-range → one tight bounding box over
+    the interleaved dimensions."""
+    from pyspark.sql import functions as F
+
+    zc = F.col(zcol) if isinstance(zcol, str) else zcol
+    w = (
+        df.repartitionByRange(num_files, zc)
+        .sortWithinPartitions(zc)
+        .write.mode("overwrite")
+    )
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
+
+
+def compact_files(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    rows_per_file: int,
+) -> int:
+    """Rewrite a parquet directory into ``ceil(rows / rows_per_file)``
+    evenly-sized files (round-robin repartition — no key, no skew) and
+    return the file count written.
+
+    The small-files remedy: a streaming sink or over-parallel job that
+    leaves thousands of KB-sized files per partition makes every later
+    scan pay per-file open/footer/listing costs — at 100 TB the listing
+    alone can dominate. Compaction is the standing maintenance operator
+    that restores ≈target-sized files; derive ``rows_per_file`` from a
+    byte target with :func:`rows_for_target_bytes`.
+    """
+    import math
+
+    df = spark.read.parquet(src_dir)
+    total = df.count()
+    n = max(1, math.ceil(total / rows_per_file))
+    df.repartition(n).write.mode("overwrite").parquet(dst_dir)
+    return len(
+        [f for f in spark.read.parquet(dst_dir).inputFiles()]
+    )
+
+
+def rows_for_target_bytes(
+    spark: SparkSession, src_dir: str, target_bytes: int
+) -> int:
+    """Rows per file that lands ≈``target_bytes`` per output file, from
+    the source's measured on-disk bytes/row (compressed parquet
+    in/out ≈ same density). Driver-side file metadata only."""
+    import os
+    from urllib.parse import urlparse
+
+    df = spark.read.parquet(src_dir)
+    total_rows = df.count()
+    if total_rows == 0:
+        return 1
+    total_bytes = sum(
+        os.path.getsize(urlparse(f).path) for f in df.inputFiles()
+    )
+    bytes_per_row = max(1.0, total_bytes / total_rows)
+    return max(1, int(target_bytes / bytes_per_row))
+
+
 def exchange_count(df: DataFrame) -> int:
     """Number of Exchange (shuffle/broadcast-exchange) operators in the
     physical plan — 0 on a fully co-located plan.

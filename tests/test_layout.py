@@ -173,3 +173,94 @@ def test_filter_pushdown_and_column_pruning_reach_the_scan(spark):
     assert "event_id" in rs and "value" in rs and "event_type" in rs
     for absent in ("user_id", "props", "ts"):
         assert absent not in rs, rs
+
+
+def _morton(x: int, y: int, bits: int = 8) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((x >> b) & 1) << (2 * b)
+        z |= ((y >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_zorder_key_matches_python_morton(spark):
+    from cassandra_slow_queries_spark.plans.layout import zorder_key
+
+    rows = [(i, (i * 7) % 256, (i * 13) % 256) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = {
+        r["id"]: r["z"]
+        for r in df.select("id", zorder_key(["x", "y"], bits=8).alias("z")).collect()
+    }
+    for rid, x, y in rows:
+        assert got[rid] == _morton(x, y), (rid, x, y)
+
+
+def test_zorder_sql_twin_matches_expression(spark):
+    import duckdb
+
+    from cassandra_slow_queries_spark.plans.layout import zorder_key_sql
+
+    expr = zorder_key_sql(["x", "y"], bits=8)
+    vals = duckdb.sql(
+        "SELECT x, y, " + expr + " AS z FROM "
+        "(SELECT range % 256 AS x, (range * 31) % 256 AS y FROM range(300))"
+    ).fetchall()
+    for x, y, z in vals:
+        assert z == _morton(x, y)
+
+
+def test_write_zordered_files_cover_disjoint_z_ranges(spark, tmp_path):
+    from cassandra_slow_queries_spark.plans.layout import (
+        write_zordered,
+        zorder_key,
+    )
+
+    df = (
+        spark.range(4096)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            ((F.col("id") * 37) % 64).alias("y"),
+        )
+        .withColumn("z", zorder_key(["x", "y"], bits=6))
+    )
+    out = str(tmp_path / "zordered")
+    write_zordered(df, out, "z", num_files=8)
+    back = spark.read.parquet(out)
+    assert back.count() == 4096
+    # range-partitioned on z → per-file z-ranges must not overlap
+    spans = []
+    for f in sorted(set(back.inputFiles())):
+        one = spark.read.parquet(f).agg(
+            F.min("z").alias("lo"), F.max("z").alias("hi")
+        ).collect()[0]
+        spans.append((one["lo"], one["hi"]))
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, (spans,)
+
+
+def test_compact_files_hits_target_and_preserves_rows(spark, tmp_path):
+    from cassandra_slow_queries_spark.plans.layout import compact_files
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    spark.range(1000).repartition(40).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 40
+    n = compact_files(spark, src, dst, rows_per_file=300)
+    assert n == 4  # ceil(1000/300)
+    back = spark.read.parquet(dst)
+    assert back.count() == 1000
+    assert back.select("id").distinct().count() == 1000
+
+
+def test_rows_for_target_bytes_scales_with_target(spark, tmp_path):
+    from cassandra_slow_queries_spark.plans.layout import rows_for_target_bytes
+
+    src = str(tmp_path / "sized")
+    spark.range(10_000).select(
+        F.col("id"), F.sha2(F.col("id").cast("string"), 256).alias("pad")
+    ).write.parquet(src)
+    small = rows_for_target_bytes(spark, src, 10_000)
+    big = rows_for_target_bytes(spark, src, 1_000_000)
+    assert 0 < small < big
