@@ -90,6 +90,34 @@ def merge_upsert(
     )
 
 
+def scd2_history(
+    changes: DataFrame,
+    keys: list[str],
+    version_cols: list[str],
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change log: each
+    change row becomes a validity interval ``[valid_from, valid_to)``
+    per key — ``valid_from`` is the row's own first version column,
+    ``valid_to`` the NEXT change's (null while still current).
+
+    The interval build is one ``lead()`` window per key — the same
+    single-shuffle shape as :func:`merge_upsert`, so a full history
+    rebuild costs one pass regardless of how many versions a key has.
+    ``version_cols`` must strictly order each key's changes (add a
+    unique tiebreak column if the timestamp alone can tie); the first
+    version column supplies the interval bounds.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(v).asc() for v in version_cols])
+    return (
+        changes.withColumn(from_col, F.col(version_cols[0]))
+        .withColumn(to_col, F.lead(F.col(version_cols[0])).over(w))
+        .withColumn(current_col, F.col(to_col).isNull())
+    )
+
+
 def assign_global_ids(
     df: DataFrame,
     order: list[Column],

@@ -3945,6 +3945,131 @@ FROM documents
 """
 
 
+def q_x_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build (operators/merge.py ``scd2_history``):
+    every change becomes a validity interval per key via one lead()
+    window — the dimension-history complement of the latest-wins merge
+    (``x_merge_upsert`` keeps only the current row; this keeps them
+    all, time-sliced)."""
+    from cassandra_slow_queries_spark.operators.merge import scd2_history
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    hist = scd2_history(ev, keys=["user_id"], version_cols=["ts", "event_id"])
+    return hist.select(
+        "user_id",
+        "event_id",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("long").alias("is_current"),
+    )
+
+
+X_SCD2_SQL = """
+SELECT user_id, event_id,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       CAST(CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+def q_x_backfill_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill gate (plans/layout.py ``overwrite_partitions``): a
+    date-partitioned copy of events gets ONE day restated (durations
+    doubled) via dynamic partition overwrite; the entry re-reads the
+    whole lake and additionally pins — inside the hash — that every
+    other day's files were left physically untouched (same on-disk file
+    set before and after). Re-running converges: the restated day is
+    always recomputed from the source table, so repeat passes rewrite
+    identical content."""
+    from cassandra_slow_queries_spark.plans.layout import overwrite_partitions
+
+    restate_day = "2024-01-15"
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_id",
+        _dur().alias("duration"),
+    )
+    base = _stage_once(
+        spark,
+        f"lake_{sf_dir.replace('/', '_')}",
+        lambda d: ev.write.mode("overwrite").partitionBy("day").parquet(d),
+    )
+    marker = f"day={restate_day}"
+    before = {
+        f for f in spark.read.parquet(base).inputFiles() if marker not in f
+    }
+    restated = ev.filter(F.col("day") == restate_day).withColumn(
+        "duration", F.col("duration") * 2
+    )
+    overwrite_partitions(restated, base, ["day"])
+    lake = spark.read.parquet(base)
+    after = {f for f in lake.inputFiles() if marker not in f}
+    untouched = F.lit(before == after).cast("long")
+    # partition discovery type-infers day=2024-01-15 as DATE; the report
+    # column is the string form (oracle parity + CSV-sink semantics)
+    lake = lake.withColumn("day", F.col("day").cast("string"))
+    return lake.groupBy("day").agg(
+        F.count("*").alias("cnt"),
+        F.sum("duration").alias("total_duration"),
+        untouched.alias("others_untouched"),
+    )
+
+
+X_BACKFILL_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(*) AS cnt,
+       CAST(SUM(CASE WHEN strftime(ts, '%Y-%m-%d') = '2024-01-15'
+                     THEN 2 * CAST(FLOOR(value) AS BIGINT)
+                     ELSE CAST(FLOOR(value) AS BIGINT) END) AS BIGINT)
+           AS total_duration,
+       CAST(1 AS BIGINT) AS others_untouched
+FROM events
+GROUP BY 1
+"""
+
+
+def q_x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: an early batch written WITHOUT ``lang``
+    and a later batch WITH it, unified by ``mergeSchema`` — the added
+    column back-fills null for old files instead of failing the scan.
+    The standing reality of a long-lived lake: producers add columns;
+    readers must keep working across the whole history."""
+    docs = load(spark, sf_dir, "documents")
+    early = docs.select("doc_id", "n_chars")
+    late = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "n_chars", "lang"
+    )
+    root = _stage_once(
+        spark,
+        f"evolve_{sf_dir.replace('/', '_')}",
+        lambda d: (
+            early.write.mode("overwrite").parquet(f"{d}/batch1"),
+            late.write.mode("overwrite").parquet(f"{d}/batch2"),
+        )[0],
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/batch1", f"{root}/batch2"
+    )
+    return merged.agg(
+        F.count("*").alias("rows"),
+        F.count("lang").alias("rows_with_lang"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+X_SCHEMA_EVOLUTION_SQL = """
+SELECT 2 * COUNT(*) AS rows,
+       COUNT(*) AS rows_with_lang,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(2 * SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+"""
+
+
 # Ordering note: the driver's correctness gate checks the FIRST
 # rotation.CHECK_WINDOW (50) entries in dict order. Through round 5 that
 # window was curated by hand; since round 6 the dict below holds only the
@@ -4018,6 +4143,21 @@ CATALOG: dict[str, QueryDef] = {
         q_x_compaction,
         X_COMPACTION_SQL,
         "small-files compaction: measured on-disk file counts, rows preserved",
+    ),
+    "x_scd2": QueryDef(
+        q_x_scd2,
+        X_SCD2_SQL,
+        "SCD type-2 history: change log to validity intervals, one window",
+    ),
+    "x_backfill_partition": QueryDef(
+        q_x_backfill_partition,
+        X_BACKFILL_SQL,
+        "dynamic-partition backfill: one day restated, other days' files untouched",
+    ),
+    "x_schema_evolution": QueryDef(
+        q_x_schema_evolution,
+        X_SCHEMA_EVOLUTION_SQL,
+        "mergeSchema read across batches with an added column",
     ),
     "x_session_window": QueryDef(
         q_x_session_window, X_SESSION_SQL, "session windows vs gaps-and-islands"

@@ -116,6 +116,27 @@ def write_partitioned(
     w.partitionBy(*partition_cols).parquet(path)
 
 
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Backfill/restatement write: dynamic partition overwrite replaces
+    ONLY the hive partitions present in ``df`` and leaves every other
+    partition's files physically untouched.
+
+    This is how a 100 TB date-partitioned lake restates one bad day —
+    recompute that day, overwrite its directory, never rewrite (or even
+    list) the other 364. Static overwrite mode (the default) would
+    truncate the whole root first; the per-write option scopes the
+    behavior to this writer instead of mutating session conf.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
 def scan_partition_filters(df: DataFrame) -> str:
     """The ``PartitionFilters: [...]`` clause of the plan's file scan
     (empty string when none) — the test hook pinning that a predicate

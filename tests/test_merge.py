@@ -101,3 +101,57 @@ def test_global_ids_more_ranges_than_rows(spark):
     out = assign_global_ids(df, [F.col("id").asc()], num_ranges=16)
     got = {r["id"]: r["global_id"] for r in out.collect()}
     assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_scd2_intervals_chain_per_key(spark):
+    from cassandra_slow_queries_spark.operators.merge import scd2_history
+
+    rows = [
+        ("a", 1, 10), ("a", 2, 20), ("a", 3, 30),
+        ("b", 4, 15),
+    ]
+    df = spark.createDataFrame(rows, "k string, change_id long, v long")
+    hist = scd2_history(df, keys=["k"], version_cols=["v", "change_id"])
+    got = {
+        r["change_id"]: (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in hist.collect()
+    }
+    assert got == {
+        1: (10, 20, False),
+        2: (20, 30, False),
+        3: (30, None, True),
+        4: (15, None, True),
+    }
+
+
+def test_scd2_tiebreak_orders_equal_versions(spark):
+    from cassandra_slow_queries_spark.operators.merge import scd2_history
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 10)], "k string, change_id long, v long"
+    )
+    hist = scd2_history(df, keys=["k"], version_cols=["v", "change_id"])
+    got = {r["change_id"]: r["is_current"] for r in hist.collect()}
+    # change_id tiebreak: id=2 is the later change, hence current
+    assert got == {1: False, 2: True}
+
+
+def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
+    from cassandra_slow_queries_spark.plans.layout import overwrite_partitions
+
+    root = str(tmp_path / "lake")
+    base = spark.createDataFrame(
+        [("d1", 1, 100), ("d1", 2, 200), ("d2", 3, 300)],
+        "day string, id long, v long",
+    )
+    base.write.partitionBy("day").parquet(root)
+    d2_files_before = {
+        f for f in spark.read.parquet(root).inputFiles() if "day=d2" in f
+    }
+    restated = spark.createDataFrame([("d1", 9, 999)], "day string, id long, v long")
+    overwrite_partitions(restated, root, ["day"])
+    back = spark.read.parquet(root)
+    d2_files_after = {f for f in back.inputFiles() if "day=d2" in f}
+    assert d2_files_before == d2_files_after  # untouched partition
+    got = {(r["day"], r["id"], r["v"]) for r in back.collect()}
+    assert got == {("d1", 9, 999), ("d2", 3, 300)}  # d1 fully replaced
