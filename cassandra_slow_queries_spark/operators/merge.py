@@ -118,6 +118,47 @@ def scd2_history(
     )
 
 
+def merge_agg_snapshots(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental aggregate maintenance: fold a delta batch's partial
+    aggregate into a standing aggregate snapshot without rescanning
+    history — union the two (schema-identical) aggregate frames and
+    re-reduce per key.
+
+    Only works for DECOMPOSABLE measures, which is why the API names
+    them explicitly: counts and sums add (``sum_cols`` — store counts
+    as a summable column), min/max fold (``min_cols``/``max_cols``).
+    Derived ratios (avg = sum/count) must be recomputed from the merged
+    parts at read time, never merged themselves — averaging averages is
+    the classic incremental-rollup bug. Cost is one shuffle over
+    |snapshot keys| + |delta keys| aggregate rows, independent of the
+    history's fact row count — the point of keeping the snapshot.
+    """
+    sum_cols = sum_cols or []
+    min_cols = min_cols or []
+    max_cols = max_cols or []
+    measures = (
+        [F.sum(c).alias(c) for c in sum_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    if not measures:
+        raise ValueError("no measure columns given")
+    cols = keys + sum_cols + min_cols + max_cols
+    return (
+        snapshot.select(cols)
+        .unionByName(delta.select(cols))
+        .groupBy(*keys)
+        .agg(*measures)
+    )
+
+
 def assign_global_ids(
     df: DataFrame,
     order: list[Column],

@@ -4070,6 +4070,71 @@ FROM documents
 """
 
 
+def _agg_cells(df: DataFrame) -> DataFrame:
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("duration").alias("total_duration"),
+        F.min("duration").alias("min_duration"),
+        F.max("duration").alias("max_duration"),
+    )
+
+
+def q_x_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/merge.py
+    ``merge_agg_snapshots``): a standing per-type aggregate snapshot
+    (staged once from pre-cutoff history) is folded with the delta
+    batch's partial aggregate — one shuffle over aggregate CELLS, the
+    history fact rows are never rescanned. The truncating average is
+    recomputed from the merged parts (sum/count), never merged.
+    Oracle = the full-table aggregate the merge must equal."""
+    from cassandra_slow_queries_spark.operators.merge import merge_agg_snapshots
+
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    ev = load(spark, sf_dir, "events").select(
+        "ts", "event_type", _dur().alias("duration")
+    )
+    snap_dir = _stage_once(
+        spark,
+        f"aggsnap_{sf_dir.replace('/', '_')}",
+        lambda d: _agg_cells(ev.filter(F.col("ts") < cutoff))
+        .write.mode("overwrite")
+        .parquet(d),
+    )
+    snapshot = spark.read.parquet(snap_dir)
+    delta = _agg_cells(ev.filter(F.col("ts") >= cutoff))
+    merged = merge_agg_snapshots(
+        snapshot,
+        delta,
+        keys=["event_type"],
+        sum_cols=["cnt", "total_duration"],
+        min_cols=["min_duration"],
+        max_cols=["max_duration"],
+    )
+    return merged.select(
+        "event_type",
+        "cnt",
+        "total_duration",
+        "min_duration",
+        "max_duration",
+        F.floor(F.col("total_duration") / F.col("cnt"))
+        .cast("long")
+        .alias("avg_duration"),
+    )
+
+
+X_INCREMENTAL_AGG_SQL = """
+SELECT event_type,
+       COUNT(*) AS cnt,
+       CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS total_duration,
+       MIN(CAST(FLOOR(value) AS BIGINT)) AS min_duration,
+       MAX(CAST(FLOOR(value) AS BIGINT)) AS max_duration,
+       CAST(FLOOR(SUM(CAST(FLOOR(value) AS BIGINT)) / COUNT(*)) AS BIGINT)
+           AS avg_duration
+FROM events
+GROUP BY event_type
+"""
+
+
 # Ordering note: the driver's correctness gate checks the FIRST
 # rotation.CHECK_WINDOW (50) entries in dict order. Through round 5 that
 # window was curated by hand; since round 6 the dict below holds only the
@@ -4158,6 +4223,11 @@ CATALOG: dict[str, QueryDef] = {
         q_x_schema_evolution,
         X_SCHEMA_EVOLUTION_SQL,
         "mergeSchema read across batches with an added column",
+    ),
+    "x_incremental_agg": QueryDef(
+        q_x_incremental_agg,
+        X_INCREMENTAL_AGG_SQL,
+        "incremental aggregate maintenance: snapshot + delta fold, no history rescan",
     ),
     "x_session_window": QueryDef(
         q_x_session_window, X_SESSION_SQL, "session windows vs gaps-and-islands"

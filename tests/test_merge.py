@@ -155,3 +155,54 @@ def test_overwrite_partitions_touches_only_present_partitions(spark, tmp_path):
     assert d2_files_before == d2_files_after  # untouched partition
     got = {(r["day"], r["id"], r["v"]) for r in back.collect()}
     assert got == {("d1", 9, 999), ("d2", 3, 300)}  # d1 fully replaced
+
+
+def test_merge_agg_snapshots_equals_full_recompute(spark):
+    from cassandra_slow_queries_spark.operators.merge import merge_agg_snapshots
+
+    rows = [(f"k{i % 3}", i, i * 7 % 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, seq long, v long")
+
+    def cells(d):
+        return d.groupBy("k").agg(
+            F.count("*").alias("cnt"),
+            F.sum("v").alias("total"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+
+    merged = merge_agg_snapshots(
+        cells(df.filter("seq < 60")),
+        cells(df.filter("seq >= 60")),
+        keys=["k"],
+        sum_cols=["cnt", "total"],
+        min_cols=["lo"],
+        max_cols=["hi"],
+    )
+    want = {r["k"]: r.asDict() for r in cells(df).collect()}
+    got = {r["k"]: r.asDict() for r in merged.collect()}
+    assert got == want
+
+
+def test_merge_agg_snapshots_key_only_on_one_side(spark):
+    from cassandra_slow_queries_spark.operators.merge import merge_agg_snapshots
+
+    snap = spark.createDataFrame([("a", 2, 10)], "k string, cnt long, total long")
+    delta = spark.createDataFrame([("b", 1, 5)], "k string, cnt long, total long")
+    got = {
+        r["k"]: (r["cnt"], r["total"])
+        for r in merge_agg_snapshots(
+            snap, delta, ["k"], sum_cols=["cnt", "total"]
+        ).collect()
+    }
+    assert got == {"a": (2, 10), "b": (1, 5)}
+
+
+def test_merge_agg_snapshots_requires_measures(spark):
+    import pytest
+
+    from cassandra_slow_queries_spark.operators.merge import merge_agg_snapshots
+
+    df = spark.createDataFrame([("a", 1)], "k string, cnt long")
+    with pytest.raises(ValueError, match="measure"):
+        merge_agg_snapshots(df, df, ["k"])
