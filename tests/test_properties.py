@@ -434,3 +434,89 @@ def test_repetition_metrics_match_pure_python(spark, texts, chunk_words):
         )
         wd = round(Counter(words).most_common(1)[0][1] / len(words), 6)
         assert got[i] == (dup, bg, wd), (i, t)
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert / scd2_history (operators/merge.py) vs pure-Python oracles
+# ---------------------------------------------------------------------------
+
+change_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # key
+        st.integers(min_value=0, max_value=20),  # version
+        st.booleans(),                           # tombstone
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(snap=change_strategy, chg=change_strategy)
+def test_merge_upsert_matches_bruteforce(spark, snap, chg):
+    from cassandra_slow_queries_spark.operators.merge import merge_upsert
+
+    # give every row a unique seq so (version, seq) is a strict order
+    snap_rows = [(k, v, i) for i, (k, v, _t) in enumerate(snap)]
+    chg_rows = [
+        (k, v, 1000 + i, t) for i, (k, v, t) in enumerate(chg)
+    ]
+    snap_df = spark.createDataFrame(
+        snap_rows or [], "k long, v long, seq long"
+    ) if snap_rows else spark.createDataFrame([], "k long, v long, seq long")
+    chg_df = spark.createDataFrame(
+        chg_rows or [], "k long, v long, seq long, dead boolean"
+    ) if chg_rows else spark.createDataFrame(
+        [], "k long, v long, seq long, dead boolean"
+    )
+    out = merge_upsert(
+        snap_df, chg_df, keys=["k"], version_cols=["v", "seq"],
+        tombstone_col="dead",
+    )
+    got = {r["k"]: (r["v"], r["seq"]) for r in out.collect()}
+
+    # brute force: per key, max (v, seq, change-priority); drop tombstones
+    best: dict[int, tuple] = {}
+    for k, v, seq in snap_rows:
+        cand = (v, seq, 0, False)
+        if k not in best or cand[:3] > best[k][:3]:
+            best[k] = cand
+    for k, v, seq, dead in chg_rows:
+        cand = (v, seq, 1, dead)
+        if k not in best or cand[:3] > best[k][:3]:
+            best[k] = cand
+    want = {k: (v, seq) for k, (v, seq, _p, dead) in best.items() if not dead}
+    assert got == want
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(chg=change_strategy)
+def test_scd2_intervals_partition_each_key_timeline(spark, chg):
+    from cassandra_slow_queries_spark.operators.merge import scd2_history
+
+    rows = [(k, v, i) for i, (k, v, _t) in enumerate(chg)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k long, v long, seq long")
+    hist = scd2_history(df, keys=["k"], version_cols=["v", "seq"])
+    by_key: dict[int, list] = {}
+    for r in hist.collect():
+        by_key.setdefault(r["k"], []).append(r)
+    for k, intervals in by_key.items():
+        intervals.sort(key=lambda r: (r["v"], r["seq"]))
+        # exactly one open (current) interval per key, and it is the last
+        currents = [r for r in intervals if r["is_current"]]
+        assert len(currents) == 1 and intervals[-1]["is_current"]
+        # intervals chain: each valid_to equals the next valid_from
+        for a, b in zip(intervals, intervals[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_from"] == a["v"]
+        assert intervals[-1]["valid_to"] is None
