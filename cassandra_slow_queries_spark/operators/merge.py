@@ -36,7 +36,6 @@ from cassandra_slow_queries_spark.operators.curation import (
 )
 
 _PRIO = "_merge_prio"
-_RANK = "_merge_rank"
 _TOMB = "_merge_tomb"
 
 
@@ -57,15 +56,22 @@ def merge_upsert(
     (absent from the output). Output schema = snapshot schema (the
     tombstone column, if any, is dropped).
 
-    Scale: one ``row_number`` window keyed on ``keys`` — a single hash
-    shuffle over snapshot+changes. No join, so there is no small-side
-    assumption: a change set as large as the snapshot costs the same
-    shuffle. Skew = one hot key's versions in one task, which is the
-    row count of that key, not of the corpus.
+    Scale: latest-wins is a DECOMPOSABLE max, so this compiles to a
+    hash aggregation — ``max_by(payload, (version..., side))`` — not a
+    sort+window: partial aggregation collapses every key to one row
+    per map task BEFORE the shuffle, which makes the operator immune
+    to hot-key skew (a key with 10^9 versions ships ~num_tasks partial
+    rows, not 10^9) and skips the per-key sort entirely. No join, so
+    there is no small-side assumption either: a change set as large as
+    the snapshot costs the same single shuffle of pre-combined rows.
+    Among rows with an identical full version tuple AND side, the
+    winner is arbitrary (same as any max over duplicates) — give
+    versions a unique tiebreak column if that matters.
     """
     cols = snapshot.columns
     if tombstone_col is not None and tombstone_col not in changes.columns:
         raise ValueError(f"changes is missing tombstone column {tombstone_col!r}")
+    payload = [c for c in cols if c != tombstone_col and c not in keys]
 
     def shaped(df: DataFrame, prio: int) -> DataFrame:
         tomb: Column = (
@@ -74,19 +80,28 @@ def merge_upsert(
             else F.lit(False)
         )
         return df.select(
-            *[F.col(c) for c in cols if c != tombstone_col],
+            *[F.col(k) for k in keys],
+            *[F.col(c) for c in payload],
             tomb.alias(_TOMB),
             F.lit(prio).alias(_PRIO),
         )
 
     merged = shaped(snapshot, 0).unionByName(shaped(changes, 1))
-    w = Window.partitionBy(*keys).orderBy(
-        *[F.col(v).desc() for v in version_cols], F.col(_PRIO).desc()
-    )
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in payload], F.col(_TOMB)),
+        F.struct(*[F.col(v) for v in version_cols], F.col(_PRIO)),
+    ).alias("_w")
+    out_cols = [c for c in cols if c != tombstone_col]
     return (
-        merged.withColumn(_RANK, F.row_number().over(w))
-        .filter((F.col(_RANK) == 1) & ~F.col(_TOMB))
-        .drop(_RANK, _PRIO, _TOMB)
+        merged.groupBy(*keys)
+        .agg(winner)
+        .filter(~F.col("_w")[_TOMB])
+        .select(
+            *[
+                F.col(c) if c in keys else F.col("_w")[c].alias(c)
+                for c in out_cols
+            ]
+        )
     )
 
 

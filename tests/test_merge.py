@@ -206,3 +206,19 @@ def test_merge_agg_snapshots_requires_measures(spark):
     df = spark.createDataFrame([("a", 1)], "k string, cnt long")
     with pytest.raises(ValueError, match="measure"):
         merge_agg_snapshots(df, df, ["k"])
+
+
+def test_merge_upsert_plans_as_partial_agg_not_window(spark):
+    """The scale property: latest-wins compiles to a hash aggregation
+    with map-side partial combine (hot keys collapse before the
+    shuffle), not a sort+window (whole hot key in one task)."""
+    from cassandra_slow_queries_spark.operators.merge import merge_upsert
+    from cassandra_slow_queries_spark.plans.layout import exchange_count
+
+    snap = spark.createDataFrame([("a", 1, "p")], SNAP_SCHEMA)
+    chg = spark.createDataFrame([("a", 2, "q", False)], CHG_SCHEMA)
+    out = merge_upsert(snap, chg, ["k"], ["v"], tombstone_col="dead")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "partial" in plan.lower()
+    assert exchange_count(out) == 1
