@@ -152,6 +152,50 @@ def weighted_sample(
     )
 
 
+def group_percent_rank(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """``PERCENT_RANK() OVER (PARTITION BY group ORDER BY score)`` —
+    fraction of the group's rows with a strictly smaller score — in a
+    shape that survives few-but-huge groups.
+
+    The naive window ranks ROWS, so a corpus with 5 languages sorts
+    each language's billions of rows in one task. Scores, however, are
+    usually low-cardinality (quality heuristics, token counts), so this
+    computes the rank on the (group, score) CDF instead:
+
+    1. aggregate to per-(group, score) cell counts — a normal hash agg
+       over the corpus, fully parallel;
+    2. one window over CELLS per group (bounded by distinct scores per
+       group, not rows — the documented residual assumption);
+    3. broadcast-join the tiny CDF back onto the corpus.
+
+    Tie semantics match PERCENT_RANK exactly: equal scores share a
+    rank. Single-row groups get rank 0.0 (the SQL convention n−1 → 0
+    division guarded to 0).
+    """
+    from pyspark.sql import Window
+
+    cells = df.groupBy(group_col, score_col).agg(F.count("*").alias("_c"))
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
+    wg = Window.partitionBy(group_col)
+    cdf = (
+        cells.withColumn("_below", F.sum("_c").over(w) - F.col("_c"))
+        .withColumn("_n", F.sum("_c").over(wg))
+        .select(
+            group_col,
+            score_col,
+            F.when(F.col("_n") > 1, F.col("_below") / (F.col("_n") - 1))
+            .otherwise(F.lit(0.0))
+            .alias(out_col),
+        )
+    )
+    return df.join(F.broadcast(cdf), [group_col, score_col], "left")
+
+
 def _distributed_prefix_sum(
     df: DataFrame,
     token_col: str,

@@ -174,6 +174,44 @@ def merge_agg_snapshots(
     )
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+    status_col: str = "status",
+) -> DataFrame:
+    """Snapshot diff for data versioning: classify every id across two
+    corpus snapshots as ``added`` (only in new), ``removed`` (only in
+    old), ``changed`` (present in both, any content column differs) or
+    ``unchanged``.
+
+    Content comparison hashes the named columns (xxhash64 — engine-local
+    comparison only, both hashes computed by Spark, so no cross-engine
+    portability constraint) and full-outer-joins the two 1-row-per-id
+    hash frames: one shuffle of (id, hash) pairs, never of the payloads.
+    Output: ``(id, status)``. The standard audit between intake runs —
+    "what did yesterday's pipeline change?" — and the input to
+    incremental downstream refresh (feed ``added``+``changed`` forward).
+    """
+    def hashed(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.xxhash64(*[F.col(c) for c in content_cols]).alias(f"_h_{tag}"),
+        )
+
+    o = hashed(old, "old")
+    n = hashed(new, "new")
+    joined = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select("id", status.alias(status_col))
+
+
 def assign_global_ids(
     df: DataFrame,
     order: list[Column],

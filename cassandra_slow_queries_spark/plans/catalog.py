@@ -4122,6 +4122,80 @@ def q_x_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cur_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise percentile normalization (operators/curation.py
+    ``group_percent_rank``): per-language percent rank of a quality
+    proxy, computed on the (group, score) CDF — hash agg + cell window
+    + broadcast join back — instead of a per-group window over ROWS
+    (which would sort each language's full corpus in one task). Oracle
+    = the literal PERCENT_RANK window, affordable at sf0.01."""
+    from cassandra_slow_queries_spark.operators.curation import (
+        group_percent_rank,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = group_percent_rank(docs, score_col="n_chars", group_col="lang")
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round("pct_rank", 6).alias("pct_rank"),
+    )
+
+
+CUR_QUALITY_RANK_SQL = """
+SELECT doc_id, lang, n_chars,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars ASC), 6)
+           AS pct_rank
+FROM documents
+"""
+
+
+def q_x_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/merge.py ``corpus_diff``): a derived
+    "next intake" of documents (10% dropped, every 7th remaining text
+    edited, every 13th re-ingested under a new id) is diffed against
+    the original — one full-outer join of (id, content-hash) pairs.
+    The oracle derives the same statuses from the modular rules
+    directly."""
+    from cassandra_slow_queries_spark.operators.merge import corpus_diff
+
+    docs = load(spark, sf_dir, "documents")
+    kept = docs.filter(F.col("doc_id") % 10 != 0)
+    edited = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    readded = docs.filter(F.col("doc_id") % 13 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    new = edited.unionByName(readded)
+    diff = corpus_diff(docs, new, id_col="doc_id", content_cols=["text"])
+    return diff.groupBy("status").agg(
+        F.count("*").alias("cnt"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+
+
+X_CORPUS_DIFF_SQL = """
+WITH tagged AS (
+    SELECT doc_id AS id,
+           CASE WHEN doc_id % 10 = 0 THEN 'removed'
+                WHEN doc_id % 7 = 0 THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, 'added' FROM documents WHERE doc_id % 13 = 0
+)
+SELECT status, COUNT(*) AS cnt, MIN(id) AS min_id, MAX(id) AS max_id
+FROM tagged
+GROUP BY status
+"""
+
+
 X_INCREMENTAL_AGG_SQL = """
 SELECT event_type,
        COUNT(*) AS cnt,
@@ -4229,6 +4303,11 @@ CATALOG: dict[str, QueryDef] = {
         X_INCREMENTAL_AGG_SQL,
         "incremental aggregate maintenance: snapshot + delta fold, no history rescan",
     ),
+    "x_corpus_diff": QueryDef(
+        q_x_corpus_diff,
+        X_CORPUS_DIFF_SQL,
+        "snapshot diff: added/removed/changed/unchanged via (id, hash) full-outer",
+    ),
     "x_session_window": QueryDef(
         q_x_session_window, X_SESSION_SQL, "session windows vs gaps-and-islands"
     ),
@@ -4331,6 +4410,11 @@ CATALOG: dict[str, QueryDef] = {
         q_cur_weighted_sample,
         CUR_WEIGHTED_SQL,
         "Efraimidis-Spirakis weighted sample without replacement, engine-portable",
+    ),
+    "cur_quality_rank": QueryDef(
+        q_cur_quality_rank,
+        CUR_QUALITY_RANK_SQL,
+        "group-wise percentile normalization on the CDF, not a row window",
     ),
     "cur_domain_cap": QueryDef(
         q_cur_domain_cap, CUR_DOMAIN_CAP_SQL, "per-source cap"

@@ -324,3 +324,27 @@ def test_repetition_metrics_hand_computed(spark):
     assert out[1] == (0.0, round(1 / 7, 6), 0.125)
     assert out[2] == (0.0, 0.0, 1.0)
     assert out[3] == (0.0, 0.0, 1.0)
+
+
+def test_group_percent_rank_equals_row_window(spark):
+    from pyspark.sql import Window
+
+    from cassandra_slow_queries_spark.operators.curation import (
+        group_percent_rank,
+    )
+
+    rows = [(i, f"g{i % 4}", (i * 3) % 7) for i in range(100)] + [(900, "solo", 5)]
+    df = spark.createDataFrame(rows, "id long, g string, score long")
+    got = {
+        r["id"]: r["pct_rank"]
+        for r in group_percent_rank(df, "score", "g").collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("score").asc())
+    want = {
+        r["id"]: r["pr"]
+        for r in df.withColumn("pr", F.percent_rank().over(w)).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
+    assert got[900] == 0.0  # single-row group convention

@@ -264,3 +264,26 @@ def test_rows_for_target_bytes_scales_with_target(spark, tmp_path):
     small = rows_for_target_bytes(spark, src, 10_000)
     big = rows_for_target_bytes(spark, src, 1_000_000)
     assert 0 < small < big
+
+
+def test_zorder_key_three_dimensions(spark):
+    from cassandra_slow_queries_spark.plans.layout import zorder_key
+
+    def morton3(x, y, z, bits=4):
+        out = 0
+        for b in range(bits):
+            out |= ((x >> b) & 1) << (3 * b)
+            out |= ((y >> b) & 1) << (3 * b + 1)
+            out |= ((z >> b) & 1) << (3 * b + 2)
+        return out
+
+    rows = [(i, i % 16, (i * 3) % 16, (i * 7) % 16) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, x long, y long, z long")
+    got = {
+        r["id"]: r["m"]
+        for r in df.select(
+            "id", zorder_key(["x", "y", "z"], bits=4).alias("m")
+        ).collect()
+    }
+    for rid, x, y, z in rows:
+        assert got[rid] == morton3(x, y, z)

@@ -222,3 +222,19 @@ def test_merge_upsert_plans_as_partial_agg_not_window(spark):
     assert "Window" not in plan
     assert "partial_max_by" in plan or "partial" in plan.lower()
     assert exchange_count(out) == 1
+
+
+def test_corpus_diff_classifies_all_statuses(spark):
+    from cassandra_slow_queries_spark.operators.merge import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c-edited"), (4, "d")], "id long, text string"
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in corpus_diff(old, new, "id", ["text"]).collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
