@@ -3346,6 +3346,95 @@ FROM n, w
 """
 
 
+def q_x_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the Deequ / Great
+    Expectations pattern) verified in one aggregation pass:
+    ``(check, metric, threshold, passed)`` per declared constraint.
+    The suite deliberately includes two FAILING checks (customer keys
+    repeat across orders; totalprice exceeds the declared cap on ~40%
+    of rows) so the oracle hash pins real measured ratios on both sides
+    of the verdict, not a vacuous all-TRUE column. One plain aggregate
+    for ratio/row-count checks + one Expand pass for the two exact
+    uniqueness metrics — see operators/expectations.py for the split
+    rationale."""
+    from cassandra_slow_queries_spark.operators.expectations import (
+        ExpectationSuite,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    suite = (
+        ExpectationSuite()
+        .expect_complete("o_custkey")
+        .expect_between("o_totalprice", 0, 300_000, min_ratio=0.99)
+        .expect_matches("o_orderpriority", "^[1-5]-")
+        .expect_in_set("o_orderstatus", ["O", "F", "P"])
+        .expect_unique("o_orderkey")
+        .expect_unique("o_custkey")
+        .expect_row_count(min_rows=1)
+    )
+    return suite.run(orders).orderBy("check")
+
+
+X_EXPECTATIONS_SQL = """
+SELECT * FROM (
+    SELECT 'complete(o_custkey)' AS "check",
+           ROUND(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS metric,
+           1.0 AS threshold,
+           SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+               / CAST(COUNT(*) AS DOUBLE) >= 1.0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'between(o_totalprice)',
+           ROUND(SUM(CASE WHEN o_totalprice IS NOT NULL
+                          AND o_totalprice BETWEEN 0 AND 300000
+                          THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6),
+           0.99,
+           SUM(CASE WHEN o_totalprice IS NOT NULL
+                    AND o_totalprice BETWEEN 0 AND 300000
+                    THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) >= 0.99
+    FROM orders
+    UNION ALL
+    SELECT 'matches(o_orderpriority)',
+           ROUND(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                          AND regexp_matches(o_orderpriority, '^[1-5]-')
+                          THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6),
+           1.0,
+           SUM(CASE WHEN o_orderpriority IS NOT NULL
+                    AND regexp_matches(o_orderpriority, '^[1-5]-')
+                    THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) >= 1.0
+    FROM orders
+    UNION ALL
+    SELECT 'in_set(o_orderstatus)',
+           ROUND(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                          THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6),
+           1.0,
+           SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+               THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) >= 1.0
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           ROUND(COUNT(DISTINCT o_orderkey) / CAST(COUNT(*) AS DOUBLE), 6),
+           1.0,
+           COUNT(DISTINCT o_orderkey) / CAST(COUNT(*) AS DOUBLE) >= 1.0
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_custkey)',
+           ROUND(COUNT(DISTINCT o_custkey) / CAST(COUNT(*) AS DOUBLE), 6),
+           1.0,
+           COUNT(DISTINCT o_custkey) / CAST(COUNT(*) AS DOUBLE) >= 1.0
+    FROM orders
+    UNION ALL
+    SELECT 'row_count',
+           ROUND(CAST(COUNT(*) AS DOUBLE), 6),
+           1.0,
+           COUNT(*) >= 1
+    FROM orders
+)
+ORDER BY "check"
+"""
+
+
 def q_x_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates with exact-comparison gates. At 100 TB an exact
     COUNT(DISTINCT) shuffles every distinct value and an exact
@@ -4257,6 +4346,11 @@ CATALOG: dict[str, QueryDef] = {
         q_x_embedding_profile,
         X_EMB_PROFILE_SQL,
         "embedding-column QA: dims, zero norms, average norm",
+    ),
+    "x_expectations": QueryDef(
+        q_x_expectations,
+        X_EXPECTATIONS_SQL,
+        "declarative data-quality expectation suite, one aggregation pass",
     ),
     "x_sketch_gate": QueryDef(
         q_x_sketch_gate,
