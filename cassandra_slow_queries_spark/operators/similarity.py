@@ -492,6 +492,89 @@ def ivf_cell_udf(centroids, n_probe: int = 1):
     return _cells
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    refine_iters: int = 1,
+    seed: int = 42,
+    centroids=None,
+) -> DataFrame:
+    """Semantic deduplication over an embedding column — the SemDeDup
+    recipe (Abbas et al., 2023, arXiv:2303.09540): k-means the corpus
+    into ``n_clusters`` cells, then WITHIN each cell remove every
+    document whose cosine to some lower-id cell-mate is ≥ ``threshold``
+    (the lowest id in each semantic near-dup neighborhood survives as
+    the representative — the paper's keep-one-per-ε-ball rule, applied
+    by index order).
+
+    Output: ``(id_col, cell, removed)`` — one row per input document.
+    ``cell`` is the k-means assignment (exposed so callers and tests can
+    audit cluster balance); ``removed`` is the dedup verdict.
+
+    Scale shape (the reason SemDeDup exists): cosine comparisons happen
+    only WITHIN a cell, so the pair space is Σ|cell|² instead of N² —
+    at 100 TB you scale ``n_clusters`` with the corpus to hold |cell|
+    roughly constant, making the per-cell work bounded and the whole
+    pass one shuffle on ``cell``. The pair join keys on the cell id, so
+    Spark hash-partitions cells across executors; the embedding rides
+    the join once per side with norms precomputed (one dot product per
+    surviving pair). Cluster training visits the driver only for the
+    C×dim centroid matrix (see :func:`train_ivf_centroids`). A
+    degenerate corpus (everything in one cell) degrades toward the
+    exact quadratic — the same posture as every blocked dedup in
+    operators/dedup.py, where hot-block caps/sampling are the
+    documented mitigation.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            df, n_clusters, id_col, vec_col, dim, refine_iters, seed
+        )
+    assign = ivf_cell_udf(centroids, n_probe=1)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        assign(F.col(vec_col))[0].alias("cell"),
+        F.col(vec_col).alias("_v"),
+        norm(vec_col).alias("_n"),
+    )
+    a = base.select(
+        F.col("_id").alias("_id_a"),
+        F.col("cell"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = base.select(
+        F.col("_id").alias("_id_b"),
+        F.col("cell"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    d = dot(F.col("_va"), F.col("_vb"))
+    sim = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0), d / (F.col("_na") * F.col("_nb"))
+    )
+    removed_ids = (
+        a.join(b, ["cell"])
+        .filter(F.col("_id_a") < F.col("_id_b"))
+        .filter(sim >= threshold)
+        .select(F.col("_id_b").alias("_id"))
+        .distinct()
+        .withColumn("_removed", F.lit(True))
+    )
+    return (
+        base.select("_id", "cell")
+        .join(removed_ids, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            F.coalesce(F.col("_removed"), F.lit(False)).alias("removed"),
+        )
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,

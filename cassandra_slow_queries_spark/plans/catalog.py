@@ -975,6 +975,55 @@ ORDER BY id_a, id_b
 """
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup gate (operators/similarity.py
+    :func:`semantic_dedup`): k-means the embeddings into cells, remove
+    any document with cosine ≥ 0.999 to a lower-id cell-mate.
+
+    The gate plants its own ground truth so the per-document verdict is
+    SQL-derivable WITHOUT replaying k-means: the corpus is the first 500
+    embeddings UNION an exact copy of each at ``vec_id + 100000``. An
+    identical vector produces an identical GEMM row, hence the same
+    argmax cell (stable tie-break), and cosine exactly 1.0 to its
+    lower-id original — so every copy MUST come out removed. The
+    originals are isotropic with no pair at cosine ≥ 0.999 at any SF
+    (verified sf0.001/0.01/0.1), so every original MUST come out kept.
+    The oracle pins all 1000 per-row verdicts; a wrong cell assignment
+    (copy separated from its original), a broken within-cell pair join,
+    or an inverted removal rule each flips rows and breaks the hash.
+    ``cell`` is deliberately dropped from the output: it depends on the
+    quantizer internals, which the planted construction makes
+    irrelevant to the verdict."""
+    from cassandra_slow_queries_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select("vec_id", "embedding")
+    )
+    corpus = emb.unionByName(
+        emb.select(
+            (F.col("vec_id") + 100_000).alias("vec_id"), F.col("embedding")
+        )
+    )
+    return (
+        semantic_dedup(corpus, threshold=0.999, n_clusters=8)
+        .select("vec_id", "removed")
+        .orderBy("vec_id")
+    )
+
+
+DEDUP_SEMANTIC_SQL = """
+SELECT vec_id, FALSE AS removed FROM embeddings WHERE vec_id < 500
+UNION ALL
+SELECT vec_id + 100000 AS vec_id, TRUE AS removed
+FROM embeddings WHERE vec_id < 500
+ORDER BY vec_id
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS (not just pairs): exact 3-gram Jaccard ≥0.5
     edges → connected components (iterative min-label propagation) →
@@ -4476,6 +4525,11 @@ CATALOG: dict[str, QueryDef] = {
         q_dedup_embedding,
         DEDUP_EMBEDDING_SQL,
         "embedding-cosine near-dup pairs, exact baseline",
+    ),
+    "dedup_semantic": QueryDef(
+        q_dedup_semantic,
+        DEDUP_SEMANTIC_SQL,
+        "SemDeDup: k-means cells + within-cell cosine prune, planted ground truth",
     ),
     "text_quality": QueryDef(
         q_text_quality, _text_quality_sql(), "quality score + BPE-ish token count"

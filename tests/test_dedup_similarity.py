@@ -779,6 +779,66 @@ def test_ivf_deterministic(spark):
     assert a == b
 
 
+def test_semantic_dedup_matches_brute_force_rule(spark):
+    """semantic_dedup == the SemDeDup removal rule computed by numpy
+    brute force GIVEN the returned cell assignment: removed iff cosine
+    ≥ threshold to some lower-id member of the same cell."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cassandra_slow_queries_spark.operators.similarity import semantic_dedup
+
+    vecs = _clustered_vectors(spark)  # three tight orthogonal clusters
+    out = semantic_dedup(
+        vecs, threshold=0.9999, n_clusters=3, dim=8, refine_iters=2
+    )
+    rows = {r["vec_id"]: (r["cell"], r["removed"]) for r in out.collect()}
+    assert len(rows) == 60  # one verdict per doc
+    data = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in vecs.collect()
+    }
+    for vid, (cell, removed) in rows.items():
+        mates = [
+            o
+            for o, (c, _) in rows.items()
+            if c == cell and o < vid
+        ]
+        v = data[vid]
+        expect = any(
+            float(v @ data[o])
+            / (np.linalg.norm(v) * np.linalg.norm(data[o]))
+            >= 0.9999
+            for o in mates
+        )
+        assert removed == expect, vid
+    # the clustered fixture genuinely removes within-cluster duplicates
+    # (jitter repeats every 5 ids → exact duplicates exist)
+    assert any(removed for _, removed in rows.values())
+    assert any(not removed for _, removed in rows.values())
+
+
+def test_semantic_dedup_keeps_exact_copies_out(spark):
+    """Planted exact copies are always removed, originals kept — the
+    invariant the dedup_semantic catalog entry hash-gates at 1000 rows."""
+    from pyspark.sql import functions as F
+
+    from cassandra_slow_queries_spark.operators.similarity import semantic_dedup
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter("vec_id < 100")
+        .select("vec_id", "embedding")
+    )
+    corpus = emb.unionByName(
+        emb.select((F.col("vec_id") + 1000).alias("vec_id"), "embedding")
+    )
+    out = semantic_dedup(corpus, threshold=0.999, n_clusters=4)
+    verdicts = {r["vec_id"]: r["removed"] for r in out.collect()}
+    assert all(not verdicts[i] for i in verdicts if i < 1000)
+    assert all(verdicts[i] for i in verdicts if i >= 1000)
+
+
 def test_resize_media_contract(spark):
     """Resize stub: one row per input, content exactly w*h bytes,
     deterministic and content-dependent; real decoder raises."""
