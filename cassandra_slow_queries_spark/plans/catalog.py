@@ -3951,6 +3951,65 @@ ORDER BY segment
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join
+    (streaming/pipeline.py:stream_stream_interval_join): the view
+    stream joined to the click stream per user within a 6-hour
+    attribution window — the canonical funnel/attribution shape. Both
+    sides are genuine file-source streams over the same staged events
+    directory; the join carries watermarks + the event-time range bound
+    so join state is evictable (the 100 TB requirement). AvailableNow
+    delivers the finite directory in one batch, so the appended pairs
+    equal the batch interval join and the per-user rollup (pair count +
+    exact summed lag in microseconds) hash-matches DuckDB."""
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        read_fact_stream,
+        run_stream_to_batch,
+        stream_stream_interval_join,
+    )
+
+    ev = load(spark, sf_dir, "events").select("ts", "user_id", "event_type")
+    fact_dir = _stage_once(
+        spark,
+        f"funnel_{sf_dir.replace('/', '_')}",
+        lambda d: ev.write.mode("overwrite").parquet(d),
+    )
+    views = read_fact_stream(spark, fact_dir).filter(
+        F.col("event_type") == "view"
+    )
+    clicks = read_fact_stream(spark, fact_dir).filter(
+        F.col("event_type") == "click"
+    )
+    pairs = stream_stream_interval_join(
+        views, clicks, on="user_id", interval="6 hours", watermark="12 hours"
+    )
+    appended = run_stream_to_batch(pairs, output_mode="append")
+    return (
+        appended.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts"))
+            ).alias("sum_lag_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAM_STREAM_JOIN_SQL = """
+SELECT a.user_id,
+       COUNT(*) AS n_pairs,
+       SUM(epoch_us(b.ts) - epoch_us(a.ts)) AS sum_lag_us
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'click'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+GROUP BY a.user_id
+ORDER BY a.user_id
+"""
+
+
 def q_x_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering gate: interleave two uniform 8-bit
     dimensions (plans/layout.py ``zorder_key``, pure bitwise codegen)
@@ -4627,6 +4686,11 @@ CATALOG: dict[str, QueryDef] = {
         q_stream_enrich_join,
         STREAM_ENRICH_SQL,
         "stream-static broadcast enrichment join + streaming aggregation",
+    ),
+    "stream_stream_join": QueryDef(
+        q_stream_stream_join,
+        STREAM_STREAM_JOIN_SQL,
+        "watermarked stream-stream interval join (view-to-click funnel)",
     ),
     "stream_stateful_burst": QueryDef(
         q_stream_stateful_burst,

@@ -122,6 +122,52 @@ def distinct_keys_stream(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    interval: str = "6 hours",
+    watermark: str = "12 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair every LEFT event with
+    the RIGHT events sharing ``on`` whose event time falls in
+    ``[left_ts, left_ts + interval]``.
+
+    Both sides get a watermark and the join condition carries the
+    event-time range — the two ingredients Spark REQUIRES to bound
+    stream-stream join state: a left row's buffer entry is evictable
+    once the right watermark passes ``left_ts + interval``, and vice
+    versa, so state is (arrival rate × horizon), not stream length.
+    Columns come out prefixed ``l_``/``r_`` (the join key once, from the
+    left) to keep the output unambiguous.
+
+    Completeness contract: within one micro-batch the join is exact;
+    across micro-batches a row arriving after the opposite side's
+    watermark already passed its match window is dropped — that is the
+    documented semantics of watermarked joins, not a defect. Under
+    ``Trigger.AvailableNow`` with no file cap, a finite directory lands
+    in a single batch, so the result equals the batch interval join
+    (how the catalog gate pins it against DuckDB).
+    """
+    l_cols = [c for c in left.columns if c != on]
+    r_cols = [c for c in right.columns if c != on]
+    l = left.withWatermark(left_ts, watermark).select(
+        F.col(on), *[F.col(c).alias(f"l_{c}") for c in l_cols]
+    )
+    r = right.withWatermark(right_ts, watermark).select(
+        F.col(on).alias("_r_on"), *[F.col(c).alias(f"r_{c}") for c in r_cols]
+    )
+    lt, rt = F.col(f"l_{left_ts}"), F.col(f"r_{right_ts}")
+    cond = (
+        (F.col(on) == F.col("_r_on"))
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {interval}"))
+    )
+    return l.join(r, cond, "inner").drop("_r_on")
+
+
 def run_stream_to_batch(streaming_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Execute a finite streaming frame with ``Trigger.AvailableNow`` into
     an in-memory sink and return the final contents as a batch frame."""

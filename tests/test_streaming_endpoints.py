@@ -567,3 +567,52 @@ def test_nodetool_endpoints_subprocess_shape(tmp_path, monkeypatch):
 
     with pytest.raises(subprocess.CalledProcessError):
         nodetool_endpoints("ks1", "cf1", "boom")
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """The watermarked stream-stream join over a finite directory equals
+    the batch interval join, pairs only within [ts, ts+interval], and
+    the physical plan is a symmetric hash join with state watermarks."""
+    from pyspark.sql import functions as F
+
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        read_fact_stream,
+        run_stream_to_batch,
+        stream_stream_interval_join,
+    )
+
+    rows = [
+        # user 1: view at t0, clicks at +30min (in) and +7h (out)
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 00:30:00", "click"),
+        (1, "2024-01-01 07:00:00", "click"),
+        # user 2: click BEFORE the view — never matches
+        (2, "2024-01-01 01:00:00", "click"),
+        (2, "2024-01-01 02:00:00", "view"),
+        # user 3: two views share one click (both windows cover it)
+        (3, "2024-01-01 00:00:00", "view"),
+        (3, "2024-01-01 03:00:00", "view"),
+        (3, "2024-01-01 05:00:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_type string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    d = str(tmp_path / "events")
+    df.write.parquet(d)
+
+    views = read_fact_stream(spark, d).filter("event_type = 'view'")
+    clicks = read_fact_stream(spark, d).filter("event_type = 'click'")
+    joined = stream_stream_interval_join(
+        views, clicks, on="user_id", interval="6 hours", watermark="12 hours"
+    )
+    got = sorted(
+        (r["user_id"], str(r["l_ts"]), str(r["r_ts"]))
+        for r in run_stream_to_batch(joined, output_mode="append").collect()
+    )
+    assert got == [
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:30:00"),
+        (3, "2024-01-01 00:00:00", "2024-01-01 05:00:00"),
+        (3, "2024-01-01 03:00:00", "2024-01-01 05:00:00"),
+    ]
+    explained = joined._jdf.queryExecution().analyzed().toString()
+    assert "watermark" in explained.lower()
