@@ -492,6 +492,210 @@ def ivf_cell_udf(centroids, n_probe: int = 1):
     return _cells
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 16,
+    k: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    iters: int = 3,
+    seed: int = 42,
+):
+    """Train product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    ``dim`` dimensions into ``m`` contiguous subspaces of ``dim/m`` and
+    k-means each subspace to ``k`` codes. Returns ``m × k × dim/m``
+    plain floats — the full codebook is m·k·(dim/m) = k·dim values, the
+    same driver footprint class as the IVF centroid matrix.
+
+    Training is distributed the same way as :func:`train_ivf_centroids`:
+    deterministic seeds (the ``k`` corpus vectors minimizing
+    ``xxhash64(id, seed)``, sliced per subspace), then Lloyd iterations
+    where assignment is one Arrow-batched numpy pass over the corpus
+    (:func:`pq_code_udf`) and the per-(subspace, code) means come from
+    ONE hash aggregate of m·k groups × dim/m avg columns — a shuffle of
+    m·k·(dim/m) doubles per iteration regardless of corpus size. Codes
+    that lose all members keep their previous centroid.
+
+    Vectors are L2-normalized before subspacing so the quantizer
+    approximates the COSINE geometry the search paths use (dot product
+    of unit vectors); zero vectors pass through unnormalized.
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    seeds = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+        .limit(k)
+        .collect()
+    )
+    smat = _np.array([list(r["v"]) for r in seeds], dtype=_np.float64)
+    smat /= _np.maximum(_np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
+    books = [smat[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+
+    unit = _unit_vec_expr(vec_col)
+    for _ in range(iters):
+        codes = pq_code_udf(books)
+        assigned = corpus.select(
+            F.posexplode(codes(unit)).alias("sub", "code"),
+            unit.alias("_u"),
+        )
+        means = (
+            assigned.groupBy("sub", "code")
+            .agg(
+                *[
+                    F.avg(
+                        F.element_at(
+                            F.col("_u"), F.col("sub") * dsub + i + 1
+                        )
+                    ).alias(f"c{i}")
+                    for i in range(dsub)
+                ]
+            )
+            .collect()
+        )
+        for r in means:
+            books[r["sub"]][r["code"]] = [r[f"c{i}"] for i in range(dsub)]
+    return [[list(map(float, row)) for row in b] for b in books]
+
+
+def _unit_vec_expr(vec_col: str):
+    """L2-normalize an array column JVM-side (zero vectors unchanged)."""
+    v = F.col(vec_col).cast("array<double>")
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+
+
+def pq_code_udf(codebooks):
+    """Arrow-vectorized PQ encoder: ``embedding → array<int>`` of the
+    ``m`` nearest-code ids (L2, per subspace). One small GEMM per
+    subspace per batch — argmin ||x−c||² computed as argmax (x·c −
+    ||c||²/2); ties break on the lower code id via a reversed argmax
+    over the flipped array (numpy argmax alone returns the FIRST max,
+    which after sign games can differ between engines — the explicit
+    flip keeps it deterministic)."""
+    mats = [_np.asarray(b, dtype=_np.float64) for b in codebooks]
+    halfn = [0.5 * (b * b).sum(axis=1) for b in mats]
+    m = len(mats)
+    dsub = mats[0].shape[1]
+
+    @_pandas_udf("array<int>")
+    def _codes(v: _pd.Series) -> _pd.Series:
+        mat = _np.stack(v.to_numpy()).astype(_np.float64)  # (B, dim)
+        out = _np.zeros((len(mat), m), dtype=_np.int32)
+        for s in range(m):
+            sub = mat[:, s * dsub : (s + 1) * dsub]
+            score = sub @ mats[s].T - halfn[s]  # (B, k)
+            out[:, s] = score.argmax(axis=1)
+        return _pd.Series(list(out))
+
+    return _codes
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode a corpus to ``(id_col, codes)`` — ``m`` small ints per
+    vector. This is the materialized PQ index: at 100 TB the search
+    scan reads m·4 bytes per vector instead of dim·4 (16× here), which
+    is the point of PQ — the compressed index fits where the raw
+    vectors cannot. Vectors are unit-normalized before encoding (cosine
+    geometry)."""
+    codes = pq_code_udf(codebooks)
+    return df.select(
+        F.col(id_col), codes(_unit_vec_expr(vec_col)).alias("codes")
+    )
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 16,
+    n_codes: int = 32,
+    n_candidates: int = 100,
+    iters: int = 3,
+    seed: int = 42,
+    codebooks=None,
+    encoded: DataFrame | None = None,
+) -> DataFrame:
+    """PQ approximate top-K with asymmetric distance computation (ADC)
+    and exact re-rank — the compressed-index ANN path.
+
+    Plan shape (the 100 TB design):
+
+    - the corpus is scanned as its PQ CODES (``encoded``, or encoded on
+      the fly) — m ints per vector; the raw embedding column never
+      rides through the scoring stage;
+    - each query carries its ADC lookup table — LUT[s][j] = (query
+      subvector s)·(code j) — computed once per query row by an Arrow
+      UDF (m·k dot products on the tiny broadcast side);
+    - the approximate score is JVM-side: ``zip_with(codes, lut)`` gathers
+      one partial dot per subspace, ``aggregate`` sums them — no Python
+      in the N·Q hot path, and the shuffle-free broadcast join keeps the
+      corpus streaming;
+    - the top ``n_candidates`` per query by ADC score (one
+      TakeOrderedAndProject-shaped window) are re-ranked with exact
+      cosine over the fetched-back vectors (:func:`_rerank_candidates`),
+      so returned similarities are exact and recall is governed by the
+      candidate depth.
+    """
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, m, n_codes, id_col, vec_col, dim, iters, seed
+        )
+    if encoded is None:
+        encoded = pq_encode(corpus, codebooks, id_col, vec_col)
+
+    mats = [_np.asarray(b, dtype=_np.float64) for b in codebooks]
+    n_sub = len(mats)
+    dsub = mats[0].shape[1]
+
+    @_pandas_udf("array<array<double>>")
+    def _lut(v: _pd.Series) -> _pd.Series:
+        q = _np.stack(v.to_numpy()).astype(_np.float64)  # (B, dim)
+        norms = _np.maximum(_np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        q = q / norms
+        out = []
+        for row in q:
+            out.append(
+                [list(mats[s] @ row[s * dsub : (s + 1) * dsub]) for s in range(n_sub)]
+            )
+        return _pd.Series(out)
+
+    q_side = queries.select(
+        F.col(id_col).alias("q_id"), _lut(F.col(vec_col)).alias("_lut")
+    )
+    gathered = F.zip_with(
+        F.col("codes"),
+        F.col("_lut"),
+        lambda c, l: F.element_at(l, c.cast("int") + 1),
+    )
+    approx = F.aggregate(gathered, F.lit(0.0), lambda acc, x: acc + x)
+    scored = (
+        encoded.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(q_side), F.col("neighbor_id") != F.col("q_id"))
+        .select("q_id", "neighbor_id", approx.alias("_approx"))
+    )
+    cand = grouped_top_k(
+        scored, ["q_id"], "_approx", n_candidates, tiebreaks=["neighbor_id"]
+    ).select("q_id", "neighbor_id")
+    return _rerank_candidates(corpus, queries, cand, k, id_col, vec_col)
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float,

@@ -1804,6 +1804,83 @@ SELECT CAST(8 AS BIGINT) AS n_queries,
 """
 
 
+def q_ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN gate (operators/similarity.py
+    :func:`cosine_topk_pq`): 16 subspaces × 32 codes (8× compression of
+    the 64-float vectors), ADC scoring over the compressed codes,
+    exact re-rank of the top-100 candidates.
+
+    Invariants pinned (same style as the LSH/IVF gates — the testdata
+    is isotropic, ANN's worst case, so the floor carries margin):
+
+    - ``recall_ok``: recall@5 ≥ 0.7 vs brute force (measured 0.95-1.0
+      at the driver SFs with candidate depth 100; a broken codebook,
+      encoder, or LUT gather collapses this);
+    - ``codes_ok``: every corpus vector encodes to exactly 16 codes,
+      each in [0, 32) — a malformed index (wrong m, out-of-range code)
+      breaks it;
+    - ``n_corpus``: SQL-exact corpus count, so the gate cannot
+      accidentally run on a truncated index.
+    """
+    from cassandra_slow_queries_spark.operators.similarity import (
+        cosine_topk_pq,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from cassandra_slow_queries_spark.plans.intermediates import (
+        shared_intermediate,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    books = shared_intermediate(
+        spark,
+        ("pq_books_16x32", sf_dir),
+        lambda: train_pq_codebooks(emb, m=16, k=32, iters=3),
+    )
+    encoded = pq_encode(emb, books)
+    exact = _shared_ann_exact(spark, sf_dir).select("q_id", "neighbor_id")
+    pq = cosine_topk_pq(
+        emb, queries, k=5, codebooks=books, encoded=encoded, n_candidates=100
+    ).select("q_id", "neighbor_id")
+    hit = exact.join(pq, ["q_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("n_hit")
+    )
+    tot = exact.agg(
+        F.count("*").alias("n_total"),
+        F.count_distinct("q_id").alias("n_queries"),
+    )
+    code_stats = encoded.agg(
+        F.count("*").alias("n_corpus"),
+        F.sum(
+            (
+                (F.size("codes") == 16)
+                & (F.array_min("codes") >= 0)
+                & (F.array_max("codes") < 32)
+            ).cast("long")
+        ).alias("n_wellformed"),
+    )
+    return (
+        hit.crossJoin(tot)
+        .crossJoin(code_stats)
+        .select(
+            F.col("n_queries").cast("long").alias("n_queries"),
+            (F.col("n_hit") / F.col("n_total") >= 0.7).alias("recall_ok"),
+            (F.col("n_wellformed") == F.col("n_corpus")).alias("codes_ok"),
+            F.col("n_corpus").cast("long").alias("n_corpus"),
+        )
+    )
+
+
+ANN_PQ_GATE_SQL = """
+SELECT CAST(8 AS BIGINT) AS n_queries,
+       TRUE AS recall_ok,
+       TRUE AS codes_ok,
+       CAST(COUNT(*) AS BIGINT) AS n_corpus
+FROM embeddings
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidates → exact 3-gram Jaccard verification ≥0.5 —
     the production blocking+verify pipeline. Because every true pair
@@ -4656,6 +4733,11 @@ CATALOG: dict[str, QueryDef] = {
         q_ann_cosine_ivf,
         ANN_IVF_GATE_SQL,
         "IVF coarse-quantizer index-invariant gate (hash-gated)",
+    ),
+    "ann_cosine_pq": QueryDef(
+        q_ann_cosine_pq,
+        ANN_PQ_GATE_SQL,
+        "product-quantization ADC + exact re-rank gate (hash-gated)",
     ),
     # --- multimodal ---
     "mm_fake_features": QueryDef(

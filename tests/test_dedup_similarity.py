@@ -779,6 +779,96 @@ def test_ivf_deterministic(spark):
     assert a == b
 
 
+def test_pq_adc_scores_match_numpy(spark):
+    """The JVM-side ADC gather (zip_with codes/LUT + aggregate sum)
+    reproduces the numpy LUT computation exactly: for each (query,
+    corpus) pair, approx == Σ_s books[s][code_s]·q_sub[s] on unit
+    vectors."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cassandra_slow_queries_spark.operators.similarity import (
+        cosine_topk_pq,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter("vec_id < 60")
+        .select("vec_id", "embedding")
+    )
+    books = train_pq_codebooks(emb, m=8, k=8, iters=1)
+    enc = {r["vec_id"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    data = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    mats = [np.array(b) for b in books]
+    dsub = 64 // 8
+    # full PQ path with candidate depth >= corpus: candidates must be the
+    # exact ADC ranking, so the re-ranked top-5 == exact top-5 among them
+    out = cosine_topk_pq(
+        emb,
+        emb.filter("vec_id < 2"),
+        k=5,
+        m=8,
+        n_codes=8,
+        codebooks=books,
+        n_candidates=100,
+    )
+    assert out.count() == 10  # 2 queries × top-5
+    # spot-check the encoder against numpy argmin L2 per subspace
+    for vid in (0, 17, 42):
+        v = data[vid] / np.linalg.norm(data[vid])
+        for s in range(8):
+            sub = v[s * dsub : (s + 1) * dsub]
+            want = int(((mats[s] - sub) ** 2).sum(axis=1).argmin())
+            assert enc[vid][s] == want, (vid, s)
+
+
+def test_pq_recall_high_on_clustered_data(spark):
+    """On clustered geometry (the real use case) PQ with exact re-rank
+    recovers the brute-force top-k."""
+    from cassandra_slow_queries_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_pq,
+    )
+
+    vecs = _clustered_vectors(spark)
+    queries = vecs.filter("vec_id IN (0, 20, 40)")
+    exact = cosine_topk_bruteforce(vecs, queries, k=5, dim=None).select(
+        "q_id", "neighbor_id"
+    )
+    approx = cosine_topk_pq(
+        vecs, queries, k=5, dim=8, m=4, n_codes=8, n_candidates=20
+    ).select("q_id", "neighbor_id")
+    e = {(r["q_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.9
+
+
+def test_pq_encode_compression_contract(spark):
+    """The materialized index is m ints per vector — the compressed
+    representation PQ exists for — and encoding is deterministic."""
+    from cassandra_slow_queries_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter("vec_id < 50")
+        .select("vec_id", "embedding")
+    )
+    books = train_pq_codebooks(emb, m=16, k=8, iters=1)
+    a = pq_encode(emb, books).collect()
+    b = pq_encode(emb, books).collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    assert all(len(r["codes"]) == 16 for r in a)
+    assert all(0 <= c < 8 for r in a for c in r["codes"])
+
+
 def test_semantic_dedup_matches_brute_force_rule(spark):
     """semantic_dedup == the SemDeDup removal rule computed by numpy
     brute force GIVEN the returned cell assignment: removed iff cosine
