@@ -4028,6 +4028,59 @@ ORDER BY segment
 """
 
 
+def q_x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (operators/funnel.py): users who
+    viewed, then clicked at-or-after their first view, then purchased
+    at-or-after that click — per-step survivor counts plus the exact
+    total transition lag in microseconds. The chain of user-keyed
+    aggregations is co-partitioned after the first shuffle; the oracle
+    replays the same cascade with joined CTEs."""
+    from cassandra_slow_queries_spark.operators.funnel import funnel_steps
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_steps(
+        ev,
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    ).orderBy("step_index")
+
+
+X_FUNNEL_SQL = """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1
+    FROM events e JOIN s1 USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts >= s1.t1
+    GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3, MIN(s2.t2) AS t2
+    FROM events e JOIN s2 USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+    GROUP BY e.user_id
+)
+SELECT * FROM (
+    SELECT 'view' AS step, 1 AS step_index,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(NULL AS BIGINT) AS sum_lag_us
+    FROM s1
+    UNION ALL
+    SELECT 'click', 2, CAST(COUNT(*) AS BIGINT),
+           SUM(epoch_us(t2) - epoch_us(t1))
+    FROM s2
+    UNION ALL
+    SELECT 'purchase', 3, CAST(COUNT(*) AS BIGINT),
+           SUM(epoch_us(t3) - epoch_us(t2))
+    FROM s3
+)
+ORDER BY step_index
+"""
+
+
 def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream interval join
     (streaming/pipeline.py:stream_stream_interval_join): the view
@@ -4773,6 +4826,11 @@ CATALOG: dict[str, QueryDef] = {
         q_stream_stream_join,
         STREAM_STREAM_JOIN_SQL,
         "watermarked stream-stream interval join (view-to-click funnel)",
+    ),
+    "x_funnel": QueryDef(
+        q_x_funnel,
+        X_FUNNEL_SQL,
+        "ordered conversion funnel: sequential per-user step times",
     ),
     "stream_stateful_burst": QueryDef(
         q_stream_stateful_burst,
