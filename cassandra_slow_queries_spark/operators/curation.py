@@ -36,6 +36,15 @@ from pyspark.sql import functions as F
 from cassandra_slow_queries_spark.functions.text import word_shingles
 from cassandra_slow_queries_spark.session import spread_input
 
+try:  # pandas is baked into the target env; gate for safety. Module-level
+    # so the pandas_udf type-hint strings (postponed annotations) resolve.
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+    _HAVE_ARROW = True
+except ImportError:  # pragma: no cover
+    _HAVE_ARROW = False
+
 #: buckets for the sampling hash — rates are expressed out of 10_000
 SAMPLE_BUCKETS = 10_000
 
@@ -573,4 +582,52 @@ def quality_filter(
         "top_bigram_frac",
         "pred_lang",
         keep.alias("keep"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression ratio — ``compressed_bytes /
+    raw_bytes`` of the UTF-8 text, rounded to 6 dp (NULL text → NULL,
+    empty text → ratio NULL since there is nothing to measure).
+
+    The cheap universal redundancy signal the quality-filter literature
+    leans on (e.g. the C4/Gopher-style pipelines and their descendants):
+    templated/boilerplate/repetitive documents compress far below
+    natural prose, and machine-generated spam sits at the extremes on
+    both sides. Complements :func:`repetition_metrics` — that one
+    counts exact chunk repeats; DEFLATE also sees short-range and
+    partial redundancy.
+
+    This is a genuine Pandas-UDF seam (like the multimodal decoders):
+    DEFLATE is a byte-level algorithm Spark's expression language
+    cannot express. The UDF is Arrow-batched, per-document independent
+    (no shuffle at all — a pure map over the corpus), and zlib output
+    is deterministic for a fixed level across platforms, so the ratio
+    is stable run to run.
+    """
+    import zlib
+
+    if not _HAVE_ARROW:  # pragma: no cover
+        raise RuntimeError("compression_ratio needs pandas/pyarrow")
+
+    @_pandas_udf("double")
+    def _ratio(texts: _pd.Series) -> _pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, level)) / len(raw)
+
+        return texts.map(one)
+
+    return df.select(
+        F.col(id_col),
+        F.round(_ratio(F.col(text_col)), 6).alias("compression_ratio"),
     )

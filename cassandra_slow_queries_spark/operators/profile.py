@@ -122,3 +122,72 @@ def profile_embeddings(
         F.sum((F.abs(norm) < 1e-12).cast("long")).alias("n_zero_norm"),
         F.round(F.avg(norm), 4).alias("avg_norm"),
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Equi-width histogram of a numeric column: ``(bin, lo_edge,
+    hi_edge, n)`` — every bin present (empty bins at n=0), NULLs
+    excluded, values clamped into the edge bins (so out-of-range data
+    shows up at the boundaries instead of silently vanishing).
+
+    ``lo``/``hi`` default to the observed min/max, derived in a 1-row
+    aggregate crossJoined back so the plan stays lazy and distributed
+    (same idiom as :func:`profile_embeddings`). Fixed explicit bounds
+    make the result engine-replayable (the catalog gate uses them); the
+    whole pass is one scan + one ``bins``-group aggregate — the
+    histogram shuffle is ``bins`` rows, nothing else. A degenerate
+    range (lo == hi) puts everything in bin 0.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    x = F.col(col).cast("double")
+    if lo is None or hi is None:
+        bounds = df.agg(
+            F.min(x).cast("double").alias("_lo"), F.max(x).cast("double").alias("_hi")
+        )
+        src = df.crossJoin(bounds)
+    else:
+        src = df.withColumn("_lo", F.lit(float(lo))).withColumn(
+            "_hi", F.lit(float(hi))
+        )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    raw_bin = F.floor((x - F.col("_lo")) / width)
+    bin_id = F.when(width > 0, F.least(
+        F.lit(bins - 1).cast("long"), F.greatest(F.lit(0).cast("long"), raw_bin)
+    )).otherwise(F.lit(0).cast("long"))
+    counted = (
+        src.filter(x.isNotNull())
+        .groupBy(bin_id.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_lo").alias("_lo"),
+            F.max("_hi").alias("_hi"),
+        )
+    )
+    # 1-row bounds frame again so empty bins carry correct edges even
+    # when derived bounds were used
+    edges = (
+        src.agg(F.min("_lo").alias("_lo"), F.max("_hi").alias("_hi"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
+            "_lo",
+            "_hi",
+        )
+    )
+    w = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+    return (
+        edges.join(counted.select("bin", "n"), "bin", "left")
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.round(F.col("_lo") + F.col("bin") * w, 6).alias("lo_edge"),
+            F.round(F.col("_lo") + (F.col("bin") + 1) * w, 6).alias("hi_edge"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("bin")
+    )

@@ -1222,6 +1222,66 @@ FROM documents
 CURATION_RATES = {"en": 0.25, "de": 1.0, "fr": 0.5, "es": 0.5, "zh": 0.1}
 
 
+def q_text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal
+    (operators/curation.py:compression_ratio). DEFLATE is not
+    SQL-expressible, so — like the other non-replayable gates — the
+    entry pins what IS invariant: the SQL-exact document count, every
+    ratio in (0, 1.5] (``range_ok``; a byte-level bug lands outside),
+    and the redundancy law the signal exists for (``monotone_ok``):
+    for every doc ≥ 50 chars, the 4×-repeated text must compress
+    STRICTLY better than the original. A wrong encoding, truncated
+    input, or a ratio computed upside down breaks one of the three."""
+    from cassandra_slow_queries_spark.operators.curation import (
+        compression_ratio,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    base = compression_ratio(docs, "text", "doc_id")
+    rep4 = compression_ratio(
+        docs.filter(F.length("text") >= 50).select(
+            "doc_id", F.repeat(F.col("text"), 4).alias("text")
+        ),
+        "text",
+        "doc_id",
+    ).withColumnRenamed("compression_ratio", "rep4_ratio")
+    joined = base.join(rep4, "doc_id", "left")
+    return joined.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        (
+            F.sum(
+                (
+                    (F.col("compression_ratio") > 0)
+                    & (F.col("compression_ratio") <= 1.5)
+                ).cast("long")
+            )
+            == F.count("*")
+        ).alias("range_ok"),
+        (
+            F.sum(
+                F.when(
+                    F.col("rep4_ratio").isNotNull(),
+                    (F.col("rep4_ratio") < F.col("compression_ratio")).cast(
+                        "long"
+                    ),
+                )
+            )
+            == F.sum(F.col("rep4_ratio").isNotNull().cast("long"))
+        ).alias("monotone_ok"),
+    )
+
+
+TEXT_COMPRESSION_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       TRUE AS range_ok,
+       TRUE AS monotone_ok
+FROM documents
+WHERE text IS NOT NULL AND len(text) > 0
+"""
+
+
 def q_cur_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling by language: portable md5
     bucket < per-stratum threshold. Value-level oracle parity proves
@@ -3472,6 +3532,38 @@ FROM n, w
 """
 
 
+def q_x_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totalprice: 20 fixed-bound bins
+    over [0, 500000], empty bins materialized at n=0, out-of-range
+    values clamped into the edge bins. One scan + a 20-group aggregate
+    (operators/profile.py:histogram); the oracle replays the identical
+    IEEE bin arithmetic in DuckDB, so a off-by-one bin edge or a
+    dropped empty bin breaks the hash."""
+    from cassandra_slow_queries_spark.operators.profile import histogram
+
+    orders = load(spark, sf_dir, "orders")
+    return histogram(orders, "o_totalprice", bins=20, lo=0.0, hi=500_000.0)
+
+
+X_HISTOGRAM_SQL = """
+WITH bins AS (SELECT UNNEST(RANGE(0, 20)) AS bin),
+counted AS (
+    SELECT LEAST(19, GREATEST(0, CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT)))
+               AS bin,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_totalprice IS NOT NULL
+    GROUP BY 1
+)
+SELECT CAST(b.bin AS BIGINT) AS bin,
+       ROUND(b.bin * 25000.0, 6) AS lo_edge,
+       ROUND((b.bin + 1) * 25000.0, 6) AS hi_edge,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM bins b LEFT JOIN counted c ON b.bin = c.bin
+ORDER BY bin
+"""
+
+
 def q_x_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectation suite (the Deequ / Great
     Expectations pattern) verified in one aggregation pass:
@@ -4590,6 +4682,11 @@ CATALOG: dict[str, QueryDef] = {
         X_EXPECTATIONS_SQL,
         "declarative data-quality expectation suite, one aggregation pass",
     ),
+    "x_histogram": QueryDef(
+        q_x_histogram,
+        X_HISTOGRAM_SQL,
+        "equi-width histogram with materialized empty bins",
+    ),
     "x_sketch_gate": QueryDef(
         q_x_sketch_gate,
         X_SKETCH_SQL,
@@ -4738,6 +4835,11 @@ CATALOG: dict[str, QueryDef] = {
         q_text_fingerprint,
         TEXT_FINGERPRINT_SQL,
         "doc fingerprint content-identity gate (hash-gated)",
+    ),
+    "text_compression": QueryDef(
+        q_text_compression,
+        TEXT_COMPRESSION_SQL,
+        "zlib compression-ratio quality signal (redundancy-law gate)",
     ),
     # --- curation tier ---
     "cur_sample_stratified": QueryDef(

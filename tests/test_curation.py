@@ -348,3 +348,33 @@ def test_group_percent_rank_equals_row_window(spark):
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12, (k, got[k], want[k])
     assert got[900] == 0.0  # single-row group convention
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text compresses far below varied prose; NULL/empty
+    yield NULL; the value is deterministic across invocations."""
+    from cassandra_slow_queries_spark.operators.curation import (
+        compression_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 200),
+            (2, " ".join(f"w{i}x{i * 7 % 13}" for i in range(200))),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in compression_ratio(df).collect()
+    }
+    assert out[3] is None and out[4] is None
+    assert 0 < out[1] < 0.1          # boilerplate: extreme redundancy
+    assert out[2] > 3 * out[1]       # varied text compresses much worse
+    again = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in compression_ratio(df).collect()
+    }
+    assert out == again

@@ -109,3 +109,37 @@ def test_profile_embeddings_flags_mismatch_and_zero_norm(spark):
     # explicit expected_dim: only the dim-3 row conforms... to dim 2
     [r2] = profile_embeddings(df, "embedding", expected_dim=2).collect()
     assert r2.n_dim_mismatch == 2  # dim-3 row + NULL row
+
+
+def test_histogram_fixed_bounds_clamp_and_empty_bins(spark):
+    from cassandra_slow_queries_spark.operators.profile import histogram
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (3.0,), (9.999,), (10.0,), (25.0,), (None,)],
+        "v: double",
+    )
+    out = {r["bin"]: r.asDict() for r in histogram(df, "v", bins=4, lo=0, hi=20).collect()}
+    assert len(out) == 4  # all bins present
+    # -5 clamps into bin 0; 10.0 lands exactly on the bin-2 edge;
+    # 25 clamps into the top bin; NULL excluded
+    assert out[0]["n"] == 3 and out[1]["n"] == 1
+    assert out[2]["n"] == 1 and out[3]["n"] == 1
+    assert out[1]["lo_edge"] == 5.0 and out[1]["hi_edge"] == 10.0
+
+
+def test_histogram_derived_bounds_and_degenerate_range(spark):
+    from cassandra_slow_queries_spark.operators.profile import histogram
+
+    df = spark.createDataFrame([(2.0,), (4.0,), (6.0,)], "v: double")
+    out = {r["bin"]: r.asDict() for r in histogram(df, "v", bins=2).collect()}
+    assert out[0]["lo_edge"] == 2.0 and out[1]["hi_edge"] == 6.0
+    assert out[0]["n"] == 1 and out[1]["n"] == 2  # 4.0 goes to bin 1 ((4-2)/2=1)
+
+    same = spark.createDataFrame([(7.0,), (7.0,)], "v: double")
+    deg = histogram(same, "v", bins=3).collect()
+    assert [r["n"] for r in deg] == [2, 0, 0]  # lo==hi: everything in bin 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        histogram(df, "v", bins=0)
