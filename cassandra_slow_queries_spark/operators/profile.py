@@ -24,6 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+try:  # pandas is baked into the target env; gate for safety
+    import pandas as _pd
+
+    _HAVE_ARROW = True
+except ImportError:  # pragma: no cover
+    _HAVE_ARROW = False
+
 
 def profile_columns(
     df: DataFrame, cols: list[str], distinct: str = "approx"
@@ -190,4 +197,82 @@ def histogram(
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         )
         .orderBy("bin")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 20,
+    verify: bool = True,
+) -> DataFrame:
+    """Frequent-item (heavy-hitter) detection with the Misra-Gries
+    summary (Misra & Gries 1982; the "MG sketch" of the streaming
+    literature): ``(item, n_item)`` for every item whose exact
+    frequency exceeds ``n/(k+1)`` of ``n`` total rows.
+
+    Scale shape — the reason to not just GROUP BY: a full count needs a
+    shuffle of EVERY distinct item (at 100 TB: billions of group keys
+    for a handful of interesting answers). Here each partition keeps at
+    most ``k`` counters (one ``mapInPandas`` pass, state carried across
+    Arrow batches within the partition), and only the per-partition
+    survivors — ≤ k·P candidate rows — are shuffled. Pigeonhole
+    guarantee: an item with global frequency > n/(k+1) must exceed
+    n_p/(k+1) in at least one partition, and Misra-Gries with k
+    counters never evicts an item whose partition frequency is above
+    that bound — so the candidate union provably contains every global
+    heavy hitter. The verify stage (the same blocking+verify contract
+    as the dedup family) then computes EXACT counts for candidates only
+    (semi-join before the count) and applies the threshold, so the
+    output is exact, not an estimate.
+
+    ``verify=False`` returns the raw per-partition candidate summaries
+    ``(item, est_count)`` — the mergeable-sketch half, useful when the
+    caller wants to union summaries across corpora before verifying.
+    NULL items are ignored (SQL COUNT semantics).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not _HAVE_ARROW:  # pragma: no cover
+        raise RuntimeError("heavy_hitters needs pandas/pyarrow")
+    src = df.select(F.col(col).cast("string").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for item in pdf["item"]:
+                if item in counters:
+                    counters[item] += 1
+                elif len(counters) < k:
+                    counters[item] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield _pd.DataFrame(
+                {"item": list(counters), "est_count": list(counters.values())}
+            )
+
+    cand = src.mapInPandas(mg_partition, "item string, est_count long")
+    if not verify:
+        return cand
+    # exact verify over candidates only; threshold n/(k+1) on exact counts
+    cand_items = cand.select("item").distinct()
+    totals = src.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        src.join(cand_items, "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        .crossJoin(totals)
+        .filter(F.col("n_item") * (k + 1) > F.col("_n"))
+        .select("item", "n_item")
+        .orderBy(F.desc("n_item"), "item")
     )

@@ -3564,6 +3564,43 @@ ORDER BY bin
 """
 
 
+def q_x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters (operators/profile.py:heavy_hitters)
+    over a derived skewed stream: 40% of events collapse onto two hot
+    keys, the rest stay unique — the shape where GROUP BY shuffles ~0.7n
+    distinct keys to find 2 answers while the MG pass shuffles ≤ k·P
+    candidate rows. k=9 ⇒ exact threshold n/10: only the two hot keys
+    (20% each) qualify; the oracle replays the derivation and exact
+    counts, so a candidate-set miss (broken counter eviction) or an
+    estimate leaking into the output breaks the hash."""
+    from cassandra_slow_queries_spark.operators.profile import heavy_hitters
+
+    ev = load(spark, sf_dir, "events").select(
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(10)) < 4,
+            F.concat(F.lit("hot_"), F.pmod(F.col("event_id"), F.lit(2))),
+        )
+        .otherwise(F.concat(F.lit("cold_"), F.col("event_id")))
+        .alias("item")
+    )
+    return heavy_hitters(ev, "item", k=9)
+
+
+X_HEAVY_HITTERS_SQL = """
+WITH src AS (
+    SELECT CASE WHEN event_id % 10 < 4
+                THEN 'hot_' || CAST(event_id % 2 AS VARCHAR)
+                ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS item
+    FROM events
+), tot AS (SELECT COUNT(*) AS n FROM src)
+SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+FROM src, tot
+GROUP BY item, tot.n
+HAVING COUNT(*) * 10 > tot.n
+ORDER BY n_item DESC, item
+"""
+
+
 def q_x_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectation suite (the Deequ / Great
     Expectations pattern) verified in one aggregation pass:
@@ -4686,6 +4723,11 @@ CATALOG: dict[str, QueryDef] = {
         q_x_histogram,
         X_HISTOGRAM_SQL,
         "equi-width histogram with materialized empty bins",
+    ),
+    "x_heavy_hitters": QueryDef(
+        q_x_heavy_hitters,
+        X_HEAVY_HITTERS_SQL,
+        "Misra-Gries heavy hitters: bounded-state candidates + exact verify",
     ),
     "x_sketch_gate": QueryDef(
         q_x_sketch_gate,

@@ -143,3 +143,39 @@ def test_histogram_derived_bounds_and_degenerate_range(spark):
 
     with _pytest.raises(ValueError):
         histogram(df, "v", bins=0)
+
+
+def test_heavy_hitters_guarantee_and_exactness(spark):
+    """Every item above the n/(k+1) threshold is found with its EXACT
+    count; items at or below the threshold never appear; NULLs ignored."""
+    from cassandra_slow_queries_spark.operators.profile import heavy_hitters
+
+    # 100 'a' + 40 'b' + 60 unique singletons + NULLs; n=200
+    rows = (
+        [("a",)] * 100 + [("b",)] * 40 + [(f"u{i}",) for i in range(60)]
+        + [(None,)] * 7
+    )
+    df = spark.createDataFrame(rows, "item: string").repartition(8)
+    out = {r["item"]: r["n_item"] for r in heavy_hitters(df, "item", k=4).collect()}
+    # threshold n/5 = 40: 'a' (100) qualifies, 'b' (40) is NOT strictly above
+    assert out == {"a": 100}
+    out2 = {r["item"]: r["n_item"] for r in heavy_hitters(df, "item", k=9).collect()}
+    # threshold n/10 = 20: both
+    assert out2 == {"a": 100, "b": 40}
+
+
+def test_heavy_hitters_candidate_state_is_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from cassandra_slow_queries_spark.operators.profile import heavy_hitters
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 500).cast("string").alias("item")
+    ).repartition(4)
+    cand = heavy_hitters(df, "item", k=10, verify=False)
+    # ≤ k counters per partition survive the scan
+    assert cand.count() <= 10 * 4
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        heavy_hitters(df, "item", k=0)
