@@ -3564,6 +3564,80 @@ ORDER BY bin
 """
 
 
+def q_x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py), 5 power iterations with dangling
+    redistribution, over a supplier→part graph derived from lineitem
+    (keys folded mod 100; low-quantity rows only so the graph stays
+    sparse and keeps genuine sink nodes at the small SFs — the case the
+    dangling-mass term exists for). The oracle replays all 5 iterations
+    as chained CTEs, so a mass leak, a missed dangling node, or a wrong
+    damping application diverges within one iteration and breaks the
+    per-node 6-dp hash."""
+    from cassandra_slow_queries_spark.operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 5)
+    edges = li.select(
+        F.pmod(F.col("l_suppkey"), F.lit(100)).alias("src"),
+        F.pmod(F.col("l_partkey"), F.lit(100)).alias("dst"),
+    )
+    return (
+        pagerank(edges, iters=5, damping=0.85)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy("node")
+    )
+
+
+def _pagerank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """Generate the unrolled power-iteration oracle: one CTE per
+    iteration, same dangling-mass and damping arithmetic as the
+    operator."""
+    d = damping
+    parts = [
+        """WITH edges AS (
+    SELECT DISTINCT l_suppkey % 100 AS src, l_partkey % 100 AS dst
+    FROM lineitem WHERE l_quantity <= 5
+), nodes AS (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), outdeg AS (
+    SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src
+), cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+it0 AS (SELECT node, 1.0 / cnt.n AS rank FROM nodes, cnt)"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"it{i - 1}"
+        parts.append(
+            f""",
+dang{i} AS (
+    SELECT COALESCE(SUM(r.rank), 0) AS dang
+    FROM {prev} r LEFT JOIN outdeg o ON r.node = o.node
+    WHERE o.node IS NULL
+),
+contrib{i} AS (
+    SELECT e.dst AS node, SUM(r.rank / o.outdeg) AS contrib
+    FROM edges e
+    JOIN {prev} r ON e.src = r.node
+    JOIN outdeg o ON e.src = o.node
+    GROUP BY e.dst
+),
+it{i} AS (
+    SELECT n.node,
+           {1.0 - d} / cnt.n
+           + {d} * (COALESCE(c.contrib, 0) + dang{i}.dang / cnt.n) AS rank
+    FROM nodes n
+    CROSS JOIN cnt
+    CROSS JOIN dang{i}
+    LEFT JOIN contrib{i} c ON n.node = c.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(node AS BIGINT) AS node, ROUND(rank, 6) AS rank
+FROM it{iters}
+ORDER BY node"""
+    )
+    return "".join(parts)
+
+
 def q_x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy hitters (operators/profile.py:heavy_hitters)
     over a derived skewed stream: 40% of events collapse onto two hot
@@ -4227,22 +4301,43 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_stream_interval_join,
     )
 
+    # stage each side pre-filtered: the join only consumes view/click
+    # rows (~30% of events), so streaming the full fact directory into
+    # both sides would triple the scanned rows and the join-state writes
     ev = load(spark, sf_dir, "events").select("ts", "user_id", "event_type")
-    fact_dir = _stage_once(
+    view_dir = _stage_once(
         spark,
-        f"funnel_{sf_dir.replace('/', '_')}",
-        lambda d: ev.write.mode("overwrite").parquet(d),
+        f"funnel_views_{sf_dir.replace('/', '_')}",
+        lambda d: ev.filter(F.col("event_type") == "view")
+        .drop("event_type")
+        .write.mode("overwrite")
+        .parquet(d),
     )
-    views = read_fact_stream(spark, fact_dir).filter(
-        F.col("event_type") == "view"
+    click_dir = _stage_once(
+        spark,
+        f"funnel_clicks_{sf_dir.replace('/', '_')}",
+        lambda d: ev.filter(F.col("event_type") == "click")
+        .drop("event_type")
+        .write.mode("overwrite")
+        .parquet(d),
     )
-    clicks = read_fact_stream(spark, fact_dir).filter(
-        F.col("event_type") == "click"
-    )
+    views = read_fact_stream(spark, view_dir)
+    clicks = read_fact_stream(spark, click_dir)
     pairs = stream_stream_interval_join(
         views, clicks, on="user_id", interval="6 hours", watermark="12 hours"
     )
-    appended = run_stream_to_batch(pairs, output_mode="append")
+    # stream-stream joins keep 4 state stores per shuffle partition;
+    # their per-partition open/commit cost is FIXED, so partition count
+    # should track state volume, not the batch default (measured here:
+    # 32 partitions ≈ 8 s, 8 partitions ≈ 2.8 s on the same data). At
+    # real scale this is sized to executors × state-per-task; the
+    # partition count is baked into the checkpoint at first start.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        appended = run_stream_to_batch(pairs, output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         appended.groupBy("user_id")
         .agg(
@@ -4728,6 +4823,11 @@ CATALOG: dict[str, QueryDef] = {
         q_x_heavy_hitters,
         X_HEAVY_HITTERS_SQL,
         "Misra-Gries heavy hitters: bounded-state candidates + exact verify",
+    ),
+    "x_pagerank": QueryDef(
+        q_x_pagerank,
+        _pagerank_sql(),
+        "PageRank power iteration with dangling-mass redistribution",
     ),
     "x_sketch_gate": QueryDef(
         q_x_sketch_gate,

@@ -1,0 +1,66 @@
+"""Unit tests for PageRank (operators/graph.py); the lineitem-derived
+catalog entry is oracle-checked by test_entry_oracle.py."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _brute_pagerank(edge_list, iters, damping=0.85):
+    """Reference power iteration on plain dicts."""
+    edges = sorted(set(edge_list))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dang = sum(r for v, r in rank.items() if v not in out)
+        nxt = {v: (1 - damping) / n + damping * dang / n for v in nodes}
+        for s, d in edges:
+            nxt[d] += damping * rank[s] / out[s]
+        rank = nxt
+    return rank
+
+
+def _run(spark, edge_list, iters, **kw):
+    from cassandra_slow_queries_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    return {
+        r["node"]: r["rank"] for r in pagerank(df, iters=iters, **kw).collect()
+    }
+
+
+def test_pagerank_matches_reference_iteration(spark):
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3)]  # 4 nodes, no sink
+    got = _run(spark, edges, iters=5)
+    want = _brute_pagerank(edges, iters=5)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    # node 3 is a pure sink; without redistribution total mass decays
+    edges = [(1, 2), (2, 3), (1, 3)]
+    got = _run(spark, edges, iters=8)
+    want = _brute_pagerank(edges, iters=8)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # the sink accumulates the most rank here
+    assert got[3] == max(got.values())
+
+
+def test_pagerank_duplicate_edges_collapse_and_iter0(spark):
+    got = _run(spark, [(1, 2), (1, 2), (1, 2), (2, 1)], iters=0)
+    assert got == {1: 0.5, 2: 0.5}
+    one = _run(spark, [(1, 2), (1, 2), (2, 1)], iters=3)
+    clean = _run(spark, [(1, 2), (2, 1)], iters=3)
+    assert one == clean
+
+    with pytest.raises(ValueError):
+        _run(spark, [(1, 2)], iters=-1)
