@@ -1,0 +1,198 @@
+"""Time-series operators: trailing windows, gap-filling resample,
+robust outlier flagging.
+
+All three are expression-only (no Python in any hot path) and shuffle
+once on the series key:
+
+- :func:`trailing_agg` — RANGE-frame window (event-time span, not row
+  count), the correct frame for irregular event streams where "last
+  hour" covers a different number of rows per event.
+- :func:`resample` — dense fixed-step grid per key (``sequence`` +
+  explode over the key's own span) left-joined to the observations,
+  with optional forward fill via ``last(..., ignorenulls=True)``. The
+  grid explode is per-key-span, so total grid size is Σ span/step —
+  the caller controls density with ``step_seconds``; nothing
+  materializes on the driver.
+- :func:`mad_outliers` — median/MAD robust z-score per group. MAD
+  needs two dependent medians, so it is two keyed aggregations and a
+  broadcast-back join of the tiny per-group stats — deliberately NOT a
+  per-group window over the full history (grouped exact medians
+  already shuffle once; the windowed form would sort every group's
+  full history twice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _duration_micros(duration: str) -> int:
+    """Parse ``"<n> <unit>"`` to microseconds (seconds/minutes/hours/
+    days; singular or plural). RANGE window bounds must be literal
+    longs, so the span is resolved driver-side, not as an expression."""
+    units = {
+        "second": 1_000_000,
+        "minute": 60 * 1_000_000,
+        "hour": 3_600 * 1_000_000,
+        "day": 86_400 * 1_000_000,
+    }
+    parts = duration.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"duration must be '<n> <unit>', got {duration!r}")
+    n = int(parts[0])
+    unit = parts[1].rstrip("s").lower()
+    if n <= 0 or unit not in units:
+        raise ValueError(f"unsupported duration {duration!r}")
+    return n * units[unit]
+
+
+def trailing_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    aggs: dict[str, Column],
+    duration: str = "1 hour",
+) -> DataFrame:
+    """Event-time trailing aggregates: every input row annotated with
+    each aggregate in ``aggs`` evaluated over that key's rows in
+    ``[ts − duration, ts]`` (inclusive both ends — equal-timestamp
+    peers sit in each other's frame, standard RANGE semantics).
+
+    The frame is a RANGE frame over ``unix_micros(ts)``: a ROWS frame
+    ("last N rows") is wrong on irregular streams, where event density
+    differs per window. One shuffle on ``key_cols``, per-key sort
+    inside each partition. ``aggs`` maps output column name → aggregate
+    Column over input columns, e.g. ``{"n": F.count(F.lit(1)),
+    "avg_v": F.avg("value")}``.
+    """
+    span = _duration_micros(duration)
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(micros.alias("_us"))
+        .rangeBetween(-span, 0)
+    )
+    out = df
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
+    return out
+
+
+def resample(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 60,
+    fill: str = "ffill",
+) -> DataFrame:
+    """Resample an irregular series onto a dense fixed-step grid per
+    key: one row per ``step_seconds`` tick from each key's first
+    observation through its last (ticks aligned to the epoch grid via
+    floor), carrying the LAST observation in each bucket and — with
+    ``fill="ffill"`` — forward-filling empty buckets from the most
+    recent earlier bucket. ``fill="none"`` leaves gaps NULL.
+
+    Output: ``(*key_cols, bucket_ts, value)``. Buckets before a key's
+    first observation do not exist (nothing to fill from). Multiple
+    observations in one bucket resolve to the latest by event time,
+    ties by greatest value (``max_by`` tie semantics made deterministic
+    by ordering on (ts, value)).
+    """
+    if step_seconds <= 0:
+        raise ValueError("step_seconds must be positive")
+    if fill not in ("ffill", "none"):
+        raise ValueError(f"fill must be 'ffill' or 'none', got {fill!r}")
+    step = F.lit(step_seconds).cast("long")
+    sec = (F.unix_micros(F.col(ts_col).cast("timestamp")) / 1_000_000).cast(
+        "long"
+    )
+    bucket = (F.floor(sec / step) * step).cast("long")
+    # last observation per (key, bucket): deterministic max_by on the
+    # (ts, value) struct
+    obs = (
+        df.select(
+            *key_cols,
+            bucket.alias("bucket_sec"),
+            F.struct(
+                F.col(ts_col).cast("timestamp").alias("ts"),
+                F.col(value_col).alias("v"),
+            ).alias("_ob"),
+        )
+        .groupBy(*key_cols, "bucket_sec")
+        .agg(F.max("_ob")["v"].alias("_bucket_value"))
+    )
+    spans = df.groupBy(*key_cols).agg(
+        (F.floor(F.min(sec) / step) * step).cast("long").alias("_lo"),
+        (F.floor(F.max(sec) / step) * step).cast("long").alias("_hi"),
+    )
+    grid = spans.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), step)
+        ).alias("bucket_sec"),
+    )
+    joined = grid.join(obs, [*key_cols, "bucket_sec"], "left")
+    if fill == "ffill":
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy("bucket_sec")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        value = F.last("_bucket_value", ignorenulls=True).over(w)
+    else:
+        value = F.col("_bucket_value")
+    return joined.select(
+        *key_cols,
+        F.timestamp_seconds(F.col("bucket_sec")).alias("bucket_ts"),
+        value.alias("value"),
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier flags: modified z-score
+    ``0.6745·(x − median) / MAD`` (Iglewicz & Hoaglin's 1993 rule;
+    0.6745 rescales MAD to σ under normality), flagging
+    ``|z| > threshold``. Median/MAD instead of mean/stddev so the
+    outliers being hunted cannot mask themselves by inflating the
+    spread.
+
+    Two keyed aggregations (median of x, then median of |x − median|)
+    plus a broadcast join of the tiny per-group stats back onto the
+    rows. A zero-MAD group (over half the values identical) yields NULL
+    z-scores and ``is_outlier=false`` for exact-median rows — flagged
+    true for any row differing from the median (the degenerate-MAD
+    convention: in a constant group, anything else is an outlier).
+
+    Output: input columns + ``(median, mad, z, is_outlier)``.
+    """
+    x = F.col(value_col).cast("double")
+    med = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("median")
+    )
+    with_med = df.join(F.broadcast(med), group_cols)
+    mad = (
+        with_med.groupBy(*group_cols)
+        .agg(
+            F.expr(f"percentile(abs({value_col} - median), 0.5)").alias("mad")
+        )
+    )
+    scored = with_med.join(F.broadcast(mad), group_cols)
+    z = F.when(
+        F.col("mad") > 0, 0.6745 * (x - F.col("median")) / F.col("mad")
+    )
+    return scored.select(
+        *df.columns,
+        "median",
+        "mad",
+        F.round(z, 6).alias("z"),
+        F.when(F.col("mad") > 0, F.abs(z) > threshold)
+        .otherwise(x != F.col("median"))
+        .alias("is_outlier"),
+    )

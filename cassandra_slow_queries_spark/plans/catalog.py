@@ -3564,6 +3564,150 @@ ORDER BY bin
 """
 
 
+def q_x_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time trailing window (operators/timeseries.py:trailing_agg):
+    per event, the count and mean value over that user's trailing 6
+    hours — a RANGE frame over event-time microseconds, not a ROWS
+    frame, because event density varies per window on an irregular
+    stream. The oracle runs the identical RANGE frame in DuckDB."""
+    from cassandra_slow_queries_spark.operators.timeseries import trailing_agg
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    out = trailing_agg(
+        ev.select("user_id", "ts", "value"),
+        ["user_id"],
+        "ts",
+        {
+            "n_6h": F.count(F.lit(1)),
+            "avg_6h": F.avg("value"),
+        },
+        duration="6 hours",
+    )
+    return out.select(
+        "user_id", "ts", "n_6h", F.round("avg_6h", 6).alias("avg_6h")
+    ).orderBy("user_id", "ts")
+
+
+X_ROLLING_SQL = """
+SELECT user_id, ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_6h,
+       ROUND(AVG(value) OVER w, 6) AS avg_6h
+FROM events
+WHERE user_id < 30
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY epoch_us(ts)
+    RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW
+)
+ORDER BY user_id, ts
+"""
+
+
+def q_x_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling resample (operators/timeseries.py:resample): each of
+    five users' irregular value series re-gridded to dense 6-hour
+    buckets from their first to their last observation, empty buckets
+    forward-filled from the most recent earlier bucket. The oracle
+    rebuilds the grid with generate_series and replays the same
+    latest-observation-per-bucket and IGNORE NULLS fill."""
+    from cassandra_slow_queries_spark.operators.timeseries import resample
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    return (
+        resample(
+            ev,
+            ["user_id"],
+            "ts",
+            "value",
+            step_seconds=6 * 3600,
+            fill="ffill",
+        )
+        .select("user_id", "bucket_ts", F.round("value", 6).alias("value"))
+        .orderBy("user_id", "bucket_ts")
+    )
+
+
+X_RESAMPLE_SQL = """
+WITH src AS (
+    SELECT user_id,
+           CAST(FLOOR(epoch_us(ts) / 1e6 / 21600) AS BIGINT) * 21600 AS bucket_sec,
+           ts, value
+    FROM events WHERE user_id < 5
+), obs AS (
+    SELECT user_id, bucket_sec, value AS bucket_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, bucket_sec ORDER BY ts DESC, value DESC
+        ) AS rn
+        FROM src
+    ) WHERE rn = 1
+), spans AS (
+    SELECT user_id, MIN(bucket_sec) AS lo, MAX(bucket_sec) AS hi
+    FROM src GROUP BY user_id
+), grid AS (
+    SELECT user_id, UNNEST(range(lo, hi + 21600, 21600)) AS bucket_sec
+    FROM spans
+)
+SELECT g.user_id,
+       CAST(to_timestamp(g.bucket_sec) AS TIMESTAMP) AS bucket_ts,
+       ROUND(LAST_VALUE(o.bucket_value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket_sec
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 6) AS value
+FROM grid g LEFT JOIN obs o USING (user_id, bucket_sec)
+ORDER BY user_id, bucket_ts
+"""
+
+
+def q_x_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection (operators/timeseries.py:mad_outliers):
+    modified z-score (median/MAD, Iglewicz-Hoaglin 0.6745 scaling) per
+    event type, reported as per-group counts plus the exact median and
+    MAD — mean/stddev flagging would let the outliers inflate the
+    spread and mask themselves. Oracle recomputes with DuckDB's
+    interpolating median."""
+    from cassandra_slow_queries_spark.operators.timeseries import mad_outliers
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    flagged = mad_outliers(ev, ["event_type"], "value", threshold=2.0)
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+            F.round(F.min("median"), 6).alias("median"),
+            F.round(F.min("mad"), 6).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+X_OUTLIERS_SQL = """
+WITH med AS (
+    SELECT event_type, MEDIAN(value) AS median
+    FROM events GROUP BY event_type
+), m2 AS (
+    SELECT e.event_type, MEDIAN(ABS(e.value - med.median)) AS mad
+    FROM events e JOIN med USING (event_type)
+    GROUP BY e.event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE
+            WHEN m2.mad > 0
+                 THEN CASE WHEN ABS(0.6745 * (e.value - med.median) / m2.mad) > 2.0
+                           THEN 1 ELSE 0 END
+            ELSE CASE WHEN e.value <> med.median THEN 1 ELSE 0 END
+       END) AS BIGINT) AS n_outliers,
+       ROUND(MIN(med.median), 6) AS median,
+       ROUND(MIN(m2.mad), 6) AS mad
+FROM events e
+JOIN med USING (event_type)
+JOIN m2 USING (event_type)
+GROUP BY e.event_type
+ORDER BY event_type
+"""
+
+
 def q_x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (operators/graph.py), 5 power iterations with dangling
     redistribution, over a supplier→part graph derived from lineitem
@@ -4828,6 +4972,21 @@ CATALOG: dict[str, QueryDef] = {
         q_x_pagerank,
         _pagerank_sql(),
         "PageRank power iteration with dangling-mass redistribution",
+    ),
+    "x_rolling": QueryDef(
+        q_x_rolling,
+        X_ROLLING_SQL,
+        "event-time trailing RANGE-frame window aggregates",
+    ),
+    "x_resample": QueryDef(
+        q_x_resample,
+        X_RESAMPLE_SQL,
+        "gap-filling fixed-step resample with forward fill",
+    ),
+    "x_outliers": QueryDef(
+        q_x_outliers,
+        X_OUTLIERS_SQL,
+        "median/MAD robust outlier flags per group",
     ),
     "x_sketch_gate": QueryDef(
         q_x_sketch_gate,
