@@ -3564,6 +3564,100 @@ ORDER BY bin
 """
 
 
+def q_x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic salted skew join (operators/skew.py): 70% of events
+    collapse onto ONE key, joined to a tiny per-key dimension. The
+    salted plan spreads the hot key across 16 deterministic partitions
+    (small side exploded 16×) yet must produce EXACTLY the plain join —
+    the oracle is the unsalted SQL join aggregated per key, plus a
+    ``spread_ok`` boolean pinning that no single (key, salt) cell holds
+    more than 2/16ths of the hot key's rows (a broken salt — constant,
+    or correlated with the key — collapses the spread and flips it)."""
+    from cassandra_slow_queries_spark.operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").select(
+        F.when(F.pmod(F.col("event_id"), F.lit(10)) < 7, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.pmod(F.col("event_id"), F.lit(97))))
+        .alias("k"),
+        _dur().alias("duration"),
+    )
+    dim = (
+        ev.select("k")
+        .distinct()
+        .withColumn("k_tier", F.when(F.col("k") == "hot", "hot").otherwise("cold"))
+    )
+    joined = salted_join(ev, dim, on="k", n_salts=16)
+    per_key = joined.groupBy("k_tier").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("duration").alias("total_duration"),
+    )
+    # spread audit: max salted cell of the hot key vs its total
+    l_salted = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in ev.columns]), F.lit(16))
+    ).filter(F.col("k") == "hot")
+    spread = (
+        l_salted.groupBy("_salt")
+        .count()
+        .agg(
+            (F.max("count") * 16 <= 2 * F.sum("count")).alias("spread_ok")
+        )
+    )
+    return per_key.crossJoin(spread).orderBy("k_tier")
+
+
+X_SALTED_JOIN_SQL = """
+WITH ev AS (
+    SELECT CASE WHEN event_id % 10 < 7 THEN 'hot'
+                ELSE 'k' || CAST(event_id % 97 AS VARCHAR) END AS k,
+           CAST(FLOOR(value) AS BIGINT) AS duration
+    FROM events
+), dim AS (
+    SELECT DISTINCT k,
+           CASE WHEN k = 'hot' THEN 'hot' ELSE 'cold' END AS k_tier
+    FROM ev
+)
+SELECT d.k_tier,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(e.duration) AS total_duration,
+       TRUE AS spread_ok
+FROM ev e JOIN dim d USING (k)
+GROUP BY d.k_tier
+ORDER BY k_tier
+"""
+
+
+def q_x_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword retrieval through a posting-row inverted
+    index (operators/search.py): build ``(token, doc_id)`` postings,
+    then answer a 5-term AND query as one pushed-down term filter + one
+    doc-keyed aggregate — no k-way self-join chain, no per-token
+    arrays (a hot token's array row would be the familiar single-task
+    hot key). Oracle answers the same query straight off the text with
+    ``list_contains`` conjunctions, so an index that drops or
+    duplicates postings changes the doc set and breaks the hash."""
+    from cassandra_slow_queries_spark.operators.search import (
+        build_inverted_index,
+        search_all_terms,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    index = build_inverted_index(docs, "text", "doc_id")
+    return search_all_terms(
+        index, ["vector", "query", "batch", "scan", "merge"]
+    ).orderBy("doc_id")
+
+
+X_SEARCH_SQL = """
+SELECT doc_id FROM documents
+WHERE list_contains(string_split(lower(text), ' '), 'vector')
+  AND list_contains(string_split(lower(text), ' '), 'query')
+  AND list_contains(string_split(lower(text), ' '), 'batch')
+  AND list_contains(string_split(lower(text), ' '), 'scan')
+  AND list_contains(string_split(lower(text), ' '), 'merge')
+ORDER BY doc_id
+"""
+
+
 def q_x_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time trailing window (operators/timeseries.py:trailing_agg):
     per event, the count and mean value over that user's trailing 6
@@ -4977,6 +5071,16 @@ CATALOG: dict[str, QueryDef] = {
         q_x_rolling,
         X_ROLLING_SQL,
         "event-time trailing RANGE-frame window aggregates",
+    ),
+    "x_search": QueryDef(
+        q_x_search,
+        X_SEARCH_SQL,
+        "conjunctive keyword search via a posting-row inverted index",
+    ),
+    "x_salted_join": QueryDef(
+        q_x_salted_join,
+        X_SALTED_JOIN_SQL,
+        "generic salted skew join: exact parity + hot-key spread audit",
     ),
     "x_resample": QueryDef(
         q_x_resample,

@@ -1,0 +1,91 @@
+"""Unit tests for the inverted index (operators/search.py) and the
+generic salted join (operators/skew.py); the catalog entries are
+oracle-checked by test_entry_oracle.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_slow_queries_spark.operators.search import (
+    build_inverted_index,
+    search_all_terms,
+)
+from cassandra_slow_queries_spark.operators.skew import salted_join
+
+
+def test_inverted_index_postings_distinct_and_lowercased(spark):
+    docs = spark.createDataFrame(
+        [(1, "Spark JOIN join spark"), (2, "shuffle  spark"), (3, "")],
+        "doc_id long, text string",
+    )
+    idx = build_inverted_index(docs)
+    rows = {(r["token"], r["doc_id"]) for r in idx.collect()}
+    # repeated tokens collapse; case folds; empty text yields no postings
+    assert rows == {("spark", 1), ("join", 1), ("shuffle", 2), ("spark", 2)}
+
+
+def test_search_conjunction_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join shuffle"),
+            (2, "spark join"),
+            (3, "join shuffle"),
+            (4, "spark spark shuffle join"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_inverted_index(docs)
+    hits = sorted(
+        r["doc_id"] for r in search_all_terms(idx, ["spark", "JOIN", "join"]).collect()
+    )
+    assert hits == [1, 2, 4]  # duplicate/differently-cased terms collapse
+    assert sorted(
+        r["doc_id"]
+        for r in search_all_terms(idx, ["spark", "join", "shuffle"]).collect()
+    ) == [1, 4]
+    with pytest.raises(ValueError):
+        search_all_terms(idx, ["", None] if False else [""])
+
+
+def test_salted_join_exact_parity_with_plain_join(spark):
+    left = spark.createDataFrame(
+        [("hot", i * 1.0) for i in range(500)]
+        + [("cold1", 1.0), ("cold2", 2.0), ("orphan", 3.0)],
+        "k string, v double",
+    )
+    right = spark.createDataFrame(
+        [("hot", "H"), ("cold1", "C1"), ("cold2", "C2"), ("unused", "U")],
+        "k string, tag string",
+    )
+    plain = left.join(right, "k").groupBy("k", "tag").count()
+    salted = salted_join(left, right, "k", n_salts=8).groupBy("k", "tag").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    # left outer: orphan survives exactly once with a NULL tag
+    lo = salted_join(left, right, "k", n_salts=8, how="left")
+    orphans = lo.filter("k = 'orphan'").collect()
+    assert len(orphans) == 1 and orphans[0]["tag"] is None
+
+
+def test_salted_join_spreads_hot_key_and_rejects_outer(spark):
+    left = spark.createDataFrame(
+        [("hot", float(i)) for i in range(1000)], "k string, v double"
+    )
+    salts = (
+        left.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8)),
+        )
+        .groupBy("_salt")
+        .count()
+        .collect()
+    )
+    assert len(salts) == 8
+    assert max(r["count"] for r in salts) < 2 * 1000 / 8
+
+    right = spark.createDataFrame([("hot", "H")], "k string, tag string")
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", how="full")
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", n_salts=0)
