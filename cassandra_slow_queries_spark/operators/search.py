@@ -67,3 +67,82 @@ def search_all_terms(
         .filter(F.col("_hits") == len(want))
         .select("doc_id")
     )
+
+
+def build_scored_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Posting rows WITH term statistics for ranked retrieval:
+    ``(token, doc_id, tf, doc_len)`` — term frequency in the document
+    and the document's token count. Same explode/shuffle shape as
+    :func:`build_inverted_index`; tf comes from the (token, doc)
+    groupBy rather than a distinct."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("token"),
+    )
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    tf = toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.join(lens, "doc_id").select("token", "doc_id", "tf", "doc_len")
+
+
+def bm25_topk(
+    index: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-ranked retrieval (Robertson-Spärck Jones; the Okapi BM25
+    formula) over a :func:`build_scored_index` frame: top-``k``
+    documents for a bag-of-words query, ties broken on doc_id.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen)),
+    idf(t) = ln(1 + (N−df+0.5)/(df+0.5)).
+
+    Plan: the query-term filter prunes the index scan (|terms| posting
+    lists); df per term and the corpus constants (N, avg doc length)
+    are 1-row/tiny aggregates crossJoined in; per-posting scoring is
+    pure arithmetic; the final top-k compiles to
+    TakeOrderedAndProject. Duplicate query terms collapse — repeat
+    weighting belongs to query-side tf, which a bag query of distinct
+    terms doesn't need.
+    """
+    from cassandra_slow_queries_spark.operators.topk import top_n
+
+    want = sorted({t.lower() for t in terms if t})
+    if not want:
+        raise ValueError("bm25 needs at least one non-empty term")
+    consts = index.select("doc_id", "doc_len").distinct().agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.avg("doc_len").alias("_avg_len"),
+    )
+    hits = index.filter(F.col("token").isin(want))
+    df_per_term = hits.groupBy("token").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    scored = (
+        hits.join(F.broadcast(df_per_term), "token")
+        .crossJoin(consts)
+        .withColumn(
+            "_idf",
+            F.log(
+                1.0
+                + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "_w",
+            F.col("_idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("doc_len") / F.col("_avg_len"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_w"), 6).alias("score"))
+    )
+    return top_n(scored, "score", k, tiebreaks=["doc_id"]).orderBy(
+        F.desc("score"), "doc_id"
+    )

@@ -3564,6 +3564,55 @@ ORDER BY bin
 """
 
 
+def q_x_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/search.py:bm25_topk) over the
+    scored posting index: top-10 documents for a three-term query,
+    k1=1.2, b=0.75, ties on doc_id. The oracle recomputes the full
+    Okapi formula — tf, df, doc length, corpus averages — in SQL, so a
+    wrong idf smoothing, a missed length normalization, or a posting
+    miscount reorders the ranking and breaks the hash."""
+    from cassandra_slow_queries_spark.operators.search import (
+        bm25_topk,
+        build_scored_index,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    index = build_scored_index(docs, "text", "doc_id")
+    return bm25_topk(index, ["vector", "spark", "window"], k=10)
+
+
+X_BM25_SQL = """
+WITH toks AS (
+    SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+    FROM documents
+), toks2 AS (SELECT * FROM toks WHERE token <> ''),
+lens AS (
+    SELECT doc_id, COUNT(*) AS doc_len FROM toks2 GROUP BY doc_id
+), consts AS (
+    SELECT COUNT(*) AS n_docs, AVG(doc_len) AS avg_len FROM lens
+), tf AS (
+    SELECT token, doc_id, COUNT(*) AS tf FROM toks2
+    WHERE token IN ('vector', 'spark', 'window')
+    GROUP BY token, doc_id
+), dfreq AS (
+    SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+)
+SELECT t.doc_id,
+       ROUND(SUM(
+           LN(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (t.tf * 2.2)
+           / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.doc_len / c.avg_len))
+       ), 6) AS score
+FROM tf t
+JOIN dfreq d USING (token)
+JOIN lens l USING (doc_id)
+CROSS JOIN consts c
+GROUP BY t.doc_id
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 def q_x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic salted skew join (operators/skew.py): 70% of events
     collapse onto ONE key, joined to a tiny per-key dimension. The
@@ -5081,6 +5130,11 @@ CATALOG: dict[str, QueryDef] = {
         q_x_salted_join,
         X_SALTED_JOIN_SQL,
         "generic salted skew join: exact parity + hot-key spread audit",
+    ),
+    "x_bm25": QueryDef(
+        q_x_bm25,
+        X_BM25_SQL,
+        "BM25 ranked retrieval over the scored posting index",
     ),
     "x_resample": QueryDef(
         q_x_resample,

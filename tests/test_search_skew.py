@@ -89,3 +89,53 @@ def test_salted_join_spreads_hot_key_and_rejects_outer(spark):
         salted_join(left, right, "k", how="full")
     with pytest.raises(ValueError):
         salted_join(left, right, "k", n_salts=0)
+
+
+def test_bm25_scores_match_hand_formula(spark):
+    import math
+
+    from cassandra_slow_queries_spark.operators.search import (
+        bm25_topk,
+        build_scored_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),      # tf(apple)=2, len 3
+            (2, "apple cherry"),            # tf(apple)=1, len 2
+            (3, "cherry cherry banana"),    # no apple
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_scored_index(docs)
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(idx, ["apple"], k=3).collect()}
+
+    n, avg_len = 3, (3 + 2 + 3) / 3
+    df = 2
+    idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+
+    def w(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avg_len))
+
+    assert got.keys() == {1, 2}  # doc 3 has no query term
+    assert got[1] == pytest.approx(round(w(2, 3), 6), abs=1e-6)
+    assert got[2] == pytest.approx(round(w(1, 2), 6), abs=1e-6)
+    # higher tf with comparable length outranks
+    assert got[1] > got[2]
+
+    with pytest.raises(ValueError):
+        bm25_topk(idx, [])
+
+
+def test_bm25_rare_term_outweighs_common(spark):
+    from cassandra_slow_queries_spark.operators.search import (
+        bm25_topk,
+        build_scored_index,
+    )
+
+    rows = [(i, "common filler words here") for i in range(1, 20)]
+    rows.append((100, "common rare filler here"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = build_scored_index(docs)
+    top = bm25_topk(idx, ["common", "rare"], k=1).collect()
+    assert top[0]["doc_id"] == 100  # the only doc with the rare term wins
