@@ -3043,6 +3043,157 @@ ORDER BY query NULLS FIRST, bucket NULLS FIRST
 """
 
 
+def q_x_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping sets in one
+    pass — completes the grouping-sets family next to x_rollup and the
+    five-report GROUPING SETS pipeline."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+X_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (1, 2)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+def q_x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): event counts per user decile × event type.
+    The pivot values are DECLARED (the five known types), not
+    discovered — at 100 TB an undeclared pivot runs an extra distinct
+    pass over the data just to learn the columns. Oracle is the
+    standard conditional-aggregation encoding."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withColumn("decile", F.pmod(F.col("user_id"), F.lit(10)))
+        .groupBy("decile")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+        .orderBy("decile")
+    )
+
+
+X_PIVOT_SQL = """
+SELECT user_id % 10 AS decile,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY 1
+ORDER BY decile
+"""
+
+
+def q_x_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via the native ``unpivot``/stack path: the
+    lineitem charge columns melted to (orderkey, charge_kind, amount)
+    rows, aggregated per kind. Round-trips the x_pivot shape."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_orderkey",
+        F.col("l_extendedprice").alias("extended"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    )
+    long = wide.unpivot(
+        ["l_orderkey"], ["extended", "discount", "tax"], "charge_kind", "amount"
+    )
+    return (
+        long.groupBy("charge_kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("amount"), 2).alias("total"),
+        )
+        .orderBy("charge_kind")
+    )
+
+
+X_UNPIVOT_SQL = """
+WITH long AS (
+    SELECT l_orderkey, 'extended' AS charge_kind, l_extendedprice AS amount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, 'tax', l_tax FROM lineitem
+)
+SELECT charge_kind,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(amount), 2) AS total
+FROM long
+GROUP BY charge_kind
+ORDER BY charge_kind
+"""
+
+
+def q_x_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend: slope and intercept of value over time
+    (days since the group's first event) per event type, closed-form
+    via ``covar_pop/var_pop`` — one aggregation pass, no iteration.
+    Time is rebased per group before the regression: raw epoch
+    magnitudes (~1.7e9) would eat all the float precision the slope
+    lives in."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros(F.col("ts")) / F.lit(86_400_000_000.0)).alias("_d"),
+        F.col("value"),
+    )
+    base = ev.groupBy("event_type").agg(F.min("_d").alias("_d0"))
+    rebased = ev.join(F.broadcast(base), "event_type").select(
+        "event_type", (F.col("_d") - F.col("_d0")).alias("x"), F.col("value").alias("y")
+    )
+    return (
+        rebased.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.covar_pop("x", "y") / F.var_pop("x"), 6
+            ).alias("slope"),
+            F.round(
+                F.avg("y") - F.covar_pop("x", "y") / F.var_pop("x") * F.avg("x"),
+                6,
+            ).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+X_TREND_SQL = """
+WITH ev AS (
+    SELECT event_type, epoch_us(ts) / 86400000000.0 AS d, value
+    FROM events
+), base AS (
+    SELECT event_type, MIN(d) AS d0 FROM ev GROUP BY event_type
+), r AS (
+    SELECT ev.event_type, ev.d - base.d0 AS x, ev.value AS y
+    FROM ev JOIN base USING (event_type)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COVAR_POP(x, y) / VAR_POP(x), 6) AS slope,
+       ROUND(AVG(y) - COVAR_POP(x, y) / VAR_POP(x) * AVG(x), 6) AS intercept
+FROM r
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def q_x_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-located fact⋈fact join over bucketed storage: orders and
     lineitem are staged ONCE per session as 16-bucket tables hashed on
@@ -5086,6 +5237,18 @@ CATALOG: dict[str, QueryDef] = {
         q_q6_forecast_revenue, Q6_SQL, "TPC-H Q6: fully-pushed selective scan"
     ),
     "x_rollup": QueryDef(q_x_rollup, X_ROLLUP_SQL, "grouping-sets rollup"),
+    "x_cube": QueryDef(q_x_cube, X_CUBE_SQL, "CUBE over two dimensions"),
+    "x_pivot": QueryDef(
+        q_x_pivot, X_PIVOT_SQL, "declared-values pivot, long to wide"
+    ),
+    "x_unpivot": QueryDef(
+        q_x_unpivot, X_UNPIVOT_SQL, "native unpivot/melt, wide to long"
+    ),
+    "x_trend": QueryDef(
+        q_x_trend,
+        X_TREND_SQL,
+        "per-group OLS slope/intercept via covar_pop in one pass",
+    ),
     "x_profile": QueryDef(
         q_x_profile,
         X_PROFILE_SQL,
