@@ -276,3 +276,64 @@ def heavy_hitters(
         .select("item", "n_item")
         .orderBy(F.desc("n_item"), "item")
     )
+
+
+def token_distribution(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Unigram relative-frequency distribution of a corpus snapshot:
+    ``(token, n, p)`` with ``p = n / Σ n``. Tokenization is the shared
+    whitespace split (operators/search.py:tokenize) so retrieval,
+    text-stats, and drift all agree on what a term is.
+
+    Scale shape: one explode + one token-keyed aggregation (map-side
+    combined); the total-count normalizer joins back as a broadcast of
+    a single row. Output cardinality is the vocabulary, not the corpus.
+    """
+    from cassandra_slow_queries_spark.operators.search import tokenize
+
+    toks = df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_tot"))
+    return counts.join(F.broadcast(total)).select(
+        "token", "n", (F.col("n") / F.col("_tot")).alias("p")
+    )
+
+
+def distribution_drift(
+    left: DataFrame, right: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-term Jensen-Shannon drift between two corpus snapshots'
+    unigram distributions — the "did the crawl shift under me" check a
+    training-data pipeline runs between ingests (corpus_diff answers
+    *which documents* changed; this answers *how the language* changed).
+
+    Returns one row per union-vocabulary term: ``(token, p, q, js)``
+    where ``js`` is the term's contribution (in nats) to
+    JS(P‖Q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m), m = (p+q)/2 — a missing
+    term contributes only through the side that has it (the other
+    side's p·ln(p/m) term is 0 by the 0·ln 0 = 0 convention). Summing
+    the ``js`` column yields the total divergence, bounded by ln 2.
+
+    Scale shape: two vocabulary-sized aggregates + one full outer join
+    keyed on token. Nothing is proportional to corpus size after the
+    per-snapshot token aggregation; a natural-language vocabulary's
+    Zipf head is at most a few hot tokens within an already-collapsed
+    frame, so no salting is needed.
+    """
+    pd_ = token_distribution(left, text_col).select(
+        "token", F.col("p").alias("p")
+    )
+    qd_ = token_distribution(right, text_col).select(
+        "token", F.col("p").alias("q")
+    )
+    joined = pd_.join(qd_, "token", "full_outer").select(
+        "token",
+        F.coalesce("p", F.lit(0.0)).alias("p"),
+        F.coalesce("q", F.lit(0.0)).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = lambda c: F.when(  # noqa: E731 — 0·ln 0 = 0 convention
+        F.col(c) > 0, F.col(c) * F.log(F.col(c) / m)
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn("js", 0.5 * term("p") + 0.5 * term("q"))

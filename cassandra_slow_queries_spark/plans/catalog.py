@@ -5198,6 +5198,165 @@ GROUP BY event_type
 """
 
 
+def q_x_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix (operators/sequences.py) over each
+    user's event stream: consecutive (prev, next) event-type bigrams via
+    one user-keyed window, collapsed to the |states|² matrix, with the
+    row-normalized probability computed on the collapsed matrix (never a
+    window over raw events). Oracle replays the LAG + normalization in
+    SQL; the tiebreak (ts, event_id) makes pair formation a strict
+    total order on both engines."""
+    from cassandra_slow_queries_spark.operators.sequences import (
+        transition_matrix,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    return transition_matrix(
+        ev, "user_id", "event_type", [F.col("ts"), F.col("event_id")]
+    ).orderBy("prev_state", "next_state")
+
+
+X_TRANSITIONS_SQL = """
+WITH pairs AS (
+    SELECT LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_state,
+           event_type AS next_state
+    FROM events
+), counts AS (
+    SELECT prev_state, next_state, COUNT(*) AS n
+    FROM pairs WHERE prev_state IS NOT NULL
+    GROUP BY prev_state, next_state
+)
+SELECT prev_state, next_state, CAST(n AS BIGINT) AS n,
+       ROUND(n / SUM(n) OVER (PARTITION BY prev_state), 6) AS p
+FROM counts
+ORDER BY prev_state, next_state
+"""
+
+
+def q_x_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon language drift (operators/profile.py:
+    distribution_drift) between the English and non-English document
+    snapshots: per-term JS contributions over the union vocabulary,
+    top-20 drifted terms plus the global divergence carried as a
+    1-row crossJoin column. Ordering is on the ROUNDED contribution
+    (then token) so the cutoff is cross-engine stable; p/q are exact
+    count ratios (identical doubles on both engines), and ln() enters
+    only the 7-digit-rounded js where a last-ulp libm difference is
+    orders of magnitude below the rounding granularity."""
+    from cassandra_slow_queries_spark.operators.profile import (
+        distribution_drift,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    drift = distribution_drift(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+    )
+    total = drift.agg(F.round(F.sum("js"), 6).alias("js_total"))
+    return (
+        drift.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.round("p", 9).alias("p"),
+            F.round("q", 9).alias("q"),
+            F.round("js", 7).alias("js"),
+            "js_total",
+        )
+        .orderBy(F.desc("js"), "token")
+        .limit(20)
+    )
+
+
+X_CORPUS_DRIFT_SQL = """
+WITH lt AS (
+    SELECT unnest(string_split(lower(text), ' ')) AS token
+    FROM documents WHERE lang = 'en'
+), rt AS (
+    SELECT unnest(string_split(lower(text), ' ')) AS token
+    FROM documents WHERE lang <> 'en'
+), pd AS (
+    SELECT token, COUNT(*) / SUM(COUNT(*)) OVER () AS p
+    FROM lt WHERE token <> '' GROUP BY token
+), qd AS (
+    SELECT token, COUNT(*) / SUM(COUNT(*)) OVER () AS q
+    FROM rt WHERE token <> '' GROUP BY token
+), j AS (
+    SELECT COALESCE(pd.token, qd.token) AS token,
+           COALESCE(p, 0) AS p, COALESCE(q, 0) AS q
+    FROM pd FULL OUTER JOIN qd ON pd.token = qd.token
+), terms AS (
+    SELECT token, p, q,
+           0.5 * (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END)
+         + 0.5 * (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END)
+               AS js
+    FROM j
+), tot AS (SELECT ROUND(SUM(js), 6) AS js_total FROM terms)
+SELECT token, ROUND(p, 9) AS p, ROUND(q, 9) AS q,
+       ROUND(js, 7) AS js, tot.js_total
+FROM terms, tot
+ORDER BY ROUND(js, 7) DESC, token
+LIMIT 20
+"""
+
+
+def q_x_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators/graph.py:triangle_counts)
+    over the mod-folded supplier→part co-occurrence graph, WITH the
+    degree cap engaged (max_degree=40) so the oracle pins the exact
+    hub-removal semantics — the mechanism that bounds the quadratic
+    Σ deg² wedge fan-out at real scale — not just the happy path.
+    Sparse by construction (l_quantity ≤ 1, keys mod 300): most nodes
+    genuinely count 0 triangles, so the left-join zero-fill is
+    exercised too."""
+    from cassandra_slow_queries_spark.operators.graph import triangle_counts
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 1)
+    edges = li.select(
+        F.pmod(F.col("l_suppkey"), F.lit(300)).alias("src"),
+        F.pmod(F.col("l_partkey"), F.lit(300)).alias("dst"),
+    )
+    return triangle_counts(edges, max_degree=40).orderBy("node")
+
+
+X_TRIANGLES_SQL = """
+WITH e0 AS (
+    SELECT DISTINCT LEAST(l_suppkey % 300, l_partkey % 300) AS a,
+                    GREATEST(l_suppkey % 300, l_partkey % 300) AS b
+    FROM lineitem WHERE l_quantity <= 1
+), ec AS (
+    SELECT a, b FROM e0 WHERE a < b
+), deg AS (
+    SELECT node, COUNT(*) AS d FROM (
+        SELECT a AS node FROM ec UNION ALL SELECT b FROM ec
+    ) GROUP BY node
+), hot AS (
+    SELECT node FROM deg WHERE d > 40
+), e AS (
+    SELECT a, b FROM ec
+    WHERE a NOT IN (SELECT node FROM hot)
+      AND b NOT IN (SELECT node FROM hot)
+), tri AS (
+    SELECT e1.a, e1.b, x.b AS c
+    FROM e e1
+    JOIN e x ON e1.b = x.a
+    JOIN e y ON y.a = e1.a AND y.b = x.b
+), per AS (
+    SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    ) GROUP BY node
+), nodes AS (
+    SELECT a AS node FROM e UNION SELECT b FROM e
+)
+SELECT node, COALESCE(n_triangles, CAST(0 AS BIGINT)) AS n_triangles
+FROM nodes LEFT JOIN per USING (node)
+ORDER BY node
+"""
+
+
 # Ordering note: the driver's correctness gate checks the FIRST
 # rotation.CHECK_WINDOW (50) entries in dict order. Through round 5 that
 # window was curated by hand; since round 6 the dict below holds only the
@@ -5248,6 +5407,21 @@ CATALOG: dict[str, QueryDef] = {
         q_x_trend,
         X_TREND_SQL,
         "per-group OLS slope/intercept via covar_pop in one pass",
+    ),
+    "x_triangles": QueryDef(
+        q_x_triangles,
+        X_TRIANGLES_SQL,
+        "degree-capped per-node triangle counts over a folded graph",
+    ),
+    "x_corpus_drift": QueryDef(
+        q_x_corpus_drift,
+        X_CORPUS_DRIFT_SQL,
+        "Jensen-Shannon unigram drift between corpus snapshots",
+    ),
+    "x_transitions": QueryDef(
+        q_x_transitions,
+        X_TRANSITIONS_SQL,
+        "per-user Markov transition matrix, normalized post-collapse",
     ),
     "x_profile": QueryDef(
         q_x_profile,
