@@ -1,0 +1,106 @@
+"""Fuzzy record linkage by sorted-neighborhood blocking.
+
+Entity resolution ("are these two registry rows the same real-world
+thing?") needs candidate pairs without the all-pairs cross join. The
+sorted-neighborhood method (Hernández & Stolfo 1995) sorts records by a
+linkage key and compares only records whose SORT RANKS are within a
+fixed window — dirty variants of the same entity (tail typos, appended
+suffixes, dropped characters) sort next to their original, so a small
+window catches them at linear cost. Recall is bounded by construction:
+an edit that changes the sort prefix can move a record out of the
+window (the classic SNM trade-off; run a second pass on a different
+key to recover).
+
+Scale shape: ranking is the distributed prefix-sum global row_number
+(operators/merge.py:assign_global_ids — range exchange + per-range
+local windows, never a single-task global window). The neighbor join
+is a band join: band = rank div window, the left side explodes to its
+own and the successor band (fan-out exactly 2), and a pair at rank
+distance ≤ window lands in exactly one of the two band matches — the
+same exactly-once banding as operators/rangejoin.py. Band population
+is ``window`` consecutive ranks, so per-key join fan-out is bounded by
+construction; no salting needed, no hot keys possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_col: str,
+    window: int = 5,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Candidate pairs ``(a_id, a_<sort>, b_id, b_<sort>)`` whose global
+    sort ranks (ordered by ``sort_col`` then ``id_col`` as the strict
+    tiebreak) differ by 1..``window``. Each qualifying pair is emitted
+    exactly once, with the lower-ranked record on the ``a_`` side."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from cassandra_slow_queries_spark.operators.merge import assign_global_ids
+
+    ranked = assign_global_ids(
+        df.select(
+            F.col(id_col).alias("_id"), F.col(sort_col).alias("_key")
+        ),
+        [F.col("_key"), F.col("_id")],
+        out_col="_rn",
+        num_ranges=num_ranges,
+    )
+    w = F.lit(int(window))
+    band = F.expr("_rn div " + str(int(window)))
+    left = ranked.select(
+        F.col("_id").alias("a_id"),
+        F.col("_key").alias("a_key"),
+        F.col("_rn").alias("_arn"),
+        F.explode(F.array(band, band + 1)).alias("_band"),
+    )
+    right = ranked.select(
+        F.col("_id").alias("b_id"),
+        F.col("_key").alias("b_key"),
+        F.col("_rn").alias("_brn"),
+        band.alias("_band"),
+    )
+    return (
+        left.join(right, "_band")
+        .filter(
+            (F.col("_brn") > F.col("_arn"))
+            & (F.col("_brn") <= F.col("_arn") + w)
+        )
+        .select("a_id", "a_key", "b_id", "b_key")
+    )
+
+
+def fuzzy_link(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    window: int = 5,
+    max_distance: int = 1,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Sorted-neighborhood linkage verified by edit distance: candidate
+    pairs from :func:`sorted_neighborhood_pairs` on ``name_col``, kept
+    when ``levenshtein(a, b) <= max_distance``. Returns
+    ``(a_id, b_id, a_name, b_name, distance)`` with the lower-ranked
+    record first. The verify runs on candidates only — cost is
+    O(rows · window) comparisons, never all-pairs."""
+    cand = sorted_neighborhood_pairs(
+        df, id_col, name_col, window=window, num_ranges=num_ranges
+    )
+    dist = F.levenshtein(F.col("a_key"), F.col("b_key"))
+    return (
+        cand.withColumn("distance", dist)
+        .filter(F.col("distance") <= max_distance)
+        .select(
+            "a_id",
+            "b_id",
+            F.col("a_key").alias("a_name"),
+            F.col("b_key").alias("b_name"),
+            "distance",
+        )
+    )

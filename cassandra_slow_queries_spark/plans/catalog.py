@@ -5357,6 +5357,111 @@ ORDER BY node
 """
 
 
+def q_x_fuzzy_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood fuzzy record linkage (operators/linkage.py)
+    over a deliberately-dirtied customer registry: each customer gets a
+    shadow row with a deterministic tail corruption (exact copy /
+    dropped last char / last char → 'X' / appended 'Z'), the registry is
+    globally ranked by name via the distributed prefix-sum (never a
+    single-task window), and rank-window candidates are verified with
+    levenshtein ≤ 1. The oracle replays rank + window + verify directly
+    with ROW_NUMBER; tail edits keep sort locality so most true links
+    fall inside the window while the 'X' substitution demonstrates the
+    documented SNM recall bound (it sorts past the window for some
+    rows) — deterministically on both engines."""
+    from cassandra_slow_queries_spark.operators.linkage import fuzzy_link
+
+    cust = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    dirty_name = (
+        F.when(k % 4 == 0, F.col("c_name"))
+        .when(
+            k % 4 == 1,
+            F.expr("substr(c_name, 1, length(c_name) - 1)"),
+        )
+        .when(
+            k % 4 == 2,
+            F.concat(
+                F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X")
+            ),
+        )
+        .otherwise(F.concat(F.col("c_name"), F.lit("Z")))
+    )
+    registry = cust.select(
+        k.alias("id"), F.col("c_name").alias("name")
+    ).unionByName(
+        cust.select((k + 1_000_000).alias("id"), dirty_name.alias("name"))
+    )
+    return fuzzy_link(
+        registry, "id", "name", window=5, max_distance=1
+    ).orderBy("a_id", "b_id")
+
+
+X_FUZZY_LINK_SQL = """
+WITH registry AS (
+    SELECT c_custkey AS id, c_name AS name FROM customer
+    UNION ALL
+    SELECT c_custkey + 1000000,
+           CASE c_custkey % 4
+             WHEN 0 THEN c_name
+             WHEN 1 THEN substr(c_name, 1, length(c_name) - 1)
+             WHEN 2 THEN substr(c_name, 1, length(c_name) - 1) || 'X'
+             ELSE c_name || 'Z' END
+    FROM customer
+), ranked AS (
+    SELECT id, name, ROW_NUMBER() OVER (ORDER BY name, id) AS rn
+    FROM registry
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       a.name AS a_name, b.name AS b_name,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
+FROM ranked a JOIN ranked b
+  ON b.rn > a.rn AND b.rn <= a.rn + 5
+WHERE levenshtein(a.name, b.name) <= 1
+ORDER BY a_id, b_id
+"""
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 over SLIDING windows as a real Structured Streaming job
+    (streaming/pipeline.py:sliding_volume_stream): 2-hour windows
+    sliding hourly, so every event lands in exactly two windows. The
+    batch oracle replays the overlap as a UNION ALL of the two hour-
+    aligned window starts (date_trunc and date_trunc − 1 h) — if the
+    streaming window assignment, alignment, or the overlap factor ever
+    changed, the per-window counts would diverge immediately."""
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        run_stream_to_batch,
+        sliding_volume_stream,
+    )
+
+    parsed = _event_fact_stream(spark, sf_dir)
+    result = run_stream_to_batch(
+        sliding_volume_stream(parsed, window="2 hours", slide="1 hour")
+    )
+    return result.orderBy("bucket", "query")
+
+
+STREAM_SLIDING_SQL = """
+WITH f AS (
+    SELECT ts, event_type AS query,
+           CAST(FLOOR(value) AS BIGINT) AS duration
+    FROM events
+), w AS (
+    SELECT date_trunc('hour', ts) AS ws, query, duration FROM f
+    UNION ALL
+    SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, query, duration FROM f
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M') AS bucket, query,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(duration) AS BIGINT) AS duration,
+       CAST(FLOOR(SUM(duration) / COUNT(*)) AS BIGINT) AS avg_duration
+FROM w
+GROUP BY ws, query
+ORDER BY bucket, query
+"""
+
+
 # Ordering note: the driver's correctness gate checks the FIRST
 # rotation.CHECK_WINDOW (50) entries in dict order. Through round 5 that
 # window was curated by hand; since round 6 the dict below holds only the
@@ -5407,6 +5512,16 @@ CATALOG: dict[str, QueryDef] = {
         q_x_trend,
         X_TREND_SQL,
         "per-group OLS slope/intercept via covar_pop in one pass",
+    ),
+    "stream_sliding": QueryDef(
+        q_stream_sliding,
+        STREAM_SLIDING_SQL,
+        "sliding-window streaming A4; oracle replays the 2x overlap",
+    ),
+    "x_fuzzy_link": QueryDef(
+        q_x_fuzzy_link,
+        X_FUZZY_LINK_SQL,
+        "sorted-neighborhood entity linkage, levenshtein-verified",
     ),
     "x_triangles": QueryDef(
         q_x_triangles,

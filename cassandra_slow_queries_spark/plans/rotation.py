@@ -15,7 +15,8 @@ rank stalest of all and land at the front of the window. Sorting
 stalest-first makes the rotation invariant self-fulfilling: the tail
 beyond the window is always exactly the freshest-checked entries, so no
 entry can go more than ceil(catalog_size / CHECK_WINDOW) rounds without
-a driver row — 2 rounds at the current 63/50 shape.
+a driver row (K rounds at N ≤ K·CHECK_WINDOW entries; the test caps
+K at 3 — past that, consolidate entries instead of growing).
 ``tests/test_rotation.py`` asserts the invariant against the committed
 correctness files, so a regression in this logic (or a by-hand reorder
 sneaking back in) fails the suite.

@@ -63,6 +63,44 @@ def volume_stream(
     )
 
 
+def sliding_volume_stream(
+    parsed: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """A4 volume over SLIDING (overlapping) windows: each event lands in
+    ``window/slide`` windows (``F.window(ts, window, slide)``), giving a
+    smoothed trailing view per emission instead of tumbling-bucket
+    jumps — the shape monitoring dashboards want ("events in the last
+    2 h, refreshed hourly").
+
+    Scale: state cardinality multiplies by the overlap factor
+    (window/slide) versus tumbling — Spark expands each row into its
+    windows before the aggregation, so the shuffle carries the factor
+    too. Keep the factor small (2-4×) and use a watermark on unbounded
+    sources so closed windows evict; an overlap of 60× (1 h window,
+    1 min slide) is better served by tumbling minutes + a trailing
+    batch window (operators/timeseries.py:trailing_agg).
+    """
+    src = parsed.withWatermark("ts", watermark) if watermark else parsed
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("_win"), "query")
+        .agg(F.count("*").alias("cnt"), F.sum("duration").alias("duration"))
+        .select(
+            F.date_format(F.col("_win.start"), "yyyy-MM-dd HH:mm").alias(
+                "bucket"
+            ),
+            "query",
+            "cnt",
+            "duration",
+            F.floor(F.col("duration") / F.col("cnt")).cast("long").alias(
+                "avg_duration"
+            ),
+        )
+    )
+
+
 def volume_top_cells_stream(
     parsed: DataFrame, window: str = WINDOW, watermark: str | None = None
 ) -> DataFrame:

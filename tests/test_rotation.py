@@ -44,10 +44,14 @@ def test_rotated_order_stalest_first(tmp_path):
 
 
 def test_catalog_window_invariant():
-    """Against the COMMITTED correctness files: every catalog entry
-    beyond the driver's check window must have been driver-green in the
-    latest recorded round (i.e. the tail is exactly the freshest
-    entries, so nothing goes >2 rounds unchecked at the current shape).
+    """Against the COMMITTED correctness files: the catalog order must
+    equal the mechanical stalest-first rotation (no by-hand reorder),
+    and every entry beyond the driver's check window must have been
+    driver-green within the last ceil(N/W)−1 recorded rounds — the
+    bound the stalest-first policy actually guarantees at the current
+    catalog size (2 rounds at N≤2W, K−1 rounds at N≤K·W). Never-checked
+    entries must all sort INTO the window (they rank stalest), never
+    into the tail, unless the catalog grew by more than W in one round.
     This is the mechanical replacement for the round-5 hand-maintained
     tail comment."""
     from cassandra_slow_queries_spark.plans.catalog import CATALOG
@@ -59,19 +63,26 @@ def test_catalog_window_invariant():
         "catalog dict order must equal the mechanical rotation "
         "(did a by-hand reorder sneak back in?)"
     )
+    k = -(-len(names) // CHECK_WINDOW)  # ceil(N/W)
+    floor_round = latest - (k - 1) + 1  # tail must be green since here
     stale_tail = [
-        n for n in names[CHECK_WINDOW:] if greens.get(n, 0) < latest
+        n
+        for n in names[CHECK_WINDOW:]
+        if greens.get(n, 0) < floor_round
     ]
     assert not stale_tail, (
-        f"entries parked beyond the driver window without a green row in "
-        f"round {latest}: {stale_tail}"
+        f"entries parked beyond the driver window without a green row "
+        f"since round {floor_round} (K={k}): {stale_tail}"
     )
 
 
-def test_catalog_fits_two_round_rotation():
-    """ceil(catalog / window) must stay ≤ 2, the bound the invariant
-    test above guarantees; if the catalog outgrows 2×CHECK_WINDOW the
-    rotation needs a third round and the docs/tests must be revisited."""
+def test_catalog_fits_three_round_rotation():
+    """ceil(catalog / window) must stay ≤ 3 — the rotation keeps every
+    entry within a K-round driver re-check, but past K=3 the external
+    gate sees under a third of the catalog per round and entries should
+    be consolidated instead of grown. (Every entry is still DuckDB-
+    checked locally on every pytest run by test_entry_oracle.py; this
+    bounds only the external re-verification latency.)"""
     from cassandra_slow_queries_spark.plans.catalog import CATALOG
 
-    assert len(CATALOG) <= 2 * CHECK_WINDOW
+    assert len(CATALOG) <= 3 * CHECK_WINDOW

@@ -616,3 +616,26 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     ]
     explained = joined._jdf.queryExecution().analyzed().toString()
     assert "watermark" in explained.lower()
+
+
+def test_sliding_stream_each_event_in_two_windows(spark, fact_dir):
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        sliding_volume_stream,
+    )
+
+    stream = read_fact_stream(spark, fact_dir)
+    got = run_stream_to_batch(
+        sliding_volume_stream(stream, window="2 hours", slide="1 hour")
+    ).collect()
+    batch = spark.read.parquet(fact_dir)
+    n_events = batch.count()
+    # overlap factor 2: total count across windows is exactly 2x events
+    assert sum(r.cnt for r in got) == 2 * n_events
+    # every event at 05:0x lands in the 04:00 and 05:00 window starts
+    buckets = {r.bucket for r in got}
+    assert buckets == {"2026-08-13 04:00", "2026-08-13 05:00"}
+    per_bucket = {}
+    for r in got:
+        per_bucket[r.bucket] = per_bucket.get(r.bucket, 0) + r.cnt
+    assert per_bucket["2026-08-13 04:00"] == n_events
+    assert per_bucket["2026-08-13 05:00"] == n_events
