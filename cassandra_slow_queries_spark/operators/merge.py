@@ -240,3 +240,49 @@ def assign_global_ids(
     finally:
         ranged.unpersist()
     return out
+
+
+def pit_join(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    from_col: str = "valid_from",
+    value_cols: list[str] | None = None,
+    prefix: str = "pit_",
+) -> DataFrame:
+    """Point-in-time feature join: each fact row gets the dimension
+    version that was IN EFFECT at the fact's timestamp — the join a
+    training pipeline must use when enriching examples from a mutable
+    dimension, or features silently leak the future (a fact from March
+    joined to the attribute value written in June).
+
+    ``history`` is an SCD2 frame (:func:`scd2_history`): per key, the
+    ``[valid_from, valid_to)`` intervals partition the timeline, so the
+    version in effect at ``ts`` is exactly the latest row with
+    ``valid_from <= ts`` — no interval probe needed, which reduces the
+    whole lookup to the as-of join (operators/asof.py): one co-shuffle
+    of facts and versions on ``keys``, per-key ordered running-last
+    windows, cost linear in |facts| + |versions|, no non-equi join.
+    Facts earlier than their key's first version get NULL features
+    (the honest answer — the attribute did not exist yet).
+
+    Output: every fact column, plus ``<prefix><col>`` per value column
+    and ``<prefix><ts_col>`` = the matched version's ``valid_from``.
+    """
+    from cassandra_slow_queries_spark.operators.asof import as_of_join
+
+    if value_cols is None:
+        value_cols = [
+            c
+            for c in history.columns
+            if c not in set(keys)
+            and c not in (from_col, "valid_to", "is_current")
+        ]
+    versions = history.select(
+        *keys, F.col(from_col).alias(ts_col), *value_cols
+    )
+    return as_of_join(
+        facts, versions, keys, ts_col=ts_col, value_cols=value_cols,
+        prefix=prefix,
+    )

@@ -337,3 +337,67 @@ def distribution_drift(
         F.col(c) > 0, F.col(c) * F.log(F.col(c) / m)
     ).otherwise(F.lit(0.0))
     return joined.withColumn("js", 0.5 * term("p") + 0.5 * term("q"))
+
+
+def bigram_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    pmi_digits: int | None = 6,
+) -> DataFrame:
+    """Collocation mining by pointwise mutual information over ADJACENT
+    token bigrams: ``(x, y, n_xy, pmi)`` with
+    pmi = ln( p(x,y) / (p(x)·p(y)) ) — high-PMI pairs are multiword
+    units ("machine learning") worth single-token treatment; near-zero
+    pairs co-occur by chance. Restricting to adjacent pairs keeps the
+    pair count LINEAR in corpus size (within-document all-pairs
+    co-occurrence is quadratic in document length — never do that).
+
+    ``min_count`` filters rare bigrams BEFORE the unigram joins (PMI is
+    notoriously noisy on low counts: a 1-occurrence pair of two rare
+    words gets a huge score), which also shrinks the join input.
+
+    Scale shape: bigram formation is a pure array expression per row
+    (slice + transform — no posexplode self-join); then one bigram
+    aggregation, one unigram aggregation, and two token-keyed joins of
+    the collapsed count frames. Totals ride along as broadcast 1-row
+    frames. All shuffles are on post-aggregation vocabulary-sized data.
+    """
+    from cassandra_slow_queries_spark.operators.search import tokenize
+
+    toked = df.select(tokenize(F.col(text_col)).alias("_toks"))
+    pairs = toked.select(
+        F.explode(
+            F.expr(
+                "transform(slice(_toks, 1, size(_toks)-1), "
+                "(t, i) -> struct(t AS x, _toks[i+1] AS y))"
+            )
+        ).alias("_p")
+    ).select("_p.x", "_p.y")
+    bi = (
+        pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= min_count)
+    )
+    uni = (
+        toked.select(F.explode("_toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    n_uni = uni.agg(F.sum("n_tok").alias("_nu"))
+    n_bi = pairs.agg(F.count(F.lit(1)).alias("_nb"))
+    ux = uni.select(F.col("token").alias("x"), F.col("n_tok").alias("n_x"))
+    uy = uni.select(F.col("token").alias("y"), F.col("n_tok").alias("n_y"))
+    joined = (
+        bi.join(ux, "x")
+        .join(uy, "y")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    pmi = F.log(
+        (F.col("n_xy") * 1.0 * F.col("_nu") * F.col("_nu"))
+        / (F.col("_nb") * F.col("n_x") * F.col("n_y"))
+    )
+    if pmi_digits is not None:
+        pmi = F.round(pmi, pmi_digits)
+    return joined.select("x", "y", "n_xy", pmi.alias("pmi"))

@@ -5462,6 +5462,103 @@ ORDER BY bucket, query
 """
 
 
+def q_x_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join (operators/merge.py:pit_join): build
+    the per-user SCD2 'plan' history from signup events, then enrich
+    every purchase with the plan IN EFFECT at purchase time — the
+    label-leakage-safe lookup (a later plan change must not bleed into
+    an earlier purchase). The compose path under test is
+    scd2_history → pit_join → as_of_join; DuckDB's native ASOF LEFT
+    JOIN on the raw change log is the oracle (the SCD2 intervals
+    partition each key's timeline, so both formulations must agree
+    row-for-row, including NULLs for purchases before the first
+    signup)."""
+    from cassandra_slow_queries_spark.operators.merge import (
+        pit_join,
+        scd2_history,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    changes = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.floor("value").cast("long") % 3).alias("plan"),
+    )
+    history = scd2_history(changes, ["user_id"], ["ts", "event_id"])
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.floor("value").cast("long").alias("amount"),
+    )
+    out = pit_join(facts, history, ["user_id"], value_cols=["plan"])
+    return out.select(
+        "event_id", "user_id", "amount", "pit_plan", "pit_ts"
+    ).orderBy("event_id")
+
+
+X_PIT_JOIN_SQL = """
+WITH changes AS (
+    SELECT user_id, ts, CAST(FLOOR(value) AS BIGINT) % 3 AS plan
+    FROM events WHERE event_type = 'signup'
+), facts AS (
+    SELECT event_id, user_id, ts,
+           CAST(FLOOR(value) AS BIGINT) AS amount
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.amount,
+       c.plan AS pit_plan, c.ts AS pit_ts
+FROM facts f
+ASOF LEFT JOIN changes c ON f.user_id = c.user_id AND f.ts >= c.ts
+ORDER BY f.event_id
+"""
+
+
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram PMI collocations (operators/profile.py:
+    bigram_pmi) over the document corpus: top-40 multiword units by
+    pointwise mutual information at min_count=5. Bigram formation is a
+    pure array expression (slice+transform — no posexplode self-join);
+    the oracle rebuilds the same bigrams with DuckDB's zipping parallel
+    unnest over the shifted list slices, and the PMI ratio is written
+    in the identical operation order on both engines so the doubles
+    agree before the 6-digit round."""
+    from cassandra_slow_queries_spark.operators.profile import bigram_pmi
+
+    docs = load(spark, sf_dir, "documents")
+    out = bigram_pmi(docs, "text", min_count=5)
+    return out.orderBy(F.desc("pmi"), "x", "y").limit(40)
+
+
+TEXT_COLLOCATIONS_SQL = """
+WITH toked AS (
+    SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS l
+    FROM documents
+), pairs AS (
+    SELECT unnest(l[1:length(l)-1]) AS x, unnest(l[2:length(l)]) AS y
+    FROM toked
+), bi AS (
+    SELECT x, y, COUNT(*) AS n_xy FROM pairs GROUP BY x, y
+    HAVING COUNT(*) >= 5
+), uni AS (
+    SELECT unnest(l) AS token FROM toked
+), uc AS (
+    SELECT token, COUNT(*) AS n_tok FROM uni GROUP BY token
+), nu AS (SELECT SUM(n_tok) AS nu FROM uc),
+nb AS (SELECT COUNT(*) AS nb FROM pairs)
+SELECT bi.x, bi.y, CAST(bi.n_xy AS BIGINT) AS n_xy,
+       ROUND(LN((bi.n_xy * 1.0 * nu.nu * nu.nu)
+                / (nb.nb * ux.n_tok * uy.n_tok)), 6) AS pmi
+FROM bi
+JOIN uc ux ON ux.token = bi.x
+JOIN uc uy ON uy.token = bi.y
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi DESC, x, y
+LIMIT 40
+"""
+
+
 # Ordering note: the driver's correctness gate checks the FIRST
 # rotation.CHECK_WINDOW (50) entries in dict order. Through round 5 that
 # window was curated by hand; since round 6 the dict below holds only the
@@ -5512,6 +5609,16 @@ CATALOG: dict[str, QueryDef] = {
         q_x_trend,
         X_TREND_SQL,
         "per-group OLS slope/intercept via covar_pop in one pass",
+    ),
+    "text_collocations": QueryDef(
+        q_text_collocations,
+        TEXT_COLLOCATIONS_SQL,
+        "adjacent-bigram PMI collocations, linear pair formation",
+    ),
+    "x_pit_join": QueryDef(
+        q_x_pit_join,
+        X_PIT_JOIN_SQL,
+        "point-in-time SCD2 feature join vs native ASOF oracle",
     ),
     "stream_sliding": QueryDef(
         q_stream_sliding,

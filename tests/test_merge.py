@@ -238,3 +238,44 @@ def test_corpus_diff_classifies_all_statuses(spark):
         for r in corpus_diff(old, new, "id", ["text"]).collect()
     }
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_pit_join_picks_version_in_effect(spark):
+    from cassandra_slow_queries_spark.operators.merge import (
+        pit_join,
+        scd2_history,
+    )
+
+    changes = spark.createDataFrame(
+        [
+            (1, 100, 1, "bronze"),
+            (1, 200, 2, "silver"),
+            (1, 300, 3, "gold"),
+            (2, 150, 4, "bronze"),
+        ],
+        "user long, ts long, cid long, plan string",
+    )
+    history = scd2_history(changes, ["user"], ["ts", "cid"])
+    facts = spark.createDataFrame(
+        [
+            (10, 1, 50),    # before first version -> NULL
+            (11, 1, 100),   # exactly at valid_from -> inclusive match
+            (12, 1, 250),   # between silver and gold -> silver
+            (13, 1, 999),   # after last -> current version
+            (14, 2, 160),
+            (15, 3, 500),   # key with no history -> NULL
+        ],
+        "fid long, user long, ts long",
+    )
+    out = {
+        r.fid: (r.pit_plan, r.pit_ts)
+        for r in pit_join(
+            facts, history, ["user"], value_cols=["plan"]
+        ).collect()
+    }
+    assert out[10] == (None, None)
+    assert out[11] == ("bronze", 100)
+    assert out[12] == ("silver", 200)
+    assert out[13] == ("gold", 300)
+    assert out[14] == ("bronze", 150)
+    assert out[15] == (None, None)

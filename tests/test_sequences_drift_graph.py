@@ -174,3 +174,34 @@ def test_triangles_degree_cap_removes_hub(spark):
     assert 0 not in capped  # hub removed from the capped graph entirely
     uncapped = _run_triangles(spark, edges)
     assert uncapped == _brute_triangles(edges)
+
+
+# --- bigram PMI collocations ------------------------------------------
+
+
+def test_bigram_pmi_closed_form(spark):
+    from cassandra_slow_queries_spark.operators.profile import bigram_pmi
+
+    # "new york" always adjacent; "the the" never; corpus built so the
+    # closed-form PMI is checkable by hand
+    docs = [("new york is big",), ("new york is old",), ("big old the a",)]
+    df = spark.createDataFrame(docs, "text string")
+    rows = bigram_pmi(df, "text", min_count=2, pmi_digits=None).collect()
+    got = {(r.x, r.y): (r.n_xy, r.pmi) for r in rows}
+    # unigrams: 12 tokens total; bigrams: 3 docs x 3 pairs = 9
+    n_xy, pmi = got[("new", "york")]
+    assert n_xy == 2
+    want = math.log((2 * 12 * 12) / (9 * 2 * 2))
+    assert abs(pmi - want) < 1e-12
+    # min_count filters singleton pairs
+    assert ("is", "big") not in got
+
+
+def test_bigram_pmi_adjacent_only(spark):
+    from cassandra_slow_queries_spark.operators.profile import bigram_pmi
+
+    df = spark.createDataFrame([("a b c a b",)], "text string")
+    rows = bigram_pmi(df, "text", min_count=1).collect()
+    pairs = {(r.x, r.y) for r in rows}
+    # only consecutive pairs exist; ("a","c") never adjacent
+    assert pairs == {("a", "b"), ("b", "c"), ("c", "a")}
