@@ -631,3 +631,43 @@ def compression_ratio(
         F.col(id_col),
         F.round(_ratio(F.col(text_col)), 6).alias("compression_ratio"),
     )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation/test assignment by hashed id:
+    each row gets the label whose cumulative-fraction interval its
+    :func:`sample_bucket` lands in. Hash-based (not random) splitting
+    is the only correct choice for a corpus that gets re-ingested: a
+    document keeps its split across runs, partial re-crawls, and
+    engine versions, so test data can never migrate into train.
+
+    ``fractions`` maps label → fraction, summing to 1.0 (validated);
+    interval edges are computed at integer bucket granularity
+    (1/10000), so labels are exact and portable — the DuckDB oracle
+    reproduces the assignment bit-for-bit from the same md5 arithmetic.
+    A pure projection: no shuffle, no join; the when-chain sits in
+    whole-stage codegen next to the scan.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    b = sample_bucket(id_col)
+    expr = None
+    edge = 0
+    items = list(fractions.items())
+    for label, frac in items[:-1]:
+        edge += int(round(frac * SAMPLE_BUCKETS))
+        cond = b < edge
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last_label = items[-1][0]
+    expr = (
+        F.lit(last_label) if expr is None else expr.otherwise(last_label)
+    )
+    return df.withColumn(out_col, expr)

@@ -5559,6 +5559,39 @@ LIMIT 40
 """
 
 
+def q_cur_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/curation.py:
+    assign_split): every document labeled by which cumulative-fraction
+    interval its portable md5 bucket lands in — 80/10/10. The full
+    per-document assignment goes into the hash (not just split sizes),
+    so ANY document changing splits between engines or runs breaks the
+    gate — the migration-into-train failure mode this operator exists
+    to prevent. Pure projection: no shuffle, the when-chain rides the
+    scan."""
+    from cassandra_slow_queries_spark.operators.curation import assign_split
+
+    docs = load(spark, sf_dir, "documents")
+    out = assign_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
+CUR_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 10000 AS b
+    FROM documents
+)
+ORDER BY doc_id
+"""
+
+
 # Ordering note: the driver's correctness gate checks the FIRST
 # rotation.CHECK_WINDOW (50) entries in dict order. Through round 5 that
 # window was curated by hand; since round 6 the dict below holds only the
@@ -5609,6 +5642,11 @@ CATALOG: dict[str, QueryDef] = {
         q_x_trend,
         X_TREND_SQL,
         "per-group OLS slope/intercept via covar_pop in one pass",
+    ),
+    "cur_split": QueryDef(
+        q_cur_split,
+        CUR_SPLIT_SQL,
+        "hash-deterministic train/val/test split, per-row assignment",
     ),
     "text_collocations": QueryDef(
         q_text_collocations,

@@ -378,3 +378,37 @@ def test_compression_ratio_signal(spark):
         for r in compression_ratio(df).collect()
     }
     assert out == again
+
+
+def test_assign_split_partitions_and_is_deterministic(spark):
+    from cassandra_slow_queries_spark.operators.curation import assign_split
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_split(df, "doc_id", fr)
+    rows = {r.doc_id: r.split for r in out.collect()}
+    # every row labeled, labels from the declared set
+    assert set(rows.values()) <= {"train", "val", "test"}
+    assert len(rows) == 2000
+    # roughly proportional (md5 is uniform; 2000 rows, loose bounds)
+    from collections import Counter
+
+    c = Counter(rows.values())
+    assert 1400 < c["train"] < 1800
+    assert 100 < c["val"] < 320 and 100 < c["test"] < 320
+    # deterministic across invocations AND across subsets: a row keeps
+    # its split when the corpus around it changes
+    sub = assign_split(
+        df.filter("doc_id % 3 = 0"), "doc_id", fr
+    ).collect()
+    assert all(rows[r.doc_id] == r.split for r in sub)
+
+
+def test_assign_split_validates_fractions(spark):
+    import pytest as _pytest
+
+    from cassandra_slow_queries_spark.operators.curation import assign_split
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError):
+        assign_split(df, "doc_id", {"train": 0.5, "test": 0.4})
