@@ -104,3 +104,55 @@ def fuzzy_link(
             "distance",
         )
     )
+
+
+def multi_pass_link(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    passes: list[Column],
+    window: int = 5,
+    max_distance: int = 1,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Multi-pass sorted-neighborhood linkage: one SNM candidate pass
+    per sort-key expression in ``passes``, candidate id pairs unioned
+    (canonicalized lower-id-first, deduped), then ONE edit-distance
+    verify over the union. The standard recall fix for single-pass
+    SNM: a head edit ruins sort locality on the name but not on the
+    REVERSED name, so ``[name, reverse(name)]`` covers both edit ends;
+    more passes (soundex, zip+lastname, ...) are just more entries.
+
+    Cost is linear per pass (each is a rank + band join), the union is
+    candidate-sized, and the verify runs once on the deduped set —
+    adding a pass never re-verifies pairs already found.
+    """
+    cand = None
+    for expr in passes:
+        keyed = df.select(
+            F.col(id_col).alias("_mid"), expr.alias("_mkey")
+        )
+        p = sorted_neighborhood_pairs(
+            keyed, "_mid", "_mkey", window=window, num_ranges=num_ranges
+        )
+        ids = p.select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        )
+        cand = ids if cand is None else cand.unionByName(ids)
+    if cand is None:
+        raise ValueError("passes must be non-empty")
+    cand = cand.distinct()
+    names_a = df.select(
+        F.col(id_col).alias("a_id"), F.col(name_col).alias("a_name")
+    )
+    names_b = df.select(
+        F.col(id_col).alias("b_id"), F.col(name_col).alias("b_name")
+    )
+    return (
+        cand.join(names_a, "a_id")
+        .join(names_b, "b_id")
+        .withColumn("distance", F.levenshtein("a_name", "b_name"))
+        .filter(F.col("distance") <= max_distance)
+        .select("a_id", "b_id", "a_name", "b_name", "distance")
+    )

@@ -102,3 +102,40 @@ def test_window_must_be_positive(spark):
     df = spark.createDataFrame([(1, "a")], "id long, name string")
     with pytest.raises(ValueError):
         sorted_neighborhood_pairs(df, "id", "name", window=0)
+
+
+def test_multi_pass_recovers_head_edits(spark):
+    from pyspark.sql import functions as F
+
+    from cassandra_slow_queries_spark.operators.linkage import (
+        multi_pass_link,
+    )
+
+    # head-edited twin sorts far from its original on name, adjacent on
+    # reversed name; tail-edited twin is the opposite
+    rows = [
+        (1, "alpha registry entry"),
+        (2, "zlpha registry entry"),   # head edit of 1 (sorts to the far end)
+        (3, "omega registry entry"),
+        (4, "omega registry entrX"),   # tail edit of 3
+        # spacer rows so the head-edited twin is out of pass-1 range
+        (5, "beta one"), (6, "beta two"), (7, "gamma one"),
+        (8, "delta one"), (9, "epsilon one"), (10, "zeta one"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    def pairs(passes):
+        return {
+            (r.a_id, r.b_id)
+            for r in multi_pass_link(
+                df, "id", "name", passes, window=2, max_distance=1
+            ).collect()
+        }
+
+    name_only = pairs([F.col("name")])
+    both = pairs([F.col("name"), F.reverse(F.col("name"))])
+    assert (3, 4) in name_only          # tail edit: pass 1 finds it
+    assert (1, 2) not in name_only      # head edit: pass 1 misses
+    assert {(1, 2), (3, 4)} <= both     # second pass recovers it
+    # canonical orientation and no duplicates
+    assert all(a < b for a, b in both)
