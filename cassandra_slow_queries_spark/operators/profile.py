@@ -401,3 +401,51 @@ def bigram_pmi(
     if pmi_digits is not None:
         pmi = F.round(pmi, pmi_digits)
     return joined.select("x", "y", "n_xy", pmi.alias("pmi"))
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digits: int | None = 6,
+) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats):
+    H(doc) = −Σ_t p_t·ln p_t over the document's own token frequencies.
+    A low-entropy document repeats a few tokens (keyword stuffing, SEO
+    spam, boilerplate); entropy complements the repetition metrics
+    (operators/curation.py) with a single scale-free number bounded by
+    ln(distinct tokens).
+
+    Scale shape: one explode + one (doc, token) aggregation + one doc
+    aggregation — both shuffles key on the document id, so they
+    co-partition and the second collapses within the first's layout.
+    No driver round-trips, no joins; output is one row per document.
+    """
+    from cassandra_slow_queries_spark.operators.search import tokenize
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokenize(F.col(text_col))).alias("_tok"),
+    )
+    per = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    ent = (
+        per.groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("_n"),
+            F.sum(F.col("_c") * F.log(F.col("_c") * 1.0)).alias("_clogc"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        # H = ln n − (Σ c·ln c)/n — one pass, no per-term p division
+        .select(
+            id_col,
+            F.col("_n").alias("n_tokens"),
+            "n_distinct",
+            (F.log(F.col("_n") * 1.0) - F.col("_clogc") / F.col("_n")).alias(
+                "_h"
+            ),
+        )
+    )
+    h = F.col("_h")
+    if digits is not None:
+        h = F.round(h, digits)
+    return ent.select(id_col, "n_tokens", "n_distinct", h.alias("entropy"))

@@ -5663,6 +5663,85 @@ ORDER BY a_id, b_id
 """
 
 
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token entropy (operators/profile.py:token_entropy)
+    over every document, computed as H = ln n − (Σ c·ln c)/n so no
+    per-term probability division happens before the aggregation. The
+    oracle replays the identical formulation; entropy is rounded to 6
+    digits (the c·ln c terms are exact-count logs, so cross-engine
+    drift is sub-ulp-sum only)."""
+    from cassandra_slow_queries_spark.operators.profile import token_entropy
+
+    docs = load(spark, sf_dir, "documents")
+    return token_entropy(docs, "doc_id", "text").orderBy("doc_id")
+
+
+TEXT_ENTROPY_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents
+), per AS (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM toks WHERE tok <> '' GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(LN(SUM(c) * 1.0) - SUM(c * LN(c * 1.0)) / SUM(c), 6)
+           AS entropy
+FROM per
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def q_x_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingest path: events staged ONCE per session as an ORC table,
+    read back through ``spark.read.orc``, and aggregated. The oracle
+    computes the identical aggregate from the PARQUET events — any
+    fidelity loss through the ORC writer/reader (timestamp precision,
+    doubles, nulls, string encoding) shifts a value and breaks the
+    hash. Min/max timestamps are formatted to microseconds so temporal
+    precision is pinned explicitly, not just counts."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    ev = load(spark, sf_dir, "events")
+    orc_dir = _stage_once(
+        spark,
+        f"orc_events_{tag}",
+        lambda d: ev.write.mode("overwrite").orc(d),
+    )
+    back = spark.read.orc(orc_dir)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.floor("value").cast("long")).alias("total_duration"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "first_ts"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_ts"
+            ),
+            F.count(F.when(F.col("props").isNull(), 1)).alias("null_props"),
+        )
+        .orderBy("event_type")
+    )
+
+
+X_ORC_ROUNDTRIP_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS total_duration,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+       CAST(COUNT(CASE WHEN props IS NULL THEN 1 END) AS BIGINT)
+           AS null_props
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 # Ordering note: the driver's correctness gate checks the FIRST
 # rotation.CHECK_WINDOW (50) entries in dict order. Through round 5 that
 # window was curated by hand; since round 6 the dict below holds only the
@@ -5713,6 +5792,16 @@ CATALOG: dict[str, QueryDef] = {
         q_x_trend,
         X_TREND_SQL,
         "per-group OLS slope/intercept via covar_pop in one pass",
+    ),
+    "x_orc_roundtrip": QueryDef(
+        q_x_orc_roundtrip,
+        X_ORC_ROUNDTRIP_SQL,
+        "ORC write/read fidelity vs the parquet-side oracle",
+    ),
+    "text_entropy": QueryDef(
+        q_text_entropy,
+        TEXT_ENTROPY_SQL,
+        "per-document unigram Shannon entropy, ln n - sum(c ln c)/n",
     ),
     "x_fuzzy_multipass": QueryDef(
         q_x_fuzzy_multipass,

@@ -205,3 +205,27 @@ def test_bigram_pmi_adjacent_only(spark):
     pairs = {(r.x, r.y) for r in rows}
     # only consecutive pairs exist; ("a","c") never adjacent
     assert pairs == {("a", "b"), ("b", "c"), ("c", "a")}
+
+
+# --- token entropy -----------------------------------------------------
+
+
+def test_token_entropy_closed_form(spark):
+    from cassandra_slow_queries_spark.operators.profile import token_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # zero entropy: one token repeated
+            (2, "a b c d"),          # uniform: ln 4
+            (3, "a a b"),            # H = ln3 - (2 ln2)/3
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_distinct, r.entropy)
+        for r in token_entropy(df, digits=None).collect()
+    }
+    assert out[1] == (4, 1, 0.0)
+    assert abs(out[2][2] - math.log(4)) < 1e-12
+    want3 = math.log(3) - (2 * math.log(2)) / 3
+    assert out[3][:2] == (3, 2) and abs(out[3][2] - want3) < 1e-12
