@@ -671,3 +671,88 @@ def assign_split(
         F.lit(last_label) if expr is None else expr.otherwise(last_label)
     )
     return df.withColumn(out_col, expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    budget: int,
+    weights: dict[str, float] | None = None,
+    temperature: float | None = None,
+    rate_col: str | None = None,
+) -> DataFrame:
+    """Deterministic source-mixture sampling: thin each source so the
+    selected corpus approximates a TARGET MIXTURE under a global row
+    ``budget`` — the data-mixing step of LLM training-set assembly
+    (GPT-3-style fixed weights, or temperature-scaled smoothing that
+    up-weights small sources: p_s ∝ n_s^temperature).
+
+    Exactly one of ``weights`` (explicit source → target proportion,
+    summing to 1; sources NOT listed get rate 0 and are dropped — an
+    explicit mixture is also an allowlist) or ``temperature`` must be
+    given. Per-source
+    acceptance rates are ``r_s = min(1, budget·p_s / n_s)``; a row is
+    kept iff its portable :func:`sample_bucket` falls below
+    ``floor(r_s · 10000)`` — the same content-hash draw as
+    :func:`stratified_sample`, so selection is reproducible across
+    runs, engines, and partial re-ingests, and composes with
+    :func:`assign_split` (independent md5 domains: split hashes the id,
+    this hashes the id too — callers needing independence should salt
+    one; the catalog entry documents the coupling). A source whose
+    target share exceeds its size saturates at rate 1 (no upsampling:
+    sampling without replacement cannot manufacture rows; the realized
+    mixture then under-shoots that source and the audit columns make
+    it visible).
+
+    Scale shape: one hash aggregation for per-source counts (collapsed:
+    |sources| rows), rates derived on that tiny frame and broadcast
+    back for the filter — the corpus itself is touched by exactly one
+    scan + one broadcast-join + filter. Bucket thresholds are computed
+    at integer granularity (out of 10000) from exactly-representable
+    arithmetic, so an oracle reproduces the decision bit-for-bit.
+
+    Returns kept rows with audit columns ``target_rate`` (the float
+    rate) and ``bucket_cut`` (the integer threshold actually applied).
+    ``rate_col=None`` drops the audit columns.
+    """
+    if (weights is None) == (temperature is None):
+        raise ValueError("give exactly one of weights= or temperature=")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    if weights is not None:
+        total = sum(weights.values())
+        if abs(total - 1.0) > 1e-9:
+            raise ValueError(f"weights must sum to 1.0, got {total}")
+        mapping = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in kv]
+        )
+        rates = counts.withColumn(
+            "_p_s", mapping[F.col(source_col)]
+        ).filter(F.col("_p_s").isNotNull())
+    else:
+        # p_s ∝ n_s^temperature, normalized on the collapsed frame.
+        powed = counts.withColumn(
+            "_w", F.pow(F.col("_n_s").cast("double"), F.lit(temperature))
+        )
+        denom = powed.agg(F.sum("_w").alias("_z"))
+        rates = powed.crossJoin(F.broadcast(denom)).withColumn(
+            "_p_s", F.col("_w") / F.col("_z")
+        )
+    rates = rates.withColumn(
+        "_rate",
+        F.least(
+            F.lit(1.0),
+            F.lit(budget) * F.col("_p_s") / F.col("_n_s"),
+        ),
+    ).withColumn(
+        "_cut",
+        F.floor(F.col("_rate") * F.lit(SAMPLE_BUCKETS)).cast("bigint"),
+    )
+    keep_cols = [source_col, "_rate", "_cut"]
+    joined = df.join(F.broadcast(rates.select(*keep_cols)), source_col)
+    kept = joined.filter(sample_bucket(id_col) < F.col("_cut"))
+    if rate_col is None:
+        return kept.drop("_rate", "_cut")
+    return kept.withColumnRenamed("_rate", "target_rate").withColumnRenamed(
+        "_cut", "bucket_cut"
+    )

@@ -5803,6 +5803,272 @@ LIMIT 100
 # (see plans/rotation.py; invariant asserted by tests/test_rotation.py).
 # Every entry, window or tail, is still oracle-checked locally by
 # tests/test_entry_oracle.py on every run.
+
+
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring (operators/lm.py): train an
+    add-1/2-smoothed bigram LM on the lang='en' slice, score EVERY
+    document's per-bigram cross-entropy under it. Training is two hash
+    aggregations over the adjacent-bigram stream; scoring is one
+    explode + a broadcast join against the collapsed model + one
+    per-doc aggregation. Float parity: the smoothed probability is ONE
+    double division of integer-valued operands, per-term ln rounded to
+    9 digits, summed as exact DECIMAL (order-free), and only the final
+    per-doc division returns to double before the 6-digit round."""
+    from cassandra_slow_queries_spark.operators.lm import (
+        score_cross_entropy,
+        train_bigram_lm,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    lm = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    return score_cross_entropy(docs, lm).orderBy("doc_id")
+
+
+TEXT_PERPLEXITY_SQL = """
+WITH toked AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(lower(text), ' '), t -> t <> '') AS l
+    FROM documents
+), pairs AS (
+    SELECT doc_id, lang,
+           unnest(l[1:length(l)-1]) AS x, unnest(l[2:length(l)]) AS y
+    FROM toked
+), bi AS (
+    SELECT x, y, COUNT(*) AS n_xy FROM pairs WHERE lang = 'en' GROUP BY x, y
+), ctx AS (
+    SELECT x, SUM(n_xy) AS n_x FROM bi GROUP BY x
+), v AS (
+    SELECT COUNT(DISTINCT t) AS v
+    FROM (SELECT unnest(l) AS t FROM toked WHERE lang = 'en')
+), scored AS (
+    SELECT p.doc_id,
+           CASE WHEN ctx.n_x IS NULL THEN LN(1.0 / v.v)
+                ELSE LN((2 * COALESCE(bi.n_xy, 0) + 1) * 1.0
+                        / (2 * ctx.n_x + v.v))
+           END AS lnp
+    FROM pairs p
+    LEFT JOIN ctx ON ctx.x = p.x
+    LEFT JOIN bi ON bi.x = p.x AND bi.y = p.y
+    CROSS JOIN v
+)
+SELECT doc_id, COUNT(*) AS n_bi,
+       ROUND(CAST(-SUM(CAST(ROUND(lnp, 9) AS DECIMAL(28,12))) AS DOUBLE)
+             / COUNT(*), 6) AS xent
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_x_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed heart of BPE tokenizer training (operators/
+    bpe.py): corpus -> word-vocabulary frame (the ONLY corpus-sized
+    pass) -> character symbols with the </w> end-of-word marker ->
+    frequency-weighted adjacent-pair counts, top 20. The full
+    driver-looped merge training (train_bpe_merges) and the encoder
+    are pinned by tests/test_lm_bpe.py on the classic low/lowest
+    corpus; this entry hash-gates the per-iteration aggregation that
+    dominates its cost. Deterministic tiebreak: count desc, then pair
+    lexicographic — the same order top_pair() uses."""
+    from cassandra_slow_queries_spark.operators import bpe
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = bpe.word_counts(docs, "text").withColumn(
+        "symbols", bpe.initial_symbols("word")
+    )
+    return (
+        bpe.pair_counts(vocab)
+        .orderBy(F.desc("n_pair"), "a", "b")
+        .limit(20)
+    )
+
+
+X_BPE_PAIRS_SQL = """
+WITH words AS (
+    SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t <> ''))
+           AS word
+    FROM documents
+), wc AS (
+    SELECT word, COUNT(*) AS n_word FROM words GROUP BY word
+), sym AS (
+    SELECT n_word,
+           list_transform(range(1, length(word) + 1), i ->
+             CASE WHEN i = length(word) THEN word[i:i] || '</w>'
+                  ELSE word[i:i] END) AS s
+    FROM wc
+), pairs AS (
+    SELECT n_word, unnest(s[1:length(s)-1]) AS a, unnest(s[2:length(s)]) AS b
+    FROM sym
+)
+SELECT a, b, CAST(SUM(n_word) AS BIGINT) AS n_pair
+FROM pairs GROUP BY a, b
+ORDER BY n_pair DESC, a, b LIMIT 20
+"""
+
+
+def q_cur_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture sampling (operators/curation.py:mixture_sample):
+    an explicit 50/30/20 target over three allowlisted sources under a
+    30-row budget; unlisted sources drop (an explicit mixture is also
+    an allowlist). The PER-ROW keep decision goes into the hash via
+    the same portable md5 bucket the oracle replays, and the integer
+    bucket_cut column pins the float rate arithmetic (one double
+    divide + floor — the oracle casts its literals to DOUBLE so both
+    engines run the identical IEEE expression). Scale shape: one
+    |sources|-row aggregation, rates broadcast back, corpus touched by
+    exactly one scan + filter."""
+    from cassandra_slow_queries_spark.operators.curation import (
+        mixture_sample,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs,
+        "source",
+        "doc_id",
+        budget=30,
+        weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        rate_col="keep",
+    )
+    return out.select("doc_id", "source", "bucket_cut").orderBy("doc_id")
+
+
+CUR_MIXTURE_SQL = """
+WITH counts AS (
+    SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+), rates AS (
+    -- w pulled out and NULL-filtered BEFORE the LEAST: DuckDB's LEAST
+    -- IGNORES NULLs (returns 1.0), it does not propagate them
+    SELECT source, LEAST(CAST(1.0 AS DOUBLE), 30 * w / n_s) AS r
+    FROM (
+        SELECT source, n_s,
+               CAST(CASE source WHEN 'src0' THEN 0.5
+                                WHEN 'src1' THEN 0.3
+                                WHEN 'src2' THEN 0.2 END AS DOUBLE) AS w
+        FROM counts
+    )
+    WHERE w IS NOT NULL
+)
+SELECT d.doc_id, d.source, CAST(FLOOR(r * 10000) AS BIGINT) AS bucket_cut
+FROM documents d JOIN rates USING (source)
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) % 10000
+      < CAST(FLOOR(r * 10000) AS BIGINT)
+ORDER BY doc_id
+"""
+
+
+def q_x_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (functions/urlnorm.py): derive a raw URL
+    per document whose spelling varies by doc_id residue — scheme/host
+    case, www., :443, trailing slash, query order, tracking params,
+    fragment — then canonicalize and group. Documents sharing
+    (source, doc_id % 50) collapse to one canonical page no matter
+    which spelling they drew, which is the whole point; the oracle
+    replays every normalization step in DuckDB SQL (the regexes avoid
+    lookaround precisely so RE2 can run them). Canonicalization is
+    pure expressions riding the scan; the dedup is one hash-groupBy on
+    the canonical key."""
+    from cassandra_slow_queries_spark.functions.urlnorm import canonical_url
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(d % 3 == 0, F.lit("HTTPS://WWW.")).otherwise(
+                F.lit("https://")
+            ),
+            F.col("source"),
+            F.lit(".Example.COM"),
+            F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/docs/"),
+            (d % 50).cast("string"),
+            F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(d % 2 == 0,
+                   F.concat(F.lit("?b="), (d % 25).cast("string"),
+                            F.lit("&a=1&utm_source=feed")))
+            .otherwise(
+                F.concat(F.lit("?a=1&b="), (d % 25).cast("string"),
+                         F.lit("&fbclid=z"))),
+            F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return (
+        raw.select("doc_id", canonical_url("url").alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("canon_url")
+    )
+
+
+X_URL_DEDUP_SQL = r"""
+WITH raw AS (
+    SELECT doc_id,
+           (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://WWW.'
+                 ELSE 'https://' END
+            || source || '.Example.COM'
+            || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+            || '/docs/' || CAST(doc_id % 50 AS VARCHAR)
+            || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+            || CASE WHEN doc_id % 2 = 0
+                    THEN '?b=' || CAST(doc_id % 25 AS VARCHAR)
+                         || '&a=1&utm_source=feed'
+                    ELSE '?a=1&b=' || CAST(doc_id % 25 AS VARCHAR)
+                         || '&fbclid=z' END
+            || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+    FROM documents
+), s1 AS (
+    SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
+), s2 AS (
+    SELECT doc_id,
+           lower(regexp_extract(u, '^([^/?#]*//[^/?#]*)', 1))
+           || u[length(regexp_extract(u, '^([^/?#]*//[^/?#]*)', 1)) + 1:]
+           AS u
+    FROM s1
+), s3 AS (
+    SELECT doc_id,
+           regexp_replace(u, '^([a-z][a-z0-9+.-]*://)www\.', '\1') AS u
+    FROM s2
+), s4 AS (
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(u, '^(http://[^/?#:]*):80([/?#]|$)',
+                              '\1\2'),
+               '^(https://[^/?#:]*):443([/?#]|$)', '\1\2') AS u
+    FROM s3
+), sq AS (
+    SELECT doc_id, u,
+           CASE WHEN strpos(u, '?') > 0
+                THEN u[1:strpos(u, '?') - 1] ELSE u END AS base,
+           list_sort(list_filter(
+               string_split(CASE WHEN strpos(u, '?') > 0
+                                 THEN u[strpos(u, '?') + 1:]
+                                 ELSE '' END, '&'),
+               p -> p <> '' AND NOT regexp_matches(p,
+                   '^(utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid)=')))
+           AS kept
+    FROM s4
+), s5 AS (
+    SELECT doc_id,
+           CASE WHEN strpos(u, '?') > 0 AND length(kept) > 0
+                THEN base || '?' || array_to_string(kept, '&')
+                ELSE base END AS u
+    FROM sq
+), s6 AS (
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(u, '([^/])/\?', '\1?'),
+               '([^/])/$', '\1') AS u
+    FROM s5
+)
+SELECT u AS canon_url, COUNT(*) AS n_dup, MIN(doc_id) AS first_doc
+FROM s6 GROUP BY u ORDER BY u
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # --- core parity: aggregates, top-N, parse, dispatch, joins ---
     "a1_top_queries": QueryDef(q_a1_top_queries, A1_SQL, "A1+F3+T1 flagship"),
@@ -6249,6 +6515,27 @@ CATALOG: dict[str, QueryDef] = {
         q_p_dml_segments, P_DML_SQL, "DELETE/UPDATE table+pk parse (ref TODO:57)"
     ),
     "j5_endpoints": QueryDef(q_j5_endpoints, J5_SQL, "J5 mapInPandas endpoints"),
+    # --- LM / tokenizer-training / mixture / URL tier (r6 s7) ---
+    "text_perplexity": QueryDef(
+        q_text_perplexity,
+        TEXT_PERPLEXITY_SQL,
+        "bigram-LM cross-entropy scoring (CCNet-style quality gate)",
+    ),
+    "x_bpe_pairs": QueryDef(
+        q_x_bpe_pairs,
+        X_BPE_PAIRS_SQL,
+        "BPE merge training: weighted adjacent symbol-pair counts",
+    ),
+    "cur_mixture": QueryDef(
+        q_cur_mixture,
+        CUR_MIXTURE_SQL,
+        "deterministic source-mixture sampling under a global budget",
+    ),
+    "x_url_dedup": QueryDef(
+        q_x_url_dedup,
+        X_URL_DEDUP_SQL,
+        "canonical-URL dedup: normalize spellings, group on the key",
+    ),
 }
 
 
