@@ -177,3 +177,29 @@ def lang_id(text: Column | str, threshold: float = 0.01) -> Column:
             best = F.when(cond, F.lit(lang)).otherwise(best)
             best_score = F.when(cond, s).otherwise(best_score)
     return F.when(best_score >= threshold, best).otherwise(F.lit("und"))
+
+
+def clean_text(text: Column | str) -> Column:
+    """Normalization pass every web corpus needs before tokenization:
+
+    1. drop C0/C1 control characters (except ``\\t`` / ``\\n`` / ``\\r``,
+       which step 3 folds as whitespace) and DEL;
+    2. drop zero-width code points (ZWSP/ZWNJ/ZWJ/BOM) — invisible
+       characters that silently split tokens and break exact-hash
+       dedup;
+    3. collapse every whitespace run (including tab/newline) to one
+       space and trim the ends.
+
+    Three ``regexp_replace`` passes in whole-stage codegen — the same
+    chain is expressible verbatim in ANSI SQL (DuckDB needs the ``'g'``
+    flag: its regexp_replace is first-match-only by default, Spark's is
+    global — the one cross-engine trap here). Case is NOT touched:
+    lowercasing is tokenization policy, not cleaning.
+    """
+    t = _col(text)
+    t = F.regexp_replace(
+        t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]", ""
+    )
+    t = F.regexp_replace(t, "[\\u200b\\u200c\\u200d\\ufeff]", "")
+    t = F.regexp_replace(t, "\\s+", " ")
+    return F.trim(t)

@@ -1241,3 +1241,103 @@ def incremental_exact_dedup(
         kept.select(F.col("_h").alias("h"))
     ).distinct()
     return kept.drop("_h"), new_index
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# algorithm): robust LOCAL fingerprinting for substring-level overlap.
+# Where the span dedup above strips corpus-duplicated chunks at fixed
+# paragraph/word boundaries, winnowing guarantees detection of ANY
+# shared substring of at least (window + k - 1) characters regardless
+# of alignment: every window of `window` consecutive k-gram hashes
+# contributes its minimum, so two documents sharing a long-enough
+# substring necessarily select at least one identical fingerprint.
+# --------------------------------------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Distinct ``(id, fp)`` winnowed fingerprints per document.
+
+    Pure array expressions per row — char k-grams, a portable 60-bit
+    md5 hash per gram (the same engine-portable construction as
+    curation.sample_bucket, so an oracle replays it bit-for-bit), then
+    the per-window minimum and a distinct. Expression cost is
+    O(len·window) per row with NO shuffle; the only exchange is the
+    final distinct on (id, fp). Documents shorter than ``window``
+    k-grams contribute all their gram hashes (degenerate but correct:
+    the guarantee only speaks to matches ≥ window+k-1 chars anyway).
+    """
+    from cassandra_slow_queries_spark.functions.text import char_ngrams
+
+    toked = df.select(
+        F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_t")
+    )
+    hashed = toked.select(
+        "id",
+        F.transform(
+            char_ngrams(F.col("_t"), k),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+                "bigint"
+            ),
+        ).alias("_h"),
+    )
+    w = int(window)
+    fps = hashed.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(_h) >= {w} THEN array_distinct("
+                f"  transform(sequence(1, size(_h)-{w}+1), "
+                f"            i -> array_min(slice(_h, i, {w})))) "
+                f"ELSE array_distinct(_h) END"
+            )
+        ).alias("fp"),
+    )
+    return fps.distinct()
+
+
+def winnow_match_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing at least ``min_shared`` winnowed
+    fingerprints: ``(id_a, id_b, n_shared)`` with ``id_a < id_b`` —
+    substring-level overlap candidates (plagiarism-style reuse,
+    boilerplate injection, quotation) that whole-document MinHash
+    misses when the shared run is a small fraction of each document.
+
+    ``max_fp_freq`` is the usual hot-block guard: a fingerprint
+    appearing in more than that many documents (site-wide boilerplate)
+    is dropped BEFORE the self-join, bounding the quadratic exposure
+    exactly like minhash_lsh_pairs' ``max_block_freq`` — opt-in,
+    observable recall trade, same rationale. The self-join shuffles on
+    the fingerprint key; ``n_shared`` is a count over the joined
+    stream (one aggregation), so the whole operator is two shuffles.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+    if max_fp_freq is not None:
+        fps = _cap_block_freq(fps, ["fp"], max_fp_freq)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -6069,6 +6069,185 @@ FROM s6 GROUP BY u ORDER BY u
 """
 
 
+
+
+def q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint overlap (operators/dedup.py:
+    winnow_match_pairs — Schleimer et al. 2003): top-100 document
+    pairs by shared winnowed-fingerprint count at k=8, window=4, with
+    the hot-fingerprint cap at 20 bounding the self-join exactly like
+    minhash's max_block_freq. The 60-bit md5 gram hash is the same
+    engine-portable construction as sample_bucket, so the oracle
+    replays fingerprint SELECTION (not just counting) bit-for-bit.
+    Ties in n_shared break on (id_a, id_b) — a total order, so the
+    LIMIT is deterministic."""
+    from cassandra_slow_queries_spark.operators.dedup import (
+        winnow_match_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = winnow_match_pairs(
+        docs, "text", "doc_id", k=8, window=4, min_shared=3,
+        max_fp_freq=20,
+    )
+    return pairs.orderBy(F.desc("n_shared"), "id_a", "id_b").limit(100)
+
+
+DEDUP_WINNOW_SQL = """
+WITH hashed AS (
+    SELECT doc_id AS id,
+           list_transform(range(1, length(lower(text)) - 8 + 2), i ->
+             CAST(('0x' || substr(md5(lower(text)[i:i+7]), 1, 15))
+                  AS BIGINT)) AS h
+    FROM documents
+), fps0 AS (
+    SELECT id,
+           CASE WHEN length(h) >= 4 THEN list_distinct(
+                  list_transform(range(1, length(h) - 4 + 2),
+                                 i -> list_min(h[i:i+3])))
+                ELSE list_distinct(h) END AS f
+    FROM hashed
+), fps AS (
+    SELECT DISTINCT id, unnest(f) AS fp FROM fps0
+), freq AS (
+    SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 20
+), capped AS (
+    SELECT fps.id, fps.fp FROM fps JOIN freq USING (fp)
+), pairs AS (
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
+    FROM capped a JOIN capped b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY a.id, b.id
+    HAVING COUNT(*) >= 3
+)
+SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs ORDER BY n_shared DESC, id_a, id_b LIMIT 100
+"""
+
+
+def q_x_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet aggregate pushdown gate (plans/layout.py:
+    pushed_aggregation): COUNT/MIN/MAX on an unfiltered fact scan
+    answered from parquet FOOTER STATISTICS — at 100 TB the difference
+    between reading KBs of metadata and TBs of rows for a probe query.
+    The entry flips the two required confs (v2 parquet reads +
+    aggregatePushdown), asserts the plan actually shows
+    ``PushedAggregation: [COUNT(*), MIN(..), MAX(..)]``, materializes
+    the single result row INSIDE the guarded scope (pushdown is a
+    planning decision — the conf must still be set when the job runs),
+    restores the confs, and hash-gates values + the pushed flag. The
+    collect is one row — the whole point is that nothing bigger ever
+    moves."""
+    from cassandra_slow_queries_spark.plans.layout import (
+        pushed_aggregation,
+    )
+
+    push_key = "spark.sql.parquet.aggregatePushdown"
+    v1_key = "spark.sql.sources.useV1SourceList"
+    prev_push = spark.conf.get(push_key, None)
+    prev_v1 = spark.conf.get(v1_key, None)
+    try:
+        spark.conf.set(push_key, "true")
+        spark.conf.set(v1_key, "")
+        agg = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min("l_orderkey").alias("min_ok"),
+                F.max("l_orderkey").alias("max_ok"),
+            )
+        )
+        pushed = pushed_aggregation(agg)
+        row = agg.collect()[0]
+    finally:
+        for key, prev in ((push_key, prev_push), (v1_key, prev_v1)):
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+    ok = pushed.startswith("COUNT(*)") and "MIN(l_orderkey)" in pushed
+    return spark.createDataFrame(
+        [(row["n_rows"], row["min_ok"], row["max_ok"], bool(ok))],
+        "n_rows bigint, min_ok bigint, max_ok bigint, agg_pushed boolean",
+    )
+
+
+X_AGG_PUSHDOWN_SQL = """
+SELECT COUNT(*) AS n_rows,
+       CAST(MIN(l_orderkey) AS BIGINT) AS min_ok,
+       CAST(MAX(l_orderkey) AS BIGINT) AS max_ok,
+       TRUE AS agg_pushed
+FROM lineitem
+"""
+
+
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text cleaning (functions/text.py:clean_text): inject a
+    deterministic mess per document — tabs for spaces, doubled spaces,
+    control-char/zero-width wrappers, chosen by doc_id residue — then
+    clean and hash-gate FULL RESTORATION: the cleaned text must equal
+    the pristine original byte-for-byte (the `restored` column), and
+    the md5 of the cleaned text goes into the hash so any engine
+    divergence in any regex step surfaces per-row. The oracle replays
+    injection and cleaning in DuckDB; its regexp_replace needs the 'g'
+    flag (first-match-only by default) and hex-brace classes for the
+    zero-width points — RE2 and Java agree on the whitespace class
+    here only because the control-char pass already removed 0x0B and
+    0x0C, the two chars they disagree on."""
+    from cassandra_slow_queries_spark.functions.text import clean_text
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    dirty = F.col("text")
+    dirty = F.when(d % 2 == 0, F.replace(dirty, F.lit(" "), F.lit("\t"))).otherwise(dirty)
+    dirty = F.when(d % 5 == 0, F.replace(dirty, F.lit(" "), F.lit("  "))).otherwise(dirty)
+    dirty = F.when(
+        d % 3 == 0,
+        F.concat(F.lit("\u0001\u200b "), dirty, F.lit(" \u0007\ufeff")),
+    ).otherwise(dirty)
+    out = docs.select("doc_id", "text", dirty.alias("_dirty")).select(
+        "doc_id",
+        (clean_text(F.col("_dirty")) == F.col("text")).alias("restored"),
+        F.md5(clean_text(F.col("_dirty"))).alias("clean_hash"),
+        F.length(clean_text(F.col("_dirty"))).alias("n_clean"),
+    )
+    return out.orderBy("doc_id")
+
+
+TEXT_CLEAN_SQL = r"""
+WITH dirty AS (
+    SELECT doc_id, text,
+           CASE WHEN doc_id % 3 = 0
+                THEN chr(1) || chr(8203) || ' ' || d2 || ' ' || chr(7)
+                     || chr(65279)
+                ELSE d2 END AS d
+    FROM (
+        SELECT doc_id, text,
+               CASE WHEN doc_id % 5 = 0 THEN replace(d1, ' ', '  ')
+                    ELSE d1 END AS d2
+        FROM (
+            SELECT doc_id, text,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN replace(text, ' ', chr(9))
+                        ELSE text END AS d1
+            FROM documents
+        )
+    )
+), cleaned AS (
+    SELECT doc_id, text,
+           trim(regexp_replace(
+               regexp_replace(
+                   regexp_replace(d,
+                       '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]',
+                       '', 'g'),
+                   '[\x{200b}\x{200c}\x{200d}\x{feff}]', '', 'g'),
+               '\s+', ' ', 'g')) AS c
+    FROM dirty
+)
+SELECT doc_id, (c = text) AS restored, md5(c) AS clean_hash,
+       CAST(length(c) AS INT) AS n_clean
+FROM cleaned ORDER BY doc_id
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # --- core parity: aggregates, top-N, parse, dispatch, joins ---
     "a1_top_queries": QueryDef(q_a1_top_queries, A1_SQL, "A1+F3+T1 flagship"),
@@ -6535,6 +6714,21 @@ CATALOG: dict[str, QueryDef] = {
         q_x_url_dedup,
         X_URL_DEDUP_SQL,
         "canonical-URL dedup: normalize spellings, group on the key",
+    ),
+    "dedup_winnow": QueryDef(
+        q_dedup_winnow,
+        DEDUP_WINNOW_SQL,
+        "winnowing (MOSS) fingerprints: substring-overlap pairs",
+    ),
+    "x_agg_pushdown": QueryDef(
+        q_x_agg_pushdown,
+        X_AGG_PUSHDOWN_SQL,
+        "footer-stats aggregate pushdown gate (metadata-only probe)",
+    ),
+    "text_clean": QueryDef(
+        q_text_clean,
+        TEXT_CLEAN_SQL,
+        "control/zero-width/whitespace cleaning, restoration-gated",
     ),
 }
 

@@ -287,3 +287,25 @@ def exchange_count(df: DataFrame) -> int:
         )
         for line in plan.splitlines()
     )
+
+
+def pushed_aggregation(df: DataFrame) -> str:
+    """The ``PushedAggregation: [...]`` payload of the plan's parquet
+    scan, or ``''`` when nothing was pushed.
+
+    Aggregate pushdown (COUNT/MIN/MAX answered from parquet footer
+    statistics without scanning a single row group — the difference
+    between touching ~KB of metadata and ~TB of data on a fact-table
+    probe) is a DataSource-v2-only planning decision, so it is visible
+    in the pre-execution plan exactly like :func:`exchange_count`'s
+    Exchange elision. Requires ``spark.sql.parquet.aggregatePushdown``
+    AND parquet removed from ``spark.sql.sources.useV1SourceList``;
+    the catalog gate flips both for its own scan and restores them.
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        idx = line.find("PushedAggregation: [")
+        if idx >= 0:
+            payload = line[idx + len("PushedAggregation: ["):]
+            return payload.split("]", 1)[0]
+    return ""
