@@ -830,3 +830,66 @@ def cosine_topk_ivf(
         .distinct()
     )
     return _rerank_candidates(corpus, queries, cand, k, id_col, vec_col)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: per
+    query vector, the top-``k`` most-similar corpus vectors carrying a
+    DIFFERENT label — the near-misses a bi-encoder must learn to push
+    away (random negatives are trivially far; training signal lives in
+    the hard ones). Output ``(q_id, q_label, neighbor_id,
+    neighbor_label, sim)``, sim rounded to 6 dp, deterministic
+    (sim desc, neighbor_id) ranking.
+
+    Same shape and cost discipline as :func:`cosine_topk_bruteforce`:
+    norms precomputed per side, query side broadcast (callers mine for
+    a bounded query batch — mining for the WHOLE corpus at once should
+    go through the ANN paths above as candidate generators instead),
+    one dot product per pair, grouped top-K via the rank window. Rows
+    with NULL labels are excluded from BOTH sides: a NULL label can't
+    certify a negative.
+    """
+    from cassandra_slow_queries_spark.operators.topk import grouped_top_k
+
+    c = corpus.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("_cv"),
+        norm(vec_col, dim).alias("_cn"),
+    )
+    q = queries.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("q_id"),
+        F.col(label_col).alias("q_label"),
+        F.col(vec_col).alias("_qv"),
+        norm(vec_col, dim).alias("_qn"),
+    )
+    d = dot(F.col("_qv"), F.col("_cv"), dim)
+    sim = F.when(
+        (F.col("_qn") > 0) & (F.col("_cn") > 0),
+        d / (F.col("_qn") * F.col("_cn")),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("q_id"))
+            & (F.col("neighbor_label") != F.col("q_label"))
+        )
+        .select(
+            "q_id",
+            "q_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(sim, 6).alias("sim"),
+        )
+    )
+    return grouped_top_k(
+        scored, ["q_id"], "sim", k, tiebreaks=["neighbor_id"]
+    ).orderBy("q_id", F.col("sim").desc(), "neighbor_id")

@@ -6248,6 +6248,132 @@ FROM cleaned ORDER BY doc_id
 """
 
 
+
+
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py:hard_negatives):
+    for each of 8 query vectors, the top-5 most-similar embeddings
+    with a DIFFERENT label — the contrastive-training pairs a
+    bi-encoder needs. Same broadcast + precomputed-norm shape and the
+    same DuckDB list_cosine_similarity parity as ann_cosine_topk; the
+    label-exclusion predicate and the carried label columns are what
+    this entry adds to the gate."""
+    from cassandra_slow_queries_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+ANN_HARD_NEG_SQL = """
+SELECT q.vec_id AS q_id, q.label AS q_label,
+       e.vec_id AS neighbor_id, e.label AS neighbor_label,
+       ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings q, embeddings e
+WHERE q.vec_id < 8 AND e.vec_id != q.vec_id
+  AND q.label IS NOT NULL AND e.label IS NOT NULL
+  AND e.label != q.label
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])), 6)
+             DESC,
+             e.vec_id) <= 5
+ORDER BY q_id, sim DESC, neighbor_id
+"""
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key SESSION windows under Structured Streaming
+    (streaming/pipeline.py:session_stream): 30-minute-gap sessions per
+    query type, run as a real streaming job (file source →
+    session_window aggregation → AvailableNow). The oracle is the
+    batch gaps-and-islands formulation — a new session starts exactly
+    when the separation EXCEEDS the gap (Spark merges the == case:
+    adjacent [t, t+gap) windows touch and coalesce), so if
+    the streaming session merge ever drifted from the closed-form
+    semantics, counts, bounds, and durations all diverge."""
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        run_stream_to_batch,
+        session_stream,
+    )
+
+    parsed = _event_fact_stream(spark, sf_dir)
+    result = run_stream_to_batch(
+        session_stream(parsed, gap="30 minutes")
+    )
+    return result.orderBy("query", "session_start")
+
+
+STREAM_SESSION_SQL = """
+WITH f AS (
+    SELECT event_type AS query, ts,
+           CAST(FLOOR(value) AS BIGINT) AS duration
+    FROM events
+), d AS (
+    SELECT query, ts, duration,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                 OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM f WINDOW w AS (PARTITION BY query ORDER BY ts)
+), g AS (
+    SELECT query, ts, duration,
+           SUM(brk) OVER (PARTITION BY query ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM d
+)
+SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                '%Y-%m-%d %H:%M:%S') AS session_end,
+       query,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(duration) AS BIGINT) AS duration
+FROM g GROUP BY query, sid
+ORDER BY query, session_start
+"""
+
+
+def q_x_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE sketch rollup — the property that makes sketches a
+    100 TB tool at all: per-day HLL sketches of distinct users are
+    built once (the expensive corpus pass), then the month's distinct
+    count comes from hll_union_agg over the 30 tiny sketch rows with
+    NO rescan. The entry runs exactly that two-level plan and gates
+    the rolled-up estimate within 5% of the exact COUNT(DISTINCT)
+    (HLL++ at default lgK=12 is ~1.6% rse, so 5% is a structural
+    failure detector, not flakiness); the exact count, day count, and
+    verdict ride the hash — the estimate itself is implementation-
+    defined and deliberately stays out."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("_day")).agg(
+        F.hll_sketch_agg("user_id").alias("_sk")
+    )
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est"),
+    )
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_users"))
+    return merged.crossJoin(F.broadcast(exact)).select(
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("_est") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("rollup_ok"),
+    )
+
+
+X_SKETCH_ROLLUP_SQL = """
+SELECT COUNT(DISTINCT date_trunc('day', ts)) AS n_days,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS rollup_ok
+FROM events
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # --- core parity: aggregates, top-N, parse, dispatch, joins ---
     "a1_top_queries": QueryDef(q_a1_top_queries, A1_SQL, "A1+F3+T1 flagship"),
@@ -6729,6 +6855,21 @@ CATALOG: dict[str, QueryDef] = {
         q_text_clean,
         TEXT_CLEAN_SQL,
         "control/zero-width/whitespace cleaning, restoration-gated",
+    ),
+    "ann_hard_negatives": QueryDef(
+        q_ann_hard_negatives,
+        ANN_HARD_NEG_SQL,
+        "hard-negative mining: top-K similar with a different label",
+    ),
+    "stream_session": QueryDef(
+        q_stream_session,
+        STREAM_SESSION_SQL,
+        "streaming session windows vs gaps-and-islands oracle",
+    ),
+    "x_sketch_rollup": QueryDef(
+        q_x_sketch_rollup,
+        X_SKETCH_ROLLUP_SQL,
+        "per-day HLL sketches merged without rescan (tolerance-gated)",
     ),
 }
 

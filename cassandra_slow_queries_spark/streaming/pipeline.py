@@ -337,3 +337,51 @@ def read_fact_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.parquet(parquet_dir)
+
+
+def session_stream(
+    parsed: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "query",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-key SESSION windows as a streaming aggregation —
+    ``F.session_window(ts, gap)``: windows grow while events keep
+    arriving within ``gap`` of the last one and close when the gap
+    elapses, the natural unit for burst/visit analysis where fixed
+    buckets split one burst across boundaries.
+
+    Semantics: a session spans [first event, last event + gap); two
+    consecutive events start a NEW session iff their separation is
+    STRICTLY greater than gap — at exactly gap the windows touch
+    ([t, t+gap) then [t+gap, ...)) and Spark coalesces them (verified
+    by the boundary test). That closed-form makes the batch
+    gaps-and-islands SQL an exact oracle.
+
+    Scale: state per open session, evicted by the watermark on
+    unbounded sources (pass one!); the finite catalog drive runs
+    complete-mode, where Spark merges sessions across micro-batches in
+    the state store. Unlike tumbling/sliding windows there is no row
+    expansion — each event lands in exactly one session.
+    """
+    src = parsed.withWatermark("ts", watermark) if watermark else parsed
+    return (
+        src.groupBy(
+            F.session_window("ts", gap).alias("_s"), key_col
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("duration").alias("duration"),
+        )
+        .select(
+            F.date_format(F.col("_s.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("_s.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            key_col,
+            "cnt",
+            "duration",
+        )
+    )
