@@ -1341,3 +1341,63 @@ def winnow_match_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = 100,
+) -> DataFrame:
+    """Near-CONTAINMENT pairs: documents whose smaller shingle set is
+    mostly inside the other's — ``|A∩B| / min(|A|, |B|) >= threshold``.
+
+    The asymmetric complement to :func:`ngram_jaccard_pairs`: a short
+    document quoted whole inside a long one has tiny Jaccard (the
+    union is dominated by the long side) but containment ≈ 1 — the
+    quotation / subset-duplication / article-plus-boilerplate case
+    Jaccard structurally cannot see. Broder's containment coefficient,
+    computed over the same capped distinct-shingle universe as the
+    Jaccard operator (set sizes and intersections agree with each
+    other and with the oracle).
+
+    Output: ``(id_a, id_b, n_common, size_a, size_b, containment)``
+    with ``id_a < id_b`` and containment rounded to 6 dp (threshold
+    applied to the UNROUNDED ratio, same convention as Jaccard/cosine).
+    Identical scale shape to the Jaccard path: one capped shingle
+    self-join + one count aggregation + two size joins left to AQE.
+    """
+    sh = _distinct_shingles(df, text_col, id_col, n, max_doc_freq).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ratio = F.col("n_common") / F.least(F.col("size_a"), F.col("size_b"))
+    return (
+        inter.join(
+            sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "size_a"}),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnsRenamed({"id": "id_b", "n_shingles": "size_b"}),
+            "id_b",
+        )
+        .filter(ratio >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            "size_a",
+            "size_b",
+            F.round(ratio, 6).alias("containment"),
+        )
+    )

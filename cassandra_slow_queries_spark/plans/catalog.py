@@ -6374,6 +6374,137 @@ FROM events
 """
 
 
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-containment dedup (operators/dedup.py:containment_pairs —
+    Broder's containment coefficient): the corpus plus PLANTED quotes
+    (every 10th document contributes its first 12 words as a new tiny
+    document), then pairs with |A∩B| / min(|A|,|B|) >= 0.8 over the
+    capped 3-word-shingle universe. A quote has near-zero Jaccard
+    against its source (the union is dominated by the long side) but
+    containment ~1 — the asymmetric case the Jaccard entry above
+    structurally cannot flag. The oracle replays shingling, the
+    frequency cap, the planted quotes, and the ratio."""
+    from cassandra_slow_queries_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    quotes = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 12), " "
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(quotes)
+    out = containment_pairs(
+        corpus, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=100
+    )
+    return out.orderBy("id_a", "id_b")
+
+
+DEDUP_CONTAINMENT_SQL = """
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000,
+           array_to_string(string_split(text, ' ')[1:12], ' ')
+    FROM documents WHERE doc_id % 10 = 0
+), sh AS (
+    SELECT DISTINCT id, shingle
+    FROM (
+        SELECT doc_id AS id,
+               unnest([array_to_string(toks[i:i+2], ' ')
+                       for i in range(1, len(toks) - 1)]) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+    )
+), rare AS (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100
+), shc AS (
+    SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)
+), sizes AS (
+    SELECT id, COUNT(*) AS n FROM shc GROUP BY id
+), inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
+       ROUND(n_common / LEAST(sa.n, sb.n), 6) AS containment
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE n_common / LEAST(sa.n, sb.n) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert (streaming/pipeline.py:
+    run_streaming_upsert): the pre-cutoff snapshot seeds a VERSIONED
+    parquet state dir, then the post-cutoff change log streams in as a
+    real file-source stream (2 files per micro-batch → several
+    foreachBatch merge_upsert folds) with tombstones RETAINED in
+    state (see run_streaming_upsert: dropping them lets later batches
+    resurrect deleted keys — the oracle caught that). The final
+    snapshot must equal the one-shot batch merge — X_MERGE_SQL, the
+    same oracle as x_merge_upsert — no matter how the file source
+    batched or ordered the changes, because latest-wins folding over
+    retained state is associative and order-insensitive. Fresh scratch state/checkpoint
+    dirs per invocation keep repeats independent."""
+    from cassandra_slow_queries_spark.session import scratch_dir
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        run_streaming_upsert,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", _dur().alias("duration")
+    )
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    pre = ev.filter(F.col("ts") < cutoff)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    snapshot = (
+        pre.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    changes = ev.filter(F.col("ts") >= cutoff)
+    change_dir = _stage_once(
+        spark,
+        f"upsert_changes_{sf_dir.replace('/', '_')}",
+        lambda d: changes.repartition(6).write.mode("overwrite").parquet(d),
+    )
+    snapshot_dir = scratch_dir("upsert_snap_")
+    # the seed carries deleted=false: state retains tombstone flags
+    snapshot.withColumn("deleted", F.lit(False)).write.mode(
+        "overwrite"
+    ).parquet(f"{snapshot_dir}/v=0")
+    stream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(change_dir)
+        .withColumn("deleted", F.col("event_type") == "error")
+    )
+    final = run_streaming_upsert(
+        stream,
+        snapshot_dir,
+        keys=["user_id"],
+        version_cols=["ts", "event_id"],
+        tombstone_col="deleted",
+    )
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("duration").alias("last_duration"),
+    )
+
+
 CATALOG: dict[str, QueryDef] = {
     # --- core parity: aggregates, top-N, parse, dispatch, joins ---
     "a1_top_queries": QueryDef(q_a1_top_queries, A1_SQL, "A1+F3+T1 flagship"),
@@ -6870,6 +7001,16 @@ CATALOG: dict[str, QueryDef] = {
         q_x_sketch_rollup,
         X_SKETCH_ROLLUP_SQL,
         "per-day HLL sketches merged without rescan (tolerance-gated)",
+    ),
+    "dedup_containment": QueryDef(
+        q_dedup_containment,
+        DEDUP_CONTAINMENT_SQL,
+        "near-containment pairs: quotes/subset dups Jaccard cannot see",
+    ),
+    "stream_upsert": QueryDef(
+        q_stream_upsert,
+        X_MERGE_SQL,
+        "streaming CDC upsert: foreachBatch merge into versioned state",
     ),
 }
 

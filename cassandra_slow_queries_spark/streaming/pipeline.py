@@ -385,3 +385,100 @@ def session_stream(
             "duration",
         )
     )
+
+
+def _latest_snapshot_version(snapshot_dir: str) -> int | None:
+    """Highest ``v=N`` subdirectory under ``snapshot_dir`` (None when
+    the snapshot has never been written)."""
+    import os
+    import re
+
+    if not os.path.isdir(snapshot_dir):
+        return None
+    best = None
+    for name in os.listdir(snapshot_dir):
+        m = re.fullmatch(r"v=(\d+)", name)
+        if m:
+            v = int(m.group(1))
+            best = v if best is None or v > best else best
+    return best
+
+
+def run_streaming_upsert(
+    changes_stream: DataFrame,
+    snapshot_dir: str,
+    keys: list[str],
+    version_cols: list[str],
+    tombstone_col: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Maintain a keyed latest-wins SNAPSHOT from a CDC change stream:
+    every micro-batch folds into the standing state via
+    operators/merge.merge_upsert inside ``foreachBatch`` — the
+    streaming half of the lake-maintenance tier (a live `MERGE INTO`
+    without a table format).
+
+    Snapshot storage is VERSIONED (``snapshot_dir/v=<N>``): each batch
+    reads the latest version and writes the next, which (a) avoids the
+    read-overwrite-same-path hazard of folding state in place, and
+    (b) makes batch replay after a failure idempotent: whether the
+    re-delivered batch folds into the pre-write snapshot (rewriting the
+    same next version) or into a snapshot that already absorbed it,
+    latest-wins merging of already-present (key, version) rows is a
+    no-op — so exactly-once state lands on top of at-least-once
+    delivery. Old versions are retention, not cost: each is a compact
+    merged snapshot, and a janitor can drop all but the newest M.
+
+    Tombstones are RETAINED in state (the deleted winner keeps its row,
+    flag set) and filtered only in the returned final frame. Dropping
+    a deleted key from state — what the one-shot batch merge can get
+    away with — is WRONG incrementally: a later micro-batch carrying an
+    OLDER event for that key would find no state row to lose against
+    and resurrect it (the driver oracle caught exactly this: 136 rows
+    vs the batch merge's 120 before retention). Same reason Cassandra
+    itself keeps tombstones until compaction can prove no older write
+    can still arrive.
+
+    Scale: per batch, one decomposable max_by aggregation over
+    (snapshot + batch) — state lives in files, not executor memory, so
+    snapshot size is bounded by the key space, not the stream length.
+    Returns the final snapshot (tombstones filtered) as a batch frame.
+    """
+    spark = changes_stream.sparkSession
+    from cassandra_slow_queries_spark.operators.merge import merge_upsert
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        latest = _latest_snapshot_version(snapshot_dir)
+        if latest is None:
+            base = batch.limit(0)
+            nxt = 0
+        else:
+            base = spark.read.parquet(f"{snapshot_dir}/v={latest}")
+            nxt = latest + 1
+        # tombstone_col=None on purpose: the flag rides as ordinary
+        # payload so the deleted winner STAYS in state (retention).
+        merged = merge_upsert(base, batch, keys, version_cols)
+        merged.write.mode("overwrite").parquet(f"{snapshot_dir}/v={nxt}")
+
+    if checkpoint_dir is None:
+        from cassandra_slow_queries_spark.session import scratch_dir
+
+        checkpoint_dir = scratch_dir("upsert_ckpt_")
+    q = (
+        changes_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    latest = _latest_snapshot_version(snapshot_dir)
+    if latest is None:  # empty stream: nothing was ever written
+        return changes_stream.sparkSession.createDataFrame(
+            [], changes_stream.schema
+        )
+    final = spark.read.parquet(f"{snapshot_dir}/v={latest}")
+    if tombstone_col is not None and tombstone_col in final.columns:
+        final = final.filter(
+            ~F.coalesce(F.col(tombstone_col).cast("boolean"), F.lit(False))
+        ).drop(tombstone_col)
+    return final

@@ -1,0 +1,117 @@
+"""Containment pairs (operators/dedup.py) and the streaming CDC upsert
+sink (streaming/pipeline.py:run_streaming_upsert)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_slow_queries_spark.operators.dedup import containment_pairs
+
+
+def test_containment_sees_quote_jaccard_misses(spark):
+    long_words = [f"w{i}" for i in range(40)]
+    quote = " ".join(long_words[5:15])  # 10 words out of 40
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(long_words)),
+            (2, quote),
+            (3, "completely different text with other words entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = containment_pairs(
+        df, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=None
+    ).collect()
+    assert len(out) == 1
+    p = out[0]
+    assert (p["id_a"], p["id_b"]) == (1, 2)
+    # every quote shingle is inside the source → containment exactly 1
+    assert p["containment"] == 1.0
+    assert p["size_b"] == 8  # 10 words → 8 distinct 3-shingles
+    # Jaccard for the same pair is tiny — the asymmetric blind spot:
+    # 8 shared / (38 + 8 - 8) union ≈ 0.21 < any sane jaccard cut
+    assert p["n_common"] / (p["size_a"] + p["size_b"] - p["n_common"]) < 0.25
+
+
+def test_containment_threshold_and_ordering(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d x y"), (3, "a b c d e f")],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(
+            df, "text", "doc_id", n=3, threshold=0.5, max_doc_freq=None
+        ).collect()
+    }
+    # identical docs: containment 1; (1,2) share 2 of 4 shingles = 0.5
+    assert out[(1, 3)] == 1.0
+    assert out[(1, 2)] == 0.5 and out[(2, 3)] == 0.5
+
+
+# ---------------------------------------------------- streaming upsert ---
+
+
+def _write_batch(spark, d, rows):
+    spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, version long, payload string, "
+        "deleted boolean",
+    ).coalesce(1).write.mode("append").parquet(d)
+
+
+def test_streaming_upsert_folds_and_tombstones(spark, tmp_path):
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        run_streaming_upsert,
+    )
+
+    t = datetime(2024, 1, 1)
+    changes = str(tmp_path / "changes")
+    # one file per micro-batch (maxFilesPerTrigger=1 below):
+    # batch A: insert users 1, 2
+    _write_batch(spark, changes, [
+        (1, t, 1, "u1-v1", False), (2, t, 1, "u2-v1", False),
+    ])
+    # batch B: update user 1, DELETE user 2 (version 2 tombstone)
+    _write_batch(spark, changes, [
+        (1, t, 2, "u1-v2", False), (2, t, 2, None, True),
+    ])
+    # batch C: LATE arrival — an OLDER (version 0) event for deleted
+    # user 2 and an older event for user 1. Neither may win: without
+    # tombstone retention user 2 would resurrect here.
+    _write_batch(spark, changes, [
+        (1, t, 0, "u1-v0", False), (2, t, 0, "u2-v0", False),
+    ])
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, version long, payload string, "
+            "deleted boolean"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes)
+    )
+    final = run_streaming_upsert(
+        stream,
+        str(tmp_path / "snap"),
+        keys=["user_id"],
+        version_cols=["version"],
+        tombstone_col="deleted",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    rows = {r["user_id"]: r["payload"] for r in final.collect()}
+    assert rows == {1: "u1-v2"}, (
+        "deleted key must stay dead across later batches; "
+        "latest payload must win"
+    )
+    # versioned state: one seedless initial + one version per batch
+    import os
+
+    versions = sorted(os.listdir(str(tmp_path / "snap")))
+    assert versions == ["v=0", "v=1", "v=2"]
+    # tombstone retained IN STATE (the whole point), filtered at read
+    state = spark.read.parquet(str(tmp_path / "snap" / "v=2"))
+    srows = {r["user_id"]: r["deleted"] for r in state.collect()}
+    assert srows == {1: False, 2: True}
