@@ -1325,7 +1325,14 @@ def winnow_match_pairs(
     the fingerprint key; ``n_shared`` is a count over the joined
     stream (one aggregation), so the whole operator is two shuffles.
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+    # persist: the fingerprint subtree (O(len·window) array expressions
+    # per row) feeds the frequency count, the cap join, and BOTH self-
+    # join sides — without the cache it re-evaluates four times (the
+    # same reason ngram_jaccard_pairs persists its shingles; measured
+    # 8.6 s → ~2 s at sf0.1).
+    fps = winnow_fingerprints(
+        df, text_col, id_col, k=k, window=window
+    ).persist()
     if max_fp_freq is not None:
         fps = _cap_block_freq(fps, ["fp"], max_fp_freq)
     a, b = fps.alias("a"), fps.alias("b")

@@ -6611,6 +6611,51 @@ FROM b GROUP BY strategy ORDER BY strategy
 """
 
 
+
+
+def q_x_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group geometric mean duration — the expression twin
+    (``exp(avg(ln(x)))``, decomposable, codegen) of the GROUPED_AGG
+    pandas UDAF seam in functions/udafs.py (tests/test_udafs.py pins
+    the two equal, completing the §2.10 escape-hatch family: scalar /
+    grouped-map / map / stateful / UDTF / grouped-agg). Zero durations
+    are filtered on both engines (ln(0) = -inf); the ln terms are
+    rounded and summed as exact DECIMAL so the mean is
+    summation-order-free before exp."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.select("event_type", _dur().alias("dur")).filter(
+        F.col("dur") > 0
+    )
+    gm = F.exp(
+        F.sum(F.round(F.log("dur"), 9).cast("decimal(28,12)")).cast(
+            "double"
+        )
+        / F.count(F.lit(1))
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(gm, 6).alias("geo_mean_duration"),
+        )
+        .orderBy("event_type")
+    )
+
+
+X_GEOMEAN_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(EXP(CAST(SUM(CAST(ROUND(LN(dur), 9) AS DECIMAL(28,12)))
+                      AS DOUBLE) / COUNT(*)), 6) AS geo_mean_duration
+FROM (
+    SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS dur FROM events
+)
+WHERE dur > 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # --- core parity: aggregates, top-N, parse, dispatch, joins ---
     "a1_top_queries": QueryDef(q_a1_top_queries, A1_SQL, "A1+F3+T1 flagship"),
@@ -7127,6 +7172,11 @@ CATALOG: dict[str, QueryDef] = {
         q_cur_length_batching,
         CUR_LENGTH_BATCHING_SQL,
         "padding waste: arrival-order vs length-sorted batch layout",
+    ),
+    "x_geomean": QueryDef(
+        q_x_geomean,
+        X_GEOMEAN_SQL,
+        "geometric mean (expression twin of the GROUPED_AGG UDAF seam)",
     ),
 }
 
