@@ -6656,6 +6656,111 @@ ORDER BY event_type
 """
 
 
+
+
+def q_x_pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource scan (sources/pyds.py — the Spark 4
+    DataSource API): a pure-Python source declares schema + input
+    partitions, each partition's read() runs on an executor, and the
+    result flows into a normal aggregation — external-feed ingestion
+    as a parallel scan instead of a driver-side collect. The entry
+    reads 8 partitions × 1000 rows of the deterministic generator and
+    aggregates per statement type; the oracle replays the identical
+    integer-arithmetic generation from DuckDB range(), so both the
+    generation rule AND the partition-independence of row content are
+    hash-pinned (content depends only on the global id, never on which
+    partition served it)."""
+    from cassandra_slow_queries_spark.sources import pyds
+
+    pyds.register(spark)
+    df = (
+        spark.read.format("slowquerygen")
+        .option("partitions", 8)
+        .option("rowsperpartition", 1000)
+        .load()
+    )
+    return (
+        df.groupBy("statement")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("duration").alias("total_duration"),
+            F.sum("n_bound").alias("total_bound"),
+        )
+        .orderBy("statement")
+    )
+
+
+X_PYDS_SCAN_SQL = """
+WITH g AS (
+    SELECT range AS gid,
+           ['SELECT','INSERT','UPDATE','DELETE','BATCH'][gid % 5 + 1]
+               AS statement,
+           500 + (gid * 37) % 1000 AS duration,
+           gid % 7 AS n_bound
+    FROM range(0, 8000)
+)
+SELECT statement,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(duration) AS BIGINT) AS total_duration,
+       CAST(SUM(n_bound) AS BIGINT) AS total_bound
+FROM g GROUP BY statement ORDER BY statement
+"""
+
+
+def q_x_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured handling via Spark 4's VARIANT type: the events
+    ``props`` JSON column parses with try_parse_json (every 97th event
+    is deliberately TRUNCATED so the TRY path is non-vacuous — note
+    the corruption must be truncation, not appended garbage: Spark's
+    variant parser ignores trailing content after a complete value
+    while DuckDB's json_valid rejects it, a real cross-engine trap the
+    first version of this oracle hit), fields extract with
+    try_variant_get, and the
+    aggregate rolls up per event type with a malformed count. VARIANT
+    is the scale answer to get_json_object-per-field — parse once into
+    a binary-encoded value, extract many — and the oracle replays the
+    same semantics with DuckDB's json_valid/json_extract."""
+    ev = load(spark, sf_dir, "events")
+    p2 = F.when(
+        F.col("event_id") % 97 == 0,
+        F.substring(F.col("props"), 1, F.length("props") - 1),
+    ).otherwise(F.col("props"))
+    v = F.try_parse_json(p2)
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.select("event_type", v.alias("_v"), k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_v").isNull().cast("long")).alias("n_malformed"),
+            F.sum("_k").alias("sum_k"),
+            F.max("_k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+X_VARIANT_SQL = """
+WITH p AS (
+    SELECT event_type,
+           CASE WHEN event_id % 97 = 0
+                THEN props[1:length(props) - 1] ELSE props END AS p2
+    FROM events
+), v AS (
+    SELECT event_type, json_valid(p2) AS ok,
+           CASE WHEN json_valid(p2)
+                THEN CAST(json_extract(p2, '$.k') AS INT) END AS k
+    FROM p
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) FILTER (WHERE NOT ok) AS BIGINT) AS n_malformed,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       CAST(MAX(k) AS INT) AS max_k
+FROM v GROUP BY event_type ORDER BY event_type
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # --- core parity: aggregates, top-N, parse, dispatch, joins ---
     "a1_top_queries": QueryDef(q_a1_top_queries, A1_SQL, "A1+F3+T1 flagship"),
@@ -7177,6 +7282,16 @@ CATALOG: dict[str, QueryDef] = {
         q_x_geomean,
         X_GEOMEAN_SQL,
         "geometric mean (expression twin of the GROUPED_AGG UDAF seam)",
+    ),
+    "x_pyds_scan": QueryDef(
+        q_x_pyds_scan,
+        X_PYDS_SCAN_SQL,
+        "custom Python DataSource: partitioned executor-side read()",
+    ),
+    "x_variant_json": QueryDef(
+        q_x_variant_json,
+        X_VARIANT_SQL,
+        "VARIANT semi-structured parse/extract with malformed guard",
     ),
 }
 
