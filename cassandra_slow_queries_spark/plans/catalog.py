@@ -6761,6 +6761,60 @@ FROM v GROUP BY event_type ORDER BY event_type
 """
 
 
+
+
+def q_stream_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the Python DataSource API (sources/
+    pyds.py:_StreamReader): the same pure-Python source serves a
+    Structured Streaming query through checkpointable dict offsets,
+    drained with processAllAvailable (streaming/pipeline.py:
+    run_stream_drain — AvailableNow only captures a simple stream
+    reader's first prefetch, a real API gotcha this entry pins by
+    needing ALL 5 batches). Exactly-once lands because replay between
+    checkpointed offsets regenerates identical rows (generation is a
+    pure function of gid); the oracle replays the full 5000-row stream
+    from DuckDB range() and would catch any dropped or doubled
+    batch."""
+    from cassandra_slow_queries_spark.sources import pyds
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        run_stream_drain,
+    )
+
+    pyds.register(spark)
+    stream = (
+        spark.readStream.format("slowquerygen")
+        .option("rowsperbatch", 1000)
+        .option("maxrows", 5000)
+        .load()
+    )
+    res = run_stream_drain(stream)
+    return (
+        res.groupBy("statement")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("duration").alias("total_duration"),
+            F.count_distinct("gid").alias("n_distinct"),
+        )
+        .orderBy("statement")
+    )
+
+
+STREAM_PYDS_SQL = """
+WITH g AS (
+    SELECT range AS gid,
+           ['SELECT','INSERT','UPDATE','DELETE','BATCH'][gid % 5 + 1]
+               AS statement,
+           500 + (gid * 37) % 1000 AS duration
+    FROM range(0, 5000)
+)
+SELECT statement,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(duration) AS BIGINT) AS total_duration,
+       CAST(COUNT(DISTINCT gid) AS BIGINT) AS n_distinct
+FROM g GROUP BY statement ORDER BY statement
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # --- core parity: aggregates, top-N, parse, dispatch, joins ---
     "a1_top_queries": QueryDef(q_a1_top_queries, A1_SQL, "A1+F3+T1 flagship"),
@@ -7292,6 +7346,11 @@ CATALOG: dict[str, QueryDef] = {
         q_x_variant_json,
         X_VARIANT_SQL,
         "VARIANT semi-structured parse/extract with malformed guard",
+    ),
+    "stream_pyds": QueryDef(
+        q_stream_pyds,
+        STREAM_PYDS_SQL,
+        "streaming Python DataSource: offset-managed pure-Python feed",
     ),
 }
 

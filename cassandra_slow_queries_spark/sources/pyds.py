@@ -95,3 +95,48 @@ class SlowQueryGenSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration (re-registering replaces)."""
     spark.dataSource.register(SlowQueryGenSource)
+
+
+try:  # SimpleDataSourceStreamReader: Spark 4 streaming half of the API
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class _StreamReader(SimpleDataSourceStreamReader):
+        """Offset-managed pure-Python STREAM source: offsets are plain
+        dicts ({"gid": next-row-to-serve}), Spark checkpoints them, and
+        replay between two checkpointed offsets (readBetweenOffsets) is
+        exact because generation is a pure function of gid — the
+        at-least-once → exactly-once story any custom stream source
+        must tell. ``maxrows`` bounds the stream so AvailableNow /
+        processAllAvailable terminate in tests and the catalog entry;
+        a production feed would return whatever new data exists."""
+
+        def __init__(self, options: dict):
+            self.rows_per_batch = int(options.get("rowsperbatch", 100))
+            self.max_rows = int(options.get("maxrows", 1000))
+
+        def initialOffset(self):
+            return {"gid": 0}
+
+        def read(self, start):
+            s = int(start["gid"])
+            e = min(s + self.rows_per_batch, self.max_rows)
+            rows = [(gid, *gen_row(gid)) for gid in range(s, e)]
+            return (iter(rows), {"gid": e})
+
+        def readBetweenOffsets(self, start, end):
+            return iter(
+                (gid, *gen_row(gid))
+                for gid in range(int(start["gid"]), int(end["gid"]))
+            )
+
+    _HAVE_STREAM = True
+except ImportError:  # pragma: no cover - older pyspark
+    _HAVE_STREAM = False
+
+
+if _HAVE_STREAM:
+
+    def _stream_reader(self, schema):
+        return _StreamReader(self.options)
+
+    SlowQueryGenSource.simpleStreamReader = _stream_reader

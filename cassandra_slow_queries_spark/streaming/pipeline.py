@@ -482,3 +482,31 @@ def run_streaming_upsert(
             ~F.coalesce(F.col(tombstone_col).cast("boolean"), F.lit(False))
         ).drop(tombstone_col)
     return final
+
+
+def run_stream_drain(
+    streaming_df: DataFrame, output_mode: str = "append"
+) -> DataFrame:
+    """Run a stream until its source reports no more available data
+    (``processAllAvailable``), then stop, returning the sink contents.
+
+    The finite-drive harness for sources that advance their OWN
+    offsets — the pure-Python stream source (sources/pyds.py), a queue
+    poller — where ``Trigger.AvailableNow`` only captures the first
+    prefetched batch (the planner asks the source once for "what is
+    available now" and a simple stream reader can only answer with its
+    next read). For file-backed finite streams prefer
+    :func:`run_stream_to_batch`'s AvailableNow, which needs no
+    blocking drain."""
+    name = f"stream_result_{uuid.uuid4().hex}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return streaming_df.sparkSession.table(name)

@@ -58,3 +58,21 @@ def test_variant_extract_and_try_semantics(spark):
     assert [r["k"] for r in out] == [7, None, None]
     assert out[0]["m"] is None  # missing path → NULL, no error
     assert out[0]["t0"] == "a"
+
+
+def test_pyds_stream_drains_all_batches_exactly_once(spark):
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        run_stream_drain,
+    )
+
+    pyds.register(spark)
+    stream = (
+        spark.readStream.format("slowquerygen")
+        .option("rowsperbatch", 150)
+        .option("maxrows", 400)
+        .load()
+    )
+    res = run_stream_drain(stream)
+    gids = [r["gid"] for r in res.select("gid").collect()]
+    # every row exactly once across the 3 micro-batches (150+150+100)
+    assert sorted(gids) == list(range(400))
