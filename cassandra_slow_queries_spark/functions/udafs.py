@@ -50,10 +50,17 @@ if _HAVE_ARROW:
     # ``import udafs`` before any session exists would crash.
     @_pandas_udf(_DoubleType())
     def geometric_mean_udaf(x: _pd.Series) -> float:  # pragma: no cover
-        """GROUPED_AGG pandas UDAF: exp(mean(log(x))). Operates on the
-        group's values as one Arrow-backed Series; NaN-safe the same
-        way the expression is NULL-safe (pandas mean skips NaN)."""
-        return float(_np.exp(_np.log(x.astype("float64")).mean()))
+        """GROUPED_AGG pandas UDAF: exp(mean(log(x))) over POSITIVE
+        values only — matching the expression twin exactly: SQL
+        ``ln(x)`` is NULL for x <= 0 and ``avg`` skips NULLs, whereas a
+        bare numpy log would fold -inf into the mean and collapse the
+        result to 0 the moment one zero appears. All-nonpositive (or
+        empty) groups return None, as exp(avg(all-NULL)) does."""
+        v = x.astype("float64")
+        v = v[v > 0]
+        if len(v) == 0:
+            return None
+        return float(_np.exp(_np.log(v).mean()))
 
 else:  # pragma: no cover
     geometric_mean_udaf = None

@@ -90,13 +90,22 @@ def top_pair(counts: DataFrame) -> tuple[str, str, int] | None:
     return (r["a"], r["b"], r["n_pair"])
 
 
+
+
+def _sql_quote(sym: str) -> str:
+    """Escape a symbol for interpolation into a SQL string literal:
+    backslashes FIRST, then quotes (quote-only escaping turns a
+    trailing backslash into an escaped quote — malformed SQL)."""
+    return sym.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def apply_merge(symbols_col: str, a: str, b: str) -> Column:
     """Merge every adjacent (a, b) into the single symbol ``a||b`` —
     leftmost-first and non-overlapping, which is exactly what a left
     fold gives: ``aaa`` under merge (a,a) becomes ``[aa, a]``, never
     ``[a, aa]`` or a double-merge. Pure ``aggregate`` expression; no
     Python."""
-    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    qa, qb = (_sql_quote(a), _sql_quote(b))
     return F.expr(
         f"aggregate({symbols_col}, CAST(array() AS ARRAY<STRING>), "
         f"(acc, s) -> CASE WHEN size(acc) > 0 "
@@ -162,7 +171,7 @@ def encode(
     out = words.withColumn("_sym", sym)
     col = "_sym"
     for a, b, _n in merges:
-        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        qa, qb = (_sql_quote(a), _sql_quote(b))
         out = out.withColumn(
             "_sym",
             F.expr(

@@ -712,9 +712,10 @@ def mixture_sample(
     at integer granularity (out of 10000) from exactly-representable
     arithmetic, so an oracle reproduces the decision bit-for-bit.
 
-    Returns kept rows with audit columns ``target_rate`` (the float
-    rate) and ``bucket_cut`` (the integer threshold actually applied).
-    ``rate_col=None`` drops the audit columns.
+    Returns kept rows with audit columns ``rate_col`` (the float
+    rate, under the caller's chosen name) and ``bucket_cut`` (the
+    integer threshold actually applied). ``rate_col=None`` drops both
+    audit columns.
     """
     if (weights is None) == (temperature is None):
         raise ValueError("give exactly one of weights= or temperature=")
@@ -753,7 +754,7 @@ def mixture_sample(
     kept = joined.filter(sample_bucket(id_col) < F.col("_cut"))
     if rate_col is None:
         return kept.drop("_rate", "_cut")
-    return kept.withColumnRenamed("_rate", "target_rate").withColumnRenamed(
+    return kept.withColumnRenamed("_rate", rate_col).withColumnRenamed(
         "_cut", "bucket_cut"
     )
 

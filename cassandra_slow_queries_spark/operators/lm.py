@@ -61,11 +61,14 @@ def _adjacent_bigrams(df: DataFrame, text_col: str, carry: list[str]) -> DataFra
     array expression per row (slice + transform, no posexplode
     self-join), then one explode: linear in corpus size."""
     toked = df.select(*carry, tokenize(F.col(text_col)).alias("_toks"))
+    # greatest(.., 0): an empty/whitespace-only document tokenizes to
+    # [] and a bare size()-1 slice length of -1 is a runtime error —
+    # one blank row in a web corpus must not kill the job.
     return toked.select(
         *carry,
         F.explode(
             F.expr(
-                "transform(slice(_toks, 1, size(_toks)-1), "
+                "transform(slice(_toks, 1, greatest(size(_toks)-1, 0)), "
                 "(t, i) -> struct(t AS x, _toks[i+1] AS y))"
             )
         ).alias("_p"),

@@ -388,8 +388,14 @@ def session_stream(
 
 
 def _latest_snapshot_version(snapshot_dir: str) -> int | None:
-    """Highest ``v=N`` subdirectory under ``snapshot_dir`` (None when
-    the snapshot has never been written)."""
+    """Highest COMMITTED ``v=N`` subdirectory under ``snapshot_dir``
+    (None when the snapshot has never been written). Committed means
+    the ``_SUCCESS`` marker exists: a fold that crashed between
+    creating ``v=N`` and job commit leaves a marker-less directory
+    (possibly just ``_temporary``), and adopting it as the base would
+    either fail schema inference forever or silently merge against a
+    truncated snapshot — recovery must fall back to the last version
+    that actually committed."""
     import os
     import re
 
@@ -398,7 +404,9 @@ def _latest_snapshot_version(snapshot_dir: str) -> int | None:
     best = None
     for name in os.listdir(snapshot_dir):
         m = re.fullmatch(r"v=(\d+)", name)
-        if m:
+        if m and os.path.exists(
+            os.path.join(snapshot_dir, name, "_SUCCESS")
+        ):
             v = int(m.group(1))
             best = v if best is None or v > best else best
     return best
@@ -473,9 +481,12 @@ def run_streaming_upsert(
     q.awaitTermination()
     latest = _latest_snapshot_version(snapshot_dir)
     if latest is None:  # empty stream: nothing was ever written
-        return changes_stream.sparkSession.createDataFrame(
+        empty = changes_stream.sparkSession.createDataFrame(
             [], changes_stream.schema
         )
+        if tombstone_col is not None and tombstone_col in empty.columns:
+            empty = empty.drop(tombstone_col)  # match the normal path
+        return empty
     final = spark.read.parquet(f"{snapshot_dir}/v={latest}")
     if tombstone_col is not None and tombstone_col in final.columns:
         final = final.filter(

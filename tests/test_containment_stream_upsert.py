@@ -115,3 +115,41 @@ def test_streaming_upsert_folds_and_tombstones(spark, tmp_path):
     state = spark.read.parquet(str(tmp_path / "snap" / "v=2"))
     srows = {r["user_id"]: r["deleted"] for r in state.collect()}
     assert srows == {1: False, 2: True}
+
+
+def test_upsert_ignores_uncommitted_snapshot_version(spark, tmp_path):
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        _latest_snapshot_version,
+    )
+
+    snap = tmp_path / "snap"
+    (snap / "v=0").mkdir(parents=True)
+    (snap / "v=0" / "_SUCCESS").touch()
+    # v=1 crashed mid-write: directory exists, no _SUCCESS marker
+    (snap / "v=1" / "_temporary").mkdir(parents=True)
+    assert _latest_snapshot_version(str(snap)) == 0
+
+
+def test_upsert_empty_stream_schema_matches_normal_path(spark, tmp_path):
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        run_streaming_upsert,
+    )
+
+    changes = tmp_path / "changes"
+    changes.mkdir()
+    stream = (
+        spark.readStream.schema(
+            "user_id long, version long, payload string, deleted boolean"
+        )
+        .parquet(str(changes))
+    )
+    final = run_streaming_upsert(
+        stream,
+        str(tmp_path / "snap"),
+        keys=["user_id"],
+        version_cols=["version"],
+        tombstone_col="deleted",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    assert final.count() == 0
+    assert "deleted" not in final.columns  # same schema as normal path

@@ -151,3 +151,29 @@ def test_bpe_top_pair_tiebreak(spark):
         ["a", "b", "n_pair"],
     )
     assert bpe.top_pair(df) == ("a", "b", 5)
+
+
+def test_lm_empty_document_survives(spark, tiny_lm):
+    # one blank row in a corpus must not kill training or scoring
+    # (slice length -1 regression: size([])-1)
+    corpus = spark.createDataFrame(
+        [(1, "a b a b"), (2, ""), (3, "   "), (4, None)],
+        ["doc_id", "text"],
+    )
+    lm = train_bigram_lm(corpus)
+    assert lm.vocab.collect()[0]["v"] == 2
+    out = score_cross_entropy(corpus, tiny_lm).collect()
+    assert {r["doc_id"] for r in out} == {1}
+
+
+def test_bpe_backslash_symbols(spark):
+    # merge symbols containing backslashes must survive SQL
+    # interpolation (quote-only escaping makes '\' + "'" malformed SQL)
+    docs = spark.createDataFrame(
+        [(1, "c:\\tmp c:\\tmp c:\\tmp o'k o'k")], ["doc_id", "text"]
+    )
+    merges = bpe.train_bpe_merges(docs, n_merges=8)
+    assert merges, "training must not raise ParseException"
+    enc = bpe.encode(docs, merges, "text").collect()[0]["bpe_tokens"]
+    assert "".join(enc).replace(bpe.EOW, " ").strip() == \
+        "c:\\tmp c:\\tmp c:\\tmp o'k o'k"

@@ -138,3 +138,11 @@ def test_canonical_url_collapses_known_aliases(spark):
         .count()
     )
     assert n == 1
+
+
+def test_mixture_rate_col_name_honored(spark, sources_df):
+    out = mixture_sample(
+        sources_df, "src", "id", budget=100,
+        weights={"big": 0.5, "small": 0.5}, rate_col="keep_rate",
+    )
+    assert "keep_rate" in out.columns and "bucket_cut" in out.columns

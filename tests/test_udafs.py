@@ -76,3 +76,26 @@ def test_udaf_on_corpus_durations(spark):
     assert expr and expr.keys() == udaf.keys()
     for g in expr:
         assert udaf[g] == pytest.approx(expr[g], abs=1e-6)
+
+
+def test_udaf_matches_expression_on_zeros(spark):
+    # ln(0) is NULL in SQL (skipped by avg); the UDAF must drop
+    # non-positive values the same way, not fold -inf into the mean
+    df = spark.createDataFrame(
+        [("a", 0.0), ("a", 4.0), ("a", 9.0), ("z", 0.0), ("z", -1.0)],
+        ["g", "x"],
+    )
+    expr = {
+        r["g"]: r["gm"]
+        for r in df.groupBy("g")
+        .agg(geometric_mean_expr("x").alias("gm"))
+        .collect()
+    }
+    udaf = {
+        r["g"]: r["gm"]
+        for r in df.groupBy("g")
+        .agg(geometric_mean_udaf("x").alias("gm"))
+        .collect()
+    }
+    assert expr["a"] == pytest.approx(6.0) and udaf["a"] == pytest.approx(6.0)
+    assert expr["z"] is None and udaf["z"] is None
