@@ -168,10 +168,22 @@ def stream_stream_interval_join(
     right_ts: str = "ts",
     interval: str = "6 hours",
     watermark: str = "12 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: pair every LEFT event with
+    """Watermarked stream-stream join: pair every LEFT event with
     the RIGHT events sharing ``on`` whose event time falls in
     ``[left_ts, left_ts + interval]``.
+
+    ``how="left_outer"`` additionally emits a null-padded row for each
+    unmatched left event — but ONLY once the watermark proves no match
+    can still arrive (right watermark past ``left_ts + interval``), and
+    only in a batch AFTER the one that advanced the watermark. Two
+    consequences worth pinning (tests/test_streaming_endpoints.py):
+    an unmatched row near the stream's end stays buffered forever (no
+    end-of-stream flush), and a single-batch AvailableNow run emits NO
+    outer rows at all (the watermark was still the epoch while the
+    batch ran). Plan outer streaming joins around watermark delay, not
+    query termination.
 
     Both sides get a watermark and the join condition carries the
     event-time range — the two ingredients Spark REQUIRES to bound
@@ -203,7 +215,7 @@ def stream_stream_interval_join(
         & (rt >= lt)
         & (rt <= lt + F.expr(f"INTERVAL {interval}"))
     )
-    return l.join(r, cond, "inner").drop("_r_on")
+    return l.join(r, cond, how).drop("_r_on")
 
 
 def run_stream_to_batch(streaming_df: DataFrame, output_mode: str = "complete") -> DataFrame:

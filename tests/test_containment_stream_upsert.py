@@ -153,3 +153,52 @@ def test_upsert_empty_stream_schema_matches_normal_path(spark, tmp_path):
     )
     assert final.count() == 0
     assert "deleted" not in final.columns  # same schema as normal path
+
+
+def test_upsert_checkpointed_restart_no_refold(spark, tmp_path):
+    """A second run over the same checkpoint resumes from the committed
+    offset: already-folded batches are not re-applied (no extra
+    snapshot versions), new batches fold on top of the existing
+    state."""
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        run_streaming_upsert,
+    )
+
+    t = datetime(2024, 1, 1)
+    changes = str(tmp_path / "changes")
+    snap, ckpt = str(tmp_path / "snap"), str(tmp_path / "ckpt")
+    schema = (
+        "user_id long, ts timestamp, version long, payload string, "
+        "deleted boolean"
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(changes)
+        )
+
+    def run():
+        return run_streaming_upsert(
+            stream(), snap, keys=["user_id"], version_cols=["version"],
+            tombstone_col="deleted", checkpoint_dir=ckpt,
+        )
+
+    _write_batch(spark, changes, [(1, t, 1, "v1", False)])
+    first = run()
+    assert {r["payload"] for r in first.collect()} == {"v1"}
+    import os
+
+    n_versions_after_first = len(os.listdir(snap))
+
+    # "restart": new file arrives, same checkpoint — only IT folds
+    _write_batch(spark, changes, [(1, t, 2, "v2", False),
+                                  (2, t, 1, "w1", False)])
+    second = run()
+    rows = {r["user_id"]: r["payload"] for r in second.collect()}
+    assert rows == {1: "v2", 2: "w1"}
+    assert len(os.listdir(snap)) == n_versions_after_first + 1, (
+        "exactly one new snapshot version: the first batch must not "
+        "re-fold after the restart"
+    )

@@ -639,3 +639,84 @@ def test_sliding_stream_each_event_in_two_windows(spark, fact_dir):
         per_bucket[r.bucket] = per_bucket.get(r.bucket, 0) + r.cnt
     assert per_bucket["2026-08-13 04:00"] == n_events
     assert per_bucket["2026-08-13 05:00"] == n_events
+
+
+def test_stream_stream_left_outer_emission_semantics(spark, tmp_path):
+    """Outer null rows emit only after the watermark CLOSES a left
+    row's match window — and never for rows whose window is still open
+    when the stream ends (no end-of-stream flush)."""
+    from datetime import datetime
+
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        stream_stream_interval_join,
+    )
+
+    def ts(h):
+        return datetime(2024, 1, 1, h)
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    schema = "user_id long, ts timestamp"
+    # batch 1 files: left events early; a matching right for user 1
+    spark.createDataFrame(
+        [(1, ts(0)), (2, ts(0))], schema
+    ).coalesce(1).write.mode("append").parquet(ldir)
+    spark.createDataFrame([(1, ts(1))], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(rdir)
+    # batch 2 files: a much later right event pushes the right-side
+    # watermark far past user 2's window end (0:00+2h), forcing the
+    # null emission; user 3's left event arrives too late-in-stream for
+    # its own window ever to close.
+    spark.createDataFrame([(3, ts(20))], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(ldir)
+    spark.createDataFrame([(9, ts(20))], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(rdir)
+
+    left = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ldir)
+    )
+    right = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rdir)
+    )
+    joined = stream_stream_interval_join(
+        left,
+        right,
+        on="user_id",
+        interval="2 hours",
+        watermark="1 hour",
+        how="left_outer",
+    )
+    import uuid
+
+    name = f"oj_{uuid.uuid4().hex}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # one extra empty-ish cycle so the batch AFTER the watermark
+        # advance gets to emit the closed-window null rows
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table(name).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1: real match, right ts joined
+    assert len(by_user[1]) == 1 and by_user[1][0]["r_ts"] is not None
+    # user 2: window [0:00, 2:00] closed once right watermark hit 19:00
+    # → null-padded emission
+    assert len(by_user[2]) == 1 and by_user[2][0]["r_ts"] is None
+    # user 3 (left at 20:00): window still open at stream end → NO
+    # emission, matched or null — the documented no-flush semantics
+    assert 3 not in by_user
