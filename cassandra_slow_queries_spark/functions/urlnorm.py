@@ -123,3 +123,36 @@ def canonical_url(url: Column | str) -> Column:
     c = normalize_query(c)
     c = strip_trailing_slash(c)
     return c
+
+
+#: URL matcher shared with the oracle SQL — RE2-portable (no lookaround,
+#: inline (?i) — both engines support it), stops at whitespace, quotes,
+#: angle brackets, and closing parens. Case-insensitive on purpose:
+#: 'HTTPS://...' mentions are real, and a case-sensitive matcher drops
+#: them SILENTLY (caught by the x_outlinks entry returning half its
+#: hosts).
+URL_RE = "(?i)https?://[^\\s\"'<>()]+"
+
+
+def extract_urls(text: Column | str) -> Column:
+    """All http(s) URLs mentioned in a text column, in order —
+    ``regexp_extract_all``, pure codegen. Trailing sentence punctuation
+    (``.,;:!?``) is stripped from each match (the standard outlink-
+    extraction wart: 'see https://x.com/a.' must not yield a URL ending
+    in '.'). Feeds :func:`canonical_url` for outlink/domain analysis:
+    extract → canonicalize → hash-groupBy is the whole outlink-graph
+    ingestion path."""
+    c = _c(text)
+    raw = F.regexp_extract_all(c, F.lit(URL_RE), 0)
+    return F.transform(
+        raw, lambda u: F.regexp_replace(u, "[.,;:!?]+$", "")
+    )
+
+
+def url_host(url: Column | str) -> Column:
+    """The lowercased host (no port, no ``www.``) of a URL — the domain
+    grouping key for per-site caps (operators/curation.py:cap_per_group)
+    and outlink counts."""
+    c = _c(url)
+    host = F.lower(F.regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1))
+    return F.regexp_replace(host, "^www\\.", "")

@@ -818,3 +818,55 @@ def padding_waste(
             6,
         ).alias("waste_frac"),
     )
+
+
+def assign_token_shards(
+    df: DataFrame,
+    token_col: str,
+    order: list[Column],
+    target_tokens: int,
+    num_ranges: int = 32,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Deterministic output sharding by TOKEN budget: rows laid out in
+    ``order`` (a strict total order) are cut into shards of
+    ``target_tokens`` each — ``shard = (inclusive-prefix-sum - 1) div
+    target`` — the final write-out step of a curation pipeline, where
+    downstream training wants shards of near-equal token mass, not
+    near-equal row count (document lengths are heavy-tailed; row-count
+    shards vary 2-3× in tokens).
+
+    Built on the same distributed prefix-sum as token_budget_select /
+    pack_sequences — range exchange, per-partition windows,
+    O(num_ranges) driver offsets — so the layout decision itself scales.
+    A document larger than ``target_tokens`` gets a shard of its own
+    (its prefix interval spans the cut; it lands where its last token
+    falls, and neighbors shift — the standard greedy contract). Write
+    with ``df.write.partitionBy(out_col)`` and derive the manifest as
+    ``groupBy(out_col).agg(count, sum(tokens))``.
+    """
+    summed, ranged = _distributed_prefix_sum(
+        df, token_col, order, num_ranges, out_col="_cum"
+    )
+    out = summed.withColumn(
+        out_col,
+        ((F.col("_cum") - 1) / F.lit(target_tokens)).cast("bigint"),
+    ).drop("_cum")
+    out = out.localCheckpoint(eager=True)
+    ranged.unpersist()
+    return out
+
+
+def shard_manifest(
+    sharded: DataFrame, token_col: str, shard_col: str = "shard"
+) -> DataFrame:
+    """The manifest a downstream consumer reads instead of listing
+    files: ``(shard, n_docs, n_tokens)``, one hash aggregation."""
+    return (
+        sharded.groupBy(shard_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_col).alias("n_tokens"),
+        )
+        .orderBy(shard_col)
+    )

@@ -6815,6 +6815,128 @@ FROM g GROUP BY statement ORDER BY statement
 """
 
 
+
+
+def q_x_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (functions/urlnorm.py:extract_urls/url_host):
+    every document gets a deterministically-injected URL mention —
+    messy spellings (case, www., tracking params, trailing sentence
+    period) chosen by doc_id residue — then the pipeline extracts URLs
+    from the text, strips trailing punctuation, and rolls up per HOST:
+    the extract → normalize → hash-groupBy path of outlink-graph
+    ingestion. The oracle replays extraction with the same RE2-portable
+    pattern, so a drift in the matcher, the punctuation strip, or the
+    host parse breaks the hash."""
+    from cassandra_slow_queries_spark.functions.urlnorm import (
+        extract_urls,
+        url_host,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    mention = F.concat(
+        F.lit(" see "),
+        F.when(d % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(
+            F.lit("https://")
+        ),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        (d % 9).cast("string"),
+        F.when(d % 3 == 0, F.lit("?utm_source=x&q=1")).otherwise(
+            F.lit("")
+        ),
+        F.when(d % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+    )
+    withurl = docs.select(
+        "doc_id", F.concat(F.col("text"), mention).alias("text")
+    )
+    links = withurl.select(
+        "doc_id", F.explode(extract_urls("text")).alias("url")
+    )
+    return (
+        links.select("doc_id", F.lower(url_host(F.lower("url"))).alias("host"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_refs"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy("host")
+    )
+
+
+X_OUTLINKS_SQL = r"""
+WITH withurl AS (
+    SELECT doc_id,
+           text || ' see '
+           || CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.'
+                   ELSE 'https://' END
+           || source || '.example.com/p/' || CAST(doc_id % 9 AS VARCHAR)
+           || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&q=1'
+                   ELSE '' END
+           || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END AS text
+    FROM documents
+), links AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               regexp_extract_all(text, '(?i)https?://[^\s"''<>()]+'),
+               u -> regexp_replace(u, '[.,;:!?]+$', ''))) AS url
+    FROM withurl
+), hosts AS (
+    SELECT doc_id,
+           regexp_replace(
+               lower(regexp_extract(lower(url),
+                     '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1)),
+               '^www\.', '') AS host
+    FROM links
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_refs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM hosts GROUP BY host ORDER BY host
+"""
+
+
+def q_cur_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted output sharding (operators/curation.py:
+    assign_token_shards + shard_manifest): the corpus in doc_id order
+    cut into ~2000-token shards by the distributed prefix-sum (range
+    exchange + local windows + O(ranges) offsets — the same machinery
+    as token_budget_select, NOT a one-task global window), manifest
+    hash-gated per shard. Near-equal token mass per shard is the write
+    layout training jobs want; the oracle replays the running sum with
+    a plain window, which DuckDB can afford at sf0.01."""
+    from cassandra_slow_queries_spark.functions.text import token_count
+    from cassandra_slow_queries_spark.operators.curation import (
+        assign_token_shards,
+        shard_manifest,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id", token_count("text").alias("n_tok"))
+    sharded = assign_token_shards(
+        d, "n_tok", [F.col("doc_id").asc()], target_tokens=2000,
+        num_ranges=8,
+    )
+    return shard_manifest(sharded, "n_tok")
+
+
+CUR_TOKEN_SHARDS_SQL = """
+WITH d AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+), p AS (
+    SELECT doc_id, n_tok,
+           SUM(n_tok) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM d
+)
+SELECT CAST((cum - 1) // 2000 AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # --- core parity: aggregates, top-N, parse, dispatch, joins ---
     "a1_top_queries": QueryDef(q_a1_top_queries, A1_SQL, "A1+F3+T1 flagship"),
@@ -7351,6 +7473,16 @@ CATALOG: dict[str, QueryDef] = {
         q_stream_pyds,
         STREAM_PYDS_SQL,
         "streaming Python DataSource: offset-managed pure-Python feed",
+    ),
+    "x_outlinks": QueryDef(
+        q_x_outlinks,
+        X_OUTLINKS_SQL,
+        "outlink extraction: URL mentions -> host rollup",
+    ),
+    "cur_token_shards": QueryDef(
+        q_cur_token_shards,
+        CUR_TOKEN_SHARDS_SQL,
+        "token-budgeted output sharding via distributed prefix-sum",
     ),
 }
 

@@ -146,3 +146,39 @@ def test_mixture_rate_col_name_honored(spark, sources_df):
         weights={"big": 0.5, "small": 0.5}, rate_col="keep_rate",
     )
     assert "keep_rate" in out.columns and "bucket_cut" in out.columns
+
+
+def test_extract_urls_cases(spark):
+    from cassandra_slow_queries_spark.functions.urlnorm import (
+        extract_urls,
+        url_host,
+    )
+
+    text = (
+        "see https://a.com/x, then HTTP://WWW.B.org/y. "
+        "(also https://c.net/z?q=1) but not ftp://d.com nor plain text"
+    )
+    df = spark.createDataFrame([(text,)], "t string")
+    urls = df.select(extract_urls("t").alias("u")).collect()[0]["u"]
+    # trailing sentence punctuation stripped; uppercase scheme matched;
+    # closing paren terminates the match; ftp ignored
+    assert urls == [
+        "https://a.com/x",
+        "HTTP://WWW.B.org/y",
+        "https://c.net/z?q=1",
+    ]
+    hosts = (
+        spark.createDataFrame([(u,) for u in urls], ["u"])
+        .select(url_host(F.lower("u")).alias("h"))
+        .collect()
+    )
+    assert [r["h"] for r in hosts] == ["a.com", "b.org", "c.net"]
+
+
+def test_extract_urls_none_found(spark):
+    from cassandra_slow_queries_spark.functions.urlnorm import extract_urls
+
+    df = spark.createDataFrame([("no links here",), (None,)], "t string")
+    out = df.select(extract_urls("t").alias("u")).collect()
+    assert out[0]["u"] == []
+    assert out[1]["u"] is None

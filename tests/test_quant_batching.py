@@ -87,3 +87,27 @@ def test_padding_waste_partial_last_batch(spark):
     assert r["n_batches"] == 2
     assert r["padded_tokens"] == 2 * 5 + 1 * 9
     assert r["waste_frac"] == 0.0
+
+
+def test_assign_token_shards_and_manifest(spark):
+    from cassandra_slow_queries_spark.operators.curation import (
+        assign_token_shards,
+        shard_manifest,
+    )
+
+    # lengths 5,5,5,12,3 at target 10, doc order:
+    # cum = 5,10,15,27,30 → shard = (cum-1)//10 = 0,0,1,2,2
+    df = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 5), (4, 12), (5, 3)], ["doc_id", "n_tok"]
+    )
+    sharded = assign_token_shards(
+        df, "n_tok", [F.col("doc_id").asc()], target_tokens=10,
+        num_ranges=3,
+    )
+    assign = {r["doc_id"]: r["shard"] for r in sharded.collect()}
+    assert assign == {1: 0, 2: 0, 3: 1, 4: 2, 5: 2}
+    mani = {
+        r["shard"]: (r["n_docs"], r["n_tokens"])
+        for r in shard_manifest(sharded, "n_tok").collect()
+    }
+    assert mani == {0: (2, 10), 1: (1, 5), 2: (2, 15)}
