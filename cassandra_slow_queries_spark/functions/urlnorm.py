@@ -152,7 +152,10 @@ def extract_urls(text: Column | str) -> Column:
 def url_host(url: Column | str) -> Column:
     """The lowercased host (no port, no ``www.``) of a URL — the domain
     grouping key for per-site caps (operators/curation.py:cap_per_group)
-    and outlink counts."""
-    c = _c(url)
-    host = F.lower(F.regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1))
+    and outlink counts. Case-insensitive like :func:`extract_urls` (the
+    URL is lowered before matching), so the two compose directly on raw
+    mentions — an uppercase 'HTTPS://...' must not fall into an
+    empty-host group."""
+    c = F.lower(_c(url))
+    host = F.regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/?#:]+)", 1)
     return F.regexp_replace(host, "^www\\.", "")

@@ -848,12 +848,17 @@ def assign_token_shards(
     summed, ranged = _distributed_prefix_sum(
         df, token_col, order, num_ranges, out_col="_cum"
     )
-    out = summed.withColumn(
-        out_col,
-        ((F.col("_cum") - 1) / F.lit(target_tokens)).cast("bigint"),
-    ).drop("_cum")
-    out = out.localCheckpoint(eager=True)
-    ranged.unpersist()
+    # floor (not double-div + truncating cast: they disagree below 0),
+    # and greatest(cum, 1): a zero-token document leading the order has
+    # cum = 0 and must land in shard 0, not a phantom shard -1
+    shard = F.floor(
+        (F.greatest(F.col("_cum"), F.lit(1)) - 1) / F.lit(target_tokens)
+    ).cast("bigint")
+    try:
+        out = summed.withColumn(out_col, shard).drop("_cum")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        ranged.unpersist()
     return out
 
 

@@ -6754,7 +6754,11 @@ WITH p AS (
 )
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(COUNT(*) FILTER (WHERE NOT ok) AS BIGINT) AS n_malformed,
+       -- IS NOT TRUE, not NOT ok: a NULL props row must count as
+       -- malformed (Spark counts _v IS NULL), and json_valid(NULL)
+       -- is NULL, which a bare NOT would exclude from the FILTER
+       CAST(COUNT(*) FILTER (WHERE ok IS NOT TRUE) AS BIGINT)
+           AS n_malformed,
        CAST(SUM(k) AS BIGINT) AS sum_k,
        CAST(MAX(k) AS INT) AS max_k
 FROM v GROUP BY event_type ORDER BY event_type
@@ -6854,7 +6858,7 @@ def q_x_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(extract_urls("text")).alias("url")
     )
     return (
-        links.select("doc_id", F.lower(url_host(F.lower("url"))).alias("host"))
+        links.select("doc_id", url_host("url").alias("host"))
         .groupBy("host")
         .agg(
             F.count(F.lit(1)).alias("n_refs"),
@@ -6930,7 +6934,7 @@ WITH d AS (
                             ROWS UNBOUNDED PRECEDING) AS cum
     FROM d
 )
-SELECT CAST((cum - 1) // 2000 AS BIGINT) AS shard,
+SELECT CAST((GREATEST(cum, 1) - 1) // 2000 AS BIGINT) AS shard,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
 FROM p GROUP BY 1 ORDER BY 1

@@ -402,23 +402,35 @@ def session_stream(
 def _latest_snapshot_version(snapshot_dir: str) -> int | None:
     """Highest COMMITTED ``v=N`` subdirectory under ``snapshot_dir``
     (None when the snapshot has never been written). Committed means
-    the ``_SUCCESS`` marker exists: a fold that crashed between
-    creating ``v=N`` and job commit leaves a marker-less directory
-    (possibly just ``_temporary``), and adopting it as the base would
-    either fail schema inference forever or silently merge against a
-    truncated snapshot — recovery must fall back to the last version
-    that actually committed."""
+    the ``_SUCCESS`` marker exists, or — for deployments that disable
+    marker files (``marksuccessfuljobs=false``, common on object
+    stores) — the directory holds data files and no ``_temporary``
+    leftover. A fold that crashed between creating ``v=N`` and job
+    commit leaves ``_temporary`` (and no marker); adopting it as the
+    base would either fail schema inference forever or silently merge
+    against a truncated snapshot — recovery must fall back to the last
+    version that actually committed."""
     import os
     import re
+
+    def committed(path: str) -> bool:
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            return True
+        if os.path.exists(os.path.join(path, "_temporary")):
+            return False
+        try:
+            return any(
+                n.startswith("part-") for n in os.listdir(path)
+            )
+        except OSError:
+            return False
 
     if not os.path.isdir(snapshot_dir):
         return None
     best = None
     for name in os.listdir(snapshot_dir):
         m = re.fullmatch(r"v=(\d+)", name)
-        if m and os.path.exists(
-            os.path.join(snapshot_dir, name, "_SUCCESS")
-        ):
+        if m and committed(os.path.join(snapshot_dir, name)):
             v = int(m.group(1))
             best = v if best is None or v > best else best
     return best

@@ -202,3 +202,19 @@ def test_upsert_checkpointed_restart_no_refold(spark, tmp_path):
         "exactly one new snapshot version: the first batch must not "
         "re-fold after the restart"
     )
+
+
+def test_upsert_version_committed_without_success_marker(spark, tmp_path):
+    # marksuccessfuljobs=false deployments never write _SUCCESS: a
+    # version with data files and no _temporary must still count as
+    # committed (review finding: the marker-only gate silently lost
+    # all prior state on such deployments)
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        _latest_snapshot_version,
+    )
+
+    snap = tmp_path / "snap"
+    (snap / "v=0").mkdir(parents=True)
+    (snap / "v=0" / "part-00000-abc.parquet").touch()
+    (snap / "v=1" / "_temporary").mkdir(parents=True)  # crashed
+    assert _latest_snapshot_version(str(snap)) == 0

@@ -182,3 +182,16 @@ def test_extract_urls_none_found(spark):
     out = df.select(extract_urls("t").alias("u")).collect()
     assert out[0]["u"] == []
     assert out[1]["u"] is None
+
+
+def test_url_host_uppercase_scheme_composes(spark):
+    # url_host must handle the uppercase mentions extract_urls keeps —
+    # no empty-host group (review finding: the two siblings must
+    # compose on raw mentions without a caller-side lower)
+    from cassandra_slow_queries_spark.functions.urlnorm import url_host
+
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Site.ORG/x",), ("http://a.com/y",)], ["u"]
+    )
+    hosts = [r["h"] for r in df.select(url_host("u").alias("h")).collect()]
+    assert hosts == ["site.org", "a.com"]

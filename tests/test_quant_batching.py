@@ -111,3 +111,22 @@ def test_assign_token_shards_and_manifest(spark):
         for r in shard_manifest(sharded, "n_tok").collect()
     }
     assert mani == {0: (2, 10), 1: (1, 5), 2: (2, 15)}
+
+
+def test_assign_token_shards_zero_token_leader(spark):
+    # a zero-token document first in the order (cum = 0) lands in
+    # shard 0, not a phantom shard -1 (floor-vs-truncate review finding)
+    from cassandra_slow_queries_spark.operators.curation import (
+        assign_token_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, 5), (3, 0), (4, 7)], ["doc_id", "n_tok"]
+    )
+    sharded = assign_token_shards(
+        df, "n_tok", [F.col("doc_id").asc()], target_tokens=10,
+        num_ranges=2,
+    )
+    assign = {r["doc_id"]: r["shard"] for r in sharded.collect()}
+    # cum = 0,5,5,12 → shards 0,0,0,1
+    assert assign == {1: 0, 2: 0, 3: 0, 4: 1}
