@@ -1,0 +1,191 @@
+"""Product-analytics operators: cohort retention, A/B comparison,
+Pareto (skyline) frontier.
+
+Three classic analytics shapes the reference's report family
+(analyze_slow_queries.py's aggregate reports) stops short of, each
+expressed as pure DataFrame operations:
+
+- :func:`cohort_retention` — "of the users who first converted in week
+  W, how many were still active in week W+k". Two keyed aggregations
+  and one user-keyed join (co-partitioned with the first shuffle), then
+  one small aggregation over (cohort, offset); cohort sizes come back
+  via a broadcast join of the tiny per-cohort dimension, never a second
+  pass over the events.
+- :func:`ab_test` — two-proportion z-test per group between two
+  arms. One hash aggregation (conditional counts per arm) and
+  closed-form arithmetic; the pooled-variance z-statistic and a fixed
+  critical value keep the whole computation inside codegen (no SciPy,
+  no driver).
+- :func:`skyline_2d` — the maximal (Pareto-optimal) points under two
+  maximized dimensions. Distributed two-phase skyline: collapse to one
+  max-y row per distinct x (hash aggregation), local frontier per
+  partition via a partition-keyed running-max window (any global
+  survivor survives locally, so the union of local frontiers is a
+  superset), then the exact global pass runs the same scan on that
+  provably small union — the single-partition window touches only
+  candidate frontier points, never the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: two-sided 95% critical value for the z statistic
+Z_CRITICAL_95 = 1.959963984540054
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Retention matrix over ``period`` cohorts.
+
+    A user's cohort is the ``period`` (``date_trunc``) of their first
+    event in ``df``; they count as retained at offset ``k`` if they
+    have any event in the cohort period + k periods. Output:
+    ``(cohort, offset, n_active, cohort_size, retention)`` with
+    ``retention = n_active / cohort_size`` rounded to
+    ``round_digits``. Offset 0 always has ``n_active == cohort_size``.
+
+    ``period`` must be ``"day"`` or ``"week"`` (fixed-length truncs, so
+    the offset is an exact integer day-difference division; months vary
+    in length and would need a months_between offset instead).
+    """
+    if period not in ("day", "week"):
+        raise ValueError(f"period must be 'day' or 'week', got {period!r}")
+    days = 1 if period == "day" else 7
+    firsts = df.groupBy(F.col(user_col).alias("_u")).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("cohort")
+    )
+    activity = df.select(
+        F.col(user_col).alias("_u"),
+        F.date_trunc(period, F.col(ts_col)).alias("_p"),
+    ).distinct()
+    # user-keyed join: both sides already hash-partitioned on _u by the
+    # preceding aggregations, so this join reuses the partitioning
+    cells = (
+        activity.join(firsts, "_u")
+        .groupBy(
+            "cohort",
+            (
+                F.datediff(F.col("_p"), F.col("cohort")) / days
+            ).cast("long").alias("offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return cells.join(F.broadcast(sizes), "cohort").select(
+        "cohort",
+        "offset",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active") / F.col("cohort_size"), round_digits
+        ).alias("retention"),
+    )
+
+
+def ab_test(
+    df: DataFrame,
+    group_cols: list[str],
+    arm_col: str,
+    arm_a: str,
+    arm_b: str,
+    success: Column,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Two-proportion z-test per group between arms ``arm_a`` and
+    ``arm_b`` of ``arm_col``, where ``success`` is the boolean
+    conversion predicate.
+
+    Output per group: trials and conversion rates for both arms
+    (``n_a, rate_a, n_b, rate_b``), the pooled-variance z-statistic
+    ``z`` (rounded to ``round_digits``; NULL when either arm has no
+    trials or the pooled rate is degenerate 0/1, where the test is
+    undefined), and ``significant`` = |z| > 1.96 (two-sided 95%;
+    FALSE where the test is undefined). Rows of other arms are
+    ignored.
+    """
+    is_a = F.col(arm_col) == arm_a
+    is_b = F.col(arm_col) == arm_b
+    suc = success.cast("int")
+    agg = (
+        df.filter(is_a | is_b)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(is_a.cast("long")).alias("n_a"),
+            F.sum(F.when(is_a, suc).otherwise(0).cast("long")).alias("_s_a"),
+            F.sum(is_b.cast("long")).alias("n_b"),
+            F.sum(F.when(is_b, suc).otherwise(0).cast("long")).alias("_s_b"),
+        )
+    )
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    p_a = F.col("_s_a") / n_a
+    p_b = F.col("_s_b") / n_b
+    pooled = (F.col("_s_a") + F.col("_s_b")) / (n_a + n_b)
+    se = F.sqrt(pooled * (1.0 - pooled) * (1.0 / n_a + 1.0 / n_b))
+    z = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0) & (se > 0.0),
+        (p_a - p_b) / se,
+    )
+    return agg.select(
+        *group_cols,
+        "n_a",
+        F.round(p_a, 6).alias("rate_a"),
+        "n_b",
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, round_digits).alias("z"),
+        F.coalesce(F.abs(z) > Z_CRITICAL_95, F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Rows on the Pareto frontier maximizing ``(x_col, y_col)``.
+
+    A row is dominated iff some other row is >= in both dimensions and
+    strictly greater in at least one; exact duplicates of a frontier
+    point are all kept. NULL in either dimension excludes the row.
+
+    Plan: groupBy(x).max(y) collapses to one candidate per distinct x
+    (one shuffle); a running-max window keyed by physical partition id
+    filters each partition to its local frontier IN PARALLEL; the exact
+    global scan then runs on the union of local frontiers — small by
+    construction (each partition contributes a staircase, not its
+    rows) — and the surviving (x, max_y) pairs broadcast back to pick
+    up the original rows, duplicates included.
+    """
+    xs = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("_x"))
+        .agg(F.max(y_col).alias("_maxy"))
+    )
+
+    def frontier(cands: DataFrame, *part_cols: str) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.col("_x").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev = F.max("_maxy").over(w)
+        return cands.withColumn("_prev", prev).filter(
+            F.col("_prev").isNull() | (F.col("_maxy") > F.col("_prev"))
+        ).drop("_prev")
+
+    local = frontier(
+        xs.withColumn("_pid", F.spark_partition_id()), "_pid"
+    ).drop("_pid")
+    sky = frontier(local)
+    return df.join(
+        F.broadcast(sky),
+        (F.col(x_col) == F.col("_x")) & (F.col(y_col) == F.col("_maxy")),
+        "left_semi",
+    )

@@ -9,7 +9,8 @@ once on the series key:
   hour" covers a different number of rows per event.
 - :func:`resample` — dense fixed-step grid per key (``sequence`` +
   explode over the key's own span) left-joined to the observations,
-  with optional forward fill via ``last(..., ignorenulls=True)``. The
+  with optional forward fill via ``last(..., ignorenulls=True)`` or
+  exact linear interpolation between the surrounding observations. The
   grid explode is per-key-span, so total grid size is Σ span/step —
   the caller controls density with ``step_seconds``; nothing
   materializes on the driver.
@@ -92,18 +93,33 @@ def resample(
     observation through its last (ticks aligned to the epoch grid via
     floor), carrying the LAST observation in each bucket and — with
     ``fill="ffill"`` — forward-filling empty buckets from the most
-    recent earlier bucket. ``fill="none"`` leaves gaps NULL.
+    recent earlier bucket. ``fill="interp"`` linearly interpolates
+    empty buckets between the surrounding observed buckets instead
+    (the right fill for sampled continuous signals — a gauge, a rate —
+    where ffill's step function misstates the trajectory); the grid
+    spans first→last observation per key, so every gap has an observed
+    bucket on both sides and the interpolated series is total (no
+    NULLs). ``fill="none"`` leaves gaps NULL.
 
     Output: ``(*key_cols, bucket_ts, value)``. Buckets before a key's
     first observation do not exist (nothing to fill from). Multiple
     observations in one bucket resolve to the latest by event time,
     ties by greatest value (``max_by`` tie semantics made deterministic
     by ordering on (ts, value)).
+
+    Interpolation adds one more keyed window over the same
+    partitioning as the ffill path (no extra shuffle): the previous /
+    next observed (bucket, value) pairs come from ``last(...,
+    ignorenulls)`` / ``first(..., ignorenulls)`` frames, then the
+    value is the exact linear blend ``prev + (next - prev) * (t -
+    t_prev) / (t_next - t_prev)`` in double arithmetic.
     """
     if step_seconds <= 0:
         raise ValueError("step_seconds must be positive")
-    if fill not in ("ffill", "none"):
-        raise ValueError(f"fill must be 'ffill' or 'none', got {fill!r}")
+    if fill not in ("ffill", "interp", "none"):
+        raise ValueError(
+            f"fill must be 'ffill', 'interp' or 'none', got {fill!r}"
+        )
     step = F.lit(step_seconds).cast("long")
     sec = (F.unix_micros(F.col(ts_col).cast("timestamp")) / 1_000_000).cast(
         "long"
@@ -141,6 +157,34 @@ def resample(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         value = F.last("_bucket_value", ignorenulls=True).over(w)
+    elif fill == "interp":
+        wb = (
+            Window.partitionBy(*key_cols)
+            .orderBy("bucket_sec")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wf = (
+            Window.partitionBy(*key_cols)
+            .orderBy("bucket_sec")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        obs_sec = F.when(
+            F.col("_bucket_value").isNotNull(), F.col("bucket_sec")
+        )
+        prev_v = F.last("_bucket_value", ignorenulls=True).over(wb)
+        prev_s = F.last(obs_sec, ignorenulls=True).over(wb)
+        next_v = F.first("_bucket_value", ignorenulls=True).over(wf)
+        next_s = F.first(obs_sec, ignorenulls=True).over(wf)
+        # observed bucket → prev==next==current, blend degenerates to
+        # the observation; interior gap → exact linear blend; the grid
+        # never extends past the observed span, so prev/next both exist
+        frac = (
+            (F.col("bucket_sec") - prev_s).cast("double")
+            / (next_s - prev_s).cast("double")
+        )
+        value = F.when(next_s == prev_s, prev_v).otherwise(
+            prev_v + (next_v - prev_v) * frac
+        )
     else:
         value = F.col("_bucket_value")
     return joined.select(

@@ -6941,6 +6941,292 @@ FROM p GROUP BY 1 ORDER BY 1
 """
 
 
+def q_x_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (operators/analytics.py:
+    cohort_retention): users cohorted by their FIRST purchase day, one
+    cell per (cohort, day offset) with distinct active purchasers and
+    the retention ratio against the cohort's size. Two user-keyed
+    aggregations + a user-keyed join (co-partitioned), one small cell
+    aggregation, cohort sizes broadcast back. The oracle replays the
+    same first-seen / distinct-activity / integer-offset construction."""
+    from cassandra_slow_queries_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return cohort_retention(ev, "user_id", "ts", period="day").orderBy(
+        "cohort", "offset"
+    )
+
+
+X_COHORT_SQL = """
+WITH firsts AS (
+    SELECT user_id, date_trunc('day', MIN(ts)) AS cohort
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT user_id, date_trunc('day', ts) AS p
+    FROM events WHERE event_type = 'purchase'
+), cells AS (
+    SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, a.p) AS BIGINT) AS "offset",
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+), sizes AS (
+    SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+    FROM firsts GROUP BY 1
+)
+SELECT CAST(c.cohort AS TIMESTAMP) AS cohort, c."offset", c.n_active,
+       s.cohort_size,
+       ROUND(c.n_active / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM cells c JOIN sizes s USING (cohort)
+ORDER BY cohort, "offset"
+"""
+
+
+def q_x_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per day (operators/analytics.py:ab_test):
+    click vs view arms, conversion = value > 75. One conditional hash
+    aggregation then closed-form pooled-variance arithmetic — the whole
+    test stays inside codegen (no SciPy, no driver round-trip). z is
+    NULL where an arm is empty or the pooled rate degenerates to 0/1;
+    significance compares the UNROUNDED statistic against the two-sided
+    95% critical value. The oracle replays the identical IEEE
+    expression order."""
+    from cassandra_slow_queries_spark.operators.analytics import ab_test
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    return ab_test(
+        ev, ["day"], "event_type", "click", "view", F.col("value") > 75
+    ).orderBy("day")
+
+
+X_AB_TEST_SQL = """
+WITH agg AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN event_type = 'click' AND value > 75
+                         THEN 1 ELSE 0 END) AS BIGINT) AS s_a,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_b,
+           CAST(SUM(CASE WHEN event_type = 'view' AND value > 75
+                         THEN 1 ELSE 0 END) AS BIGINT) AS s_b
+    FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+), stats AS (
+    SELECT day, n_a, s_a, n_b, s_b,
+           s_a / CAST(n_a AS DOUBLE) AS p_a,
+           s_b / CAST(n_b AS DOUBLE) AS p_b,
+           (s_a + s_b) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+               AS pooled
+    FROM agg
+), z AS (
+    SELECT *,
+           CASE WHEN n_a > 0 AND n_b > 0 AND
+                     SQRT(pooled * (1.0 - pooled)
+                          * (1.0 / CAST(n_a AS DOUBLE)
+                             + 1.0 / CAST(n_b AS DOUBLE))) > 0.0
+                THEN (p_a - p_b)
+                     / SQRT(pooled * (1.0 - pooled)
+                            * (1.0 / CAST(n_a AS DOUBLE)
+                               + 1.0 / CAST(n_b AS DOUBLE)))
+           END AS z_raw
+    FROM stats
+)
+SELECT day, n_a, ROUND(p_a, 6) AS rate_a, n_b, ROUND(p_b, 6) AS rate_b,
+       ROUND(z_raw, 4) AS z,
+       COALESCE(ABS(z_raw) > 1.959963984540054, FALSE) AS significant
+FROM z ORDER BY day
+"""
+
+
+def q_x_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (operators/analytics.py:skyline_2d): orders not
+    dominated on (o_totalprice, o_orderdate) — the "largest AND most
+    recent" frontier no single ORDER BY can answer. Distributed
+    two-phase skyline: collapse to max-date per distinct price (hash
+    agg), per-partition local frontiers in parallel, exact global scan
+    only over the small union of local staircases, frontier broadcast
+    back as a semi-join. The oracle is the literal NOT EXISTS dominance
+    definition."""
+    from cassandra_slow_queries_spark.operators.analytics import skyline_2d
+
+    od = load(spark, sf_dir, "orders")
+    return skyline_2d(od, "o_totalprice", "o_orderdate").orderBy(
+        "o_orderkey"
+    )
+
+
+X_SKYLINE_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+       o_orderpriority
+FROM orders p
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders q
+    WHERE q.o_totalprice >= p.o_totalprice
+      AND q.o_orderdate >= p.o_orderdate
+      AND (q.o_totalprice > p.o_totalprice
+           OR q.o_orderdate > p.o_orderdate)
+)
+ORDER BY o_orderkey
+"""
+
+
+def q_x_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators/basket.py:
+    association_rules): part pairs co-ordered in at least 2 baskets,
+    with support/confidence/lift — Apriori min-support pruning and the
+    basket-size cap (10) bound the per-basket quadratic fan-out BEFORE
+    the self-join materializes any pair. The oracle replays distinct →
+    cap → prune → canonical pair join → both rule directions with the
+    same division order."""
+    from cassandra_slow_queries_spark.operators.basket import (
+        association_rules,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    rules = association_rules(
+        li,
+        "l_orderkey",
+        "l_partkey",
+        min_item_count=2,
+        min_pair_count=2,
+        max_basket_size=10,
+    )
+    return rules.select(
+        "antecedent",
+        "consequent",
+        "pair_count",
+        F.round("support", 6).alias("support"),
+        F.round("confidence", 6).alias("confidence"),
+        F.round("lift", 6).alias("lift"),
+    ).orderBy("antecedent", "consequent")
+
+
+X_BASKET_SQL = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS basket, l_partkey AS item FROM lineitem
+), capped AS (
+    SELECT basket, item FROM items
+    QUALIFY COUNT(*) OVER (PARTITION BY basket) <= 10
+), freq AS (
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS item_count
+    FROM capped GROUP BY 1 HAVING COUNT(*) >= 2
+), pruned AS (
+    SELECT c.basket, c.item FROM capped c
+    WHERE c.item IN (SELECT item FROM freq)
+), totals AS (
+    SELECT CAST(COUNT(DISTINCT basket) AS DOUBLE) AS n FROM capped
+), pairs AS (
+    SELECT a.item AS item_a, b.item AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS pair_count
+    FROM pruned a JOIN pruned b USING (basket)
+    WHERE a.item < b.item
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), rules AS (
+    SELECT item_a AS antecedent, item_b AS consequent, pair_count
+    FROM pairs
+    UNION ALL
+    SELECT item_b, item_a, pair_count FROM pairs
+)
+SELECT r.antecedent, r.consequent, r.pair_count,
+       ROUND(r.pair_count / t.n, 6) AS support,
+       ROUND(r.pair_count / CAST(fa.item_count AS DOUBLE), 6)
+           AS confidence,
+       ROUND((r.pair_count / CAST(fa.item_count AS DOUBLE))
+             / (fc.item_count / t.n), 6) AS lift
+FROM rules r
+CROSS JOIN totals t
+JOIN freq fa ON fa.item = r.antecedent
+JOIN freq fc ON fc.item = r.consequent
+ORDER BY r.antecedent, r.consequent
+"""
+
+
+def q_x_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resample (operators/timeseries.py:resample
+    fill="interp"): six users' sparse value series on a dense 2-hour
+    grid, gaps filled with the exact linear blend between the
+    surrounding observed buckets (ffill's step function misstates a
+    sampled continuous signal). Same single shuffle as the ffill path —
+    the interpolation is two extra frames over the same keyed window.
+    The oracle replays grid, per-bucket latest observation, IGNORE
+    NULLS neighbor scan, and the identical IEEE blend order."""
+    from cassandra_slow_queries_spark.operators.timeseries import resample
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 6)
+    return (
+        resample(
+            ev,
+            ["user_id"],
+            "ts",
+            "value",
+            step_seconds=7200,
+            fill="interp",
+        )
+        .select("user_id", "bucket_ts", F.round("value", 6).alias("value"))
+        .orderBy("user_id", "bucket_ts")
+    )
+
+
+X_INTERPOLATE_SQL = """
+WITH src AS (
+    SELECT user_id,
+           CAST(FLOOR(epoch_us(ts) / 1e6 / 7200) AS BIGINT) * 7200
+               AS bucket_sec,
+           ts, value
+    FROM events WHERE user_id < 6
+), obs AS (
+    SELECT user_id, bucket_sec, value AS bucket_value
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, bucket_sec ORDER BY ts DESC, value DESC
+        ) AS rn
+        FROM src
+    ) WHERE rn = 1
+), spans AS (
+    SELECT user_id, MIN(bucket_sec) AS lo, MAX(bucket_sec) AS hi
+    FROM src GROUP BY user_id
+), grid AS (
+    SELECT user_id, UNNEST(range(lo, hi + 7200, 7200)) AS bucket_sec
+    FROM spans
+), nbr AS (
+    SELECT g.user_id, g.bucket_sec,
+           LAST_VALUE(o.bucket_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket_sec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS prev_v,
+           LAST_VALUE(CASE WHEN o.bucket_value IS NOT NULL
+                           THEN g.bucket_sec END IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket_sec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS prev_s,
+           FIRST_VALUE(o.bucket_value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket_sec
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS next_v,
+           FIRST_VALUE(CASE WHEN o.bucket_value IS NOT NULL
+                            THEN g.bucket_sec END IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket_sec
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS next_s
+    FROM grid g LEFT JOIN obs o USING (user_id, bucket_sec)
+)
+SELECT user_id,
+       CAST(to_timestamp(bucket_sec) AS TIMESTAMP) AS bucket_ts,
+       ROUND(CASE WHEN next_s = prev_s THEN prev_v
+                  ELSE prev_v + (next_v - prev_v)
+                       * (CAST(bucket_sec - prev_s AS DOUBLE)
+                          / CAST(next_s - prev_s AS DOUBLE))
+             END, 6) AS value
+FROM nbr ORDER BY user_id, bucket_ts
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # --- core parity: aggregates, top-N, parse, dispatch, joins ---
     "a1_top_queries": QueryDef(q_a1_top_queries, A1_SQL, "A1+F3+T1 flagship"),
@@ -7487,6 +7773,31 @@ CATALOG: dict[str, QueryDef] = {
         q_cur_token_shards,
         CUR_TOKEN_SHARDS_SQL,
         "token-budgeted output sharding via distributed prefix-sum",
+    ),
+    "x_cohort_retention": QueryDef(
+        q_x_cohort_retention,
+        X_COHORT_SQL,
+        "cohort retention matrix: first-purchase-day cohorts x offsets",
+    ),
+    "x_ab_test": QueryDef(
+        q_x_ab_test,
+        X_AB_TEST_SQL,
+        "two-proportion z-test per day, closed-form in codegen",
+    ),
+    "x_skyline": QueryDef(
+        q_x_skyline,
+        X_SKYLINE_SQL,
+        "Pareto frontier via two-phase distributed skyline",
+    ),
+    "x_basket_rules": QueryDef(
+        q_x_basket_rules,
+        X_BASKET_SQL,
+        "market-basket rules: Apriori-pruned pair mining",
+    ),
+    "x_interpolate": QueryDef(
+        q_x_interpolate,
+        X_INTERPOLATE_SQL,
+        "linear-interpolation resample over a dense grid",
     ),
 }
 

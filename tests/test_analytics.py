@@ -1,0 +1,201 @@
+"""Unit tests for the product-analytics operators
+(operators/analytics.py: cohort retention, A/B z-test, 2D skyline) and
+the market-basket rules (operators/basket.py); their events/orders/
+lineitem catalog entries are oracle-checked by test_entry_oracle.py."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cassandra_slow_queries_spark.operators.analytics import (
+    ab_test,
+    cohort_retention,
+    skyline_2d,
+)
+from cassandra_slow_queries_spark.operators.basket import association_rules
+
+
+def test_cohort_retention_hand_computed(spark):
+    rows = [
+        # cohort week of 2024-01-01 (Mon): u1 active wk0+wk1, u2 wk0 only
+        (1, "2024-01-02 10:00:00"),
+        (1, "2024-01-09 10:00:00"),
+        (2, "2024-01-03 10:00:00"),
+        # cohort week of 2024-01-08: u3 active wk0 and wk2
+        (3, "2024-01-10 10:00:00"),
+        (3, "2024-01-24 10:00:00"),
+        # duplicate events in one week count once
+        (1, "2024-01-02 11:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = {
+        (r["cohort"].strftime("%Y-%m-%d"), r["offset"]): r.asDict()
+        for r in cohort_retention(df, "user_id", "ts", "week").collect()
+    }
+    assert out[("2024-01-01", 0)]["n_active"] == 2
+    assert out[("2024-01-01", 0)]["cohort_size"] == 2
+    assert out[("2024-01-01", 0)]["retention"] == 1.0
+    assert out[("2024-01-01", 1)]["n_active"] == 1
+    assert out[("2024-01-01", 1)]["retention"] == 0.5
+    assert out[("2024-01-08", 0)]["n_active"] == 1
+    assert out[("2024-01-08", 2)]["n_active"] == 1
+    # no offset-1 cell for the second cohort (u3 inactive that week)
+    assert ("2024-01-08", 1) not in out
+    assert len(out) == 4
+
+
+def test_cohort_retention_day_period(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 05:00:00"), (1, "2024-01-03 05:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    offs = {
+        r["offset"]
+        for r in cohort_retention(df, "user_id", "ts", "day").collect()
+    }
+    assert offs == {0, 2}
+
+
+def test_ab_test_closed_form(spark):
+    # arm a: 10 trials 6 successes; arm b: 10 trials 2 successes
+    rows = [("a", 1.0 if i < 6 else 0.0) for i in range(10)]
+    rows += [("b", 1.0 if i < 2 else 0.0) for i in range(10)]
+    rows += [("c", 1.0)]  # other arms ignored
+    df = spark.createDataFrame(rows, "arm string, v double").withColumn(
+        "g", F.lit("x")
+    )
+    out = ab_test(
+        df, ["g"], "arm", "a", "b", F.col("v") > 0.5
+    ).collect()[0]
+    p, se = 0.4, math.sqrt(0.4 * 0.6 * 0.2)
+    assert out["n_a"] == 10 and out["n_b"] == 10
+    assert out["rate_a"] == 0.6 and out["rate_b"] == 0.2
+    assert out["z"] == round((0.6 - 0.2) / se, 4)
+    assert out["significant"] == (abs((0.6 - 0.2) / se) > 1.96)
+
+
+def test_ab_test_degenerate_rates_null_z(spark):
+    # both arms all-failure → pooled p = 0 → z undefined (NULL)
+    df = spark.createDataFrame(
+        [("a", 0.0), ("b", 0.0)], "arm string, v double"
+    ).withColumn("g", F.lit("x"))
+    out = ab_test(df, ["g"], "arm", "a", "b", F.col("v") > 0.5).collect()[0]
+    assert out["z"] is None
+    assert out["significant"] is False
+
+
+def test_skyline_dominance_and_duplicates(spark):
+    rows = [
+        (1, 10.0, 5.0),   # frontier
+        (2, 10.0, 5.0),   # exact duplicate of a frontier point: kept
+        (3, 10.0, 4.0),   # dominated within equal x (smaller y)
+        (4, 8.0, 7.0),    # frontier (higher y than everything right of it)
+        (5, 9.0, 5.0),    # dominated by (10, 5)
+        (6, 8.0, 7.0),    # duplicate frontier point
+        (7, 12.0, 1.0),   # frontier (max x)
+        (8, None, 9.0),   # NULL dimension: excluded
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    kept = {
+        r["id"] for r in skyline_2d(df, "x", "y").collect()
+    }
+    assert kept == {1, 2, 4, 6, 7}
+
+
+def test_skyline_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, float(rng.randrange(20)), float(rng.randrange(20)))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    kept = {r["id"] for r in skyline_2d(df, "x", "y").collect()}
+    expect = {
+        i
+        for i, x, y in rows
+        if not any(
+            qx >= x and qy >= y and (qx > x or qy > y)
+            for _, qx, qy in rows
+        )
+    }
+    assert kept == expect
+
+
+def _baskets(spark, rows):
+    return spark.createDataFrame(rows, "basket long, item string")
+
+
+def test_association_rules_hand_computed(spark):
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"), (4, "d"),       # d appears once: pruned by min_item_count
+        (5, "a"), (5, "a"),       # duplicate (basket, item) counts once
+    ]
+    out = {
+        (r["antecedent"], r["consequent"]): r.asDict()
+        for r in association_rules(
+            _baskets(spark, rows), "basket", "item",
+            min_item_count=2, min_pair_count=2,
+        ).collect()
+    }
+    # pair (a,b) in baskets 1,2; counts: a=4, b=3, n_baskets=5
+    ab = out[("a", "b")]
+    assert ab["pair_count"] == 2
+    assert ab["support"] == 2 / 5
+    assert ab["confidence"] == 2 / 4
+    assert ab["lift"] == (2 / 4) / (3 / 5)
+    ba = out[("b", "a")]
+    assert ba["confidence"] == 2 / 3
+    # lift is symmetric up to FP association: (2/4)/(3/5) vs (2/3)/(4/5)
+    assert abs(ba["lift"] - ab["lift"]) < 1e-12
+    # (a,c) in baskets 1,3 → present; no rule involves d
+    assert ("a", "c") in out and ("c", "a") in out
+    assert not any("d" in k for k in out)
+    assert len(out) == 4
+
+
+def test_association_rules_basket_cap_bounds_fanout(spark):
+    rows = [(1, f"i{j}") for j in range(50)]  # one mega-basket
+    rows += [(2, "i0"), (2, "i1"), (3, "i0"), (3, "i1")]
+    out = association_rules(
+        _baskets(spark, rows), "basket", "item",
+        min_item_count=1, min_pair_count=1, max_basket_size=10,
+    ).collect()
+    # mega-basket dropped: only the (i0, i1) pair from baskets 2 and 3
+    assert {(r["antecedent"], r["consequent"]) for r in out} == {
+        ("i0", "i1"), ("i1", "i0")
+    }
+    assert all(r["pair_count"] == 2 for r in out)
+
+
+def test_resample_interp_linear_blend(spark):
+    from cassandra_slow_queries_spark.operators.timeseries import resample
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:30", 10.0),
+            (1, "2024-01-01 03:00:30", 40.0),   # 3 empty minutes between
+            (1, "2024-01-01 04:00:30", 20.0),
+        ],
+        "k long, ts_s string, v double",
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    out = {
+        r["bucket_ts"].strftime("%H:%M"): r["value"]
+        for r in resample(
+            df, ["k"], "ts", "v", step_seconds=3600, fill="interp"
+        ).collect()
+    }
+    assert out["00:00"] == 10.0
+    assert out["01:00"] == 20.0
+    assert out["02:00"] == 30.0
+    assert out["03:00"] == 40.0
+    assert out["04:00"] == 20.0
+    assert len(out) == 5
