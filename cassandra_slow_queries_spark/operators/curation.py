@@ -205,6 +205,81 @@ def group_percent_rank(
     return df.join(F.broadcast(cdf), [group_col, score_col], "left")
 
 
+def quantile_bins(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    n_bins: int,
+    out_col: str = "bin",
+) -> DataFrame:
+    """Equi-depth score bins per group — the curriculum-ordering /
+    difficulty-tiering step (sort the corpus by a difficulty or quality
+    score, train easy→hard in ``n_bins`` phases).
+
+    Built on :func:`group_percent_rank`'s distributed CDF (hash agg on
+    (group, score) cells + a per-group window over CELLS + broadcast
+    back), so it survives few-but-huge groups where a row window would
+    serialize. ``bin = min(floor(pct_rank * n_bins), n_bins - 1)`` —
+    ties share a percent-rank, so equal scores always land in the same
+    bin and the assignment is deterministic and re-ingest-stable.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    ranked = group_percent_rank(df, score_col, group_col, out_col="_pr")
+    return ranked.withColumn(
+        out_col,
+        F.least(
+            F.floor(F.col("_pr") * n_bins).cast("int"), F.lit(n_bins - 1)
+        ),
+    ).drop("_pr")
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window_words: int,
+    stride_words: int,
+) -> DataFrame:
+    """``(id, pos, span, n_words)`` — OVERLAPPING fixed-width word
+    windows, the standard long-document split for context-bounded
+    training (window 512, stride 384 keeps 128 words of overlap so no
+    sentence is ever cut without context on one side).
+
+    Window ``i`` covers words ``[i*stride, i*stride + window)``; the
+    last window starts at the last stride offset that still begins
+    inside the document, so every word lands in at least one window and
+    short documents yield exactly one. Pure expressions (``split`` +
+    ``sequence`` + ``transform``/``slice`` + ``posexplode``) — the same
+    no-Python contract as the non-overlapping
+    ``operators/dedup.py:word_chunk_spans``; fan-out is
+    ~tokens/stride rows per document, bounded by the caller's stride.
+    """
+    if window_words < 1 or stride_words < 1:
+        raise ValueError("window_words and stride_words must be >= 1")
+    if stride_words > window_words:
+        raise ValueError(
+            "stride_words must be <= window_words (gaps would drop words)"
+        )
+    words = F.split(F.col(text_col), " ", -1)
+    # number of windows: 1 + ceil(max(n - window, 0) / stride)
+    extra = F.greatest(F.size(words) - window_words, F.lit(0))
+    n_win = (
+        F.lit(1)
+        + F.ceil(extra / F.lit(float(stride_words))).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * stride_words + 1, window_words), " "
+        ),
+    )
+    return spread_input(df, by=id_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunks).alias("pos", "span"),
+    ).withColumn("n_words", F.size(F.split(F.col("span"), " ", -1)))
+
+
 def _distributed_prefix_sum(
     df: DataFrame,
     token_col: str,

@@ -7227,6 +7227,78 @@ FROM nbr ORDER BY user_id, bucket_ts
 """
 
 
+def q_cur_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning (operators/curation.py:quantile_bins):
+    per-language equi-depth quartiles of document length — the
+    easy→hard phase assignment a curriculum-ordered training run
+    consumes. Rides group_percent_rank's distributed CDF (cell hash
+    agg + per-group window over CELLS + broadcast back), so it holds
+    where a per-row window would serialize a giant language into one
+    task. Per-row oracle: literal PERCENT_RANK with the same floor/
+    clamp arithmetic."""
+    from cassandra_slow_queries_spark.operators.curation import (
+        quantile_bins,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return quantile_bins(docs, "n_chars", "lang", n_bins=4).orderBy(
+        "doc_id"
+    )
+
+
+CUR_CURRICULUM_SQL = """
+SELECT doc_id, lang, n_chars,
+       CAST(LEAST(CAST(FLOOR(pr * 4) AS INT), 3) AS INT) AS bin
+FROM (
+    SELECT doc_id, lang, n_chars,
+           PERCENT_RANK() OVER (
+               PARTITION BY lang ORDER BY n_chars
+           ) AS pr
+    FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+def q_cur_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context windows (operators/curation.py:
+    chunk_documents): every document split into 30-word windows at
+    stride 20 (10 words of overlap) — the standard long-document split
+    for context-bounded training, where a hard cut would orphan
+    sentences at every boundary. Pure expressions (split + sequence +
+    transform/slice + posexplode); fan-out ~words/stride per document.
+    The oracle replays the window arithmetic with DuckDB list slicing
+    (1-based inclusive ranges mirror Spark's slice(start, length))."""
+    from cassandra_slow_queries_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "text", "doc_id", window_words=30, stride_words=20
+    ).orderBy("id", "pos")
+
+
+CUR_CHUNK_OVERLAP_SQL = """
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), n AS (
+    SELECT doc_id, words,
+           1 + CAST(CEIL(GREATEST(len(words) - 30, 0) / 20.0) AS INT)
+               AS n_win
+    FROM w
+), g AS (
+    SELECT doc_id, words, UNNEST(range(0, n_win)) AS pos FROM n
+)
+SELECT doc_id AS id, CAST(pos AS INT) AS pos,
+       array_to_string(words[pos * 20 + 1 : pos * 20 + 30], ' ') AS span,
+       CAST(len(words[pos * 20 + 1 : pos * 20 + 30]) AS INT) AS n_words
+FROM g ORDER BY id, pos
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # --- core parity: aggregates, top-N, parse, dispatch, joins ---
     "a1_top_queries": QueryDef(q_a1_top_queries, A1_SQL, "A1+F3+T1 flagship"),
@@ -7798,6 +7870,16 @@ CATALOG: dict[str, QueryDef] = {
         q_x_interpolate,
         X_INTERPOLATE_SQL,
         "linear-interpolation resample over a dense grid",
+    ),
+    "cur_curriculum": QueryDef(
+        q_cur_curriculum,
+        CUR_CURRICULUM_SQL,
+        "curriculum phases: per-group equi-depth score quartiles",
+    ),
+    "cur_chunk_overlap": QueryDef(
+        q_cur_chunk_overlap,
+        CUR_CHUNK_OVERLAP_SQL,
+        "overlapping context-window document chunking",
     ),
 }
 

@@ -1,0 +1,117 @@
+"""Unit tests for curriculum quantile binning and overlapping-window
+chunking (operators/curation.py); the documents-table entries are
+oracle-checked by test_entry_oracle.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_slow_queries_spark.operators.curation import (
+    chunk_documents,
+    quantile_bins,
+)
+
+
+def test_quantile_bins_equi_depth(spark):
+    # 8 distinct scores in one group → quartiles of 2 each
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(8)], "id long, g string, s double"
+    )
+    out = {r["id"]: r["bin"] for r in quantile_bins(df, "s", "g", 4).collect()}
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 3}
+
+
+def test_quantile_bins_ties_share_bin(spark):
+    # all-equal scores: pct_rank 0 for every row → everyone in bin 0
+    df = spark.createDataFrame(
+        [(i, "g", 5.0) for i in range(6)], "id long, g string, s double"
+    )
+    bins = {r["bin"] for r in quantile_bins(df, "s", "g", 4).collect()}
+    assert bins == {0}
+
+
+def test_quantile_bins_max_score_clamped(spark):
+    # pct_rank 1.0 → floor(1.0*4)=4 must clamp to n_bins-1
+    df = spark.createDataFrame(
+        [(1, "g", 1.0), (2, "g", 2.0)], "id long, g string, s double"
+    )
+    out = {r["id"]: r["bin"] for r in quantile_bins(df, "s", "g", 4).collect()}
+    assert out == {1: 0, 2: 3}
+
+
+def test_quantile_bins_groups_independent(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 100.0), (4, "b", 200.0)],
+        "id long, g string, s double",
+    )
+    out = {r["id"]: r["bin"] for r in quantile_bins(df, "s", "g", 2).collect()}
+    assert out == {1: 0, 2: 1, 3: 0, 4: 1}
+
+
+def test_quantile_bins_rejects_zero_bins(spark):
+    df = spark.createDataFrame([(1, "g", 1.0)], "id long, g string, s double")
+    with pytest.raises(ValueError):
+        quantile_bins(df, "s", "g", 0)
+
+
+def _chunks(spark, text, window, stride):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = (
+        chunk_documents(df, "text", "doc_id", window, stride)
+        .orderBy("pos")
+        .collect()
+    )
+    return [(r["pos"], r["span"], r["n_words"]) for r in rows]
+
+
+def test_chunk_overlap_windows_and_counts(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    out = _chunks(spark, text, window=4, stride=3)
+    assert out == [
+        (0, "w0 w1 w2 w3", 4),
+        (1, "w3 w4 w5 w6", 4),
+        (2, "w6 w7 w8 w9", 4),
+    ]
+
+
+def test_chunk_overlap_ragged_tail(spark):
+    text = " ".join(f"w{i}" for i in range(11))
+    out = _chunks(spark, text, window=4, stride=3)
+    # last window starts at 9, only 2 words remain
+    assert out[-1] == (3, "w9 w10", 2)
+    # every word covered at least once
+    covered = set()
+    for _, span, _ in out:
+        covered.update(span.split(" "))
+    assert covered == {f"w{i}" for i in range(11)}
+
+
+def test_chunk_short_doc_single_window(spark):
+    assert _chunks(spark, "a b", window=10, stride=5) == [(0, "a b", 2)]
+    # empty text behaves like str.split: one empty span
+    assert _chunks(spark, "", window=10, stride=5) == [(0, "", 1)]
+
+
+def test_chunk_stride_equals_window_matches_nonoverlapping(spark):
+    from cassandra_slow_queries_spark.operators.dedup import word_chunk_spans
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(13))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    a = {
+        (r["id"], r["pos"], r["span"])
+        for r in chunk_documents(df, "text", "doc_id", 4, 4).collect()
+    }
+    b = {
+        (r["id"], r["pos"], r["span"])
+        for r in word_chunk_spans(df, "text", "doc_id", 4).collect()
+    }
+    assert a == b
+
+
+def test_chunk_rejects_gapping_stride(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", window_words=3, stride_words=4)
