@@ -1,7 +1,7 @@
 """Product-analytics operators: cohort retention, A/B comparison,
-Pareto (skyline) frontier.
+Pareto (skyline) frontier, engagement stickiness.
 
-Three classic analytics shapes the reference's report family
+Classic analytics shapes the reference's report family
 (analyze_slow_queries.py's aggregate reports) stops short of, each
 expressed as pure DataFrame operations:
 
@@ -24,6 +24,11 @@ expressed as pure DataFrame operations:
   superset), then the exact global pass runs the same scan on that
   provably small union — the single-partition window touches only
   candidate frontier points, never the data.
+- :func:`stickiness` — DAU over trailing-window distinct actives.
+  The sliding COUNT(DISTINCT) is linearized by exploding each
+  (day, user) activity row to the ``window_days`` days it counts
+  toward (bounded × window fan-out), then one hash aggregation —
+  never a per-day rescan of the window.
 """
 
 from __future__ import annotations
@@ -188,4 +193,53 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         F.broadcast(sky),
         (F.col(x_col) == F.col("_x")) & (F.col(y_col) == F.col("_maxy")),
         "left_semi",
+    )
+
+
+def stickiness(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 30,
+    round_digits: int = 6,
+) -> DataFrame:
+    """DAU/MAU-style engagement ratio per day: distinct daily actives
+    over distinct actives in the trailing ``window_days`` window
+    (window 30 → classic DAU/MAU "stickiness"; 7 → DAU/WAU).
+
+    A naive per-day COUNT(DISTINCT) over a sliding window rescans the
+    window per day; instead each (day, user) activity row is exploded
+    to the ``window_days`` future days it contributes to — bounded
+    linear fan-out (× window) — and one hash aggregation counts
+    distinct users per target day. Days with no activity report no
+    row (their DAU is 0; the inner join against the DAU side also
+    drops phantom trailing days past the data's end).
+
+    Output: ``(day, dau, mau, stickiness)`` with ``stickiness =
+    dau / mau`` rounded to ``round_digits``; ``mau`` is the trailing
+    ``window_days`` distinct-active count regardless of window length.
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    du = df.select(
+        F.to_date(F.col(ts_col)).alias("day"),
+        F.col(user_col).alias("_u"),
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    targets = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), window_days - 1)
+            )
+        ).alias("day"),
+        "_u",
+    )
+    mau = targets.groupBy("day").agg(F.count_distinct("_u").alias("mau"))
+    return dau.join(mau, "day").select(
+        "day",
+        "dau",
+        "mau",
+        F.round(F.col("dau") / F.col("mau"), round_digits).alias(
+            "stickiness"
+        ),
     )

@@ -146,3 +146,61 @@ def bm25_topk(
     return top_n(scored, "score", k, tiebreaks=["doc_id"]).orderBy(
         F.desc("score"), "doc_id"
     )
+
+
+def with_rank(
+    df: DataFrame, score_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a 1-based ``rank`` (best first, ties broken on the id)
+    to a ranked-list frame. Single-partition window BY DESIGN: inputs
+    are top-k retrieval outputs (k rows), never corpus-scale frames —
+    rank the corpus with a keyed window instead."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+    return df.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rrf_k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of ranked lists —
+    the standard hybrid-search combiner for lexical (BM25) + vector
+    (ANN) retrieval, robust to incomparable score scales because only
+    RANK positions matter: ``rrf(d) = Σ_lists 1 / (rrf_k + rank_d)``.
+
+    Output: top-``topk`` ``(doc_id, rrf_score, n_lists)`` — the score
+    (rounded to 6) plus how many input lists contained the document.
+    Documents missing from a list simply contribute nothing (the
+    conventional formulation). Inputs are small top-k lists, so the
+    union + hash aggregation is a few hundred rows regardless of corpus
+    size; the final cut compiles to TakeOrderedAndProject.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    from functools import reduce
+
+    from cassandra_slow_queries_spark.operators.topk import top_n
+
+    contribs = [
+        r.select(
+            F.col(id_col).alias("doc_id"),
+            (F.lit(1.0) / (rrf_k + F.col(rank_col))).alias("_c"),
+        )
+        for r in rankings
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), contribs)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("_c"), 6).alias("rrf_score"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+    )
+    return top_n(fused, "rrf_score", topk, tiebreaks=["doc_id"]).orderBy(
+        F.desc("rrf_score"), "doc_id"
+    )

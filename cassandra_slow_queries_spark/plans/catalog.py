@@ -7299,6 +7299,137 @@ FROM g ORDER BY id, pos
 """
 
 
+def q_x_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-search reciprocal-rank fusion (operators/search.py:
+    rrf_fuse): BM25 lexical top-20 for a three-term query fused with
+    exact-cosine vector top-20 around embedding 0 (documents and
+    embeddings share the 0..N id space), rrf_k=60 — rank positions
+    only, so the incomparable score scales never mix. Both inputs are
+    top-k lists (small by construction); fusion is a union + one hash
+    agg + TakeOrderedAndProject. The oracle recomputes BM25, the
+    cosine ranking, and the 1/(60+rank) sum in SQL."""
+    from cassandra_slow_queries_spark.operators.search import (
+        bm25_topk,
+        build_scored_index,
+        rrf_fuse,
+        with_rank,
+    )
+    from cassandra_slow_queries_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lex = with_rank(
+        bm25_topk(
+            build_scored_index(docs, "text", "doc_id"),
+            ["vector", "spark", "window"],
+            k=20,
+        ),
+        "score",
+        "doc_id",
+    )
+    vec = with_rank(
+        cosine_topk_bruteforce(
+            emb, emb.filter(F.col("vec_id") == 0), k=20
+        ).select(F.col("neighbor_id").alias("doc_id"), "sim"),
+        "sim",
+        "doc_id",
+    )
+    return rrf_fuse([lex, vec], rrf_k=60, topk=10)
+
+
+X_RRF_SQL = """
+WITH toks AS (
+    SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+    FROM documents
+), toks2 AS (SELECT * FROM toks WHERE token <> ''),
+lens AS (
+    SELECT doc_id, COUNT(*) AS doc_len FROM toks2 GROUP BY doc_id
+), consts AS (
+    SELECT COUNT(*) AS n_docs, AVG(doc_len) AS avg_len FROM lens
+), tf AS (
+    SELECT token, doc_id, COUNT(*) AS tf FROM toks2
+    WHERE token IN ('vector', 'spark', 'window')
+    GROUP BY token, doc_id
+), dfreq AS (
+    SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+), bm25 AS (
+    SELECT t.doc_id,
+           ROUND(SUM(
+               LN(1 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.doc_len / c.avg_len))
+           ), 6) AS score
+    FROM tf t
+    JOIN dfreq d USING (token)
+    JOIN lens l USING (doc_id)
+    CROSS JOIN consts c
+    GROUP BY t.doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+), lex AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM bm25
+), cos AS (
+    SELECT e.vec_id AS doc_id,
+           ROUND(list_cosine_similarity(
+               CAST(q.embedding AS DOUBLE[]),
+               CAST(e.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings q, embeddings e
+    WHERE q.vec_id = 0 AND e.vec_id != q.vec_id
+    ORDER BY sim DESC, e.vec_id
+    LIMIT 20
+), vec AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS rank
+    FROM cos
+), contribs AS (
+    SELECT doc_id, 1.0 / (60 + rank) AS c FROM lex
+    UNION ALL
+    SELECT doc_id, 1.0 / (60 + rank) AS c FROM vec
+)
+SELECT doc_id, ROUND(SUM(c), 6) AS rrf_score,
+       CAST(COUNT(*) AS BIGINT) AS n_lists
+FROM contribs GROUP BY doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+"""
+
+
+def q_x_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness (operators/analytics.py:stickiness):
+    distinct daily actives over trailing-7-day distinct actives
+    (DAU/WAU) per day. The sliding COUNT(DISTINCT) is linearized —
+    each (day, user) activity row explodes to the 7 days it counts
+    toward (bounded fan-out), then ONE hash aggregation; no per-day
+    window rescans. The oracle computes the same trailing window with
+    an interval join."""
+    from cassandra_slow_queries_spark.operators.analytics import stickiness
+
+    ev = load(spark, sf_dir, "events")
+    return stickiness(ev, "user_id", "ts", window_days=7).orderBy("day")
+
+
+X_STICKINESS_SQL = """
+WITH du AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), dau AS (
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY 1
+), mau AS (
+    SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+    FROM dau d
+    JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY 1
+)
+SELECT d.day, d.dau, m.mau,
+       ROUND(d.dau / CAST(m.mau AS DOUBLE), 6) AS stickiness
+FROM dau d JOIN mau m USING (day)
+ORDER BY day
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # --- core parity: aggregates, top-N, parse, dispatch, joins ---
     "a1_top_queries": QueryDef(q_a1_top_queries, A1_SQL, "A1+F3+T1 flagship"),
@@ -7880,6 +8011,16 @@ CATALOG: dict[str, QueryDef] = {
         q_cur_chunk_overlap,
         CUR_CHUNK_OVERLAP_SQL,
         "overlapping context-window document chunking",
+    ),
+    "x_rrf_fusion": QueryDef(
+        q_x_rrf_fusion,
+        X_RRF_SQL,
+        "hybrid search: BM25 + vector top-k fused by reciprocal rank",
+    ),
+    "x_stickiness": QueryDef(
+        q_x_stickiness,
+        X_STICKINESS_SQL,
+        "DAU over trailing-window actives via linearized explode",
     ),
 }
 

@@ -199,3 +199,72 @@ def test_resample_interp_linear_blend(spark):
     assert out["03:00"] == 40.0
     assert out["04:00"] == 20.0
     assert len(out) == 5
+
+
+def test_stickiness_hand_computed(spark):
+    rows = [
+        (1, "2024-01-01 01:00:00"),
+        (2, "2024-01-01 02:00:00"),
+        (1, "2024-01-02 01:00:00"),
+        (3, "2024-01-03 01:00:00"),
+        # duplicate user-day events count once
+        (1, "2024-01-02 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    from cassandra_slow_queries_spark.operators.analytics import stickiness
+
+    out = {
+        r["day"].isoformat(): (r["dau"], r["mau"], r["stickiness"])
+        for r in stickiness(df, "user_id", "ts", window_days=2).collect()
+    }
+    # day1: dau 2 (u1,u2), window {day0,day1} actives = 2
+    assert out["2024-01-01"] == (2, 2, 1.0)
+    # day2: dau 1 (u1), window {day1,day2} actives = {1,2} = 2
+    assert out["2024-01-02"] == (1, 2, 0.5)
+    # day3: dau 1 (u3), window {day2,day3} actives = {1,3} = 2
+    assert out["2024-01-03"] == (1, 2, 0.5)
+    # no phantom day4 row (u3's explode lands there but no activity)
+    assert len(out) == 3
+
+
+def test_rrf_fusion_hand_computed(spark):
+    from cassandra_slow_queries_spark.operators.search import (
+        rrf_fuse,
+        with_rank,
+    )
+
+    a = with_rank(
+        spark.createDataFrame(
+            [(10, 5.0), (20, 4.0), (30, 3.0)], "doc_id long, score double"
+        ),
+        "score",
+    )
+    b = with_rank(
+        spark.createDataFrame(
+            [(20, 0.9), (40, 0.8)], "doc_id long, score double"
+        ),
+        "score",
+    )
+    out = {
+        r["doc_id"]: (r["rrf_score"], r["n_lists"])
+        for r in rrf_fuse([a, b], rrf_k=60, topk=10).collect()
+    }
+    # doc 20: rank 2 in a, rank 1 in b
+    assert out[20] == (round(1 / 62 + 1 / 61, 6), 2)
+    assert out[10] == (round(1 / 61, 6), 1)
+    assert out[30] == (round(1 / 63, 6), 1)
+    assert out[40] == (round(1 / 62, 6), 1)
+    # doc in both lists outranks every single-list doc
+    assert out[20][0] > max(v[0] for k, v in out.items() if k != 20)
+
+
+def test_with_rank_ties_break_on_id(spark):
+    from cassandra_slow_queries_spark.operators.search import with_rank
+
+    df = spark.createDataFrame(
+        [(2, 1.0), (1, 1.0), (3, 2.0)], "doc_id long, score double"
+    )
+    out = {r["doc_id"]: r["rank"] for r in with_rank(df, "score").collect()}
+    assert out == {3: 1, 1: 2, 2: 3}
