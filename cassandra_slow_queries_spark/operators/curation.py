@@ -205,6 +205,56 @@ def group_percent_rank(
     return df.join(F.broadcast(cdf), [group_col, score_col], "left")
 
 
+def scale_features(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group feature scaling: z-score and min-max columns in one
+    pass — the normalization step before features from different groups
+    (languages, sources, metrics) are comparable in a training mix.
+
+    Appends ``zscore = (x - mean) / stddev_pop`` (0.0 for a
+    zero-variance group) and ``minmax = (x - min) / (max - min)``
+    (0.0 for a constant group), both rounded to ``round_digits``.
+
+    One hash aggregation of per-group moments (sum, sum of squares,
+    count, min, max) broadcast back — never a per-group window over the
+    rows. Moments use exact arithmetic when ``value_col`` is integral
+    (sums of longs are exact, so the derived mean/std replay
+    bit-for-bit in any engine); for double features the sums are
+    partial-aggregation order-dependent in the last ulps, fine within
+    one engine but not an oracle-grade cross-engine contract.
+    """
+    x = F.col(value_col)
+    stats = df.groupBy(group_col).agg(
+        F.sum(x).alias("_s"),
+        F.sum(x * x).alias("_ss"),
+        F.count(F.lit(1)).alias("_n"),
+        F.min(x).alias("_lo"),
+        F.max(x).alias("_hi"),
+    )
+    joined = df.join(F.broadcast(stats), group_col)
+    n = F.col("_n").cast("double")
+    mean = F.col("_s") / n
+    var = F.col("_ss") / n - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    span = (F.col("_hi") - F.col("_lo")).cast("double")
+    return joined.withColumn(
+        "zscore",
+        F.round(
+            F.when(sd > 0.0, (x - mean) / sd).otherwise(0.0), round_digits
+        ),
+    ).withColumn(
+        "minmax",
+        F.round(
+            F.when(span > 0.0, (x - F.col("_lo")) / span).otherwise(0.0),
+            round_digits,
+        ),
+    ).drop("_s", "_ss", "_n", "_lo", "_hi")
+
+
 def quantile_bins(
     df: DataFrame,
     score_col: str,

@@ -946,3 +946,57 @@ def dequantize_cosine(
     return F.round(
         F.when((no > 0) & (nr > 0), d / (no * nr)), digits
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Majority-vote k-nearest-neighbor classification over the
+    embedding column: each query takes the most common label among its
+    ``k`` nearest LABELED corpus vectors (cosine; self-matches
+    excluded, so running the corpus against itself is leave-one-out
+    evaluation for free).
+
+    Output: ``(q_id, predicted_label, votes, n_neighbors)``. Vote ties
+    break on the smaller label — counts only, no float accumulations,
+    so the decision is exactly replayable. NULL-labeled corpus rows are
+    excluded BEFORE the neighbor search (an unlabeled vector must not
+    occupy a neighbor slot and then abstain).
+
+    Plan: the neighbor search is :func:`cosine_topk_bruteforce`
+    (broadcast queries, precomputed norms — swap in the IVF/LSH path
+    for corpus-scale k-NN); the Q×k hit list is small by construction,
+    so the label join broadcasts the hits, and voting is one hash
+    aggregation + a per-query top-1.
+    """
+    labeled = corpus.filter(F.col(label_col).isNotNull())
+    hits = cosine_topk_bruteforce(labeled, queries, k, id_col, vec_col)
+    lbl = labeled.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_lbl"),
+    )
+    votes = (
+        lbl.join(F.broadcast(hits), "neighbor_id")
+        .groupBy("q_id", "_lbl")
+        .agg(
+            F.count(F.lit(1)).alias("votes"),
+        )
+    )
+    totals = votes.groupBy("q_id").agg(
+        F.sum("votes").alias("n_neighbors")
+    )
+    best = grouped_top_k(votes, ["q_id"], "votes", 1, tiebreaks=["_lbl"])
+    return (
+        best.join(F.broadcast(totals), "q_id")
+        .select(
+            "q_id",
+            F.col("_lbl").alias("predicted_label"),
+            "votes",
+            "n_neighbors",
+        )
+    )
