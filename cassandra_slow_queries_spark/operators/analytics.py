@@ -70,8 +70,9 @@ def cohort_retention(
         F.col(user_col).alias("_u"),
         F.date_trunc(period, F.col(ts_col)).alias("_p"),
     ).distinct()
-    # user-keyed join: both sides already hash-partitioned on _u by the
-    # preceding aggregations, so this join reuses the partitioning
+    # user-keyed join: the firsts side arrives hash-partitioned on _u
+    # from its aggregation; the activity side re-shuffles from its
+    # (_u, _p) distinct partitioning — one exchange, linear in events
     cells = (
         activity.join(firsts, "_u")
         .groupBy(

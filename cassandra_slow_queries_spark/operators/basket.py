@@ -54,6 +54,8 @@ def association_rules(
     """
     if min_item_count < 1 or min_pair_count < 1:
         raise ValueError("min_item_count and min_pair_count must be >= 1")
+    if max_basket_size is not None and max_basket_size < 1:
+        raise ValueError("max_basket_size must be >= 1 (or None)")
     items = df.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     ).distinct()

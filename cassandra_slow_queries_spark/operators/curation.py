@@ -223,9 +223,11 @@ def scale_features(
     count, min, max) broadcast back — never a per-group window over the
     rows. Moments use exact arithmetic when ``value_col`` is integral
     (sums of longs are exact, so the derived mean/std replay
-    bit-for-bit in any engine); for double features the sums are
-    partial-aggregation order-dependent in the last ulps, fine within
-    one engine but not an oracle-grade cross-engine contract.
+    bit-for-bit in any engine — while Σx² stays under 2^63; the session
+    runs ANSI mode, so a long overflow fails loudly rather than
+    wrapping); for double features the sums are partial-aggregation
+    order-dependent in the last ulps, fine within one engine but not an
+    oracle-grade cross-engine contract.
     """
     x = F.col(value_col)
     stats = df.groupBy(group_col).agg(

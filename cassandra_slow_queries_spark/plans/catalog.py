@@ -7600,6 +7600,41 @@ ORDER BY event_id
 """
 
 
+def q_stream_backfill_paced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger-paced incremental backfill (streaming/pipeline.py:
+    run_paced_backfill): the events directory staged as 8 files and
+    reprocessed under AvailableNow with maxFilesPerTrigger=2, so the
+    finite input lands in 4 bounded micro-batches — how a 100 TB
+    directory backfills without one cluster-sized batch — while the
+    streaming aggregation's state carries the running counts. Pins BOTH
+    facts: the final complete-mode counts equal the batch GROUP BY, and
+    ``paced_ok`` (exactly ceil(8/2)=4 input batches) proves the pacing
+    actually happened (an uncapped run collapses to 1 batch and flips
+    it)."""
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        run_paced_backfill,
+    )
+
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    d = _stage_once(
+        spark,
+        f"backfill8_{sf_dir.replace('/', '_')}",
+        lambda p: ev.repartition(8).write.mode("overwrite").parquet(p),
+    )
+    counts, n_batches = run_paced_backfill(spark, d, files_per_trigger=2)
+    return (
+        counts.withColumn("paced_ok", F.lit(n_batches == 4))
+        .select("event_type", "n", "paced_ok")
+        .orderBy("event_type")
+    )
+
+
+STREAM_BACKFILL_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS paced_ok
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # --- core parity: aggregates, top-N, parse, dispatch, joins ---
     "a1_top_queries": QueryDef(q_a1_top_queries, A1_SQL, "A1+F3+T1 flagship"),
@@ -8191,6 +8226,11 @@ CATALOG: dict[str, QueryDef] = {
         q_cur_feature_scale,
         CUR_FEATURE_SCALE_SQL,
         "per-group z-score + min-max scaling from exact moments",
+    ),
+    "stream_backfill_paced": QueryDef(
+        q_stream_backfill_paced,
+        STREAM_BACKFILL_SQL,
+        "maxFilesPerTrigger-paced incremental backfill == batch counts",
     ),
 }
 

@@ -545,3 +545,40 @@ def run_stream_drain(
     finally:
         q.stop()
     return streaming_df.sparkSession.table(name)
+
+
+def run_paced_backfill(
+    spark: SparkSession,
+    parquet_dir: str,
+    files_per_trigger: int,
+    group_col: str = "event_type",
+) -> tuple[DataFrame, int]:
+    """Reprocess a finite directory INCREMENTALLY — ``maxFilesPerTrigger``
+    paces ``Trigger.AvailableNow`` into multiple bounded micro-batches
+    instead of one giant batch. This is how a 100 TB backfill actually
+    runs: per-batch working set is capped by the file budget (the
+    streaming aggregation's state carries the running totals between
+    batches), whereas an uncapped AvailableNow run would land the whole
+    directory in one batch whose shuffle must fit the cluster at once.
+
+    Returns ``(final complete-mode counts per group_col, n_batches)``
+    where ``n_batches`` counts micro-batches that actually carried input
+    rows (trailing empty bookkeeping batches excluded). The final counts
+    are EXACTLY the batch groupBy — incremental delivery must not change
+    the answer; the catalog entry pins both facts.
+    """
+    stream = read_fact_stream(spark, parquet_dir, files_per_trigger)
+    agg = stream.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    name = f"paced_backfill_{uuid.uuid4().hex}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    return spark.table(name), n_batches

@@ -720,3 +720,29 @@ def test_stream_stream_left_outer_emission_semantics(spark, tmp_path):
     # user 3 (left at 20:00): window still open at stream end → NO
     # emission, matched or null — the documented no-flush semantics
     assert 3 not in by_user
+
+
+def test_paced_backfill_batches_and_equality(spark, tmp_path):
+    """maxFilesPerTrigger pacing must deliver the directory in
+    ceil(files/cap) input batches AND leave the final aggregate
+    identical to the batch groupBy."""
+    from pyspark.sql import functions as F
+
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        run_paced_backfill,
+    )
+
+    df = spark.range(600).select(
+        F.timestamp_seconds(F.lit(1700000000) + F.col("id")).alias("ts"),
+        (F.col("id") % 3).cast("string").alias("event_type"),
+    )
+    d = str(tmp_path / "paced6")
+    df.repartition(6).write.mode("overwrite").parquet(d)
+    res, n_batches = run_paced_backfill(spark, d, files_per_trigger=2)
+    assert n_batches == 3
+    got = {r["event_type"]: r["n"] for r in res.collect()}
+    assert got == {"0": 200, "1": 200, "2": 200}
+    # uncapped: one batch, same totals
+    res1, nb1 = run_paced_backfill(spark, d, files_per_trigger=6)
+    assert nb1 == 1
+    assert {r["event_type"]: r["n"] for r in res1.collect()} == got
