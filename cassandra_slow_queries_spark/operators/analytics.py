@@ -111,12 +111,13 @@ def ab_test(
     conversion predicate.
 
     Output per group: trials and conversion rates for both arms
-    (``n_a, rate_a, n_b, rate_b``), the pooled-variance z-statistic
-    ``z`` (rounded to ``round_digits``; NULL when either arm has no
-    trials or the pooled rate is degenerate 0/1, where the test is
-    undefined), and ``significant`` = |z| > 1.96 (two-sided 95%;
-    FALSE where the test is undefined). Rows of other arms are
-    ignored.
+    (``n_a, rate_a, n_b, rate_b``; a rate is NULL when its arm has no
+    trials in the group — the division is guarded, not left to blow up
+    under ANSI mode), the pooled-variance z-statistic ``z`` (rounded to
+    ``round_digits``; NULL when either arm has no trials or the pooled
+    rate is degenerate 0/1, where the test is undefined), and
+    ``significant`` = |z| > 1.96 (two-sided 95%; FALSE where the test
+    is undefined). Rows of other arms are ignored.
     """
     is_a = F.col(arm_col) == arm_a
     is_b = F.col(arm_col) == arm_b
@@ -133,8 +134,10 @@ def ab_test(
     )
     n_a = F.col("n_a").cast("double")
     n_b = F.col("n_b").cast("double")
-    p_a = F.col("_s_a") / n_a
-    p_b = F.col("_s_b") / n_b
+    # guarded: a one-armed group must yield NULL rates, not an ANSI
+    # DIVIDE_BY_ZERO that kills the whole query
+    p_a = F.when(F.col("n_a") > 0, F.col("_s_a") / n_a)
+    p_b = F.when(F.col("n_b") > 0, F.col("_s_b") / n_b)
     pooled = (F.col("_s_a") + F.col("_s_b")) / (n_a + n_b)
     se = F.sqrt(pooled * (1.0 - pooled) * (1.0 / n_a + 1.0 / n_b))
     z = F.when(

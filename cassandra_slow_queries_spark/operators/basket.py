@@ -129,7 +129,7 @@ def association_rules(
         F.col("item_count").alias("_cons_count"),
     )
     n = F.col("_n_baskets")
-    return (
+    out = (
         rules.join(F.broadcast(ante), "antecedent")
         .join(F.broadcast(cons), "consequent")
         .crossJoin(F.broadcast(totals))
@@ -151,3 +151,13 @@ def association_rules(
             ).alias("lift"),
         )
     )
+    # materialize the (rule-sized) result while the caches are hot, then
+    # release all three — bare persist() with no release accumulates
+    # executor storage across calls in a long-lived session (the same
+    # leak operators/dedup.py:_materialize_release documents; its
+    # localCheckpoint blocks are reclaimed by the ContextCleaner when
+    # the returned frame is garbage collected)
+    out = out.localCheckpoint(eager=True)
+    for cached in (pairs, frequent, items):
+        cached.unpersist()
+    return out

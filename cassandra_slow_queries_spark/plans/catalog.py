@@ -7070,8 +7070,8 @@ WITH agg AS (
     FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
 ), stats AS (
     SELECT day, n_a, s_a, n_b, s_b,
-           s_a / CAST(n_a AS DOUBLE) AS p_a,
-           s_b / CAST(n_b AS DOUBLE) AS p_b,
+           CASE WHEN n_a > 0 THEN s_a / CAST(n_a AS DOUBLE) END AS p_a,
+           CASE WHEN n_b > 0 THEN s_b / CAST(n_b AS DOUBLE) END AS p_b,
            (s_a + s_b) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
                AS pooled
     FROM agg

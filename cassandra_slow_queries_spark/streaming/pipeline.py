@@ -566,6 +566,16 @@ def run_paced_backfill(
     rows (trailing empty bookkeeping batches excluded). The final counts
     are EXACTLY the batch groupBy — incremental delivery must not change
     the answer; the catalog entry pins both facts.
+
+    Batch counting reads ``recentProgress``, which Spark truncates to
+    roughly ``spark.sql.streaming.numRecentProgressUpdates`` entries
+    (default 100) — a silent undercount there would fake a pacing
+    failure, so a truncated buffer raises instead. Truncation is
+    detected structurally: this runner starts every query on a fresh
+    checkpoint, so batch 0 must still be present; if the oldest
+    retained progress is a later batch, earlier entries were evicted.
+    Raise that conf (or use a larger ``files_per_trigger``) when pacing
+    a directory into more batches than the buffer holds.
     """
     stream = read_fact_stream(spark, parquet_dir, files_per_trigger)
     agg = stream.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
@@ -578,7 +588,16 @@ def run_paced_backfill(
         .start()
     )
     q.awaitTermination()
-    n_batches = sum(
-        1 for p in q.recentProgress if p["numInputRows"] > 0
+    progresses = q.recentProgress
+    if not progresses or min(p["batchId"] for p in progresses) > 0:
+        raise RuntimeError(
+            "paced backfill produced more micro-batches than "
+            "recentProgress retains (batch 0 already evicted) — the "
+            "batch count would silently undercount; raise "
+            "spark.sql.streaming.numRecentProgressUpdates or use a "
+            "larger files_per_trigger"
+        )
+    n_batches = len(
+        {p["batchId"] for p in progresses if p["numInputRows"] > 0}
     )
     return spark.table(name), n_batches

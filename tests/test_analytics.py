@@ -268,3 +268,22 @@ def test_with_rank_ties_break_on_id(spark):
     )
     out = {r["doc_id"]: r["rank"] for r in with_rank(df, "score").collect()}
     assert out == {3: 1, 1: 2, 2: 3}
+
+
+def test_ab_test_one_armed_group_null_rates(spark):
+    # a group with rows for only ONE arm must yield NULL for the empty
+    # arm's rate and NULL z — not an ANSI DIVIDE_BY_ZERO crash
+    df = spark.createDataFrame(
+        [("g1", "a", 1.0), ("g1", "a", 0.0), ("g2", "a", 1.0), ("g2", "b", 0.0)],
+        "g string, arm string, v double",
+    )
+    out = {
+        r["g"]: r.asDict()
+        for r in ab_test(df, ["g"], "arm", "a", "b", F.col("v") > 0.5).collect()
+    }
+    assert out["g1"]["n_b"] == 0
+    assert out["g1"]["rate_b"] is None
+    assert out["g1"]["rate_a"] == 0.5
+    assert out["g1"]["z"] is None
+    assert out["g1"]["significant"] is False
+    assert out["g2"]["z"] is not None
