@@ -204,3 +204,87 @@ def rrf_fuse(
     return top_n(fused, "rrf_score", topk, tiebreaks=["doc_id"]).orderBy(
         F.desc("rrf_score"), "doc_id"
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lambda_: float = 0.7,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    vec_col: str = "embedding",
+    max_candidates: int = 1000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) of a retrieval candidate list: greedily pick the item
+    maximizing ``lambda·relevance − (1−lambda)·max_cosine_to_already_
+    selected`` — the standard diversity pass that stops a result page
+    (or a RAG context window) from filling up with near-duplicates of
+    the top hit.
+
+    MMR is inherently sequential (pick i+1 depends on picks 1..i) over
+    a SMALL candidate list — the top-k output of a retrieval stage, not
+    a corpus — so this runs the greedy loop driver-side on the
+    collected candidates (the same bounded-driver-work contract as the
+    k-means centroid loops in operators/similarity.py). A hard
+    ``max_candidates`` guard raises rather than silently collecting a
+    corpus-sized frame; re-rank AFTER retrieval, not instead of it.
+
+    Returns a DataFrame ``(id_col, mmr_rank, mmr_score)`` with
+    ``mmr_rank`` 1-based in selection order and ``mmr_score`` the
+    marginal objective at selection time (rounded to 6; the first
+    pick's score is ``lambda·relevance`` — no diversity term exists
+    yet). Selection ties break on the smaller id. Zero vectors
+    contribute similarity 0.
+    """
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError("lambda_ must be in [0, 1]")
+    rows = (
+        candidates.select(
+            F.col(id_col).alias("_id"),
+            F.col(score_col).cast("double").alias("_rel"),
+            F.col(vec_col).alias("_v"),
+        )
+        .limit(max_candidates + 1)
+        .collect()
+    )
+    if len(rows) > max_candidates:
+        raise ValueError(
+            f"mmr_rerank got more than max_candidates={max_candidates} "
+            "rows — re-rank a retrieval top-k list, not a corpus"
+        )
+    import math
+
+    ids = [r["_id"] for r in rows]
+    rel = [r["_rel"] for r in rows]
+    vecs = [[float(x) for x in (r["_v"] or [])] for r in rows]
+    norms = [math.sqrt(sum(x * x for x in v)) for v in vecs]
+
+    def cos(i: int, j: int) -> float:
+        if norms[i] == 0.0 or norms[j] == 0.0:
+            return 0.0
+        d = sum(a * b for a, b in zip(vecs[i], vecs[j]))
+        return d / (norms[i] * norms[j])
+
+    remaining = list(range(len(rows)))
+    picked: list[tuple] = []
+    max_sim = [0.0] * len(rows)  # max cosine to the selected set
+    while remaining and len(picked) < k:
+        best = None
+        for i in remaining:
+            div = max_sim[i] if picked else 0.0
+            obj = lambda_ * rel[i] - (1.0 - lambda_) * div
+            key = (-obj, ids[i])
+            if best is None or key < best[0]:
+                best = (key, i, obj)
+        _, sel, obj = best
+        picked.append((ids[sel], len(picked) + 1, round(obj, 6)))
+        remaining.remove(sel)
+        for i in remaining:
+            s = cos(i, sel)
+            if s > max_sim[i]:
+                max_sim[i] = s
+    spark = candidates.sparkSession
+    return spark.createDataFrame(
+        picked, f"{id_col} long, mmr_rank int, mmr_score double"
+    )

@@ -287,3 +287,72 @@ def test_ab_test_one_armed_group_null_rates(spark):
     assert out["g1"]["z"] is None
     assert out["g1"]["significant"] is False
     assert out["g2"]["z"] is not None
+
+
+def _mmr_cands(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, score double, embedding array<float>"
+    )
+
+
+def test_mmr_demotes_near_duplicate_of_top_hit(spark):
+    from cassandra_slow_queries_spark.operators.search import mmr_rerank
+
+    cands = _mmr_cands(
+        spark,
+        [
+            (1, 1.00, [1.0, 0.0]),   # top hit
+            (2, 0.95, [1.0, 0.01]),  # near-duplicate of 1: demoted
+            (3, 0.60, [0.0, 1.0]),   # orthogonal: promoted to rank 2
+        ],
+    )
+    out = {
+        r["mmr_rank"]: r["doc_id"]
+        for r in mmr_rerank(cands, k=3, lambda_=0.5).collect()
+    }
+    assert out == {1: 1, 2: 3, 3: 2}
+
+
+def test_mmr_lambda_one_is_pure_relevance(spark):
+    from cassandra_slow_queries_spark.operators.search import mmr_rerank
+
+    cands = _mmr_cands(
+        spark,
+        [(i, 1.0 - i / 10.0, [1.0, 0.0]) for i in range(5)],
+    )
+    out = [
+        r["doc_id"]
+        for r in mmr_rerank(cands, k=5, lambda_=1.0)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert out == [0, 1, 2, 3, 4]
+
+
+def test_mmr_first_pick_score_and_tiebreak(spark):
+    from cassandra_slow_queries_spark.operators.search import mmr_rerank
+
+    cands = _mmr_cands(
+        spark, [(7, 0.8, [1.0, 0.0]), (3, 0.8, [0.0, 1.0])]
+    )
+    rows = sorted(
+        mmr_rerank(cands, k=2, lambda_=0.7).collect(),
+        key=lambda r: r["mmr_rank"],
+    )
+    # equal relevance: smaller id picked first; its score = 0.7*0.8
+    assert rows[0]["doc_id"] == 3
+    assert rows[0]["mmr_score"] == round(0.7 * 0.8, 6)
+    # orthogonal second pick: no diversity penalty
+    assert rows[1]["mmr_score"] == round(0.7 * 0.8, 6)
+
+
+def test_mmr_candidate_guard(spark):
+    import pytest
+
+    from cassandra_slow_queries_spark.operators.search import mmr_rerank
+
+    cands = _mmr_cands(
+        spark, [(i, 1.0, [1.0, 0.0]) for i in range(30)]
+    )
+    with pytest.raises(ValueError):
+        mmr_rerank(cands, k=5, max_candidates=10)
