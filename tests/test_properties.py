@@ -520,3 +520,145 @@ def test_scd2_intervals_partition_each_key_timeline(spark, chg):
             assert a["valid_to"] == b["valid_from"]
             assert a["valid_from"] == a["v"]
         assert intervals[-1]["valid_to"] is None
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    acts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),    # user
+            st.integers(min_value=0, max_value=14),   # day offset
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    window=st.integers(min_value=1, max_value=5),
+)
+def test_stickiness_matches_bruteforce(spark, acts, window):
+    """stickiness's explode-linearized trailing distinct-actives must
+    equal the brute-force per-day window recount."""
+    import datetime
+
+    from cassandra_slow_queries_spark.operators.analytics import stickiness
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (u, base + datetime.timedelta(days=d, hours=u % 3))
+        for u, d in acts
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        r["day"]: (r["dau"], r["mau"])
+        for r in stickiness(df, "user_id", "ts", window_days=window).collect()
+    }
+    day_users: dict[datetime.date, set] = {}
+    for u, d in acts:
+        day_users.setdefault((base + datetime.timedelta(days=d)).date(), set()).add(u)
+    for day, users in day_users.items():
+        trailing = set()
+        for back in range(window):
+            trailing |= day_users.get(day - datetime.timedelta(days=back), set())
+        assert got[day] == (len(users), len(trailing)), day
+    assert set(got) == set(day_users)
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    acts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),    # user
+            st.integers(min_value=0, max_value=20),   # day offset
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+)
+def test_cohort_retention_matches_bruteforce(spark, acts):
+    import datetime
+
+    from cassandra_slow_queries_spark.operators.analytics import (
+        cohort_retention,
+    )
+
+    base = datetime.datetime(2024, 3, 4)  # a Monday
+    rows = [
+        (u, base + datetime.timedelta(days=d, minutes=u))
+        for u, d in acts
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r["cohort"].date(), r["offset"]): (r["n_active"], r["cohort_size"])
+        for r in cohort_retention(df, "user_id", "ts", "week").collect()
+    }
+    def week(d):
+        dt = (base + datetime.timedelta(days=d)).date()
+        return dt - datetime.timedelta(days=dt.weekday())
+    first_week = {}
+    for u, d in acts:
+        w = week(d)
+        if u not in first_week or w < first_week[u]:
+            first_week[u] = w
+    expect: dict[tuple, set] = {}
+    for u, d in acts:
+        off = (week(d) - first_week[u]).days // 7
+        expect.setdefault((first_week[u], off), set()).add(u)
+    sizes = {}
+    for u, w in first_week.items():
+        sizes[w] = sizes.get(w, 0) + 1
+    assert set(got) == set(expect)
+    for key, users in expect.items():
+        assert got[key] == (len(users), sizes[key[0]]), key
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    baskets=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),   # basket
+            st.integers(min_value=0, max_value=5),   # item
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    cap=st.integers(min_value=1, max_value=6),
+)
+def test_association_rules_match_bruteforce(spark, baskets, cap):
+    from itertools import combinations
+
+    from cassandra_slow_queries_spark.operators.basket import (
+        association_rules,
+    )
+
+    df = spark.createDataFrame(baskets, "basket long, item long")
+    got = {
+        (r["antecedent"], r["consequent"]): r["pair_count"]
+        for r in association_rules(
+            df, "basket", "item",
+            min_item_count=1, min_pair_count=1, max_basket_size=cap,
+        ).collect()
+    }
+    sets: dict[int, set] = {}
+    for b, i in baskets:
+        sets.setdefault(b, set()).add(i)
+    kept = {b: s for b, s in sets.items() if len(s) <= cap}
+    pairs: dict[tuple, int] = {}
+    for s in kept.values():
+        for a, b in combinations(sorted(s), 2):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    expect = {}
+    for (a, b), c in pairs.items():
+        expect[(a, b)] = c
+        expect[(b, a)] = c
+    assert got == expect
