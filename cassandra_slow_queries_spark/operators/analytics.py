@@ -127,9 +127,17 @@ def ab_test(
         .groupBy(*group_cols)
         .agg(
             F.sum(is_a.cast("long")).alias("n_a"),
-            F.sum(F.when(is_a, suc).otherwise(0).cast("long")).alias("_s_a"),
+            # coalesce inside the arm branch: a NULL success predicate
+            # is a non-conversion, not a NULL that could erase the sum
+            F.sum(
+                F.when(is_a, F.coalesce(suc, F.lit(0))).otherwise(0)
+                .cast("long")
+            ).alias("_s_a"),
             F.sum(is_b.cast("long")).alias("n_b"),
-            F.sum(F.when(is_b, suc).otherwise(0).cast("long")).alias("_s_b"),
+            F.sum(
+                F.when(is_b, F.coalesce(suc, F.lit(0))).otherwise(0)
+                .cast("long")
+            ).alias("_s_b"),
         )
     )
     n_a = F.col("n_a").cast("double")

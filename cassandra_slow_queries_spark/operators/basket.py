@@ -153,11 +153,9 @@ def association_rules(
     )
     # materialize the (rule-sized) result while the caches are hot, then
     # release all three — bare persist() with no release accumulates
-    # executor storage across calls in a long-lived session (the same
-    # leak operators/dedup.py:_materialize_release documents; its
-    # localCheckpoint blocks are reclaimed by the ContextCleaner when
-    # the returned frame is garbage collected)
-    out = out.localCheckpoint(eager=True)
-    for cached in (pairs, frequent, items):
-        cached.unpersist()
-    return out
+    # executor storage across calls in a long-lived session
+    from cassandra_slow_queries_spark.operators.dedup import (
+        _materialize_release,
+    )
+
+    return _materialize_release(out, pairs, frequent, items)

@@ -218,6 +218,10 @@ def scale_features(
     Appends ``zscore = (x - mean) / stddev_pop`` (0.0 for a
     zero-variance group) and ``minmax = (x - min) / (max - min)``
     (0.0 for a constant group), both rounded to ``round_digits``.
+    Every input row is preserved: NULL groups scale within their own
+    NULL group (null-safe join back), and NULL values pass through
+    with NULL scaled columns while the group moments count only the
+    non-null population.
 
     One hash aggregation of per-group moments (sum, sum of squares,
     count, min, max) broadcast back — never a per-group window over the
@@ -230,14 +234,22 @@ def scale_features(
     oracle-grade cross-engine contract.
     """
     x = F.col(value_col)
-    stats = df.groupBy(group_col).agg(
+    # _n counts NON-NULL values (F.count(x)) so the moments describe the
+    # population the sums actually cover; NULL-valued rows come through
+    # with NULL scaled columns
+    stats = df.groupBy(F.col(group_col).alias("_g")).agg(
         F.sum(x).alias("_s"),
         F.sum(x * x).alias("_ss"),
-        F.count(F.lit(1)).alias("_n"),
+        F.count(x).alias("_n"),
         F.min(x).alias("_lo"),
         F.max(x).alias("_hi"),
     )
-    joined = df.join(F.broadcast(stats), group_col)
+    # null-safe equi-join: groupBy treats NULL as its own group, so the
+    # join back must too — a plain equi-join would silently DROP every
+    # NULL-group row
+    joined = df.join(
+        F.broadcast(stats), F.col(group_col).eqNullSafe(F.col("_g"))
+    ).drop("_g")
     n = F.col("_n").cast("double")
     mean = F.col("_s") / n
     var = F.col("_ss") / n - mean * mean
@@ -246,12 +258,21 @@ def scale_features(
     return joined.withColumn(
         "zscore",
         F.round(
-            F.when(sd > 0.0, (x - mean) / sd).otherwise(0.0), round_digits
+            F.when(
+                x.isNotNull(),
+                F.when(sd > 0.0, (x - mean) / sd).otherwise(0.0),
+            ),
+            round_digits,
         ),
     ).withColumn(
         "minmax",
         F.round(
-            F.when(span > 0.0, (x - F.col("_lo")) / span).otherwise(0.0),
+            F.when(
+                x.isNotNull(),
+                F.when(span > 0.0, (x - F.col("_lo")) / span).otherwise(
+                    0.0
+                ),
+            ),
             round_digits,
         ),
     ).drop("_s", "_ss", "_n", "_lo", "_hi")

@@ -187,9 +187,12 @@ def ngram_jaccard_pairs(
     return _materialize_release(result, sh)
 
 
-def _materialize_release(result: DataFrame, intermediate: DataFrame) -> DataFrame:
-    """Eagerly materialize the (small) pairs ``result`` via
-    ``localCheckpoint``, then release the (large) cached ``intermediate``.
+def _materialize_release(
+    result: DataFrame, *intermediates: DataFrame
+) -> DataFrame:
+    """Eagerly materialize the (small) ``result`` via
+    ``localCheckpoint``, then release the (large) cached
+    ``intermediates``.
 
     The signature/fingerprint frames are read 3× per call, so caching
     them is right — but leaving them cached accumulates executor storage
@@ -202,7 +205,8 @@ def _materialize_release(result: DataFrame, intermediate: DataFrame) -> DataFram
     owns unpersist" contract was honored by nobody and leaked.
     """
     result = result.localCheckpoint(eager=True)
-    intermediate.unpersist()
+    for intermediate in intermediates:
+        intermediate.unpersist()
     return result
 
 
@@ -1096,24 +1100,19 @@ def word_chunk_spans(
 
     The span definition for corpora without paragraph structure: the
     token stream is cut into consecutive ``chunk_words``-wide windows
-    (the last chunk may be shorter). Chunking is a pure expression —
-    ``split`` + ``sequence`` + ``transform``/``slice`` — so the explode
-    fans out ~tokens/chunk_words rows per document with no Python.
+    (the last chunk may be shorter). Delegates to the one window-
+    arithmetic implementation — ``operators/curation.py:
+    chunk_documents`` with stride == window is exactly non-overlapping
+    chunking (equality pinned by tests/test_curriculum_chunk.py), and
+    Catalyst prunes the dropped ``n_words`` expression.
     """
-    words = F.split(F.col(text_col), " ", -1)
-    n_chunks = F.greatest(
-        F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int"), F.lit(1)
+    from cassandra_slow_queries_spark.operators.curation import (
+        chunk_documents,
     )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.array_join(
-            F.slice(words, i * chunk_words + 1, chunk_words), " "
-        ),
-    )
-    return spread_input(df, by=id_col).select(
-        F.col(id_col).alias("id"),
-        F.posexplode(chunks).alias("pos", "span"),
-    )
+
+    return chunk_documents(
+        df, text_col, id_col, chunk_words, chunk_words
+    ).drop("n_words")
 
 
 def corpus_hot_spans(spans: DataFrame, min_dup_docs: int = 2) -> DataFrame:

@@ -230,12 +230,17 @@ def mmr_rerank(
     ``max_candidates`` guard raises rather than silently collecting a
     corpus-sized frame; re-rank AFTER retrieval, not instead of it.
 
-    Returns a DataFrame ``(id_col, mmr_rank, mmr_score)`` with
-    ``mmr_rank`` 1-based in selection order and ``mmr_score`` the
-    marginal objective at selection time (rounded to 6; the first
-    pick's score is ``lambda·relevance`` — no diversity term exists
-    yet). Selection ties break on the smaller id. Zero vectors
-    contribute similarity 0.
+    Returns a DataFrame ``(id_col, mmr_rank, mmr_score)`` — the id
+    column keeps the input's data type — with ``mmr_rank`` 1-based in
+    selection order and ``mmr_score`` the marginal objective at
+    selection time (rounded to 6; the first pick's score is
+    ``lambda·relevance`` — no diversity term exists yet). Selection
+    ties break on the smaller id. Zero or NULL vectors contribute
+    similarity 0; candidates with a NULL relevance score are dropped
+    (an unscored row has no place in a relevance re-rank). Mixed
+    vector dimensions raise rather than silently truncating the dot
+    product (the silent-dim-mismatch bug class the LSH bucketizer
+    once hit).
     """
     if not 0.0 <= lambda_ <= 1.0:
         raise ValueError("lambda_ must be in [0, 1]")
@@ -245,6 +250,7 @@ def mmr_rerank(
             F.col(score_col).cast("double").alias("_rel"),
             F.col(vec_col).alias("_v"),
         )
+        .filter(F.col("_rel").isNotNull())
         .limit(max_candidates + 1)
         .collect()
     )
@@ -258,6 +264,12 @@ def mmr_rerank(
     ids = [r["_id"] for r in rows]
     rel = [r["_rel"] for r in rows]
     vecs = [[float(x) for x in (r["_v"] or [])] for r in rows]
+    dims = {len(v) for v in vecs if v}
+    if len(dims) > 1:
+        raise ValueError(
+            f"mmr_rerank got mixed vector dimensions {sorted(dims)} — "
+            "a truncated dot product would silently misorder diversity"
+        )
     norms = [math.sqrt(sum(x * x for x in v)) for v in vecs]
 
     def cos(i: int, j: int) -> float:
@@ -284,7 +296,20 @@ def mmr_rerank(
             s = cos(i, sel)
             if s > max_sim[i]:
                 max_sim[i] = s
-    spark = candidates.sparkSession
-    return spark.createDataFrame(
-        picked, f"{id_col} long, mmr_rank int, mmr_score double"
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
+
+    id_type = candidates.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("mmr_rank", IntegerType()),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
+    spark = candidates.sparkSession
+    return spark.createDataFrame(picked, schema)

@@ -7576,7 +7576,7 @@ WITH src AS (
     SELECT event_type,
            CAST(SUM(dur) AS BIGINT) AS s,
            CAST(SUM(dur * dur) AS BIGINT) AS ss,
-           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(dur) AS BIGINT) AS n,
            MIN(dur) AS lo, MAX(dur) AS hi
     FROM src GROUP BY 1
 )

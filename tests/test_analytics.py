@@ -356,3 +356,33 @@ def test_mmr_candidate_guard(spark):
     )
     with pytest.raises(ValueError):
         mmr_rerank(cands, k=5, max_candidates=10)
+
+
+def test_mmr_string_ids_and_null_scores(spark):
+    from cassandra_slow_queries_spark.operators.search import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [
+            ("a", 0.9, [1.0, 0.0]),
+            ("b", None, [1.0, 0.0]),   # unscored: dropped
+            ("c", 0.5, [0.0, 1.0]),
+        ],
+        "doc_id string, score double, embedding array<float>",
+    )
+    rows = sorted(
+        mmr_rerank(cands, k=5).collect(), key=lambda r: r["mmr_rank"]
+    )
+    assert [r["doc_id"] for r in rows] == ["a", "c"]
+
+
+def test_mmr_mixed_dims_raise(spark):
+    import pytest
+
+    from cassandra_slow_queries_spark.operators.search import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [(1, 0.9, [1.0, 0.0]), (2, 0.8, [1.0, 0.0, 0.0])],
+        "doc_id long, score double, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="mixed vector dimensions"):
+        mmr_rerank(cands, k=2)

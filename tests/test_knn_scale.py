@@ -86,3 +86,26 @@ def test_scale_features_keeps_all_rows_and_columns(spark):
     zs = [r["zscore"] for r in out.collect()]
     assert abs(sum(zs)) < 1e-3
     assert all(abs(z) < 5 for z in zs)
+
+
+def test_scale_features_preserves_null_group_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "g", 2), (2, None, 4), (3, None, 8)],
+        "id long, g string, x long",
+    )
+    out = {r["id"]: r.asDict() for r in scale_features(df, "x", "g").collect()}
+    # NULL group is its own group (null-safe join back): 3 rows survive
+    assert set(out) == {1, 2, 3}
+    assert out[2]["minmax"] == 0.0 and out[3]["minmax"] == 1.0
+
+
+def test_scale_features_null_values_excluded_from_moments(spark):
+    df = spark.createDataFrame(
+        [(1, "g", 2), (2, "g", 4), (3, "g", None)],
+        "id long, g string, x long",
+    )
+    out = {r["id"]: r.asDict() for r in scale_features(df, "x", "g").collect()}
+    # moments over {2, 4}: mean 3, std 1 → zscores -1 and +1
+    assert out[1]["zscore"] == -1.0 and out[2]["zscore"] == 1.0
+    # the NULL-valued row passes through with NULL scaled columns
+    assert out[3]["zscore"] is None and out[3]["minmax"] is None
