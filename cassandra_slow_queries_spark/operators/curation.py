@@ -793,6 +793,10 @@ def assign_split(
     is the only correct choice for a corpus that gets re-ingested: a
     document keeps its split across runs, partial re-crawls, and
     engine versions, so test data can never migrate into train.
+    For a GROUP-aware (leakage-safe) split — every document of one
+    domain/author/session landing in the same split — pass that group
+    column as ``id_col``: the hash is keyed on whatever identity must
+    not straddle splits.
 
     ``fractions`` maps label → fraction, summing to 1.0 (validated);
     interval edges are computed at integer bucket granularity

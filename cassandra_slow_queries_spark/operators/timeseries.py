@@ -1,8 +1,9 @@
 """Time-series operators: trailing windows, gap-filling resample,
-robust outlier flagging.
+robust outlier flagging, rolling-origin backtest folds.
 
-All three are expression-only (no Python in any hot path) and shuffle
-once on the series key:
+All are expression-only (no Python in any hot path) and shuffle
+once on the series key (:func:`time_folds` not at all — a bounded
+explode against a broadcast 1-row span):
 
 - :func:`trailing_agg` — RANGE-frame window (event-time span, not row
   count), the correct frame for irregular event streams where "last
@@ -239,4 +240,67 @@ def mad_outliers(
         F.when(F.col("mad") > 0, F.abs(z) > threshold)
         .otherwise(x != F.col("median"))
         .alias("is_outlier"),
+    )
+
+
+def time_folds(
+    df: DataFrame,
+    ts_col: str,
+    n_folds: int = 3,
+) -> DataFrame:
+    """Rolling-origin (expanding-window) cross-validation folds — the
+    correct backtest layout for anything time-ordered, where a random
+    split would let the model train on the future it is asked to
+    predict.
+
+    The observed time span splits into ``n_folds + 1`` equal slices in
+    exact integer microseconds. Fold ``i`` (1-based) trains on
+    everything BEFORE cutoff ``i`` and validates on slice ``i`` (the
+    last fold's window closes inclusively at the max timestamp). The
+    first slice is the seed history: it only ever trains; every row at
+    or after the first cutoff validates in exactly one fold. Output:
+    the input
+    columns plus ``(fold, role)`` with ``role ∈ {'train', 'valid'}``;
+    rows after a fold's validation window carry no row for that fold
+    (they belong to later folds' training sets). Fan-out is exactly
+    ``n_folds`` rows per input row minus the excluded tail — bounded
+    and explicit, the same linearization trade as
+    ``analytics.stickiness``.
+
+    The span statistics are a 1-row aggregate broadcast back (no
+    driver action); cutoff arithmetic is integer division, so fold
+    membership is deterministic and engine-portable.
+    """
+    if n_folds < 1:
+        raise ValueError("n_folds must be >= 1")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    span = df.groupBy().agg(
+        F.min(us).alias("_lo"), F.max(us).alias("_hi")
+    )
+    width = F.floor(
+        (F.col("_hi") - F.col("_lo")) / F.lit(n_folds + 1)
+    ).cast("long")
+    folded = (
+        df.withColumn("_us", us)
+        .crossJoin(F.broadcast(span))
+        .select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(n_folds))
+            ).alias("fold"),
+        )
+    )
+    cutoff = F.col("_lo") + F.col("fold") * width
+    # last fold's validation window closes at _hi inclusively; earlier
+    # folds close exclusively at the next cutoff
+    win_end = F.when(
+        F.col("fold") == n_folds, F.col("_hi") + 1
+    ).otherwise(cutoff + width)
+    role = F.when(F.col("_us") < cutoff, "train").when(
+        F.col("_us") < win_end, "valid"
+    )
+    return (
+        folded.withColumn("role", role)
+        .filter(F.col("role").isNotNull())
+        .drop("_us", "_lo", "_hi")
     )

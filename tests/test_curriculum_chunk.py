@@ -115,3 +115,65 @@ def test_chunk_rejects_gapping_stride(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_documents(df, "text", "doc_id", window_words=3, stride_words=4)
+
+
+def _ts_rows(spark, secs):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [(i, s) for i, s in enumerate(secs)], "id long, sec long"
+    ).select("id", F.timestamp_seconds(F.col("sec")).alias("ts"))
+
+
+def test_time_folds_expanding_windows(spark):
+    from cassandra_slow_queries_spark.operators.timeseries import time_folds
+
+    # 9 points at 0..8 s; 3 folds → 4 slices of width 2 s
+    # cutoffs at 2, 4, 6; last fold valid window closes at 8 inclusive
+    df = _ts_rows(spark, list(range(9)))
+    out = time_folds(df, "ts", n_folds=3)
+    by_fold = {}
+    for r in out.collect():
+        by_fold.setdefault(r["fold"], {"train": set(), "valid": set()})[
+            r["role"]
+        ].add(r["id"])
+    assert by_fold[1]["train"] == {0, 1}
+    assert by_fold[1]["valid"] == {2, 3}
+    assert by_fold[2]["train"] == {0, 1, 2, 3}
+    assert by_fold[2]["valid"] == {4, 5}
+    assert by_fold[3]["train"] == {0, 1, 2, 3, 4, 5}
+    # last fold's window closes INCLUSIVELY at the max timestamp
+    assert by_fold[3]["valid"] == {6, 7, 8}
+
+
+def test_time_folds_invariants(spark):
+    import random
+
+    from cassandra_slow_queries_spark.operators.timeseries import time_folds
+
+    rng = random.Random(11)
+    secs = sorted(rng.randrange(10_000) for _ in range(60))
+    df = _ts_rows(spark, secs)
+    out = time_folds(df, "ts", n_folds=4).collect()
+    sec_of = dict(enumerate(secs))
+    by_fold = {}
+    for r in out:
+        by_fold.setdefault(r["fold"], {"train": [], "valid": []})[
+            r["role"]
+        ].append(sec_of[r["id"]])
+    prev_train = 0
+    for fold in sorted(by_fold):
+        tr, va = by_fold[fold]["train"], by_fold[fold]["valid"]
+        # temporal safety: every train point strictly before every valid
+        if tr and va:
+            assert max(tr) < min(va)
+        # expanding origin: training sets grow with the fold index
+        assert len(tr) >= prev_train
+        prev_train = len(tr)
+    # every row at or after the first cutoff validates in exactly one
+    # fold; the seed slice before it only trains
+    width = (secs[-1] - secs[0]) * 1_000_000 // 5
+    cutoff1 = secs[0] * 1_000_000 + width
+    all_valid = [s for f in by_fold.values() for s in f["valid"]]
+    expect_valid = [s for s in secs if s * 1_000_000 >= cutoff1]
+    assert sorted(all_valid) == expect_valid
