@@ -2082,13 +2082,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SimHash cannot carry the MinHash entry's equality gate: its bit
     threshold is unstable for short / tiny-vocab documents (a measured
     true pair at Jaccard 0.875 had fingerprint Hamming 31 — sums sit at
-    the 0 boundary and flip wholesale), so recall over the seeded corpus
-    is high but not 1.0 by construction. The gate therefore pins
-    (n_true_pairs, recall_ok, blocking_ok):
+    the 0 boundary and flip wholesale), and quarter blocking only
+    GUARANTEES detection at Hamming≤3 (pigeonhole over 4 blocks);
+    at the verify threshold of 8 a pair whose bit errors spread across
+    all four quarters is structurally invisible to the blocker. So
+    recall over the seeded corpus is high but not 1.0 by construction.
+    Measured (round-6 sf0.1 sweep): 23/25 = 0.92 at sf0.01, 225/256 =
+    0.879 at sf0.1 — and the hot-block cap is NOT the cause (uncapped
+    finds only 227/256 = 0.887; the misses are blocking-structural or
+    Hamming>8). The gate therefore pins (n_true_pairs, recall_ok,
+    blocking_ok) with a floor holding margin under that measured band:
 
     - ``n_true_pairs`` is computed by the SQL oracle from the data;
-    - ``recall_ok``: blocker finds ≥0.9 of true pairs — catches dead
-      fingerprints/blocking (the silent-degeneration direction);
+    - ``recall_ok``: blocker finds ≥0.8 of true pairs — catches dead
+      fingerprints/blocking (the silent-degeneration direction; a
+      broken blocker measures ≈0, nowhere near the floor);
     - ``blocking_ok``: candidates ≤5% of all doc pairs — catches the
       opposite degeneration (everything collides → recall 1.0 for free).
     """
@@ -2121,7 +2129,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(cand.agg(F.count("*").alias("n_cand")))
         .select(
             F.col("n_true").cast("long").alias("n_true_pairs"),
-            (F.col("n_found") / F.col("n_true") >= 0.9).alias("recall_ok"),
+            (F.col("n_found") / F.col("n_true") >= 0.8).alias("recall_ok"),
             (
                 F.col("n_cand")
                 <= 0.05 * F.col("n_docs") * (F.col("n_docs") - 1) / 2
