@@ -448,6 +448,54 @@ def _block_candidate_pairs(
     return cold_pairs.unionByName(hot_pairs).distinct()
 
 
+def _band_keys(sig: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Derive the LSH band keys ``(id, band, bh)`` from a signature
+    frame ``(id, sig)`` — a pure per-row transform (``bands`` rows per
+    doc), shared by the one-shot blocker and the incremental index so
+    the banding arithmetic exists exactly once."""
+    return sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"),
+                                    bi * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def _sig_agreement(num_hashes: int) -> Column:
+    """Estimated Jaccard from two signature columns ``sig_a``/``sig_b``:
+    the fraction of agreeing minhash positions."""
+    return F.round(
+        F.size(
+            F.filter(
+                F.zip_with(
+                    "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+                ),
+                lambda v: v == 1,
+            )
+        )
+        / F.lit(float(num_hashes)),
+        6,
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -485,26 +533,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
     sig = sig.persist()  # released below once the pairs are materialized
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    banded = _band_keys(sig, bands, rows_per_band)
     cand = _block_candidate_pairs(
         banded,
         ["band", "bh"],
@@ -518,21 +547,7 @@ def minhash_lsh_pairs(
     result = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn(
-            "est_jaccard",
-            F.round(
-                F.size(
-                    F.filter(
-                        F.zip_with(
-                            "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
-                        ),
-                        lambda v: v == 1,
-                    )
-                )
-                / F.lit(float(num_hashes)),
-                6,
-            ),
-        )
+        .withColumn("est_jaccard", _sig_agreement(num_hashes))
         .select("id_a", "id_b", "est_jaccard")
     )
     return _materialize_release(result, sig)
@@ -1240,6 +1255,110 @@ def incremental_exact_dedup(
         kept.select(F.col("_h").alias("h"))
     ).distinct()
     return kept.drop("_h"), new_index
+
+
+def incremental_minhash_dedup(
+    incoming: DataFrame,
+    sig_index: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    seed: int = 42,
+    est_threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """NEAR-dup dedup of a new batch against a persistent signature
+    index — :func:`incremental_exact_dedup`'s sibling for the
+    templated/boilerplate duplicates a content hash cannot see, again
+    without re-scanning history text.
+
+    ``sig_index`` is ``(id, sig)`` — the minhash signatures of every
+    previously kept document (``num_hashes`` longs ≈ 0.5 KB/doc, the
+    only state persisted; band keys re-derive from it as a pure
+    transform, and similarity is judged on SIGNATURE AGREEMENT, so the
+    index needs no text). Returns ``(kept, new_index)``:
+
+    - ``kept`` — incoming rows that match (estimated Jaccard ≥
+      ``est_threshold``) neither a history document nor a smaller-id
+      batch document. The batch-vs-history candidates come from an
+      equi-join of band keys (at scale, write the index bucketed on
+      ``id`` and materialize its band table bucketed on (band, bh) —
+      plans/layout.py — so this join is co-located); within-batch
+      candidates reuse the one blocking implementation. The
+      drop-if-matching-any-smaller-id policy is deterministic and
+      single-pass (no clustering step) — the same keeper rule as the
+      exact sibling, extended transitively-conservatively.
+    - ``new_index`` — the index plus the kept rows' signatures.
+
+    Estimated (not exact-text) similarity is the deliberate trade for
+    text-free state: with 64 hashes the estimator's σ at the 0.5
+    threshold is ≈0.06, so set ``est_threshold`` with margin or keep
+    history text reachable and verify the emitted matches exactly.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+    inc_sig = minhash_signatures(
+        incoming, text_col, id_col, num_hashes, shingle_n, seed
+    ).persist()
+    inc_bands = _band_keys(inc_sig, bands, rows_per_band)
+    hist_bands = _band_keys(sig_index, bands, rows_per_band).select(
+        F.col("id").alias("_old"), "band", "bh"
+    )
+    # batch vs history: band-key equi-join proposes, signature
+    # agreement disposes
+    cand_h = (
+        inc_bands.join(hist_bands, ["band", "bh"])
+        .select("id", "_old")
+        .distinct()
+    )
+    sa = inc_sig.withColumnsRenamed({"sig": "sig_a"})
+    sb = sig_index.select(
+        F.col("id").alias("_old"), F.col("sig").alias("sig_b")
+    )
+    hist_dup_ids = (
+        cand_h.join(sa, "id")
+        .join(sb, "_old")
+        .withColumn("_est", _sig_agreement(num_hashes))
+        .filter(F.col("_est") >= est_threshold)
+        .select("id")
+        .distinct()
+    )
+    # within batch: canonical id_a < id_b pairs; drop the larger id
+    cand_b = _block_candidate_pairs(
+        inc_bands, ["band", "bh"], None, "drop", 8, None
+    )
+    batch_dup_ids = (
+        cand_b.join(
+            inc_sig.select(
+                F.col("id").alias("id_a"), F.col("sig").alias("sig_a")
+            ),
+            "id_a",
+        )
+        .join(
+            inc_sig.select(
+                F.col("id").alias("id_b"), F.col("sig").alias("sig_b")
+            ),
+            "id_b",
+        )
+        .withColumn("_est", _sig_agreement(num_hashes))
+        .filter(F.col("_est") >= est_threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    dropped = hist_dup_ids.unionByName(batch_dup_ids).distinct()
+    kept = incoming.join(
+        dropped.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    kept_sigs = inc_sig.join(dropped, "id", "left_anti").select("id", "sig")
+    # eagerly materialize only the BATCH-sized outputs, then release the
+    # batch signature cache; new_index stays lazy (history ∪ checkpointed
+    # batch sigs) — eagerly checkpointing the full index would rewrite
+    # history-scale state every batch
+    kept = kept.localCheckpoint(eager=True)
+    kept_sigs = kept_sigs.localCheckpoint(eager=True)
+    inc_sig.unpersist()
+    return kept, sig_index.unionByName(kept_sigs)
 
 
 # --------------------------------------------------------------------------

@@ -1198,3 +1198,88 @@ def test_simhash_pigeonhole_guarantee_hamming3(spark):
         ).collect()
     }
     assert close <= cand
+
+
+def _inc_minhash(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_minhash_dedup_batch_vs_history(spark):
+    from pyspark.sql import functions as F
+
+    from cassandra_slow_queries_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    base = " ".join(f"w{i}" for i in range(80))
+    history = _inc_minhash(spark, [(1, base), (2, "totally different " * 20)])
+    index = minhash_signatures(history, "text", "doc_id", 64, 5, 42)
+    batch = _inc_minhash(
+        spark,
+        [
+            (10, base.replace("w3 ", "w3x ")),       # near-dup of history 1
+            (11, " ".join(f"u{i}" for i in range(60))),            # novel
+            (12, " ".join(f"u{i}" for i in range(60)).replace(
+                "u30 ", "u30x ")),                     # near-dup of 11
+        ],
+    )
+    kept, new_index = incremental_minhash_dedup(
+        batch, index, "text", "doc_id"
+    )
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {11}, kept_ids
+    # index grew by exactly the kept rows
+    assert new_index.count() == 2 + 1
+    assert {r["id"] for r in new_index.collect()} == {1, 2, 11}
+
+
+def test_incremental_minhash_dedup_idempotent(spark):
+    from cassandra_slow_queries_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_signatures,
+    )
+
+    docs = _inc_minhash(
+        spark,
+        [(i, f"unique document number {i} " * 12) for i in range(6)],
+    )
+    empty_index = minhash_signatures(
+        docs.limit(0), "text", "doc_id", 64, 5, 42
+    )
+    kept1, idx1 = incremental_minhash_dedup(docs, empty_index, "text", "doc_id")
+    assert kept1.count() == 6
+    # replaying the SAME batch against the updated index drops everything
+    kept2, idx2 = incremental_minhash_dedup(docs, idx1, "text", "doc_id")
+    assert kept2.count() == 0
+    assert idx2.count() == idx1.count()
+
+
+def test_incremental_minhash_matches_oneshot_blocking(spark):
+    """Empty index ⇒ the within-batch path must agree with the one-shot
+    minhash_lsh_pairs blocker on WHICH docs survive (smaller-id keeper)."""
+    from cassandra_slow_queries_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    docs = _inc_minhash(
+        spark,
+        [
+            (1, base),
+            (2, base.replace("tok7 ", "tok7x ")),
+            (3, "another cluster entirely " * 10),
+            (4, "another cluster entirely " * 10 + " tail"),
+            (5, "solo document with its own words " * 8),
+        ],
+    )
+    empty_index = minhash_signatures(docs.limit(0), "text", "doc_id", 64, 5, 42)
+    kept, _ = incremental_minhash_dedup(docs, empty_index, "text", "doc_id")
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id").filter(
+        "est_jaccard >= 0.5"
+    ).collect()
+    dropped = {p["id_b"] for p in pairs}
+    assert kept_ids == {1, 2, 3, 4, 5} - dropped
