@@ -948,6 +948,60 @@ def dequantize_cosine(
     )
 
 
+def jl_project(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 64,
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: compress ``vec_col``
+    from ``dim`` to ``out_dim`` coordinates with a seeded Gaussian
+    matrix so pairwise Euclidean geometry survives within 1±ε w.h.p.
+    for ``out_dim`` = O(log n / ε²) (Johnson & Lindenstrauss 1984;
+    Gaussian entries per Indyk & Motwani 1998 — the same guarantee
+    family the hyperplane LSH above leans on).
+
+    The third rung of the compression ladder: int8 shrinks bytes per
+    coordinate (4×, near-lossless), PQ shrinks to code words (~32×,
+    index-only), JL shrinks the COORDINATE COUNT itself — so every
+    downstream pass that is linear in vector width (brute-force cosine,
+    k-means training for IVF/PQ/SemDeDup, near-dup verify) gets
+    ``dim/out_dim``× cheaper, not just smaller on disk. The standard
+    play at corpus scale is: project once on ingest, run candidate
+    generation in the narrow space, re-rank survivors with the original
+    vectors (same propose/dispose contract as every blocker in this
+    module).
+
+    The matrix is ``out_dim × dim`` floats generated driver-side from
+    the same splitmix/Box-Muller stream as the LSH hyperplanes — a few
+    KB embedded as plan literals (shipped with the plan itself, no
+    broadcast variable to manage). Each output coordinate is an
+    unrolled multiply-add chain over literal coefficients: pure codegen
+    expressions, zero Python, zero shuffle — a map-only pass that
+    pipelines into the scan. Coordinates are scaled by 1/√out_dim so
+    squared norms (hence distances) are preserved in expectation, not
+    just up to a constant. NULL vectors project to NULL.
+    """
+    if out_dim < 1 or dim < 1:
+        raise ValueError("dim and out_dim must be >= 1")
+    planes = _hyperplanes(out_dim, dim, seed)
+    scale = 1.0 / math.sqrt(out_dim)
+    v = F.col(vec_col)
+
+    def coord(plane: list[float]) -> Column:
+        acc = F.get(v, 0).cast("double") * F.lit(plane[0])
+        for j in range(1, dim):
+            acc = acc + F.get(v, j).cast("double") * F.lit(plane[j])
+        return acc * F.lit(scale)
+
+    projected = F.when(
+        v.isNotNull(), F.array(*[coord(p) for p in planes])
+    )
+    return df.withColumn(out_col, projected)
+
+
 def knn_classify(
     corpus: DataFrame,
     queries: DataFrame,

@@ -29,6 +29,7 @@ TODO (analyze_slow_queries.py:62).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -309,3 +310,54 @@ def pushed_aggregation(df: DataFrame) -> str:
             payload = line[idx + len("PushedAggregation: ["):]
             return payload.split("]", 1)[0]
     return ""
+
+
+# Confs under which Catalyst injects a RUNTIME BLOOM FILTER into a
+# shuffle join: the selective (filtered) side's join keys are collapsed
+# into a bloom filter by a subquery, and the big side's SCAN gains a
+# ``might_contain`` probe — rows that cannot match are dropped before
+# they are shuffled. At 100 TB this is the difference between shuffling
+# the whole fact table to discover 1% of it joins, and shuffling ~1%
+# (plus the filter's false positives). Production defaults only fire
+# when the application side is big (scan ≥ 10GB) and the creation side
+# cheap (≤ 10MB) — sizes a local test never reaches, so the gate floors
+# the application threshold instead of pretending a test table is 10GB,
+# and raises the creation ceiling so a filtered test dim qualifies.
+# Broadcast joins don't inject (the big side never shuffles), hence the
+# autoBroadcastJoinThreshold=-1 pin for the demonstration join.
+RUNTIME_BLOOM_CONFS: dict[str, str] = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter."
+    "applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@contextmanager
+def conf_scope(spark: SparkSession, confs: dict[str, str]):
+    """Set session confs for a scope, restoring (or unsetting) each on
+    exit — the guard pattern the aggregate-pushdown catalog gate uses,
+    lifted into a reusable seam. Planning-time decisions (runtime
+    filters, v2 pushdown) must hold while the JOB runs, so materialize
+    results inside the scope."""
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, p in prev.items():
+            if p is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, p)
+
+
+def might_contain_count(df: DataFrame) -> int:
+    """Number of ``might_contain`` (runtime bloom filter) probes in the
+    physical plan — 0 when no runtime filter was injected. Like
+    :func:`exchange_count`, a planning-time fact: assert it as a
+    regression gate, not a hope."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("might_contain(")

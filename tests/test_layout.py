@@ -287,3 +287,57 @@ def test_zorder_key_three_dimensions(spark):
     }
     for rid, x, y, z in rows:
         assert got[rid] == morton3(x, y, z)
+
+
+def test_runtime_bloom_filter_injected_and_row_identical(spark, tmp_path):
+    """Under RUNTIME_BLOOM_CONFS a selective dim ⋈ fact shuffle join
+    gains a might_contain probe on the fact scan (rows pruned BEFORE
+    the shuffle); rows must equal the unfiltered-plan join. Default
+    confs (application threshold 10GB) must NOT inject at test scale —
+    the production guardrail the gate floors away."""
+    from cassandra_slow_queries_spark.plans.layout import (
+        RUNTIME_BLOOM_CONFS,
+        conf_scope,
+        might_contain_count,
+    )
+
+    fact_path = str(tmp_path / "fact")
+    dim_path = str(tmp_path / "dim")
+    spark.range(0, 20000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    ).write.parquet(fact_path)
+    spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("grp")
+    ).write.parquet(dim_path)
+
+    def join():
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path).filter(F.col("grp") == 3)
+        return fact.join(dim, "k").select("k", "v", "grp")
+
+    with conf_scope(spark, RUNTIME_BLOOM_CONFS):
+        probed = join()
+        assert might_contain_count(probed) >= 1
+        # planning decision must hold while the job runs: collect inside
+        got = sorted(tuple(r) for r in probed.collect())
+    plain = join()
+    assert might_contain_count(plain) == 0
+    assert got == sorted(tuple(r) for r in plain.collect())
+    assert len(got) > 0
+
+
+def test_conf_scope_restores_and_unsets(spark):
+    key = "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+    from cassandra_slow_queries_spark.plans.layout import conf_scope
+
+    spark.conf.set(key, "1MB")
+    try:
+        with conf_scope(spark, {key: "99MB"}):
+            assert spark.conf.get(key) == "99MB"
+        assert spark.conf.get(key) == "1MB"
+    finally:
+        spark.conf.unset(key)
+    before = spark.conf.get(key, None)  # built-in default (unset)
+    with conf_scope(spark, {key: "42MB"}):
+        assert spark.conf.get(key) == "42MB"
+    assert spark.conf.get(key, None) == before

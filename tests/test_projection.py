@@ -1,0 +1,78 @@
+"""Johnson-Lindenstrauss projection (operators/similarity.py:
+jl_project): the Spark expression chain must equal the numpy matmul
+bit-for-tolerance, preserve pairwise geometry within the JL distortion
+envelope, and stay deterministic per seed."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from cassandra_slow_queries_spark.operators.similarity import (
+    _hyperplanes,
+    jl_project,
+)
+
+
+def _vec_df(spark, vecs, ids=None):
+    ids = ids if ids is not None else range(len(vecs))
+    rows = [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_jl_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(10, 8).astype(np.float32)
+    out = (
+        jl_project(_vec_df(spark, vecs), dim=8, out_dim=4, seed=99)
+        .orderBy("vec_id")
+        .collect()
+    )
+    mat = np.array(_hyperplanes(4, 8, 99))  # out_dim x dim
+    expect = (vecs.astype(np.float64) @ mat.T) / math.sqrt(4)
+    got = np.array([r["projected"] for r in out])
+    assert np.allclose(got, expect, atol=1e-9)
+
+
+def test_jl_distance_preservation(spark):
+    # 60 vectors, 1770 pairs: with out_dim=32 the squared-distance
+    # ratio is ~chi2(32)/32 (mean 1, sd 0.25). Seeded end to end, so
+    # these bounds are exact regression pins, not probabilistic hopes.
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 64).astype(np.float32)
+    out = (
+        jl_project(_vec_df(spark, vecs), dim=64, out_dim=32, seed=5)
+        .orderBy("vec_id")
+        .collect()
+    )
+    proj = np.array([r["projected"] for r in out])
+    ratios = []
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            d0 = float(np.sum((vecs[i].astype(np.float64) - vecs[j]) ** 2))
+            d1 = float(np.sum((proj[i] - proj[j]) ** 2))
+            ratios.append(d1 / d0)
+    ratios = np.array(ratios)
+    # measured on this seed: min 0.282, max 1.700, median 0.928
+    assert 0.85 < float(np.median(ratios)) < 1.15
+    assert float(ratios.min()) > 0.25 and float(ratios.max()) < 2.5
+    # 90% of pairs inside the ±50% envelope
+    frac = float(np.mean((ratios > 0.5) & (ratios < 1.5)))
+    assert frac > 0.9
+
+
+def test_jl_null_determinism_and_validation(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, None)],
+        "vec_id bigint, embedding array<float>",
+    )
+    a = jl_project(df, dim=3, out_dim=2, seed=1).orderBy("vec_id").collect()
+    b = jl_project(df, dim=3, out_dim=2, seed=1).orderBy("vec_id").collect()
+    c = jl_project(df, dim=3, out_dim=2, seed=2).orderBy("vec_id").collect()
+    assert a[0]["projected"] == b[0]["projected"]
+    assert a[0]["projected"] != c[0]["projected"]
+    assert a[1]["projected"] is None
+    with pytest.raises(ValueError):
+        jl_project(df, dim=3, out_dim=0)
