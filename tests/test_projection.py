@@ -76,3 +76,65 @@ def test_jl_null_determinism_and_validation(spark):
     assert a[1]["projected"] is None
     with pytest.raises(ValueError):
         jl_project(df, dim=3, out_dim=0)
+
+
+def _recall(exact, approx):
+    truth = {(r["q_id"], r["neighbor_id"]) for r in exact}
+    found = {(r["q_id"], r["neighbor_id"]) for r in approx}
+    return len(truth & found) / len(truth)
+
+
+def test_projected_topk_recall_clustered(spark):
+    """The intended regime: embeddings with cluster structure (what
+    real encoders emit) compress 128→16 (8×) with full top-5 recall —
+    neighbors are within-cluster, and JL preserves cluster geometry at
+    far lower out_dim than near-tie rank order. Measured 1.0 on this
+    seed; gated at 0.95."""
+    from cassandra_slow_queries_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_projected,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(20, 128) * 3.0
+    vecs = (centers[rng.randint(0, 20, 200)] + rng.randn(200, 128)).astype(
+        np.float32
+    )
+    corpus = _vec_df(spark, vecs)
+    queries = _vec_df(spark, vecs[:12], ids=range(12))
+    exact = cosine_topk_bruteforce(corpus, queries, k=5).collect()
+    approx = cosine_topk_projected(
+        corpus, queries, dim=128, k=5, out_dim=16, oversample=4
+    ).collect()
+    assert _recall(exact, approx) >= 0.95
+    # survivors are scored with the ORIGINAL vectors: any pair the
+    # approx path shares with exact must carry the identical sim
+    sims = {(r["q_id"], r["neighbor_id"]): r["sim"] for r in exact}
+    for r in approx:
+        key = (r["q_id"], r["neighbor_id"])
+        if key in sims:
+            assert r["sim"] == sims[key]
+
+
+def test_projected_topk_isotropic_worst_case_pin(spark):
+    """Worst-case law, pinned: on a fully isotropic corpus every
+    neighbor is a near-tie (top-5 cosine ≈ 0.3 at dim 64), so rank
+    order needs ε ≈ the inter-rank sim gap — far below what 64→24
+    compression can hold. Measured recall 0.75 at oversample=8 on this
+    seed (vs 1.0 clustered above); the floor documents that projection
+    is the wrong blocker for structureless vectors, same role as the
+    LSH isotropic note in cosine_topk_lsh's docstring."""
+    from cassandra_slow_queries_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_projected,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(200, 64).astype(np.float32)
+    corpus = _vec_df(spark, vecs)
+    queries = _vec_df(spark, vecs[:12], ids=range(12))
+    exact = cosine_topk_bruteforce(corpus, queries, k=5).collect()
+    approx = cosine_topk_projected(
+        corpus, queries, dim=64, k=5, out_dim=24, oversample=8
+    ).collect()
+    assert 0.7 <= _recall(exact, approx) < 1.0
