@@ -270,6 +270,11 @@ def time_folds(
     The span statistics are a 1-row aggregate broadcast back (no
     driver action); cutoff arithmetic is integer division, so fold
     membership is deterministic and engine-portable.
+
+    Rows with a NULL (or unparseable) ``ts_col`` are dropped — a row
+    that cannot be placed on the timeline belongs to no fold on either
+    side of any cutoff (silently training on it would leak it into
+    every fold instead).
     """
     if n_folds < 1:
         raise ValueError("n_folds must be >= 1")

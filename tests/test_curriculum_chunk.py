@@ -177,3 +177,17 @@ def test_time_folds_invariants(spark):
     all_valid = [s for f in by_fold.values() for s in f["valid"]]
     expect_valid = [s for s in secs if s * 1_000_000 >= cutoff1]
     assert sorted(all_valid) == expect_valid
+
+
+def test_time_folds_drops_unplaceable_rows(spark):
+    from pyspark.sql import functions as F
+
+    from cassandra_slow_queries_spark.operators.timeseries import time_folds
+
+    df = _ts_rows(spark, list(range(9))).withColumn(
+        "ts", F.when(F.col("id") != 4, F.col("ts"))
+    )
+    out = time_folds(df, "ts", n_folds=3).collect()
+    # the NULL-ts row belongs to no fold on either side of any cutoff
+    assert all(r["id"] != 4 for r in out)
+    assert {r["id"] for r in out} == {0, 1, 2, 3, 5, 6, 7, 8}
