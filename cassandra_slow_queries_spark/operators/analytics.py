@@ -29,6 +29,12 @@ expressed as pure DataFrame operations:
   (day, user) activity row to the ``window_days`` days it counts
   toward (bounded × window fan-out), then one hash aggregation —
   never a per-day rescan of the window.
+- :func:`survival_curve` — Kaplan-Meier product-limit estimator with
+  right censoring ("how long until churn/failure, given many subjects
+  leave observation early"). One hash aggregation to (group, time)
+  cells, then two keyed windows over the CELLS (reverse cumulative
+  at-risk count, forward cumulative log-survival) — window cost scales
+  with distinct times per group, never with subjects.
 """
 
 from __future__ import annotations
@@ -254,4 +260,80 @@ def stickiness(
         F.round(F.col("dau") / F.col("mau"), round_digits).alias(
             "stickiness"
         ),
+    )
+
+
+def survival_curve(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimator (Kaplan & Meier
+    1958) with right censoring, per group: at each observed duration
+    ``t``, ``S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ)`` where ``dᵢ`` subjects had
+    their event at ``tᵢ`` and ``nᵢ`` were still AT RISK (duration ≥
+    tᵢ). The estimator of "time until churn / failure / conversion"
+    when many subjects leave observation before their event —
+    ``event_col`` truthy means the event was observed at
+    ``duration_col``; falsy (or NULL) means censored there: the
+    subject leaves the at-risk pool without stepping the curve down.
+
+    Output per (group, duration): ``n_at_risk``, ``events``,
+    ``censored``, ``survival`` — one row per distinct observed
+    duration (censor-only times carry the unchanged S(t), a superset
+    of the classic event-time-only curve). Rows with NULL duration are
+    dropped (a subject with no duration is on no curve).
+
+    Shape: one hash aggregation collapses subjects to (group, time)
+    cells, then two windows over the CELLS — at-risk counts as the
+    reverse cumulative subject count, and the running product as
+    ``exp(Σ log(1 − dᵢ/nᵢ))`` (the log-sum form keeps the window a
+    plain SUM; a tie where everyone remaining dies makes the factor 0,
+    carried as −∞ so every later time is exactly 0.0, not NULL).
+    Window cost scales with distinct durations per group, never with
+    subjects."""
+    group_cols = group_cols or []
+    t = F.col(duration_col)
+    ev = F.coalesce(F.col(event_col).cast("boolean"), F.lit(False))
+    cells = (
+        df.filter(t.isNotNull())
+        .groupBy(*group_cols, t.alias("_t"))
+        .agg(
+            F.sum(ev.cast("long")).alias("events"),
+            F.count(F.lit(1)).alias("_total"),
+        )
+    )
+    w_risk = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("_t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_surv = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col("_t").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.sum("_total").over(w_risk)
+    d = F.col("events").cast("double")
+    log_factor = (
+        F.when(F.col("events") == 0, F.lit(0.0))
+        .when(d < n, F.log1p(-d / n))
+        .otherwise(F.lit(float("-inf")))
+    )
+    return (
+        cells.withColumn("n_at_risk", n)
+        .withColumn(
+            "survival",
+            F.round(F.exp(F.sum(log_factor).over(w_surv)), round_digits),
+        )
+        .select(
+            *group_cols,
+            F.col("_t").alias(duration_col),
+            "n_at_risk",
+            "events",
+            (F.col("_total") - F.col("events")).alias("censored"),
+            "survival",
+        )
     )

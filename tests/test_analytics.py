@@ -386,3 +386,75 @@ def test_mmr_mixed_dims_raise(spark):
     )
     with pytest.raises(ValueError, match="mixed vector dimensions"):
         mmr_rerank(cands, k=2)
+
+
+def test_survival_curve_hand_computed(spark):
+    """Classic right-censored fixture: durations 1e 2c 3e 4e 5c.
+    S(1)=4/5, S(2)=4/5 (censor-only), S(3)=0.8*(2/3), S(4)=...*(1/2),
+    S(5) unchanged."""
+    from cassandra_slow_queries_spark.operators.analytics import (
+        survival_curve,
+    )
+
+    df = spark.createDataFrame(
+        [(1, True), (2, False), (3, True), (4, True), (5, False)],
+        "dur int, event boolean",
+    )
+    rows = {
+        r["dur"]: r
+        for r in survival_curve(df, "dur", "event").collect()
+    }
+    assert rows[1]["n_at_risk"] == 5 and rows[1]["events"] == 1
+    assert rows[1]["survival"] == 0.8
+    assert rows[2]["censored"] == 1 and rows[2]["survival"] == 0.8
+    assert rows[3]["n_at_risk"] == 3
+    assert rows[3]["survival"] == round(0.8 * 2 / 3, 6)
+    assert rows[4]["survival"] == round(0.8 * 2 / 3 * 0.5, 6)
+    assert rows[5]["n_at_risk"] == 1 and rows[5]["survival"] == rows[4][
+        "survival"
+    ]
+
+
+def test_survival_curve_extinction_and_nulls(spark):
+    """A time where everyone remaining dies drives S to exactly 0.0
+    (the -inf log carry), NULL events count as censored, NULL durations
+    drop."""
+    from cassandra_slow_queries_spark.operators.analytics import (
+        survival_curve,
+    )
+
+    df = spark.createDataFrame(
+        [(1, True), (2, True), (2, True), (None, True), (1, None)],
+        "dur int, event boolean",
+    )
+    rows = {
+        r["dur"]: r
+        for r in survival_curve(df, "dur", "event").collect()
+    }
+    assert set(rows) == {1, 2}
+    # t=1: n=4 (NULL-dur dropped), d=1 (NULL event = censored)
+    assert rows[1]["n_at_risk"] == 4 and rows[1]["events"] == 1
+    assert rows[1]["censored"] == 1
+    assert rows[1]["survival"] == 0.75
+    # t=2: both remaining die -> exact 0.0, not NULL
+    assert rows[2]["n_at_risk"] == 2 and rows[2]["events"] == 2
+    assert rows[2]["survival"] == 0.0
+
+
+def test_survival_curve_grouped_independent(spark):
+    from cassandra_slow_queries_spark.operators.analytics import (
+        survival_curve,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1, True), ("a", 2, True), ("b", 1, False), ("b", 3, True)],
+        "grp string, dur int, event boolean",
+    )
+    out = survival_curve(df, "dur", "event", group_cols=["grp"]).collect()
+    by = {(r["grp"], r["dur"]): r for r in out}
+    assert by[("a", 1)]["survival"] == 0.5
+    assert by[("a", 2)]["survival"] == 0.0
+    assert by[("b", 1)]["survival"] == 1.0  # censored only
+    assert by[("b", 3)]["survival"] == 0.0
+    # groups don't see each other's at-risk pools
+    assert by[("b", 1)]["n_at_risk"] == 2
