@@ -86,6 +86,63 @@ def build_scored_index(
     return tf.join(lens, "doc_id").select("token", "doc_id", "tf", "doc_len")
 
 
+def tfidf_keywords(
+    index: DataFrame,
+    k: int = 5,
+    min_df: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``k`` characteristic terms PER DOCUMENT by smoothed TF-IDF
+    over a :func:`build_scored_index` frame — the corpus-relative
+    keyword tagger (what makes THIS document different), the document-
+    side dual of :func:`bm25_topk`'s query-side ranking.
+
+    ``score = tf · (ln((N+1)/(df+1)) + 1)`` (sklearn's smoothed idf:
+    corpus-wide terms still score >0, no log-of-zero edge). ``min_df``
+    drops terms seen in fewer than that many documents — OCR noise and
+    typos masquerade as maximally-rare "keywords" without it. Ties
+    break on token asc. Documents with no surviving terms emit no rows.
+
+    Plan: df-per-term is one token-keyed aggregation of the posting
+    rows; N is a 1-row crossJoin; the per-doc top-k is the shared
+    grouped_top_k window. Everything is keyed aggregation over posting
+    rows — vocabulary- and document-bounded, never corpus² anywhere.
+    """
+    from cassandra_slow_queries_spark.operators.topk import grouped_top_k
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    n_docs = index.select("doc_id").distinct().agg(
+        F.count(F.lit(1)).alias("_n_docs")
+    )
+    df_per_term = index.groupBy("token").agg(
+        F.count(F.lit(1)).alias("_df")
+    )
+    if min_df > 1:
+        df_per_term = df_per_term.filter(F.col("_df") >= min_df)
+    scored = (
+        index.join(df_per_term, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("_n_docs") + 1.0) / (F.col("_df") + 1.0)
+                    )
+                    + 1.0
+                ),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    return grouped_top_k(
+        scored, ["doc_id"], "score", k, tiebreaks=["token"]
+    ).orderBy("doc_id", F.col("score").desc(), "token")
+
+
 def bm25_topk(
     index: DataFrame,
     terms: list[str],

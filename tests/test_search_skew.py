@@ -139,3 +139,60 @@ def test_bm25_rare_term_outweighs_common(spark):
     idx = build_scored_index(docs)
     top = bm25_topk(idx, ["common", "rare"], k=1).collect()
     assert top[0]["doc_id"] == 100  # the only doc with the rare term wins
+
+
+def test_tfidf_keywords_hand_formula(spark):
+    import math
+
+    from cassandra_slow_queries_spark.operators.search import (
+        build_scored_index,
+        tfidf_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple cherry cherry zebra"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_scored_index(docs)
+    out = tfidf_keywords(idx, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["token"], r["score"]))
+    # N=3; df: apple 2, banana 2, cherry 2, zebra 1
+    idf2 = math.log(4 / 3) + 1
+    idf1 = math.log(4 / 2) + 1
+    # doc 1: apple tf2 beats banana tf1
+    assert by_doc[1][0] == ("apple", round(2 * idf2, 6))
+    assert by_doc[1][1] == ("banana", round(1 * idf2, 6))
+    # doc 2: equal scores -> token asc tiebreak
+    assert [t for t, _ in by_doc[2]] == ["banana", "cherry"]
+    # doc 3: rare zebra (idf1) outranks corpus-wide apple, cherry tf2 first
+    assert by_doc[3][0] == ("cherry", round(2 * idf2, 6))
+    assert by_doc[3][1] == ("zebra", round(1 * idf1, 6))
+
+
+def test_tfidf_keywords_min_df_drops_hapax(spark):
+    from cassandra_slow_queries_spark.operators.search import (
+        build_scored_index,
+        tfidf_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "apple xqzt apple"), (2, "apple banana")],
+        "doc_id long, text string",
+    )
+    idx = build_scored_index(docs)
+    toks = {
+        r["token"] for r in tfidf_keywords(idx, k=5, min_df=2).collect()
+    }
+    assert "xqzt" not in toks and "banana" not in toks
+    assert toks == {"apple"}
+    # a doc whose every term is filtered emits no rows
+    solo = spark.createDataFrame([(9, "only once")], "doc_id long, text string")
+    idx2 = build_scored_index(docs.unionByName(solo))
+    out = tfidf_keywords(idx2, k=5, min_df=3)
+    assert [r["doc_id"] for r in out.collect() if r["doc_id"] == 9] == []
