@@ -2,8 +2,9 @@
 
 Connected components live in ``operators/dedup.py`` (label propagation
 + large-star/small-star contraction, built for the near-dup pair
-graphs). This module holds the rank-style iterations — currently
-PageRank (Brin & Page 1998) by power iteration.
+graphs). This module holds the traversal/rank iterations — PageRank
+(Brin & Page 1998) by power iteration, frontier BFS shortest
+distances, and triangle counting.
 
 Scale shape: one iteration = one shuffle of the edge list keyed on the
 destination plus two 1-row aggregates (total/dangling mass). Ranks are
@@ -110,6 +111,68 @@ def pagerank(
         if persist_each:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """Minimum hop count from ANY source node, by frontier BFS —
+    ``(node, dist)`` for every node reachable within ``max_hops``
+    (sources themselves at dist 0; unreachable nodes emit no row).
+    ``sources`` is a one-column frame of node ids; ``directed=False``
+    unions the reversed edges first. Cycles are safe: a node joins the
+    frontier at most once (the visited anti-join), which is also what
+    guarantees hop = SHORTEST distance — BFS reaches every node first
+    along a minimum path.
+
+    Shape (the Pregel BFS plan in plain DataFrames): each hop is one
+    src-keyed join of the CURRENT FRONTIER against the edge list plus
+    one node-keyed anti-join against the visited set — per-hop shuffle
+    bounded by the frontier's out-edges, never the whole graph re-
+    walked. At real scale persist the edge frame partitioned by
+    ``src`` once so every hop's join reuses that layout (same note as
+    :func:`pagerank`). The loop is a bounded driver loop over
+    ``max_hops`` with an empty-frontier early exit; per-hop frames are
+    eagerly ``localCheckpoint``-ed — the same lineage-truncation
+    requirement as pagerank's iterations (each hop references the
+    visited union of all prior hops).
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct()
+    frontier = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier.select("node", F.lit(0).alias("dist"))
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(hop).alias("dist"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
 
 
 def canonical_edges(

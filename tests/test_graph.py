@@ -64,3 +64,41 @@ def test_pagerank_duplicate_edges_collapse_and_iter0(spark):
 
     with pytest.raises(ValueError):
         _run(spark, [(1, 2)], iters=-1)
+
+
+def _bfs(spark, edge_list, srcs, **kw):
+    from cassandra_slow_queries_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    sources = spark.createDataFrame([(s,) for s in srcs], "node long")
+    return {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, sources, **kw).collect()
+    }
+
+
+def test_bfs_shortest_paths_and_unreachable(spark):
+    # 0→1→2→3, shortcut 0→2; 9→0 points INTO the component (9 unreachable)
+    edges = [(0, 1), (1, 2), (2, 3), (0, 2), (9, 0)]
+    got = _bfs(spark, edges, [0])
+    # shortcut wins: dist(2) is 1, not 2; 9 emits no row
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_bfs_multi_source_min_and_cycle(spark):
+    # cycle 0→1→2→0 plus tail 2→3→4; sources 0 and 4
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    got = _bfs(spark, edges, [0, 4])
+    assert got[0] == 0 and got[4] == 0
+    assert got == {0: 0, 4: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_max_hops_and_undirected(spark):
+    edges = [(0, 1), (1, 2), (2, 3)]
+    assert _bfs(spark, edges, [0], max_hops=1) == {0: 0, 1: 1}
+    assert _bfs(spark, edges, [0], max_hops=0) == {0: 0}
+    # undirected: source 3 walks the chain backwards
+    got = _bfs(spark, edges, [3], directed=False)
+    assert got == {3: 0, 2: 1, 1: 2, 0: 3}
+    with pytest.raises(ValueError):
+        _bfs(spark, edges, [0], max_hops=-1)
