@@ -107,6 +107,10 @@ def tfidf_keywords(
     rows; N is a 1-row crossJoin; the per-doc top-k is the shared
     grouped_top_k window. Everything is keyed aggregation over posting
     rows — vocabulary- and document-bounded, never corpus² anywhere.
+    Output row order is NOT defined (the result is corpus-sized —
+    N_docs × k rows — so a presentation orderBy would force a global
+    range-shuffle sort most consumers immediately re-shuffle away;
+    sort the collected frame yourself if you need one).
     """
     from cassandra_slow_queries_spark.operators.topk import grouped_top_k
 
@@ -140,7 +144,7 @@ def tfidf_keywords(
     )
     return grouped_top_k(
         scored, ["doc_id"], "score", k, tiebreaks=["token"]
-    ).orderBy("doc_id", F.col("score").desc(), "token")
+    )
 
 
 def bm25_topk(
@@ -293,8 +297,10 @@ def mmr_rerank(
     selection time (rounded to 6; the first pick's score is
     ``lambda·relevance`` — no diversity term exists yet). Selection
     ties break on the smaller id. Zero or NULL vectors contribute
-    similarity 0; candidates with a NULL relevance score are dropped
-    (an unscored row has no place in a relevance re-rank). Mixed
+    similarity 0; candidates with a NULL relevance score OR a NULL id
+    are dropped (an unscored row has no place in a relevance re-rank,
+    and an id-less pick is unreturnable — and None is unorderable in
+    the id tie-break). Mixed
     vector dimensions raise rather than silently truncating the dot
     product (the silent-dim-mismatch bug class the LSH bucketizer
     once hit).
@@ -307,7 +313,7 @@ def mmr_rerank(
             F.col(score_col).cast("double").alias("_rel"),
             F.col(vec_col).alias("_v"),
         )
-        .filter(F.col("_rel").isNotNull())
+        .filter(F.col("_rel").isNotNull() & F.col("_id").isNotNull())
         .limit(max_candidates + 1)
         .collect()
     )

@@ -955,6 +955,7 @@ def jl_project(
     vec_col: str = "embedding",
     out_col: str = "projected",
     seed: int = 42,
+    engine: str = "auto",
 ) -> DataFrame:
     """Johnson-Lindenstrauss random projection: compress ``vec_col``
     from ``dim`` to ``out_dim`` coordinates with a seeded Gaussian
@@ -976,30 +977,105 @@ def jl_project(
 
     The matrix is ``out_dim × dim`` floats generated driver-side from
     the same splitmix/Box-Muller stream as the LSH hyperplanes — a few
-    KB embedded as plan literals (shipped with the plan itself, no
-    broadcast variable to manage). Each output coordinate is an
-    unrolled multiply-add chain over literal coefficients: pure codegen
-    expressions, zero Python, zero shuffle — a map-only pass that
-    pipelines into the scan. Coordinates are scaled by 1/√out_dim so
-    squared norms (hence distances) are preserved in expectation, not
-    just up to a constant. NULL vectors project to NULL.
+    KB embedded as ONE ``array<array<double>>`` plan literal (shipped
+    with the plan itself, no broadcast variable to manage). The whole
+    projection is a single ``transform(matrix, row -> aggregate(
+    zip_with(v, row, *), 0, +))`` expression: O(1) plan nodes at ANY
+    ``dim × out_dim``, zero Python, zero shuffle — a map-only pass
+    that pipelines into the scan. (The first cut unrolled each output
+    coordinate into a literal multiply-add chain — "pure codegen" —
+    but ``dim × out_dim`` expression NODES made Catalyst analysis +
+    janino the bottleneck: measured 43 s of driver-side work for a
+    500-row frame at 64→56, with codegen falling back past 64 KB
+    anyway, and minutes-to-OOM at the advertised 768→32; the same
+    lesson hyperplane_bucket's docstring records. The fold form plans
+    in milliseconds regardless of width.)
+
+    ``engine`` picks the execution strategy: ``"expr"`` is the pure-
+    expression fold above (zero Python — right for narrow matrices);
+    ``"arrow"`` is one numpy GEMM per Arrow batch through the same
+    sanctioned Pandas-UDF seam as :func:`bucket_ids_udf` (a dense
+    ``(B, dim) @ (dim, out_dim)`` product is exactly what the
+    expression language cannot express efficiently — the interpreted
+    fold pays dim·out_dim boxed lambda calls PER ROW, measured ~7 ms/
+    row at 768→32). ``"auto"`` (default) switches to arrow once
+    ``dim·out_dim ≥ 4096`` and numpy is importable. Both engines share
+    semantics exactly: coordinates scaled by 1/√out_dim so squared
+    norms (hence distances) are preserved in expectation, not just up
+    to a constant; NULL vectors project to NULL; a non-NULL
+    vector whose width differs from the declared ``dim`` RAISES at
+    execution time instead of silently projecting to all-NULL
+    coordinates (``zip_with`` pads the short side with NULL and NULLs
+    the whole fold — without the guard a wrong ``dim`` or a few
+    corrupt short vectors would make those documents vanish from every
+    downstream top-K with zero signal: the same silent-dim-mismatch
+    bug class mmr_rerank and the LSH bucketizer guard against).
     """
     if out_dim < 1 or dim < 1:
         raise ValueError("dim and out_dim must be >= 1")
+    if engine not in ("auto", "expr", "arrow"):
+        raise ValueError(f"unknown engine {engine!r}")
     planes = _hyperplanes(out_dim, dim, seed)
     scale = 1.0 / math.sqrt(out_dim)
-    v = F.col(vec_col)
+    if engine == "auto":
+        engine = "arrow" if dim * out_dim >= 4096 and _np is not None else "expr"
 
-    def coord(plane: list[float]) -> Column:
-        acc = F.get(v, 0).cast("double") * F.lit(plane[0])
-        for j in range(1, dim):
-            acc = acc + F.get(v, j).cast("double") * F.lit(plane[j])
-        return acc * F.lit(scale)
-
-    projected = F.when(
-        v.isNotNull(), F.array(*[coord(p) for p in planes])
-    )
+    if engine == "arrow":
+        projected = _jl_project_udf(planes, dim, scale)(F.col(vec_col))
+    else:
+        v = F.col(vec_col).cast("array<double>")
+        matrix = F.lit(planes)  # ONE array<array<double>> Literal node
+        proj = F.transform(
+            matrix,
+            lambda row: F.aggregate(
+                F.zip_with(v, row, lambda x, p: x * p),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * F.lit(scale),
+        )
+        projected = (
+            F.when(v.isNull(), F.lit(None).cast("array<double>"))
+            .when(F.size(v) == dim, proj)
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("jl_project: vector width "),
+                        F.size(v).cast("string"),
+                        F.lit(f" != declared dim={dim}"),
+                    )
+                )
+            )
+        )
     return df.withColumn(out_col, projected)
+
+
+def _jl_project_udf(planes: list[list[float]], dim: int, scale: float):
+    """Arrow GEMM engine for :func:`jl_project`: one
+    ``(B, dim) @ (dim, out_dim)`` product per batch (the
+    :func:`bucket_ids_udf` pattern), with the same NULL-through /
+    raise-on-width-mismatch semantics as the expression fold."""
+    mat = _np.array(planes, dtype=_np.float64).T * scale  # (dim, out_dim)
+
+    @_pandas_udf("array<double>")
+    def _proj(v: _pd.Series) -> _pd.Series:
+        mask = v.notna()
+        if not mask.any():
+            return _pd.Series([None] * len(v), dtype="object")
+        vecs = v[mask].to_numpy()
+        widths = {len(x) for x in vecs}
+        if widths != {dim}:
+            bad = sorted(widths - {dim})
+            raise ValueError(
+                f"jl_project: vector width {bad[0]} != declared dim={dim}"
+            )
+        proj = iter(_np.stack(vecs).astype(_np.float64) @ mat)
+        return _pd.Series(
+            [next(proj).tolist() if m else None for m in mask],
+            dtype="object",
+        )
+
+    return _proj
 
 
 def cosine_topk_projected(

@@ -375,6 +375,19 @@ def test_mmr_string_ids_and_null_scores(spark):
     assert [r["doc_id"] for r in rows] == ["a", "c"]
 
 
+def test_mmr_null_ids_dropped(spark):
+    """A NULL id is unreturnable AND unorderable in the tie-break
+    (None vs int used to TypeError when two objectives tied)."""
+    from cassandra_slow_queries_spark.operators.search import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [(None, 0.9, [1.0, 0.0]), (2, 0.9, [0.0, 1.0])],
+        "doc_id long, score double, embedding array<float>",
+    )
+    rows = mmr_rerank(cands, k=2).collect()
+    assert [r["doc_id"] for r in rows] == [2]
+
+
 def test_mmr_mixed_dims_raise(spark):
     import pytest
 

@@ -78,6 +78,40 @@ def test_jl_null_determinism_and_validation(spark):
         jl_project(df, dim=3, out_dim=0)
 
 
+def test_jl_width_mismatch_raises(spark):
+    """A vector narrower than the declared dim must RAISE, not project
+    to all-NULL coordinates and silently vanish from downstream top-K
+    (zip_with pads the short side with NULL without the guard). Both
+    engines must enforce it."""
+    from pyspark.errors import PySparkException
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id bigint, embedding array<float>"
+    )
+    for engine in ("expr", "arrow"):
+        with pytest.raises(PySparkException, match="declared dim=3"):
+            jl_project(df, dim=3, out_dim=2, engine=engine).collect()
+
+
+def test_jl_engine_parity(spark):
+    """The Arrow GEMM engine (auto-picked for wide matrices) must agree
+    with the expression fold to float tolerance, pass NULLs through,
+    and reject unknown engines."""
+    rng = np.random.RandomState(7)
+    vecs = [[float(x) for x in rng.randn(40)] for _ in range(25)]
+    rows = [(i, v) for i, v in enumerate(vecs)] + [(99, None)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    a = {r["vec_id"]: r["projected"]
+         for r in jl_project(df, dim=40, out_dim=8, engine="expr").collect()}
+    b = {r["vec_id"]: r["projected"]
+         for r in jl_project(df, dim=40, out_dim=8, engine="arrow").collect()}
+    assert a[99] is None and b[99] is None
+    for i in range(25):
+        assert np.allclose(a[i], b[i], atol=1e-9)
+    with pytest.raises(ValueError, match="unknown engine"):
+        jl_project(df, dim=40, out_dim=8, engine="gpu")
+
+
 def _recall(exact, approx):
     truth = {(r["q_id"], r["neighbor_id"]) for r in exact}
     found = {(r["q_id"], r["neighbor_id"]) for r in approx}

@@ -158,7 +158,11 @@ def test_tfidf_keywords_hand_formula(spark):
         "doc_id long, text string",
     )
     idx = build_scored_index(docs)
-    out = tfidf_keywords(idx, k=2).collect()
+    # output order is undefined (no presentation sort at corpus scale)
+    out = sorted(
+        tfidf_keywords(idx, k=2).collect(),
+        key=lambda r: (r["doc_id"], -r["score"], r["token"]),
+    )
     by_doc = {}
     for r in out:
         by_doc.setdefault(r["doc_id"], []).append((r["token"], r["score"]))
