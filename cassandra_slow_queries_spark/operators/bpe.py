@@ -36,6 +36,12 @@ from pyspark.sql import functions as F
 
 from cassandra_slow_queries_spark.operators.search import tokenize
 
+try:  # pandas is baked into the target env; gate for safety
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+except ImportError:  # pragma: no cover
+    _pd = None
+
 #: end-of-word marker appended to each word's final character symbol
 EOW = "</w>"
 
@@ -155,14 +161,37 @@ def encode(
     merges: list[tuple[str, str, int]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    engine: str = "auto",
 ) -> DataFrame:
     """Apply a trained merge table to a corpus: per row, tokenize,
-    split words to symbols, fold each merge in training order. The
-    merge chain compiles into nested array expressions — fine for the
-    modest merge counts used in tests; a production encoder with 30k+
-    merges belongs in an Arrow-batched UDF wrapping a real tokenizer
-    library (same seam as operators/multimodal.py's decoders)."""
+    split words to symbols, fold each merge in training order.
+
+    ``engine="expr"`` compiles the merge chain into ONE nested array
+    expression PER MERGE — zero Python, but plan depth grows with the
+    table, so it only fits the modest merge counts used in tests (the
+    same plan-node-explosion class jl_project once hit). ``"arrow"``
+    keeps tokenization and NULL semantics Spark-side (the shared
+    :func:`tokenize` split feeds both engines) and folds the merges in
+    an Arrow-batched UDF with a per-batch unique-word memo — Zipf means
+    a handful of encodes cover most of a batch — applying the SAME
+    sequential training-order fold, so the two engines agree exactly
+    for ANY merge table, not just well-formed trained ones (a rank-
+    greedy encoder à la GPT-2 is faster per word but only equivalent
+    for tables whose pairs appear in constituent-creation order).
+    ``"auto"`` (default) switches to arrow once the table has ≥ 32
+    merges. A true 30k+-merge production encoder still belongs in this
+    seam wrapping a real tokenizer library (tiktoken/sentencepiece —
+    not in this container; same gate as operators/multimodal.py's
+    decoders)."""
+    if engine not in ("auto", "expr", "arrow"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine == "auto":
+        engine = "arrow" if len(merges) >= 32 and _pd is not None else "expr"
     words = df.withColumn("_words", tokenize(F.col(text_col)))
+    if engine == "arrow":
+        return words.withColumn(
+            out_col, _encode_words_udf(merges)(F.col("_words"))
+        ).drop("_words")
     sym = F.expr(
         "transform(_words, w -> transform(sequence(1, length(w)), i -> "
         f"  CASE WHEN i = length(w) THEN substring(w, i, 1) || '{EOW}' "
@@ -188,3 +217,61 @@ def encode(
     return out.withColumn(out_col, F.flatten(F.col("_sym"))).drop(
         "_words", "_sym"
     )
+
+
+def _merge_pass(syms: list[str], a: str, b: str) -> list[str]:
+    """One leftmost-first non-overlapping merge pass — the Python twin
+    of :func:`apply_merge`'s fold (kept scan-shaped so the equivalence
+    is visible: both consume left to right and never re-examine the
+    merged output within the pass)."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _encode_words_udf(merges: list[tuple[str, str, int]]):
+    """Arrow engine for :func:`encode`: ``array<string>`` of words →
+    flat ``array<string>`` of BPE tokens. Sequential training-order
+    fold per UNIQUE word (memoized per batch); a merge is skipped in
+    O(1) when either symbol is absent from the word's current symbol
+    set, so the common case costs two set probes, not a scan."""
+    pairs = [(a, b) for a, b, *_ in merges]
+
+    def encode_word(word: str) -> list[str]:
+        syms = list(word[:-1]) + [word[-1] + EOW]
+        symset = set(syms)
+        for a, b in pairs:
+            if a not in symset or b not in symset:
+                continue
+            merged = _merge_pass(syms, a, b)
+            if len(merged) != len(syms):
+                syms = merged
+                symset = set(syms)
+        return syms
+
+    @_pandas_udf("array<string>")
+    def _enc(words: _pd.Series) -> _pd.Series:
+        memo: dict[str, list[str]] = {}
+
+        def row(ws):
+            if ws is None:
+                return None
+            out: list[str] = []
+            for w in ws:
+                t = memo.get(w)
+                if t is None:
+                    t = encode_word(w)
+                    memo[w] = t
+                out.extend(t)
+            return out
+
+        return words.map(row)
+
+    return _enc

@@ -177,3 +177,50 @@ def test_bpe_backslash_symbols(spark):
     enc = bpe.encode(docs, merges, "text").collect()[0]["bpe_tokens"]
     assert "".join(enc).replace(bpe.EOW, " ").strip() == \
         "c:\\tmp c:\\tmp c:\\tmp o'k o'k"
+
+
+def test_bpe_encode_engine_parity(spark):
+    """The Arrow encoder (auto-picked past 32 merges) must agree with
+    the expression fold token-for-token — including NULL text, empty
+    text, and words unseen in training."""
+    corpus = spark.createDataFrame(
+        [(1, " ".join(["low"] * 5 + ["lowest"] * 2 + ["newer"] * 3))],
+        ["doc_id", "text"],
+    )
+    merges = bpe.train_bpe_merges(corpus, n_merges=6)
+    assert len(merges) >= 4
+    held_out = spark.createDataFrame(
+        [
+            (1, "low lowest slower new newest"),
+            (2, None),
+            (3, ""),
+            (4, "zzz low zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["bpe_tokens"]
+         for r in bpe.encode(held_out, merges, engine="expr").collect()}
+    b = {r["doc_id"]: r["bpe_tokens"]
+         for r in bpe.encode(held_out, merges, engine="arrow").collect()}
+    assert a == b
+    assert a[2] is None and a[3] == []
+    # roundtrip through the arrow path too
+    text = "".join(b[1]).replace(bpe.EOW, " ").strip()
+    assert text == "low lowest slower new newest"
+    with pytest.raises(ValueError, match="unknown engine"):
+        bpe.encode(held_out, merges, engine="gpu")
+
+
+def test_bpe_encode_arrow_adversarial_table_parity(spark):
+    """Sequential-fold equivalence must hold for ARBITRARY merge
+    tables, not just trained ones — e.g. a later merge creating an
+    earlier merge's pair must NOT be re-merged by either engine."""
+    docs = spark.createDataFrame(
+        [(1, "aab aaa baba")], "doc_id long, text string"
+    )
+    # (b, a) fires inside 'baba'; the later (a, ba) then creates a
+    # fresh adjacency for the EARLIER pair which must stay unmerged.
+    merges = [("b", "a", 0), ("a", "ba", 0), ("aa", f"b{bpe.EOW}", 0)]
+    a = bpe.encode(docs, merges, engine="expr").collect()[0]["bpe_tokens"]
+    b = bpe.encode(docs, merges, engine="arrow").collect()[0]["bpe_tokens"]
+    assert a == b
