@@ -15,6 +15,8 @@ salting with exact join parity.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -25,6 +27,7 @@ def salted_join(
     on: str,
     n_salts: int = 16,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join ``left`` (big, possibly key-skewed) to ``right``
     (small: it is replicated ``n_salts``×) on column ``on``, with the
@@ -32,12 +35,17 @@ def salted_join(
     Result is EXACTLY the plain join (each left row joins its key's
     right rows once — the right copy carrying that row's own salt).
 
-    The salt is deterministic — ``xxhash64`` of the left row's columns,
-    mod ``n_salts`` — so the plan replays identically across runs and
-    engines (no ``rand()``: a retried task re-salting differently would
-    break exactly-once sinks). Fully duplicated left rows share a salt;
-    a hot KEY whose rows differ anywhere spreads uniformly, which is
-    the skew case that matters.
+    The salt is deterministic — ``xxhash64`` of ``salt_cols`` (default:
+    every left column), mod ``n_salts`` — so the plan replays
+    identically across runs and engines (no ``rand()``: a retried task
+    re-salting differently would break exactly-once sinks).
+
+    Pass a UNIQUE per-row column (a row id) as ``salt_cols`` when one
+    exists: rows that are full duplicates — or that collapse onto few
+    distinct values in the salted columns — share a salt, so a hot key
+    with low residual cardinality can still pile onto few cells. A
+    per-row id makes the spread ~uniform over the hot key's ROWS on
+    any data, which is what a spread audit should rely on.
 
     ``how`` supports ``inner`` and ``left`` (an unmatched left row
     survives exactly once). Right/full outer are rejected: the
@@ -50,9 +58,12 @@ def salted_join(
         )
     if n_salts < 1:
         raise ValueError("n_salts must be >= 1")
+    cols = list(salt_cols) if salt_cols is not None else list(left.columns)
+    if not cols:
+        raise ValueError("salt_cols must name at least one column")
     l = left.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)),
+        F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts)),
     )
     r = right.withColumn(
         "_salt",

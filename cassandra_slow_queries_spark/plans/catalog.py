@@ -3831,10 +3831,20 @@ def q_x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle is the unsalted SQL join aggregated per key, plus a
     ``spread_ok`` boolean pinning that no single (key, salt) cell holds
     more than 2/16ths of the hot key's rows (a broken salt — constant,
-    or correlated with the key — collapses the spread and flips it)."""
+    or correlated with the key — collapses the spread and flips it).
+
+    The salt hashes the unique ``event_id`` (``salt_cols``), NOT the
+    projected payload: the hot key's rows collapse onto only a few
+    hundred distinct ``(k, duration)`` values at small SF, and hashing
+    a low-cardinality payload makes the 2/16 spread bound a lottery
+    over which heavy values land together (the round-6 driver flake —
+    rows/schema matched, the audit bit flipped on different data). A
+    per-row id spreads the hot key uniformly over its ROWS on any
+    data, so the bound holds with wide margin."""
     from cassandra_slow_queries_spark.operators.skew import salted_join
 
     ev = load(spark, sf_dir, "events").select(
+        F.col("event_id"),
         F.when(F.pmod(F.col("event_id"), F.lit(10)) < 7, F.lit("hot"))
         .otherwise(F.concat(F.lit("k"), F.pmod(F.col("event_id"), F.lit(97))))
         .alias("k"),
@@ -3845,14 +3855,14 @@ def q_x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("k_tier", F.when(F.col("k") == "hot", "hot").otherwise("cold"))
     )
-    joined = salted_join(ev, dim, on="k", n_salts=16)
+    joined = salted_join(ev, dim, on="k", n_salts=16, salt_cols=["event_id"])
     per_key = joined.groupBy("k_tier").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("duration").alias("total_duration"),
     )
     # spread audit: max salted cell of the hot key vs its total
     l_salted = ev.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in ev.columns]), F.lit(16))
+        "_salt", F.pmod(F.xxhash64(F.col("event_id")), F.lit(16))
     ).filter(F.col("k") == "hot")
     spread = (
         l_salted.groupBy("_salt")

@@ -57,13 +57,23 @@ def parse_cql_schema(schema_text: str) -> dict:
         if "PRIMARY KEY (" in line:
             if not keyspace or not column_family:
                 raise ValueError(f"Unable to process schema line {line!r}")
-            pk, ck = _parse_compound_keys(line)
+            # Slice from the keyword: identical for the reference's
+            # multi-line DESCRIBE layout (the line starts at PRIMARY
+            # KEY), and keeps a compact one-line CREATE TABLE from
+            # leaking its column list into the key parse.
+            pk, ck = _parse_compound_keys(line[line.find("PRIMARY KEY") :])
             ret[keyspace][column_family] = {"primary_key": pk, "clustering_key": ck}
             keyspace = column_family = None
         elif "PRIMARY KEY" in line:
             if not keyspace or not column_family:
                 raise ValueError(f"Unable to process schema line {line!r}")
-            col = line.strip(" ,").replace(" PRIMARY KEY", "").split(" ")[0]
+            # Inline form: the pk column is the first token of the
+            # `col type PRIMARY KEY` clause — the last '('/','-delimited
+            # chunk before the keyword, so `CREATE TABLE ks.cf (id uuid
+            # PRIMARY KEY, ...` on one line names `id`, not `CREATE`.
+            before = line[: line.find("PRIMARY KEY")]
+            chunk = before.replace("(", ",").split(",")[-1].strip(" ,")
+            col = chunk.split(" ")[0]
             ret[keyspace][column_family] = {"primary_key": [col], "clustering_key": []}
             keyspace = column_family = None
     return ret
@@ -78,7 +88,9 @@ def _parse_compound_keys(line: str) -> tuple[list[str], list[str]]:
         close = body.find(")")
         partition = body[:close].replace("((", "")
         pk = [v.strip() for v in partition.split(",")]
-        clustering = body[close + 1 :].replace(")", "").replace("(", "")
+        clustering = (
+            body[close + 1 :].replace(")", "").replace("(", "").replace(";", "")
+        )
         ck = [v.strip() for v in clustering.split(",") if v.strip()]
     else:
         flat = body.replace("(", "").replace(")", "").replace(";", "")

@@ -54,6 +54,31 @@ def test_parse_composite_pk():
     }
 
 
+def test_parse_one_line_create_table():
+    # Compact (valid CQL) one-line statements: CREATE TABLE and PRIMARY
+    # KEY share a line. Round-7 verify found these silently parsed the
+    # column list into the key arrays; they must parse like multi-line.
+    ddl = (
+        "CREATE TABLE ks0.cf0 (pk int, c int, v text, PRIMARY KEY (pk, c));\n"
+        "CREATE TABLE ks1.cf1 (id uuid PRIMARY KEY, v text);\n"
+        "CREATE TABLE ks2.wide (a text, b text, c text, "
+        "PRIMARY KEY ((a, b), c));\n"
+    )
+    schema = parse_cql_schema(ddl)
+    assert schema["ks0"]["cf0"] == {
+        "primary_key": ["pk"],
+        "clustering_key": ["c"],
+    }
+    assert schema["ks1"]["cf1"] == {
+        "primary_key": ["id"],
+        "clustering_key": [],
+    }
+    assert schema["ks2"]["wide"] == {
+        "primary_key": ["a", "b"],
+        "clustering_key": ["c"],
+    }
+
+
 def test_orphan_primary_key_raises():
     with pytest.raises(ValueError):
         parse_cql_schema("PRIMARY KEY (a, b)")

@@ -91,6 +91,41 @@ def test_salted_join_spreads_hot_key_and_rejects_outer(spark):
         salted_join(left, right, "k", n_salts=0)
 
 
+def test_salted_join_salt_cols_spreads_duplicate_payloads(spark):
+    # One hot key whose payload collapses to TWO distinct values: the
+    # default all-columns salt lands everything in at most 2 cells (the
+    # round-6 driver flake), while salting on the unique row id spreads
+    # uniformly over rows — and the join stays exact either way.
+    left = spark.createDataFrame(
+        [(i, "hot", float(i % 2)) for i in range(1600)],
+        "row_id long, k string, v double",
+    )
+    right = spark.createDataFrame([("hot", "H")], "k string, tag string")
+
+    def cells(cols):
+        return (
+            left.withColumn(
+                "_salt",
+                F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(16)),
+            )
+            .groupBy("_salt")
+            .count()
+            .collect()
+        )
+
+    payload_cells = cells(["k", "v"])
+    assert len(payload_cells) <= 2  # degenerate spread
+    id_cells = cells(["row_id"])
+    assert len(id_cells) == 16
+    assert max(r["count"] for r in id_cells) * 16 <= 2 * 1600
+
+    salted = salted_join(left, right, "k", n_salts=16, salt_cols=["row_id"])
+    assert salted.count() == 1600
+
+    with pytest.raises(ValueError):
+        salted_join(left, right, "k", salt_cols=[])
+
+
 def test_bm25_scores_match_hand_formula(spark):
     import math
 
