@@ -4871,6 +4871,82 @@ ORDER BY a.user_id
 """
 
 
+def q_stream_parity_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three stream==batch parity gates consolidated into one driver
+    slot (the 3-round rotation cap forces consolidation over growth;
+    the ann_approx_gates precedent): dropDuplicatesWithinWatermark
+    dedup, stream-static broadcast enrichment, and the watermarked
+    stream-stream interval join — each still runs its FULL streaming
+    pipeline (q_stream_dedup_keys / q_stream_enrich_join /
+    q_stream_stream_join above) and contributes every detail row,
+    harmonized to (method, bucket, k, cnt, total) and hash-compared
+    against the union of the three batch oracles. No per-row detail is
+    dropped, so the gate strength of the three standalone entries is
+    preserved."""
+    dedup = q_stream_dedup_keys(spark, sf_dir).select(
+        F.lit("dedup").alias("method"),
+        F.col("bucket"),
+        F.concat_ws("|", "query", "primary_key").alias("k"),
+        F.lit(None).cast("long").alias("cnt"),
+        F.lit(None).cast("long").alias("total"),
+    )
+    enrich = q_stream_enrich_join(spark, sf_dir).select(
+        F.lit("enrich").alias("method"),
+        F.lit(None).cast("timestamp").alias("bucket"),
+        F.col("segment").alias("k"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("total_duration").cast("long").alias("total"),
+    )
+    ss = q_stream_stream_join(spark, sf_dir).select(
+        F.lit("ssjoin").alias("method"),
+        F.lit(None).cast("timestamp").alias("bucket"),
+        F.col("user_id").cast("string").alias("k"),
+        F.col("n_pairs").cast("long").alias("cnt"),
+        F.col("sum_lag_us").cast("long").alias("total"),
+    )
+    return (
+        dedup.unionByName(enrich)
+        .unionByName(ss)
+        .orderBy("method", "bucket", "k")
+    )
+
+
+STREAM_PARITY_SUITE_SQL = """
+WITH dedup AS (
+    SELECT DISTINCT date_trunc('hour', ts) AS bucket,
+           event_type || '|' || CAST(user_id % 10 AS VARCHAR) AS k
+    FROM events
+), enrich AS (
+    SELECT c_mktsegment AS k,
+           COUNT(*) AS cnt,
+           SUM(CAST(FLOOR(value) AS BIGINT)) AS total
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY 1
+), ssjoin AS (
+    SELECT CAST(a.user_id AS VARCHAR) AS k,
+           COUNT(*) AS cnt,
+           SUM(epoch_us(b.ts) - epoch_us(a.ts)) AS total
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'click'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    GROUP BY 1
+)
+SELECT * FROM (
+    SELECT 'dedup' AS method, bucket, k,
+           CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS BIGINT) AS total
+    FROM dedup
+    UNION ALL
+    SELECT 'enrich', CAST(NULL AS TIMESTAMP), k, cnt, total FROM enrich
+    UNION ALL
+    SELECT 'ssjoin', CAST(NULL AS TIMESTAMP), k, cnt, total FROM ssjoin
+)
+ORDER BY method, bucket, k
+"""
+
+
 def q_x_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering gate: interleave two uniform 8-bit
     dimensions (plans/layout.py ``zorder_key``, pure bitwise codegen)
@@ -7010,6 +7086,89 @@ FROM p GROUP BY 1 ORDER BY 1
 """
 
 
+def q_cur_token_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-layout accounting consolidated into one driver slot (the
+    3-round rotation cap; ann_approx_gates precedent): padding-waste
+    comparison of arrival-order vs length-sorted batching AND the
+    token-budgeted shard manifest — both built on the same distributed
+    prefix-sum rank machinery (operators/merge.py:assign_global_ids).
+    Each half still runs its full pipeline (q_cur_length_batching /
+    q_cur_token_shards above) and contributes every row, harmonized to
+    (kind, idx, k, n_rows, n_tokens, padded_tokens, waste_frac); the
+    oracle is the union of the two standalone oracles, so gate
+    strength is unchanged."""
+    batching = q_cur_length_batching(spark, sf_dir).select(
+        F.lit("batching").alias("kind"),
+        F.lit(None).cast("long").alias("idx"),
+        F.col("strategy").alias("k"),
+        F.col("n_batches").cast("long").alias("n_rows"),
+        F.col("total_tokens").cast("long").alias("n_tokens"),
+        F.col("padded_tokens").cast("long").alias("padded_tokens"),
+        F.col("waste_frac").cast("double").alias("waste_frac"),
+    )
+    shards = q_cur_token_shards(spark, sf_dir).select(
+        F.lit("shards").alias("kind"),
+        F.col("shard").cast("long").alias("idx"),
+        F.lit(None).cast("string").alias("k"),
+        F.col("n_docs").cast("long").alias("n_rows"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.lit(None).cast("long").alias("padded_tokens"),
+        F.lit(None).cast("double").alias("waste_frac"),
+    )
+    return batching.unionByName(shards).orderBy("kind", "idx", "k")
+
+
+CUR_TOKEN_LAYOUT_SQL = """
+WITH d AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+    FROM documents
+), r AS (
+    SELECT 'arrival' AS strategy, n_tok,
+           ROW_NUMBER() OVER (ORDER BY doc_id) AS gid
+    FROM d
+    UNION ALL
+    SELECT 'length_sorted', n_tok,
+           ROW_NUMBER() OVER (ORDER BY n_tok, doc_id)
+    FROM d
+), b AS (
+    SELECT strategy, (gid - 1) // 16 AS batch,
+           COUNT(*) AS rows_, SUM(n_tok) AS s, MAX(n_tok) AS m
+    FROM r GROUP BY 1, 2
+), batching AS (
+    SELECT strategy,
+           CAST(COUNT(*) AS BIGINT) AS n_batches,
+           CAST(SUM(s) AS BIGINT) AS total_tokens,
+           CAST(SUM(rows_ * m) AS BIGINT) AS padded_tokens,
+           ROUND((SUM(rows_ * m) - SUM(s)) * 1.0 / SUM(rows_ * m), 6)
+               AS waste_frac
+    FROM b GROUP BY strategy
+), p AS (
+    SELECT doc_id, n_tok,
+           SUM(n_tok) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+    FROM d
+), shards AS (
+    SELECT CAST((GREATEST(cum, 1) - 1) // 2000 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM p GROUP BY 1
+)
+SELECT * FROM (
+    SELECT 'batching' AS kind, CAST(NULL AS BIGINT) AS idx, strategy AS k,
+           n_batches AS n_rows, total_tokens AS n_tokens,
+           padded_tokens, waste_frac
+    FROM batching
+    UNION ALL
+    SELECT 'shards', shard, CAST(NULL AS VARCHAR),
+           n_docs, n_tokens, CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM shards
+)
+ORDER BY kind, idx, k
+"""
+
+
 def q_x_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix (operators/analytics.py:
     cohort_retention): users cohorted by their FIRST purchase day, one
@@ -8033,20 +8192,11 @@ CATALOG: dict[str, QueryDef] = {
     "stream_e2e_parse": QueryDef(
         q_stream_e2e_parse, A4_SQL, "production parse pipeline under streaming"
     ),
-    "stream_dedup_keys": QueryDef(
-        q_stream_dedup_keys,
-        STREAM_DEDUP_SQL,
-        "streaming ingestion dedup: dropDuplicatesWithinWatermark, bounded state",
-    ),
-    "stream_enrich_join": QueryDef(
-        q_stream_enrich_join,
-        STREAM_ENRICH_SQL,
-        "stream-static broadcast enrichment join + streaming aggregation",
-    ),
-    "stream_stream_join": QueryDef(
-        q_stream_stream_join,
-        STREAM_STREAM_JOIN_SQL,
-        "watermarked stream-stream interval join (view-to-click funnel)",
+    "stream_parity_suite": QueryDef(
+        q_stream_parity_suite,
+        STREAM_PARITY_SUITE_SQL,
+        "consolidated stream==batch parity: watermark dedup + "
+        "stream-static enrich + stream-stream interval join",
     ),
     "x_funnel": QueryDef(
         q_x_funnel,
@@ -8155,10 +8305,11 @@ CATALOG: dict[str, QueryDef] = {
         X_INT8_QUANT_SQL,
         "per-vector int8 quantization, reconstruction-fidelity-gated",
     ),
-    "cur_length_batching": QueryDef(
-        q_cur_length_batching,
-        CUR_LENGTH_BATCHING_SQL,
-        "padding waste: arrival-order vs length-sorted batch layout",
+    "cur_token_layout": QueryDef(
+        q_cur_token_layout,
+        CUR_TOKEN_LAYOUT_SQL,
+        "consolidated token layout: padding-waste batching comparison "
+        "+ token-budgeted shard manifest",
     ),
     "x_geomean": QueryDef(
         q_x_geomean,
@@ -8184,11 +8335,6 @@ CATALOG: dict[str, QueryDef] = {
         q_x_outlinks,
         X_OUTLINKS_SQL,
         "outlink extraction: URL mentions -> host rollup",
-    ),
-    "cur_token_shards": QueryDef(
-        q_cur_token_shards,
-        CUR_TOKEN_SHARDS_SQL,
-        "token-budgeted output sharding via distributed prefix-sum",
     ),
     "x_cohort_retention": QueryDef(
         q_x_cohort_retention,
