@@ -1,0 +1,163 @@
+"""Model-scored document quality — the fastText-style linear-classifier
+inference seam (DCLM / FineWeb-Edu style pretraining curation).
+
+The one curation stage the heuristic tier (functions/text.py
+``quality_score``, operators/curation.py ``quality_filter``) does not
+cover: scoring every document with a TRAINED linear model over hashed
+token n-gram features. Training happens offline (fastText, sklearn —
+out of scope here); this module is the inference path a 100 TB curation
+run needs:
+
+- the model is ONE broadcast ``(n_features, n_classes)`` weight matrix
+  plus a bias vector — a few MB even at 2^20 features, closured into
+  the UDF and shipped once per executor;
+- scoring is Arrow-batched (the ``bucket_ids_udf`` pattern,
+  operators/similarity.py): per batch, every document's n-gram bucket
+  ids form one flat gather ``W[idx]`` followed by one segmented
+  reduction — the sparse-times-dense GEMM a linear text classifier is.
+  No per-row Python UDF, no driver round-trips;
+- feature hashing is FNV-1a 64 (pure integer arithmetic), so bucket
+  assignment — and therefore every score — is exactly reproducible
+  across runs, partitionings, batch sizes, and engines. Scores are
+  float64 with a fixed per-document reduction order, so repartitioning
+  the corpus cannot change a single bit of the output
+  (tests/test_quality_model.py pins this).
+
+Deliberately NOT expression-side: a ``F.lit`` matrix literal works for
+tiny models (the expression-width lesson: ONE literal node, never
+unrolled chains) but a real quality model has 10^5-10^6 hashed
+features, which belongs in a numpy array behind the Arrow seam, not in
+a Catalyst plan.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = (1 << 64) - 1
+
+
+def fnv1a64(data: bytes) -> int:
+    """FNV-1a 64-bit — tiny, dependency-free, stable across platforms
+    (unlike Python's seeded ``hash``). The feature-hashing function."""
+    h = _FNV_OFFSET
+    for byte in data:
+        h = ((h ^ byte) * _FNV_PRIME) & _MASK64
+    return h
+
+
+def gram_buckets(
+    tokens: Sequence[str], n_features: int, ngram: int = 2
+) -> list[int]:
+    """Hashed feature ids of all 1..``ngram``-grams of ``tokens``,
+    fastText's wordNgrams hashing trick: ``fnv1a64(gram) % n_features``.
+    Order is deterministic (unigrams left-to-right, then bigrams, ...),
+    which fixes the per-document float reduction order downstream."""
+    out: list[int] = []
+    for n in range(1, ngram + 1):
+        for i in range(len(tokens) - n + 1):
+            g = " ".join(tokens[i : i + n])
+            out.append(fnv1a64(g.encode("utf-8")) % n_features)
+    return out
+
+
+def quality_logits_udf(
+    weights: np.ndarray | Sequence[Sequence[float]],
+    bias: np.ndarray | Sequence[float],
+    ngram: int = 2,
+):
+    """``text → array<double>`` of class logits under the linear model
+    ``mean(W[gram buckets]) + b`` (fastText's mean-pooled input layer
+    feeding a linear output layer, collapsed to one matrix for
+    inference).
+
+    One Arrow batch costs one flat gather ``W[all_idx]`` over every
+    gram in the batch plus one ``np.add.reduceat`` segmented sum — the
+    batched sparse GEMM. A document with no tokens scores the bias
+    alone (fastText's behavior for empty input).
+    """
+    W = np.asarray(weights, dtype=np.float64)
+    b = np.asarray(bias, dtype=np.float64)
+    if W.ndim != 2:
+        raise ValueError(f"weights must be 2-D (n_features, n_classes), got {W.ndim}-D")
+    if b.shape != (W.shape[1],):
+        raise ValueError(
+            f"bias shape {b.shape} does not match n_classes {W.shape[1]}"
+        )
+    n_features = W.shape[0]
+
+    @pandas_udf("array<double>")
+    def _logits(texts: pd.Series) -> pd.Series:
+        flat: list[int] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            idx = gram_buckets((t or "").split(), n_features, ngram)
+            counts[i] = len(idx)
+            flat.extend(idx)
+        out = np.tile(b, (len(texts), 1))  # start every doc at the bias
+        if flat:
+            gathered = W[np.asarray(flat, dtype=np.int64)]  # (G, C)
+            starts = np.zeros(len(texts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            nonempty = counts > 0
+            # reduceat needs strictly valid segment starts: compact to
+            # the non-empty documents, segment-sum, scatter back
+            seg = np.add.reduceat(gathered, starts[nonempty], axis=0)
+            out[nonempty] += seg / counts[nonempty, None]
+        return pd.Series(list(out))
+
+    return _logits
+
+
+def softmax_probs(logits: Column) -> Column:
+    """``array<double>`` logits → softmax probabilities, expression-side
+    (max-shifted for stability) — the cheap end of the model stays in
+    codegen; only the GEMM crosses the Arrow seam."""
+    mx = F.array_max(logits)
+    exps = F.transform(logits, lambda x: F.exp(x - mx))
+    total = F.aggregate(exps, F.lit(0.0), lambda acc, x: acc + x)
+    return F.transform(exps, lambda e: e / total)
+
+
+def score_quality(
+    df: DataFrame,
+    weights: np.ndarray | Sequence[Sequence[float]],
+    bias: np.ndarray | Sequence[float],
+    classes: Sequence[str],
+    text_col: str = "text",
+    ngram: int = 2,
+    out_prefix: str = "q_",
+) -> DataFrame:
+    """Attach model-quality columns: ``<prefix>logits`` (array<double>),
+    ``<prefix>probs`` (softmax), ``<prefix>pred`` (argmax label, first
+    index wins ties), and ``<prefix>score`` — the probability of the
+    LAST class in ``classes``, by convention the positive/"keep" class,
+    which is the single number a curation threshold consumes."""
+    classes = list(classes)
+    W = np.asarray(weights, dtype=np.float64)
+    if len(classes) != W.shape[1]:
+        raise ValueError(
+            f"{len(classes)} class labels for {W.shape[1]} model outputs"
+        )
+    logits_col = quality_logits_udf(W, bias, ngram=ngram)(F.col(text_col))
+    out = df.withColumn(f"{out_prefix}logits", logits_col)
+    probs = softmax_probs(F.col(f"{out_prefix}logits"))
+    out = out.withColumn(f"{out_prefix}probs", probs)
+    pred = F.element_at(
+        F.lit(classes),
+        F.array_position(
+            F.col(f"{out_prefix}logits"), F.array_max(F.col(f"{out_prefix}logits"))
+        ).cast("int"),
+    )
+    out = out.withColumn(f"{out_prefix}pred", pred)
+    return out.withColumn(
+        f"{out_prefix}score", F.element_at(F.col(f"{out_prefix}probs"), len(classes))
+    )

@@ -1,0 +1,149 @@
+"""Model-scored quality inference seam (operators/quality_model.py):
+exact replayable scores, partitioning/batch-size invariance, and the
+end-to-end keep-threshold behavior a curation run relies on."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_slow_queries_spark.operators.quality_model import (
+    fnv1a64,
+    gram_buckets,
+    quality_logits_udf,
+    score_quality,
+)
+
+N_FEATURES = 256
+N_CLASSES = 2
+
+
+def _det_weights(n_features: int, n_classes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic pseudo-trained weights: each cell derived from the
+    md5 of its coordinates, in [-0.5, 0.5) — no RNG state anywhere."""
+    W = np.empty((n_features, n_classes))
+    for i in range(n_features):
+        for j in range(n_classes):
+            h = hashlib.md5(f"{i},{j}".encode()).hexdigest()
+            W[i, j] = int(h[:8], 16) / 2**32 - 0.5
+    b = np.array([0.25] + [-0.1] * (n_classes - 1))
+    return W, b
+
+
+def test_fnv1a64_known_vectors():
+    # Published FNV-1a test vectors (empty string and "a")
+    assert fnv1a64(b"") == 0xCBF29CE484222325
+    assert fnv1a64(b"a") == 0xAF63DC4C8601EC8C
+    assert fnv1a64(b"hello") == fnv1a64(b"hello")  # stable across calls
+
+
+def test_gram_buckets_order_and_range():
+    toks = ["a", "b", "c"]
+    got = gram_buckets(toks, 16, ngram=2)
+    # unigrams left-to-right, then bigrams: fixed reduction order
+    expect = [
+        fnv1a64(b"a") % 16,
+        fnv1a64(b"b") % 16,
+        fnv1a64(b"c") % 16,
+        fnv1a64(b"a b") % 16,
+        fnv1a64(b"b c") % 16,
+    ]
+    assert got == expect
+    assert gram_buckets([], 16) == []
+
+
+def test_logits_exact_hand_computed(spark):
+    # 4 features, 1 class, unigrams only: logit == W[bucket] + b exactly
+    W = np.array([[1.0], [2.0], [4.0], [8.0]])
+    b = np.array([0.5])
+    df = spark.createDataFrame([("x",), ("",)], "text string")
+    rows = {
+        r["text"]: r["lg"]
+        for r in df.withColumn(
+            "lg", quality_logits_udf(W, b, ngram=1)(F.col("text"))
+        ).collect()
+    }
+    bucket = fnv1a64(b"x") % 4
+    assert rows["x"] == [W[bucket, 0] + 0.5]
+    assert rows[""] == [0.5]  # empty text scores the bias alone
+
+
+def test_scores_partition_and_batch_invariant(spark):
+    """The replayability gate: identical float64 output regardless of
+    partition count or Arrow batch size — a doc's grams always form one
+    contiguous reduceat segment, so layout cannot move a single bit."""
+    W, b = _det_weights(N_FEATURES, N_CLASSES)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def run(df):
+        out = score_quality(df, W, b, ["low", "high"])
+        return {
+            r["doc_id"]: (tuple(r["q_logits"]), r["q_score"], r["q_pred"])
+            for r in out.select("doc_id", "q_logits", "q_score", "q_pred").collect()
+        }
+
+    base = run(docs.repartition(1))
+    assert run(docs.repartition(13)) == base  # bitwise equality
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        assert run(docs.repartition(3)) == base
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_scores_match_numpy_replay(spark):
+    """Independent driver-side replay of the full model over the real
+    corpus sample: gather + segmented mean + bias, then softmax."""
+    W, b = _det_weights(N_FEATURES, N_CLASSES)
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(100)
+    )
+    out = score_quality(docs, W, b, ["low", "high"])
+    got = out.select("doc_id", "text", "q_logits", "q_probs").collect()
+    assert len(got) == 100
+    for r in got:
+        idx = gram_buckets((r["text"] or "").split(), N_FEATURES, ngram=2)
+        if idx:
+            expect = W[np.asarray(idx)].mean(axis=0) + b
+        else:
+            expect = b
+        np.testing.assert_allclose(r["q_logits"], expect, rtol=0, atol=1e-12)
+        z = np.exp(expect - expect.max())
+        np.testing.assert_allclose(r["q_probs"], z / z.sum(), rtol=0, atol=1e-12)
+
+
+def test_planted_signal_separates_classes(spark):
+    """A model whose 'high' column loads on one marker token must keep
+    exactly the marked docs at any threshold between the two masses."""
+    n_feat = 64
+    W = np.zeros((n_feat, 2))
+    marker = fnv1a64(b"GOODTOKEN") % n_feat
+    # marked docs have 5 grams, so mean pooling delivers 10/5 = 2 to the
+    # high logit; the -1 bias leaves marked at +1 and unmarked at -1
+    W[marker, 1] = 10.0
+    b = np.array([0.0, -1.0])
+    rows = [(i, ("GOODTOKEN filler text" if i % 3 == 0 else "filler text only"),)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = score_quality(df, W, b, ["low", "high"])
+    kept = {r["doc_id"] for r in out.filter(F.col("q_score") > 0.5).collect()}
+    assert kept == {i for i in range(60) if i % 3 == 0}
+    preds = {r["doc_id"]: r["q_pred"] for r in out.collect()}
+    assert all(
+        (p == "high") == (i % 3 == 0) for i, p in preds.items()
+    )
+
+
+def test_shape_validation():
+    with pytest.raises(ValueError):
+        quality_logits_udf(np.zeros(4), np.zeros(1))  # 1-D weights
+    with pytest.raises(ValueError):
+        quality_logits_udf(np.zeros((4, 2)), np.zeros(3))  # bias mismatch
