@@ -117,6 +117,94 @@ def quality_logits_udf(
     return _logits
 
 
+def gram_buckets_udf(n_features: int, ngram: int = 2):
+    """``text → array<bigint>`` of hashed gram bucket ids — the SAME
+    featurization as :func:`quality_logits_udf` (shared
+    :func:`gram_buckets` helper), exposed as its own Arrow seam so
+    training-side aggregations can explode it. Train and inference
+    hashing can never drift: both call one function."""
+
+    @pandas_udf("array<bigint>")
+    def _buckets(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [gram_buckets((t or "").split(), n_features, ngram) for t in texts]
+        )
+
+    return _buckets
+
+
+def fit_quality_model(
+    df: DataFrame,
+    classes: Sequence[str],
+    text_col: str = "text",
+    label_col: str = "label",
+    n_features: int = 4096,
+    ngram: int = 2,
+    smoothing: float = 1.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Closed-form multinomial Naive Bayes over the hashed gram
+    features — the one linear text classifier trainable in a SINGLE
+    distributed pass (no gradient iterations): per-(class, bucket)
+    gram counts via explode + hash aggregation, then the add-α
+    log-likelihood matrix ``W[f,c] = log((n_fc+α)/(n_c+α·F))`` and log
+    priors ``b`` assembled driver-side. Returns ``(W, b)`` ready for
+    :func:`score_quality`.
+
+    The only ``collect()`` is the count matrix — bounded by the MODEL
+    size (≤ n_features·n_classes cells, the k-means-centroid
+    precedent), never by the corpus. At 100 TB the plan is one corpus
+    scan, one hash aggregation on (class, bucket), one driver-side
+    matrix fill.
+
+    :func:`score_quality` mean-pools grams where NB sums them; the two
+    differ by the per-document positive factor ``1/n_grams`` applied to
+    every class alike, so argmax (and any score threshold calibrated on
+    scored output) is preserved — only the softmax temperature changes.
+
+    Rows whose label is not in ``classes`` raise: a silently dropped
+    label would bias the priors.
+    """
+    classes = list(classes)
+    if len(classes) != len(set(classes)):
+        raise ValueError("duplicate class labels")
+    if smoothing <= 0:
+        raise ValueError("smoothing must be > 0 (zero counts need mass)")
+    class_idx = {c: i for i, c in enumerate(classes)}
+
+    buckets = gram_buckets_udf(n_features, ngram)(F.col(text_col))
+    counts = (
+        df.select(F.col(label_col).alias("_label"), buckets.alias("_b"))
+        .select("_label", F.explode("_b").alias("_bucket"))
+        .groupBy("_label", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    priors = (
+        df.groupBy(F.col(label_col).alias("_label"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    bad = sorted(
+        {r["_label"] for r in priors if r["_label"] not in class_idx}
+    )
+    if bad:
+        raise ValueError(f"labels outside classes: {bad}")
+
+    count_mat = np.zeros((n_features, len(classes)))
+    for r in counts:
+        count_mat[r["_bucket"], class_idx[r["_label"]]] += r["_n"]
+    totals = count_mat.sum(axis=0)
+    W = np.log((count_mat + smoothing) / (totals + smoothing * n_features))
+    n_docs = np.zeros(len(classes))
+    for r in priors:
+        n_docs[class_idx[r["_label"]]] = r["_n"]
+    if not n_docs.sum():
+        raise ValueError("empty training frame")
+    b = np.log(n_docs / n_docs.sum(), where=n_docs > 0,
+               out=np.full(len(classes), -np.inf))
+    return W, b
+
+
 def softmax_probs(logits: Column) -> Column:
     """``array<double>`` logits → softmax probabilities, expression-side
     (max-shifted for stability) — the cheap end of the model stays in

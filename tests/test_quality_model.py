@@ -147,3 +147,68 @@ def test_shape_validation():
         quality_logits_udf(np.zeros(4), np.zeros(1))  # 1-D weights
     with pytest.raises(ValueError):
         quality_logits_udf(np.zeros((4, 2)), np.zeros(3))  # bias mismatch
+
+
+def _labeled_corpus(spark, n=90):
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:
+            rows.append((i, f"clean prose sentence number {i % 5} flows well", "high"))
+        else:
+            rows.append((i, f"buy now spam spam click here offer {i % 4}", "low"))
+    return spark.createDataFrame(rows, "doc_id long, text string, label string")
+
+
+def test_fit_naive_bayes_separates_and_replays(spark):
+    from cassandra_slow_queries_spark.operators.quality_model import (
+        fit_quality_model,
+    )
+
+    train = _labeled_corpus(spark)
+    W, b = fit_quality_model(
+        train, ["low", "high"], n_features=512, ngram=2
+    )
+    assert W.shape == (512, 2) and b.shape == (2,)
+    # priors: 30 high / 60 low
+    np.testing.assert_allclose(np.exp(b), [60 / 90, 30 / 90])
+
+    # training is deterministic: refit (different partitioning) == fit
+    W2, b2 = fit_quality_model(
+        train.repartition(7), ["low", "high"], n_features=512, ngram=2
+    )
+    np.testing.assert_array_equal(W, W2)
+    np.testing.assert_array_equal(b, b2)
+
+    # driver-side replay of the count matrix → identical W
+    counts = np.zeros((512, 2))
+    for r in train.collect():
+        for bkt in gram_buckets(r["text"].split(), 512, ngram=2):
+            counts[bkt, {"low": 0, "high": 1}[r["label"]]] += 1
+    expect_W = np.log((counts + 1.0) / (counts.sum(axis=0) + 512.0))
+    np.testing.assert_allclose(W, expect_W, rtol=0, atol=1e-12)
+
+    # held-out docs from the same generators classify perfectly
+    test_df = spark.createDataFrame(
+        [(1000, "clean prose sentence number 9 flows well", "high"),
+         (1001, "buy now spam click offer", "low"),
+         (1002, "spam spam spam buy", "low")],
+        "doc_id long, text string, label string",
+    )
+    scored = score_quality(test_df, W, b, ["low", "high"])
+    assert all(r["q_pred"] == r["label"] for r in scored.collect())
+
+
+def test_fit_rejects_bad_inputs(spark):
+    from cassandra_slow_queries_spark.operators.quality_model import (
+        fit_quality_model,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "some text", "mystery")], "doc_id long, text string, label string"
+    )
+    with pytest.raises(ValueError, match="mystery"):
+        fit_quality_model(df, ["low", "high"], n_features=64)
+    with pytest.raises(ValueError):
+        fit_quality_model(df, ["low", "low"], n_features=64)
+    with pytest.raises(ValueError):
+        fit_quality_model(df, ["mystery"], n_features=64, smoothing=0.0)
