@@ -239,6 +239,18 @@ def parse_bound_values(col: Column | str) -> Column:
     return F.when(raw.isNotNull(), F.coalesce(result, empty)).otherwise(empty)
 
 
+def _falsy_coalesce(*candidates: Column) -> Column:
+    """First candidate that is neither NULL nor ``''`` — the reference's
+    ``if not table`` fallback chains treat an EMPTY slice as a miss and
+    keep trying later terminators (analyze_slow_queries.py:686-694), so
+    a plain ``coalesce`` (which accepts ``''``) would stop early: found
+    by the round-7 differential fuzz on ``'SELECT a FROM  t;'``-style
+    double-space queries, where the reference resolves ``' t'`` via the
+    ``';'`` fallback. All-falsy yields NULL (the reference returns
+    ``''``/None there; both are dropped by every caller's guard)."""
+    return F.coalesce(*[F.nullif(c, F.lit("")) for c in candidates])
+
+
 def select_table_segment(query: Column | str) -> Column:
     """Table segment of a SELECT: between ``' FROM '`` and the next space,
     with ``' from '`` and ``';'``-terminated fallbacks, tried in the
@@ -249,7 +261,7 @@ def select_table_segment(query: Column | str) -> Column:
     attempt, and a query with BOTH gives the space-terminated slice.
     """
     q = _col(query)
-    return F.coalesce(
+    return _falsy_coalesce(
         str_slice(q, " FROM ", " "),
         str_slice(q, " from ", " "),
         str_slice(q, " FROM ", ";"),
@@ -261,7 +273,7 @@ def insert_table_segment(query: Column | str) -> Column:
     """Table segment of an INSERT: after ``'INSERT INTO '`` up to the next
     space (analyze_slow_queries.py:766-769)."""
     q = _col(query)
-    return F.coalesce(
+    return _falsy_coalesce(
         str_slice(q, "INSERT INTO ", " "),
         str_slice(q, "insert into ", " "),
     )
@@ -280,7 +292,7 @@ def dml_table_segment(query: Column | str) -> Column:
       it and a DELETE never matches the UPDATE prefix).
     """
     q = _col(query)
-    return F.coalesce(
+    return _falsy_coalesce(
         str_slice(q, "UPDATE ", " "),
         str_slice(q, "update ", " "),
         select_table_segment(q),

@@ -37,13 +37,37 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _ref_get_log():
+def _carve(after: str, header: str) -> str:
+    """Source of the first ``def <header>`` found after marker ``after``
+    (empty = file start), dedented to top level. The reference file is
+    Python-2 at module level (a tuple-unpacking lambda), so whole-module
+    import is impossible — but these specific bodies are version-neutral."""
+    import textwrap
+
     src = open(REF_PATH).read()
-    m = re.search(r"(def get_log\(message\):.*?)\n\ndef ", src, re.S)
-    assert m, "reference get_log not found"
-    ns: dict = {}
-    exec(m.group(1), ns)  # noqa: S102 — test-only, trusted local file
-    return ns["get_log"]
+    start = src.index(after) if after else 0
+    m = re.search(
+        rf"^(    )?(def {header}\(.*?)(?=\n(?:    @|    def |\ndef |\nclass |\n[A-Za-z_]))",
+        src[start:],
+        re.S | re.M,
+    )
+    assert m, f"reference {header} not found after {after!r}"
+    body = m.group(2)
+    return textwrap.dedent(body) if m.group(1) else body
+
+
+def _ref_fn(after: str, header: str, name: str):
+    import logging
+
+    ns: dict = {"logging": logging}
+    if name != "str_slice":
+        exec(_carve("", "str_slice"), ns)  # dependency of the processors
+    exec(_carve(after, header), ns)  # noqa: S102 — test-only, trusted local file
+    return ns[name]
+
+
+def _ref_get_log():
+    return _ref_fn("", "get_log", "get_log")
 
 
 def _corpus() -> list[str]:
@@ -153,6 +177,110 @@ def test_get_log_matches_reference_on_fuzz_corpus(spark):
     assert exact > 600 and dropped_parity > 20 and divergent > 10, (
         exact, dropped_parity, divergent
     )
+
+
+def _batch_eval(spark, values: list, expr_fn) -> list:
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i long, v string")
+    return [
+        r["out"]
+        for r in df.select("i", expr_fn(F.col("v")).alias("out")).orderBy("i").collect()
+    ]
+
+
+def test_str_slice_matches_reference(spark):
+    from cassandra_slow_queries_spark.functions.parse import str_slice
+
+    ref = _ref_fn("", "str_slice", "str_slice")
+    rng = random.Random(7)
+    alphabet = "ab F;.x"
+    strings = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 24)))
+        for _ in range(300)
+    ] + ["", " FROM ", "x FROM y z", "FROM FROM  "]
+    expect = [ref(s, " F", ";") for s in strings]
+    got = _batch_eval(spark, strings, lambda c: str_slice(c, " F", ";"))
+    assert got == expect
+
+
+def test_bound_values_match_reference(spark):
+    from cassandra_slow_queries_spark.functions.parse import parse_bound_values
+
+    ref = _ref_fn("class MessageProcessor", "_get_bound_values", "_get_bound_values")
+    rng = random.Random(11)
+    pieces = [
+        "k:'v'", "a:'1'", " b : 'x y' ", "noseparator", "q:''", "k:'v,w'",
+        "in(", "truncated output", "c:''d''", "k:v:w", "[inner]", "'q':1",
+    ]
+    strings = [
+        "["
+        + ", ".join(rng.choice(pieces) for _ in range(rng.randrange(0, 5)))
+        + "]"
+        for _ in range(300)
+    ] + ["[]", "", "[,]", "k:'v'", "]["]
+    expect = [ref(None, s) for s in strings]
+    got = _batch_eval(spark, strings, parse_bound_values)
+    assert got == expect
+
+
+def test_table_segments_match_reference(spark):
+    from cassandra_slow_queries_spark.functions.parse import (
+        insert_table_segment,
+        select_table_segment,
+    )
+
+    ref_sel = _ref_fn("class SelectMessageProcessor", "_get_table", "_get_table")
+    ref_ins = _ref_fn("class InsertMessageProcessor", "_get_table", "_get_table")
+    rng = random.Random(13)
+    frags = [
+        "SELECT a FROM ks.cf WHERE x", "SELECT a FROM t;", "select a from t2 x",
+        "SELECT a FROMt", "SELECT * FROM ", "INSERT INTO ks.cf (a) VALUES",
+        "insert into t(a)", "INSERT INTO x;", "FROM a; from b ",
+        "SELECT a FROM b FROM c d",
+    ]
+    qs = [rng.choice(frags) + rng.choice(["", ";", " tail", " FROM z q"]) for _ in range(300)]
+    # the reference returns None for a falsy '' slice; the repo's
+    # coalesce chain does the same via the `if not table` fallbacks
+    assert _batch_eval(spark, qs, select_table_segment) == [
+        ref_sel(None, q) for q in qs
+    ]
+    assert _batch_eval(spark, qs, insert_table_segment) == [
+        ref_ins(None, q) for q in qs
+    ]
+
+
+def test_query_pattern_rewrite_matches_reference(spark):
+    """QueryPattern.process (:861-899) vs the expression rewrite
+    (operators/enrich.py): rewritten query AND extracted bound values."""
+    from cassandra_slow_queries_spark.operators.enrich import (
+        apply_query_patterns,
+    )
+
+    ref_proc = _ref_fn("class QueryPattern", "process", "process")
+    pattern = {"start": "SELECT a FROM t WHERE", "parameters": ["uid", "day"]}
+    rng = random.Random(17)
+    vals = ["'u1'", "7", "'x y'", "''", "n,m", "last"]
+    qs = []
+    for _ in range(200):
+        parts = ["SELECT a FROM t WHERE"]
+        for name in ("uid", "day"):
+            if rng.random() < 0.8:
+                parts.append(
+                    f"{name}={rng.choice(vals)}{rng.choice([' ', ',', ';', ''])}"
+                )
+        qs.append(" ".join(parts) + rng.choice(["", " AND z=1;"]))
+    expect = [ref_proc(None, q, pattern) for q in qs]
+    df = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(qs)], "i long, v string"
+    )
+    rows = (
+        df.select(
+            "i", apply_query_patterns(F.col("v"), [pattern]).alias("s")
+        )
+        .orderBy("i")
+        .collect()
+    )
+    got = [(r["s"]["query"], dict(r["s"]["bound_values"])) for r in rows]
+    assert got == [(q, bv) for q, bv in expect]
 
 
 def test_reference_grammar_golden_examples(spark):
