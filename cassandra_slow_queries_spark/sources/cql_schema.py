@@ -44,6 +44,15 @@ def parse_cql_schema(schema_text: str) -> dict:
     Mirrors analyze_slow_queries.py:324-364 including its quirks: a
     ``CREATE TABLE`` with no ``PRIMARY KEY`` line leaves an empty dict for
     that table; a ``PRIMARY KEY`` line with no open table raises.
+
+    Two deliberate intent-over-bug divergences, both pinned by the
+    differential fuzz in tests/test_reference_differential.py:
+    an INDENTED composite line (``    PRIMARY KEY ((a, b), c)`` — the
+    layout DESCRIBE emits) is lstripped before the ``((`` check, where
+    the reference's ``startswith`` sees the spaces and silently
+    flat-parses the composite; and a one-line ``CREATE TABLE ... PRIMARY
+    KEY ...`` parses its keys correctly instead of leaking the column
+    list into the key arrays.
     """
     ret: dict = {}
     keyspace = None
