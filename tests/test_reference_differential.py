@@ -415,6 +415,45 @@ def test_schema_parser_matches_reference():
         parse_cql_schema("PRIMARY KEY (a, b)")
 
 
+def test_three_dot_table_divergence_pinned(spark):
+    """The last known end-to-end divergence, pinned: a table segment
+    with more than one dot makes the reference's ``table.split('.')``
+    two-target unpack raise (:518-519), and process_message's blanket
+    catch (:1296-1300) then drops the whole row — it vanishes from
+    EVERY report, including the pattern-count ones that never needed
+    the keyspace. The repo keeps the row with NULL keyspace/cf
+    (split_keyspace_cf's two-part guard): the row still counts in the
+    query-pattern aggregates and falls out of the pk-keyed reports via
+    the NULL guards, which is the analysis intent — a malformed table
+    name shouldn't erase the slow query itself. The e2e DuckDB oracles
+    encode the repo reading."""
+    from cassandra_slow_queries_spark.functions.parse import split_keyspace_cf
+
+    df = spark.createDataFrame(
+        [("a.b.c",), ("ks.cf",), ("bare",)], "v string"
+    )
+    rows = {
+        r["v"]: (r["s"]["keyspace"], r["s"]["column_family"])
+        for r in df.select("v", split_keyspace_cf(F.col("v")).alias("s")).collect()
+    }
+    assert rows["a.b.c"] == (None, None)  # kept, un-enriched
+    assert rows["ks.cf"] == ("ks", "cf")
+    assert rows["bare"] == (None, "bare")
+
+    # and the reference really does blow up on the same segment
+    import logging
+
+    ns: dict = {"logging": logging}
+    exec(_carve("", "str_slice"), ns)
+    exec(_carve("class MessageProcessor", "_get_keyspace_cf", ), ns)
+
+    class _Cfg:
+        tags: dict = {}
+
+    with pytest.raises(ValueError):
+        ns["_get_keyspace_cf"](None, "a.b.c", [], _Cfg())
+
+
 def test_reference_grammar_golden_examples(spark):
     """A few exact reference outputs spot-pinned independently of the
     generator (belt to the fuzz suspenders)."""
