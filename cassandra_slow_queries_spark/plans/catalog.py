@@ -1691,10 +1691,16 @@ ORDER BY id, eval_id
 
 
 def _shared_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for the 8 probe queries — the exact
+    """Brute-force cosine top-5 for the 16 probe queries — the exact
     baseline consumed by three entries (its own report + the LSH and IVF
     recall gates). Materialized once per session; ground truth is the
-    canonical shared intermediate of an ANN evaluation harness."""
+    canonical shared intermediate of an ANN evaluation harness.
+
+    16 queries (80 neighbor slots), not 8: the recall gates run on the
+    DRIVER's re-seeded data, and a round-7 sweep over 8 fresh iid
+    corpora showed 40-slot recall estimates swing ±0.075 seed to seed
+    — doubling the slots halves the flake variance the x_salted_join
+    round-6 lesson warned about."""
     from cassandra_slow_queries_spark.operators.similarity import (
         cosine_topk_bruteforce,
     )
@@ -1704,12 +1710,12 @@ def _shared_ann_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         emb = load(spark, sf_dir, "embeddings")
-        queries = emb.filter(F.col("vec_id") < 8)
+        queries = emb.filter(F.col("vec_id") < 16)
         out = cosine_topk_bruteforce(emb, queries, k=5).persist()
         out.count()
         return out
 
-    return shared_intermediate(spark, ("ann_exact_top5", sf_dir), build)
+    return shared_intermediate(spark, ("ann_exact_top5_q16", sf_dir), build)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1724,7 +1730,7 @@ SELECT q.vec_id AS q_id,
        ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                     CAST(e.embedding AS DOUBLE[])), 6) AS sim
 FROM embeddings q, embeddings e
-WHERE q.vec_id < 8 AND e.vec_id != q.vec_id
+WHERE q.vec_id < 16 AND e.vec_id != q.vec_id
 QUALIFY ROW_NUMBER() OVER (
     PARTITION BY q.vec_id
     ORDER BY ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
@@ -1737,7 +1743,11 @@ ORDER BY q_id, sim DESC, neighbor_id
 def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall gate for the approximate ANN path: run multiprobe
     hyperplane-LSH top-5 AND exact brute-force top-5, emit one row with
-    the hit count and the ≥0.9-recall verdict.
+    the hit count and the ≥0.85-recall verdict. The floor is set from a
+    round-7 sweep over 8 re-seeded iid corpora (observed 0.925-1.0 at
+    16 queries; a dead bucketizer scores ≈0): the driver evaluates on
+    its OWN data seed, so the floor must clear the seed-to-seed spread,
+    not just the /root/testdata draw — the x_salted_join lesson.
 
     The oracle pins (n_queries, recall_ok) — LSH itself is not
     SQL-expressible, but the VERDICT is hash-checkable: a silently
@@ -1751,7 +1761,7 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 16)
     exact = _shared_ann_exact(spark, sf_dir).select("q_id", "neighbor_id")
     lsh = cosine_topk_lsh(
         emb, queries, k=5, dim=64, n_planes=6, n_tables=12, multiprobe=1
@@ -1765,7 +1775,7 @@ def q_ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return hit.crossJoin(tot).select(
         F.col("n_queries").cast("long").alias("n_queries"),
-        (F.col("n_hit") / F.col("n_total") >= 0.9).alias("recall_ok"),
+        (F.col("n_hit") / F.col("n_total") >= 0.85).alias("recall_ok"),
     )
 
 
@@ -1778,9 +1788,13 @@ def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring; the clustered-corpus recall=1.0 case is pinned in
     pytest). So the oracle pins what IS invariant at every SF:
 
-    - ``recall_ok``: recall@5 ≥ 0.4 vs brute force (measured 0.50-0.53
-      at sf0.001/0.01/0.1 with 25% scan — ~2× the random-cell floor; a
-      degenerate quantizer or probe bug collapses this toward 0);
+    - ``recall_ok``: recall@5 ≥ 0.35 vs brute force (measured 0.50-0.53
+      at sf0.001/0.01/0.1 with 25% scan on /root/testdata, but a
+      round-7 sweep over 8 re-seeded iid corpora observed 0.40-0.575 —
+      the driver's own data seed sets the operative spread, so the
+      floor sits below the sweep minimum yet above the ≈0.25
+      random-4-of-16-cells signature of a degenerate quantizer, whose
+      probe-everything failure mode ``scan_ok`` catches instead);
     - ``cells_ok``: all 16 cells populated AND max cell ≤ 2× mean
       (measured ≤1.25×) — catches collapsed/empty-cell centroids;
     - ``scan_ok``: candidates ≤ 35% of N·Q (measured ~25%) — catches
@@ -1796,7 +1810,7 @@ def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 16)
     # train once per session — the persisted-index reuse path the
     # operator documents (pass precomputed centroids to skip training)
     cents = shared_intermediate(
@@ -1848,7 +1862,7 @@ def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(n_cand)
         .select(
             F.col("n_queries").cast("long").alias("n_queries"),
-            (F.col("n_hit") / F.col("n_total") >= 0.4).alias("recall_ok"),
+            (F.col("n_hit") / F.col("n_total") >= 0.35).alias("recall_ok"),
             (
                 (F.col("n_cells") == 16)
                 & (F.col("max_cell") * 16 <= 2 * F.col("n_vecs"))
@@ -1889,7 +1903,7 @@ def q_ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 16)
     books = shared_intermediate(
         spark,
         ("pq_books_16x32", sf_dir),
@@ -1990,13 +2004,13 @@ def q_ann_approx_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_APPROX_GATES_SQL = """
 WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM embeddings)
 SELECT * FROM (
-    SELECT 'ivf' AS method, CAST(8 AS BIGINT) AS n_queries, c AS n_corpus,
+    SELECT 'ivf' AS method, CAST(16 AS BIGINT) AS n_queries, c AS n_corpus,
            TRUE AS recall_ok, TRUE AS structure_ok, TRUE AS scan_ok
     FROM n
     UNION ALL
-    SELECT 'lsh', CAST(8 AS BIGINT), c, TRUE, TRUE, TRUE FROM n
+    SELECT 'lsh', CAST(16 AS BIGINT), c, TRUE, TRUE, TRUE FROM n
     UNION ALL
-    SELECT 'pq', CAST(8 AS BIGINT), c, TRUE, TRUE, TRUE FROM n
+    SELECT 'pq', CAST(16 AS BIGINT), c, TRUE, TRUE, TRUE FROM n
 )
 ORDER BY method
 """
