@@ -454,6 +454,151 @@ def test_three_dot_table_divergence_pinned(spark):
         ns["_get_keyspace_cf"](None, "a.b.c", [], _Cfg())
 
 
+def test_analysis_layer_matches_reference(spark):
+    """The WHOLE aggregation layer differentially: the reference's
+    ``analyze(data, config)`` (:986-1124) executed on generated
+    processed-row dicts vs ``five_reports_shared_shuffle`` on the same
+    rows as a fact frame. Timestamps are strictly increasing in data
+    order, so the reference's first-seen carried dims coincide with the
+    repo's deterministic earliest-timestamp rule, and every report can
+    be compared row for row. Reference 'volume' arrives unsorted (the
+    :55 TODO); it is compared as a multiset, with the repo's
+    minute-sorted intent asserted separately."""
+    import datetime as dt
+    import itertools
+    import logging
+
+    from cassandra_slow_queries_spark.config import AnalysisConfig
+    from cassandra_slow_queries_spark.operators.aggregates import (
+        five_reports_shared_shuffle,
+    )
+
+    class _Timer:
+        @classmethod
+        def start(cls, name):  # noqa: ARG003
+            pass
+
+        end = start
+
+    ns: dict = {"logging": logging, "itertools": itertools, "Timer": _Timer}
+    exec(_carve("", "analyze"), ns)
+    ref_analyze = ns["analyze"]
+
+    rng = random.Random(31)
+    queries = [f"SELECT * FROM ks{i % 3}.cf{i % 4} WHERE a=? LIMIT {i};" for i in range(12)]
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+    data = []
+    for i in range(400):
+        q = rng.choice(queries)
+        pk = rng.choice(["", "1", "2", "3", "44", ""])
+        ks = rng.choice(["ks1", "ks2", ""]) if pk else rng.choice(["ks1", ""])
+        cf = rng.choice(["cf1", "cf2", ""])
+        data.append(
+            {
+                "type": "SELECT",
+                # strictly increasing, unique: first-seen == earliest-ts
+                "timestamp": base + dt.timedelta(seconds=7 * i, minutes=i // 40),
+                "duration": rng.randrange(1, 999),
+                "query": q,
+                "bound_values": {},
+                "primary_key": pk,
+                "keyspace": ks,
+                "column_family": cf,
+            }
+        )
+
+    class _Cfg:
+        min_count = 2
+        top_n = 5
+        order_by = "duration"
+        rows_per_minute = 50  # non-binding: per-minute tie order is
+        # insertion-dependent in the reference, so the cut must not bind
+
+    ref = ref_analyze([dict(d) for d in data], _Cfg)
+
+    cfg = AnalysisConfig(
+        min_count=2, top_n=5, order_by="duration", rows_per_minute=50
+    )
+    fact = spark.createDataFrame(
+        [
+            (
+                d["timestamp"], d["type"], d["duration"], d["query"],
+                d["primary_key"] or None, d["keyspace"] or None,
+                d["column_family"] or None,
+            )
+            for d in data
+        ],
+        "ts timestamp, type string, duration long, query string, "
+        "primary_key string, keyspace string, column_family string",
+    ).persist()
+    reports = five_reports_shared_shuffle(fact, cfg)
+
+    def rows_of(name, cols):
+        return [tuple(r[c] for c in cols) for r in reports[name].collect()]
+
+    # A1 query report: the top_n=5 cut binds — sums must be unique so
+    # the reference's stable-sort tie order is well-defined
+    ref_q = ref["query"]
+    assert len({v["duration"] for v in ref_q}) == len(ref_q)
+    got_q = rows_of(
+        "query",
+        ["query", "count", "duration", "keyspace", "column_family", "avg_duration"],
+    )
+    assert got_q == [
+        (v["query"], v["count"], v["duration"], v["keyspace"],
+         v["column_family"], v["avg_duration"])
+        for v in ref_q
+    ]
+
+    ref_qpk = ref["query_pk"]
+    assert len({v["duration"] for v in ref_qpk}) == len(ref_qpk)
+    got_qpk = rows_of(
+        "query_pk",
+        ["query", "primary_key", "count", "duration", "keyspace",
+         "column_family", "avg_duration"],
+    )
+    assert got_qpk == [
+        (v["query"], v["primary_key"], v["count"], v["duration"],
+         v["keyspace"], v["column_family"], v["avg_duration"])
+        for v in ref_qpk
+    ]
+
+    ref_pk = ref["primary_key"]
+    assert len({v["duration"] for v in ref_pk}) == len(ref_pk)
+    got_pk = rows_of(
+        "primary_key",
+        ["keyspace", "column_family", "primary_key", "count", "duration",
+         "avg_duration"],
+    )
+    assert got_pk == [
+        (v["keyspace"], v["column_family"], v["primary_key"], v["count"],
+         v["duration"], v["avg_duration"])
+        for v in ref_pk
+    ]
+
+    # volume: reference emits dict-insertion order (the unsorted-report
+    # TODO); multiset equality + repo's sorted-by-minute intent
+    got_vol = rows_of("volume", ["minute", "count", "duration", "avg_duration"])
+    ref_vol = sorted(
+        (v["minute"], v["count"], v["duration"], v["avg_duration"])
+        for v in ref["volume"]
+    )
+    assert sorted(got_vol) == ref_vol
+    assert got_vol == sorted(got_vol, key=lambda t: t[0])
+
+    got_top = rows_of(
+        "volume_top",
+        ["minute", "query", "primary_key", "count", "duration", "avg_duration"],
+    )
+    ref_top = sorted(
+        (v["minute"], v["query"], v["primary_key"], v["count"],
+         v["duration"], v["avg_duration"])
+        for v in ref["volume_top"]
+    )
+    assert sorted(got_top) == ref_top
+    fact.unpersist()
+
+
 def test_reference_grammar_golden_examples(spark):
     """A few exact reference outputs spot-pinned independently of the
     generator (belt to the fuzz suspenders)."""
