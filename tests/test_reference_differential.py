@@ -37,14 +37,14 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _carve(after: str, header: str) -> str:
+def _carve(after: str, header: str, path: str = REF_PATH) -> str:
     """Source of the first ``def <header>`` found after marker ``after``
     (empty = file start), dedented to top level. The reference file is
     Python-2 at module level (a tuple-unpacking lambda), so whole-module
     import is impossible — but these specific bodies are version-neutral."""
     import textwrap
 
-    src = open(REF_PATH).read()
+    src = open(path).read()
     start = src.index(after) if after else 0
     m = re.search(
         rf"^(    )?(def {header}\(.*?)(?=\n(?:    @|    def |\ndef |\nclass |\n[A-Za-z_]))",
@@ -597,6 +597,89 @@ def test_analysis_layer_matches_reference(spark):
     )
     assert sorted(got_top) == ref_top
     fact.unpersist()
+
+
+REF_DL_PATH = "/root/reference/download_slow_queries.py"
+
+
+def test_extractor_helpers_match_reference(tmp_path):
+    """download_slow_queries.py helpers executed side by side with
+    sources/es_extract.py: msearch body/header construction, curl
+    scraping, total-hits peek + page planning, landing-zone filenames.
+    (get_time_interval needs the `arrow` package — absent here — and is
+    covered by its own reference-semantics unit tests instead.)"""
+    import datetime as dt
+    import json as json_mod
+    import logging
+    import math
+
+    from cassandra_slow_queries_spark.sources import es_extract as E
+
+    ns: dict = {"json": json_mod, "logging": logging, "math": math}
+    for header in (
+        "build_request_body", "build_request_header", "_from_curl",
+        "_determine_pages", "_get_filename",
+    ):
+        exec(_carve("", header, path=REF_DL_PATH), ns)
+
+    class _ArrowStandIn:
+        """arrow<1.0 exposes .timestamp as an int attribute and
+        .format('MM_DD'); mirror just those."""
+
+        def __init__(self, d: dt.datetime):
+            self._d = d
+            self.timestamp = int(d.timestamp())
+
+        def format(self, fmt):
+            assert fmt == "MM_DD"
+            return self._d.strftime("%m_%d")
+
+    start = dt.datetime(2024, 3, 5, 5, 0, 0)
+    end = dt.datetime(2024, 3, 5, 12, 0, 0)
+    for size, from_, query in [
+        (500, 0, None), (500, 1500, "cass-node1"), (10, 3, 'with "quotes"'),
+    ]:
+        ref_body = ns["build_request_body"](
+            "Query too slow", _ArrowStandIn(start), _ArrowStandIn(end),
+            size, from_, query,
+        )
+        got_body = E.build_request_body(
+            start, end, size=size, from_=from_, query=query,
+            message="Query too slow",
+        )
+        assert json_mod.loads(got_body) == json_mod.loads(ref_body)
+
+    assert json_mod.loads(E.build_request_header("idx:log*")) == json_mod.loads(
+        ns["build_request_header"]("idx:log*")
+    )
+
+    curl = (
+        "curl 'https://es.example.com/es/_msearch' -H 'Accept: */*' "
+        "-H 'Cookie: access_token=abc123; theme=dark' --data-binary "
+        "$'{\"index\":\"es-index:log*\",\"ignore_unavailable\":true}\\n' "
+        "--compressed"
+    )
+    curl_file = tmp_path / "cmd.curl"
+    curl_file.write_text(curl)
+    assert E.parse_curl_command(curl) == ns["_from_curl"](str(curl_file))
+
+    # total-hits peek + page planning off the same landing file
+    resp = '{"responses":[{"hits":{"total":12345,"hits":[]}}]}'
+    page_file = tmp_path / "03_05_0.json"
+    page_file.write_text(resp)
+    assert E.plan_pages(E.peek_total_hits(resp), 500) == ns["_determine_pages"](
+        500, str(page_file)
+    )
+    # the 10M sanity cap raises on both sides
+    big = '{"responses":[{"hits":{"total":10000000,"hits":[]}}]}'
+    big_file = tmp_path / "big.json"
+    big_file.write_text(big)
+    with pytest.raises(ValueError):
+        E.peek_total_hits(big)
+    with pytest.raises(Exception):
+        ns["_determine_pages"](500, str(big_file))
+
+    assert E.page_filename(start, 7) == ns["_get_filename"](_ArrowStandIn(start), 7)
 
 
 def test_reference_grammar_golden_examples(spark):
