@@ -13,7 +13,15 @@ from pyspark.sql import functions as F
 
 def read_slow_keys_csv(spark: SparkSession, path: str) -> DataFrame:
     """→ ``(keyspace string, column_family string, primary_key string)``."""
-    df = spark.read.option("header", "true").csv(path)
+    # escape='"': the input is written by Python's csv module
+    # (RFC 4180 doubled quotes); Spark's default escape is backslash,
+    # which would leave `"a,""b"""` unparsed (caught by the
+    # find_pk_nodes differential test).
+    df = (
+        spark.read.option("header", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
     cols = df.columns[:3]
     if len(cols) < 3:
         raise ValueError(f"expected ≥3 CSV columns, got {df.columns}")

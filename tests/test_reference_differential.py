@@ -706,3 +706,106 @@ def test_reference_grammar_golden_examples(spark):
         ]
     ]
     assert got == expected
+
+
+REF_PK_PATH = "/root/reference/find_pk_nodes.py"
+
+
+def test_find_pk_nodes_matches_reference(spark, tmp_path, capsys):
+    """find_pk_nodes.py executed side by side with the repo pipeline
+    (sources/csv_keys.py → operators/endpoints.py): CSV row filtering
+    (read_csv :26-50), the per-key endpoint gather loop (:53-87, nodetool
+    stubbed with the deterministic fake provider), and the printed CSV
+    report (:90-117).
+
+    Two reference quirks pinned rather than copied:
+
+    - nodetool output is split on '\\n' WITHOUT stripping (:85), so every
+      endpoint list carries a trailing '' and every printed row a trailing
+      comma. The repo's typed array column has no empty slot; the assert
+      adds the ',' back explicitly.
+    - a failing nodetool (CalledProcessError) logs and DROPS the key
+      (:86-88, then :109 skips endpoints=None rows). Silently losing rows
+      is the wrong default for a distributed job, so the repo's nodetool
+      provider raises instead (endpoints.py check=True) and the fake
+      provider is total; the drop is asserted on the reference side only.
+    """
+    import csv as csv_mod
+    import logging
+    import subprocess as subprocess_mod
+
+    from cassandra_slow_queries_spark.operators.endpoints import (
+        attach_endpoints,
+        endpoints_report,
+        fake_endpoints,
+    )
+    from cassandra_slow_queries_spark.sources.csv_keys import read_slow_keys_csv
+
+    rng = random.Random(1139)
+    rows = []
+    for i in range(60):
+        ks = f"ks{rng.randrange(4)}"
+        cf = f"cf_{rng.randrange(6)}"
+        pick = rng.random()
+        if pick < 0.12:
+            rows.append([ks, cf, f"pk{i} <truncated output>"])  # marker → drop
+        elif pick < 0.2:
+            rows.append([ks])  # short row → drop
+        elif pick < 0.28:
+            rows.append([ks, cf, f'pk,"quoted" {i}', "extra", "cols"])
+        else:
+            rows.append([ks, cf, f"pk-{i}"])
+    csv_file = tmp_path / "slow_primary_keys.csv"
+    with open(csv_file, "w", newline="") as fh:
+        w = csv_mod.writer(fh)
+        w.writerow(["keyspace", "column_family", "primary_key"])
+        w.writerows(rows)
+
+    ns: dict = {"csv": csv_mod, "logging": logging}
+    for header in ("read_csv", "gather_endpoints", "get_endpoints", "print_endpoints"):
+        exec(_carve("", header, path=REF_PK_PATH), ns)
+
+    # ---- read_csv: identical surviving (ks, cf, pk) triples, in order
+    ref_keys = ns["read_csv"](str(csv_file))
+    got = read_slow_keys_csv(spark, str(csv_file)).toPandas()
+    assert [
+        (k["keyspace"], k["column_family"], k["primary_key"]) for k in ref_keys
+    ] == list(zip(got["keyspace"], got["column_family"], got["primary_key"]))
+
+    # ---- gather + print: nodetool stubbed to emit the fake ring with the
+    # reference's real output shape (one endpoint per line, trailing \n);
+    # one key is made to fail to pin the reference's drop-on-error path.
+    fail_key = next(
+        (k["keyspace"], k["column_family"], k["primary_key"]) for k in ref_keys
+    )
+
+    class _Proc:
+        CalledProcessError = subprocess_mod.CalledProcessError
+
+        @staticmethod
+        def check_output(cmd):
+            assert cmd[:3] == ["nodetool", "getendpoints", "--"]
+            ks, cf, pk = cmd[3:]
+            if (ks, cf, pk) == fail_key:
+                raise subprocess_mod.CalledProcessError(1, cmd)
+            return "\n".join(fake_endpoints(ks, cf, pk, 6, 3)) + "\n"
+
+    ns["subprocess"] = _Proc
+    ref_keys = ns["gather_endpoints"](ref_keys)
+    ns["print_endpoints"](ref_keys)
+    ref_lines = capsys.readouterr().out.strip().splitlines()
+    assert ref_lines[0].split(",")[:3] == ["Keyspace", "Column Family", "Primary Key"]
+
+    enriched = attach_endpoints(
+        read_slow_keys_csv(spark, str(csv_file)), provider="fake", n_nodes=6, rf=3
+    )
+    report = endpoints_report(enriched, max_endpoints=6).toPandas()
+    got_lines = []
+    for _, r in report.iterrows():
+        if (r["keyspace"], r["column_family"], r["primary_key"]) == fail_key:
+            continue  # reference drops the nodetool-failed key
+        eps = [r[f"Endpoint{i}"] for i in range(6) if r[f"Endpoint{i}"] is not None]
+        got_lines.append(
+            ",".join([r["keyspace"], r["column_family"], r["primary_key"], *eps]) + ","
+        )
+    assert ref_lines[1:] == got_lines
