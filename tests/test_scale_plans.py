@@ -1,0 +1,130 @@
+"""Physical-plan audits for the LLM-pipeline heavy hitters — the 100 TB
+claims each operator's docstring makes, pinned mechanically the same way
+test_pipeline_plans.py pins the flagship: read the executed plan and
+assert the structure that makes the operator survive a 1000-executor
+corpus, so a refactor that silently degrades the plan (a theta-join
+degenerating to a cartesian, a prefix-sum collapsing to one partition, a
+scorer growing a shuffle) fails CI rather than a 100 TB run.
+
+Assertions deliberately avoid size-dependent strategy choices (AQE may
+broadcast any side of an equi-join on toy data); they pin only what the
+operator itself forces: join *family*, partitioning columns, rank-limit
+pushdown, and Python-boundary counts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_slow_queries_spark.operators import dedup as D
+from cassandra_slow_queries_spark.operators.curation import (
+    _distributed_prefix_sum,
+)
+from cassandra_slow_queries_spark.operators.quality_model import score_quality
+from cassandra_slow_queries_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+)
+from cassandra_slow_queries_spark.operators.topk import grouped_top_k
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30)))
+        for i in range(80)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_candidate_join_is_equi_not_cartesian(spark, docs):
+    """The banded self-join must stay an equi-join on (band, band-hash).
+    If the join condition ever stops being an equality (e.g. someone
+    folds the estimated-Jaccard filter into the join predicate), Catalyst
+    plans a cartesian/nested-loop product — O(N²) over the corpus."""
+    sig = D.minhash_signatures(docs, "text", "doc_id")
+    banded = D._band_keys(sig, 16, 4)
+    cand = D._block_candidate_pairs(banded, ["band", "bh"])
+    plan = _plan(cand)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "mapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_prefix_sum_never_collapses_to_one_partition(spark, docs):
+    """The curation tier's cumulative sums (token budget, packing, shard
+    ids) run as range-partition → per-partition window → tiny per-range
+    totals; a naive `Window.orderBy(...)` with no partitionBy plans an
+    Exchange SinglePartition that funnels the whole corpus through one
+    task. The audit pins the distributed shape: the corpus window is
+    partitioned by the range id and no SinglePartition exchange exists
+    anywhere in the frame that carries corpus rows."""
+    tok = docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    summed, ranged = _distributed_prefix_sum(
+        tok, "n_tokens", [F.col("doc_id").asc()], 8
+    )
+    try:
+        plan = _plan(summed)
+    finally:
+        ranged.unpersist()
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(_pid" in plan
+
+
+def test_quality_scorer_is_one_arrow_stage_no_shuffle(spark, docs):
+    """Model-scored quality is a pure map: ONE Arrow-batched Python
+    boundary (the hashed-n-gram GEMM), zero exchanges, zero row-wise
+    Python. A second Python boundary (e.g. softmax drifting into the
+    UDF) doubles the Arrow serialization cost; any Exchange would mean
+    the scorer stopped being embeddable in other pipelines' stages."""
+    W = np.ones((64, 2)) * 0.01
+    scored = score_quality(docs, W, [0.0, 0.0], ["bad", "good"], ngram=2)
+    plan = _plan(scored)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bruteforce_ann_pushes_rank_limit_below_shuffle(spark):
+    """Exact cosine top-K: queries broadcast against the corpus (never
+    the reverse — the corpus side must stay partitioned), and the
+    per-query rank limit runs as a PARTIAL WindowGroupLimit before the
+    q_id shuffle, so each task ships at most k rows per query, not its
+    whole corpus slice."""
+    emb = spark.createDataFrame(
+        [(i, [float((i + j) % 5) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk_bruteforce(emb, emb.limit(3), k=4)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    partials = [
+        l for l in plan.splitlines()
+        if "WindowGroupLimit" in l and "Partial" in l
+    ]
+    assert partials, plan
+    assert "hashpartitioning(q_id" in plan
+
+
+def test_grouped_top_k_rank_pushdown(spark, docs):
+    """grouped_top_k's row_number window must also carry the Partial
+    WindowGroupLimit (Spark's rank-limit pushdown) — the difference
+    between shipping k rows and shipping the full group per key."""
+    tok = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 5).alias("grp"),
+        F.length("text").alias("score"),
+    )
+    out = grouped_top_k(tok, ["grp"], "score", 3, tiebreaks=["doc_id"])
+    plan = _plan(out)
+    partials = [
+        l for l in plan.splitlines()
+        if "WindowGroupLimit" in l and "Partial" in l
+    ]
+    assert partials, plan
+    assert "Exchange SinglePartition" not in plan
