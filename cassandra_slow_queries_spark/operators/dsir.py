@@ -1,0 +1,159 @@
+"""DSIR-style data selection: importance resampling of a raw corpus
+toward a target distribution (Xie et al. 2023, "Data Selection for
+Language Models via Importance Resampling" — the hashed n-gram variant
+the paper ships).
+
+The method, re-expressed Spark-first:
+
+1. **Profile** both corpora once: hashed 1..n-gram bucket counts
+   (:func:`hashed_ngram_profile`) — an explode + hash aggregate, one
+   linear pass each. Feature hashing is the quality model's FNV-1a
+   :func:`~cassandra_slow_queries_spark.operators.quality_model.gram_buckets`,
+   so DSIR's featurization can never drift from the quality scorer's.
+2. **Log-likelihood ratio weights**: each raw document's importance
+   weight is ``log p_target(doc) - log p_raw(doc)`` under smoothed
+   bag-of-hashed-grams models — a SUM of per-bucket log ratios over the
+   document's grams (NOT the scorer's mean-pooling: the weight is a
+   likelihood of the whole document, so length matters). The ratio
+   vector is one broadcast ``(n_features,)`` float64 array behind an
+   Arrow-batched gather+segmented-sum (:func:`dsir_log_weights`) — the
+   ``bucket_ids_udf``/``quality_logits_udf`` seam with a sum reduction.
+3. **Resample**: draw ``n`` documents without replacement with
+   probability ∝ softmax of the log weights via the Gumbel-top-k trick
+   (:func:`importance_resample`): key = logw + Gumbel noise, take the
+   global top-n. The noise is derived from ``xxhash64(id, seed)``, so
+   the draw is deterministic, partition-invariant, and expression-side;
+   the top-n itself is ``TakeOrderedAndProject`` (per-partition heaps),
+   never a global sort.
+
+Every stage is linear in the corpus with bounded driver state (the two
+profiles collapse to one ``n_features``-length array each — a few MB at
+the paper's 2^16 buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from cassandra_slow_queries_spark.operators.quality_model import (
+    gram_buckets,
+    gram_buckets_udf,
+)
+from cassandra_slow_queries_spark.operators.topk import top_n
+
+
+def hashed_ngram_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    n_features: int = 1 << 16,
+    ngram: int = 2,
+) -> DataFrame:
+    """``(bucket bigint, count bigint)`` hashed-gram counts of a corpus —
+    explode the per-document bucket ids, hash-aggregate. Output
+    cardinality is bounded by ``n_features`` regardless of corpus size."""
+    buckets = gram_buckets_udf(n_features, ngram)(F.col(text_col))
+    return (
+        df.select(F.explode(buckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def profile_probs(
+    profile: DataFrame, n_features: int, alpha: float = 1.0
+) -> np.ndarray:
+    """Collect a profile into a dense smoothed probability vector:
+    ``p[b] = (count[b] + alpha) / (total + alpha * n_features)``.
+    The ONLY driver-side materialization in the pipeline, bounded by
+    ``n_features`` — never by corpus size."""
+    counts = np.zeros(n_features, dtype=np.float64)
+    for row in profile.collect():  # ≤ n_features rows by construction
+        counts[int(row["bucket"])] = float(row["count"])
+    total = counts.sum()
+    return (counts + alpha) / (total + alpha * n_features)
+
+
+def log_ratio_vector(
+    target_probs: np.ndarray, raw_probs: np.ndarray
+) -> np.ndarray:
+    """Per-bucket ``log(p_target / p_raw)`` — the broadcast model."""
+    t = np.asarray(target_probs, dtype=np.float64)
+    r = np.asarray(raw_probs, dtype=np.float64)
+    if t.shape != r.shape:
+        raise ValueError(f"profile shapes differ: {t.shape} vs {r.shape}")
+    return np.log(t) - np.log(r)
+
+
+def dsir_logweight_udf(log_ratio: np.ndarray, ngram: int = 2):
+    """``text → double``: sum of ``log_ratio[bucket]`` over the
+    document's 1..n-gram buckets. Same Arrow gather + ``reduceat`` shape
+    as the quality scorer, with a SUM (likelihood of the document)
+    instead of a mean. Empty documents weigh 0 (an empty product of
+    likelihood ratios). Reduction order is the fixed gram order, so the
+    float64 result is bitwise reproducible across partitionings."""
+    ratio = np.ascontiguousarray(log_ratio, dtype=np.float64)
+    n_features = ratio.shape[0]
+
+    @pandas_udf("double")
+    def _logw(texts: pd.Series) -> pd.Series:
+        flat: list[int] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            idx = gram_buckets((t or "").split(), n_features, ngram)
+            counts[i] = len(idx)
+            flat.extend(idx)
+        out = np.zeros(len(texts), dtype=np.float64)
+        if flat:
+            gathered = ratio[np.asarray(flat, dtype=np.int64)]
+            starts = np.zeros(len(texts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            nonempty = counts > 0
+            out[nonempty] = np.add.reduceat(gathered, starts[nonempty])
+        return pd.Series(out)
+
+    return _logw
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    log_ratio: np.ndarray,
+    text_col: str = "text",
+    ngram: int = 2,
+    out_col: str = "dsir_logw",
+) -> DataFrame:
+    """Attach the DSIR importance log-weight column — one Arrow map
+    stage, zero shuffles (pinned in tests/test_scale_plans.py style by
+    test_dsir.py)."""
+    return df.withColumn(
+        out_col, dsir_logweight_udf(log_ratio, ngram)(F.col(text_col))
+    )
+
+
+def importance_resample(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    logw_col: str = "dsir_logw",
+    seed: int = 1,
+) -> DataFrame:
+    """Gumbel-top-``n`` sample without replacement, P(doc) ∝
+    ``exp(logw)``: key = ``logw - log(-log(u))`` with ``u`` a
+    deterministic uniform in (0, 1) from ``xxhash64(id, seed)``. The
+    top-n is :func:`~cassandra_slow_queries_spark.operators.topk.top_n`
+    (``TakeOrderedAndProject`` — per-partition heaps, driver merges
+    ``n·P`` rows), so resampling a 100 TB corpus ships ``n`` rows per
+    task, not the corpus. Ties on the key break on id: a total order,
+    so the draw is unique and replayable."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    denom = float(1 << 53)
+    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 53)) + 0.5) / F.lit(
+        denom
+    )
+    key = F.col(logw_col) - F.log(-F.log(u))
+    keyed = df.withColumn("_gumbel_key", key)
+    return top_n(keyed, "_gumbel_key", n, tiebreaks=[id_col]).drop("_gumbel_key")
