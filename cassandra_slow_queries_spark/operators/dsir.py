@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from cassandra_slow_queries_spark.operators.quality_model import (
-    gram_buckets,
+    batch_gram_reduce,
     gram_buckets_udf,
 )
 from cassandra_slow_queries_spark.operators.topk import top_n
@@ -95,25 +95,14 @@ def dsir_logweight_udf(log_ratio: np.ndarray, ngram: int = 2):
     instead of a mean. Empty documents weigh 0 (an empty product of
     likelihood ratios). Reduction order is the fixed gram order, so the
     float64 result is bitwise reproducible across partitionings."""
-    ratio = np.ascontiguousarray(log_ratio, dtype=np.float64)
-    n_features = ratio.shape[0]
+    # (n_features, 1): the shared batch_gram_reduce seam — the Arrow
+    # batching/segmentation logic lives in quality_model.py exactly once
+    ratio_col = np.ascontiguousarray(log_ratio, dtype=np.float64).reshape(-1, 1)
 
     @pandas_udf("double")
     def _logw(texts: pd.Series) -> pd.Series:
-        flat: list[int] = []
-        counts = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            idx = gram_buckets((t or "").split(), n_features, ngram)
-            counts[i] = len(idx)
-            flat.extend(idx)
-        out = np.zeros(len(texts), dtype=np.float64)
-        if flat:
-            gathered = ratio[np.asarray(flat, dtype=np.int64)]
-            starts = np.zeros(len(texts), dtype=np.int64)
-            np.cumsum(counts[:-1], out=starts[1:])
-            nonempty = counts > 0
-            out[nonempty] = np.add.reduceat(gathered, starts[nonempty])
-        return pd.Series(out)
+        sums, _ = batch_gram_reduce(ratio_col, texts, ngram)
+        return pd.Series(sums[:, 0])
 
     return _logw
 
@@ -150,8 +139,14 @@ def importance_resample(
     so the draw is unique and replayable."""
     if n < 1:
         raise ValueError("n must be >= 1")
-    denom = float(1 << 53)
-    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 53)) + 0.5) / F.lit(
+    # 2^52, not 2^53: with v ∈ [0, 2^53), (v + 0.5) / 2^53 ROUNDS TO
+    # EXACTLY 1.0 at the top of the range (float64 spacing below 1 is
+    # 2^-53), and u == 1.0 makes -log(-log(u)) NULL — silently dropping
+    # the row that the Gumbel limit says is near-certain to be picked.
+    # At 2^52 the extremes (0.5/2^52 and 1 - 2^-53) are exactly
+    # representable and strictly inside (0, 1).
+    denom = float(1 << 52)
+    u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1 << 52)) + 0.5) / F.lit(
         denom
     )
     key = F.col(logw_col) - F.log(-F.log(u))

@@ -69,21 +69,65 @@ def gram_buckets(
     return out
 
 
+def batch_gram_reduce(
+    matrix: np.ndarray, texts: "pd.Series", ngram: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document segmented SUM of ``matrix[bucket]`` over each text's
+    1..n-gram buckets: one flat gather ``matrix[all_idx]`` over every
+    gram in the batch plus one ``np.add.reduceat`` — the batched sparse
+    GEMM. Returns ``(sums (n_docs, n_cols), gram_counts (n_docs,))``;
+    empty documents sum to zero. Shared by the quality scorer and the
+    DSIR weigher so the Arrow batching/segmentation logic — like the
+    :func:`gram_buckets` featurization — exists exactly once.
+
+    Reduction order is the fixed gram order (``reduceat`` is a
+    sequential per-segment sum), so results are bitwise reproducible
+    across partitionings and batch sizes."""
+    n_features = matrix.shape[0]
+    flat: list[int] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        idx = gram_buckets((t or "").split(), n_features, ngram)
+        counts[i] = len(idx)
+        flat.extend(idx)
+    sums = np.zeros((len(texts), matrix.shape[1]))
+    if flat:
+        gathered = matrix[np.asarray(flat, dtype=np.int64)]  # (G, C)
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        nonempty = counts > 0
+        # reduceat needs strictly valid segment starts: compact to
+        # the non-empty documents, segment-sum, scatter back
+        sums[nonempty] = np.add.reduceat(gathered, starts[nonempty], axis=0)
+    return sums, counts
+
+
 def quality_logits_udf(
     weights: np.ndarray | Sequence[Sequence[float]],
     bias: np.ndarray | Sequence[float],
     ngram: int = 2,
+    pooling: str = "mean",
 ):
     """``text → array<double>`` of class logits under the linear model
-    ``mean(W[gram buckets]) + b`` (fastText's mean-pooled input layer
-    feeding a linear output layer, collapsed to one matrix for
-    inference).
+    ``pool(W[gram buckets]) + b``.
 
-    One Arrow batch costs one flat gather ``W[all_idx]`` over every
-    gram in the batch plus one ``np.add.reduceat`` segmented sum — the
-    batched sparse GEMM. A document with no tokens scores the bias
-    alone (fastText's behavior for empty input).
+    ``pooling="mean"`` is fastText's mean-pooled input layer feeding a
+    linear output layer, collapsed to one matrix for inference.
+    ``pooling="sum"`` is the likelihood-model reading (multinomial
+    Naive Bayes: per-gram log-likelihoods SUM over the document) —
+    required for :func:`fit_quality_model` weights whenever the class
+    priors are non-uniform, because the mean's ``1/n_grams`` factor
+    scales only the W term, not the bias, and so CAN change the argmax
+    (a 4-gram document whose grams favor the minority class by 4 nats
+    keeps only 1 nat under mean pooling — not enough to beat a 90/10
+    prior gap).
+
+    A document with no tokens scores the bias alone under both poolings
+    (fastText's behavior for empty input; an empty product of
+    likelihoods for NB).
     """
+    if pooling not in ("mean", "sum"):
+        raise ValueError(f"pooling must be 'mean' or 'sum', got {pooling!r}")
     W = np.asarray(weights, dtype=np.float64)
     b = np.asarray(bias, dtype=np.float64)
     if W.ndim != 2:
@@ -92,26 +136,16 @@ def quality_logits_udf(
         raise ValueError(
             f"bias shape {b.shape} does not match n_classes {W.shape[1]}"
         )
-    n_features = W.shape[0]
 
     @pandas_udf("array<double>")
     def _logits(texts: pd.Series) -> pd.Series:
-        flat: list[int] = []
-        counts = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            idx = gram_buckets((t or "").split(), n_features, ngram)
-            counts[i] = len(idx)
-            flat.extend(idx)
+        sums, counts = batch_gram_reduce(W, texts, ngram)
         out = np.tile(b, (len(texts), 1))  # start every doc at the bias
-        if flat:
-            gathered = W[np.asarray(flat, dtype=np.int64)]  # (G, C)
-            starts = np.zeros(len(texts), dtype=np.int64)
-            np.cumsum(counts[:-1], out=starts[1:])
-            nonempty = counts > 0
-            # reduceat needs strictly valid segment starts: compact to
-            # the non-empty documents, segment-sum, scatter back
-            seg = np.add.reduceat(gathered, starts[nonempty], axis=0)
-            out[nonempty] += seg / counts[nonempty, None]
+        nonempty = counts > 0
+        if pooling == "mean":
+            out[nonempty] += sums[nonempty] / counts[nonempty, None]
+        else:
+            out[nonempty] += sums[nonempty]
         return pd.Series(list(out))
 
     return _logits
@@ -151,15 +185,19 @@ def fit_quality_model(
     :func:`score_quality`.
 
     The only ``collect()`` is the count matrix — bounded by the MODEL
-    size (≤ n_features·n_classes cells, the k-means-centroid
-    precedent), never by the corpus. At 100 TB the plan is one corpus
-    scan, one hash aggregation on (class, bucket), one driver-side
-    matrix fill.
+    size (≤ n_features·n_classes cells + one prior row per class, the
+    k-means-centroid precedent), never by the corpus. At 100 TB the
+    plan is one corpus scan and ONE hash aggregation: every document
+    emits a sentinel ``-1`` bucket alongside its gram buckets, so the
+    per-class document counts (the priors) ride the same (class,
+    bucket) aggregation instead of a second corpus scan.
 
-    :func:`score_quality` mean-pools grams where NB sums them; the two
-    differ by the per-document positive factor ``1/n_grams`` applied to
-    every class alike, so argmax (and any score threshold calibrated on
-    scored output) is preserved — only the softmax temperature changes.
+    Score the returned model with ``pooling="sum"``: NB weights are
+    per-gram log-likelihoods that sum to a document log-likelihood.
+    Mean pooling preserves the argmax ONLY under uniform priors — its
+    ``1/n_grams`` factor scales the W term but not the bias, so with
+    imbalanced classes it can flip predictions on long documents (see
+    :func:`quality_logits_udf`).
 
     Rows whose label is not in ``classes`` raise: a silently dropped
     label would bias the priors.
@@ -172,32 +210,33 @@ def fit_quality_model(
     class_idx = {c: i for i, c in enumerate(classes)}
 
     buckets = gram_buckets_udf(n_features, ngram)(F.col(text_col))
+    # sentinel -1 per document → priors come out of the same aggregation
+    with_doc_marker = F.concat(
+        F.array(F.lit(-1).cast("bigint")), buckets
+    )
     counts = (
-        df.select(F.col(label_col).alias("_label"), buckets.alias("_b"))
+        df.select(F.col(label_col).alias("_label"), with_doc_marker.alias("_b"))
         .select("_label", F.explode("_b").alias("_bucket"))
         .groupBy("_label", "_bucket")
         .agg(F.count(F.lit(1)).alias("_n"))
         .collect()
     )
-    priors = (
-        df.groupBy(F.col(label_col).alias("_label"))
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .collect()
-    )
     bad = sorted(
-        {r["_label"] for r in priors if r["_label"] not in class_idx}
+        {r["_label"] for r in counts if r["_label"] not in class_idx},
+        key=lambda x: (x is None, str(x)),  # None labels must not crash the sort
     )
     if bad:
         raise ValueError(f"labels outside classes: {bad}")
 
     count_mat = np.zeros((n_features, len(classes)))
+    n_docs = np.zeros(len(classes))
     for r in counts:
-        count_mat[r["_bucket"], class_idx[r["_label"]]] += r["_n"]
+        if r["_bucket"] == -1:
+            n_docs[class_idx[r["_label"]]] = r["_n"]
+        else:
+            count_mat[r["_bucket"], class_idx[r["_label"]]] += r["_n"]
     totals = count_mat.sum(axis=0)
     W = np.log((count_mat + smoothing) / (totals + smoothing * n_features))
-    n_docs = np.zeros(len(classes))
-    for r in priors:
-        n_docs[class_idx[r["_label"]]] = r["_n"]
     if not n_docs.sum():
         raise ValueError("empty training frame")
     b = np.log(n_docs / n_docs.sum(), where=n_docs > 0,
@@ -223,19 +262,27 @@ def score_quality(
     text_col: str = "text",
     ngram: int = 2,
     out_prefix: str = "q_",
+    pooling: str = "mean",
 ) -> DataFrame:
     """Attach model-quality columns: ``<prefix>logits`` (array<double>),
     ``<prefix>probs`` (softmax), ``<prefix>pred`` (argmax label, first
     index wins ties), and ``<prefix>score`` — the probability of the
     LAST class in ``classes``, by convention the positive/"keep" class,
-    which is the single number a curation threshold consumes."""
+    which is the single number a curation threshold consumes.
+
+    ``pooling``: ``"mean"`` for fastText-style trained weights,
+    ``"sum"`` for :func:`fit_quality_model`'s Naive Bayes weights (see
+    :func:`quality_logits_udf` for why this matters under non-uniform
+    priors)."""
     classes = list(classes)
     W = np.asarray(weights, dtype=np.float64)
     if len(classes) != W.shape[1]:
         raise ValueError(
             f"{len(classes)} class labels for {W.shape[1]} model outputs"
         )
-    logits_col = quality_logits_udf(W, bias, ngram=ngram)(F.col(text_col))
+    logits_col = quality_logits_udf(W, bias, ngram=ngram, pooling=pooling)(
+        F.col(text_col)
+    )
     out = df.withColumn(f"{out_prefix}logits", logits_col)
     probs = softmax_probs(F.col(f"{out_prefix}logits"))
     out = out.withColumn(f"{out_prefix}probs", probs)

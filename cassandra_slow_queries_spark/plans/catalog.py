@@ -1950,9 +1950,10 @@ def q_ann_approx_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the catalog's 3-round rotation cap forces consolidation over
     growth; see tests/test_rotation.py). Per method:
 
-    - ``recall_ok`` — recall@5 vs brute force over its floor (LSH 0.9,
-      IVF 0.4, PQ 0.7; see the per-method entry functions for why each
-      floor holds margin on the isotropic worst-case testdata);
+    - ``recall_ok`` — recall@5 vs brute force over its floor (LSH 0.85,
+      IVF 0.35, PQ 0.7 — the re-seed-swept r7 floors; see the
+      per-method entry functions for the sweep minima and why each
+      floor still clears the broken-path signatures);
     - ``structure_ok`` — the method's index-structure invariant (IVF:
       cells populated/balanced; PQ: codes well-formed; LSH has none —
       literal TRUE);

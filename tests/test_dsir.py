@@ -135,7 +135,7 @@ def test_marker_words_in_foreign_bigrams_score_below_verbatim(spark, corpora):
 
 def test_gumbel_draw_is_deterministic_expression(spark, corpora):
     """The sample must be exactly the driver-side replay of
-    key = logw - log(-log(u)), u = (xxhash64(id, seed) mod 2^53 + 0.5)/2^53
+    key = logw - log(-log(u)), u = (xxhash64(id, seed) mod 2^52 + 0.5)/2^52
     — same rows, same order, across repeated runs and repartitioning."""
     raw, target = corpora
     pr = profile_probs(hashed_ngram_profile(raw, n_features=N_FEATURES), N_FEATURES)
@@ -152,7 +152,7 @@ def test_gumbel_draw_is_deterministic_expression(spark, corpora):
     }
     expected = []
     for r in weighted.collect():
-        u = ((hashes[r["doc_id"]] % (1 << 53)) + 0.5) / float(1 << 53)
+        u = ((hashes[r["doc_id"]] % (1 << 52)) + 0.5) / float(1 << 52)
         expected.append((r["dsir_logw"] - math.log(-math.log(u)), -r["doc_id"]))
     expected_ids = [
         -neg for _, neg in sorted(expected, reverse=True)[:15]

@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from cassandra_slow_queries_spark.operators.quality_model import (
+    fit_quality_model,
     fnv1a64,
     gram_buckets,
     quality_logits_udf,
@@ -194,8 +195,47 @@ def test_fit_naive_bayes_separates_and_replays(spark):
          (1002, "spam spam spam buy", "low")],
         "doc_id long, text string, label string",
     )
-    scored = score_quality(test_df, W, b, ["low", "high"])
+    scored = score_quality(test_df, W, b, ["low", "high"], pooling="sum")
     assert all(r["q_pred"] == r["label"] for r in scored.collect())
+
+
+def test_nb_needs_sum_pooling_under_imbalanced_priors(spark):
+    """The reviewer-found argmax flip, pinned: mean pooling divides the
+    W term by n_grams but not the bias, so a long document whose grams
+    favor the minority class can lose to a strong prior under
+    ``pooling="mean"`` while ``pooling="sum"`` (the NB likelihood
+    reading) classifies it correctly."""
+    # minority class "rare": 1 doc of 10; its marker grams are decisive
+    rows = [(i, "common filler words here", "base") for i in range(9)]
+    rows.append((9, "zebra quagga okapi zebra", "rare"))
+    train = spark.createDataFrame(rows, "doc_id long, text string, label string")
+    W, b = fit_quality_model(train, ["base", "rare"], n_features=256, ngram=2)
+    assert b[0] > b[1]  # imbalanced priors
+
+    probe = spark.createDataFrame(
+        [(0, "zebra quagga okapi zebra zebra quagga okapi zebra")],
+        "doc_id long, text string",
+    )
+    sum_pred = score_quality(probe, W, b, ["base", "rare"], pooling="sum")
+    assert sum_pred.collect()[0]["q_pred"] == "rare"
+    # and the two poolings genuinely differ in logit gap scaling
+    mean_row = score_quality(probe, W, b, ["base", "rare"]).collect()[0]
+    sum_row = sum_pred.collect()[0]
+    mean_gap = mean_row["q_logits"][1] - mean_row["q_logits"][0]
+    sum_gap = sum_row["q_logits"][1] - sum_row["q_logits"][0]
+    assert sum_gap > mean_gap
+
+
+def test_fit_none_label_raises_value_error(spark):
+    """A NULL label mixed with an unknown string label must still raise
+    the designed ValueError, not a TypeError from sorting None next to
+    str."""
+    df = spark.createDataFrame(
+        [(1, "some text", None), (2, "other text", "mystery")],
+        "doc_id long, text string, label string",
+    )
+    with pytest.raises(ValueError, match="labels outside classes"):
+        fit_quality_model(df, ["low", "high"], n_features=64)
 
 
 def test_fit_rejects_bad_inputs(spark):
