@@ -2115,17 +2115,31 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured (round-6 sf0.1 sweep): 23/25 = 0.92 at sf0.01, 225/256 =
     0.879 at sf0.1 — and the hot-block cap is NOT the cause (uncapped
     finds only 227/256 = 0.887; the misses are blocking-structural or
-    Hamming>8). The gate therefore pins (n_true_pairs, recall_ok,
-    blocking_ok) with a floor holding margin under that measured band:
+    Hamming>8). A round-7 re-seed sweep (tools/reseed_sweep.py, 8
+    regenerated corpora) showed overall recall is a SMALL-SAMPLE
+    statistic — ~30 true pairs, observed band 0.71–0.97 — so the old
+    0.8 floor was a ~2σ lottery on the driver's unseen seed (the
+    x_salted_join lesson). The gate now rests on the blocker's
+    THEOREM instead, with a loose floor only as a dead-path detector:
 
     - ``n_true_pairs`` is computed by the SQL oracle from the data;
-    - ``recall_ok``: blocker finds ≥0.8 of true pairs — catches dead
-      fingerprints/blocking (the silent-degeneration direction; a
-      broken blocker measures ≈0, nowhere near the floor);
+    - ``pigeonhole_ok``: EVERY true pair at fingerprint Hamming ≤ 3 is
+      found — 4 quarter-blocks and ≤3 bit errors leave one quarter
+      intact, so detection is guaranteed by pigeonhole (uncapped
+      blocks; the caps don't bind on this corpus). Data-independent:
+      any seed, any corpus, TRUE unless the blocker is actually broken;
+    - ``recall_ok``: overall recall ≥ 0.6 (vacuously TRUE on a corpus
+      with no true pairs) — the re-seed band never approaches it
+      (min 0.71, binomial P(<0.6) ≈ 4σ) while a dead fingerprint or
+      blocker measures ≈0;
     - ``blocking_ok``: candidates ≤5% of all doc pairs — catches the
       opposite degeneration (everything collides → recall 1.0 for free).
     """
-    from cassandra_slow_queries_spark.operators.dedup import simhash_near_pairs
+    from cassandra_slow_queries_spark.operators.dedup import (
+        hamming64,
+        simhash_fingerprints,
+        simhash_near_pairs,
+    )
     from cassandra_slow_queries_spark.plans.intermediates import (
         shared_intermediate,
     )
@@ -2143,6 +2157,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _shared_jaccard3_pairs(spark, sf_dir).filter(
         F.col("jaccard") >= 0.5
     ).select("id_a", "id_b")
+    # fingerprint Hamming per true pair → the pigeonhole-guaranteed set
+    fp = simhash_fingerprints(docs, "text", "doc_id")
+    exact_h = (
+        exact.join(fp.select(F.col("id").alias("id_a"), F.col("fp").alias("_fa")), "id_a")
+        .join(fp.select(F.col("id").alias("id_b"), F.col("fp").alias("_fb")), "id_b")
+        .select("id_a", "id_b", hamming64("_fa", "_fb").alias("_h"))
+    )
+    guaranteed_missed = (
+        exact_h.filter(F.col("_h") <= 3)
+        .join(cand, ["id_a", "id_b"], "left_anti")
+        .agg(F.count("*").alias("n_guaranteed_missed"))
+    )
     found = exact.join(cand, ["id_a", "id_b"], "left_semi").agg(
         F.count("*").alias("n_found")
     )
@@ -2151,10 +2177,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         found.crossJoin(totals)
         .crossJoin(n_docs)
+        .crossJoin(F.broadcast(guaranteed_missed))
         .crossJoin(cand.agg(F.count("*").alias("n_cand")))
         .select(
             F.col("n_true").cast("long").alias("n_true_pairs"),
-            (F.col("n_found") / F.col("n_true") >= 0.8).alias("recall_ok"),
+            (F.col("n_guaranteed_missed") == 0).alias("pigeonhole_ok"),
+            F.when(F.col("n_true") == 0, F.lit(True))
+            .otherwise(F.col("n_found") / F.col("n_true") >= 0.6)
+            .alias("recall_ok"),
             (
                 F.col("n_cand")
                 <= 0.05 * F.col("n_docs") * (F.col("n_docs") - 1) / 2
@@ -2165,6 +2195,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_SIMHASH_GATE_SQL = f"""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs,
+       TRUE AS pigeonhole_ok,
        TRUE AS recall_ok,
        TRUE AS blocking_ok
 FROM ({_jaccard_allpairs_sql(3, 0.5)})
@@ -4303,12 +4334,20 @@ def q_x_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches — HyperLogLog++ (``approx_count_distinct``) and the
     quantile sketch behind ``approx_percentile`` — whose partial states
     merge map-side like any other aggregate. This entry runs BOTH next
-    to their exact counterparts and emits per-group tolerance booleans
-    (HLL within 3·rsd relative error; percentile within 5% + 1): the
-    oracle pins the exact values and TRUE, so sketch drift beyond
-    tolerance fails the driver's hash compare. Sketches are
-    deterministic given the data (hash-based, no RNG), so the gate is
-    stable across runs.
+    to their exact counterparts and emits per-group tolerance booleans:
+    HLL within 3·rsd relative error, and the percentile sketch judged
+    by its OWN contract — the returned value (an actual data point)
+    must have rank within 0.95 ± 0.01 (accuracy 10000 guarantees rank
+    error ≤ n/10000, far inside). The first design compared
+    |sketch − interpolated exact| ≤ 5%+1, which silently depended on
+    the local order-stat GAP near p95 — a seed-dependent quantity that
+    tools/reseed_sweep.py caught flipping on a regenerated corpus
+    (large tail gap, 200-row groups). The rank gate is
+    data-independent: it holds on any corpus unless the sketch itself
+    violates its rank-error guarantee. The oracle pins the exact
+    values and TRUE, so real sketch drift still fails the driver's
+    hash compare. Sketches are deterministic given the data
+    (hash-based, no RNG), so the gate is stable across runs.
 
     Plan note: the distinct counts and the percentiles run as TWO
     aggregations joined on the (tiny) group key, not one. A single agg
@@ -4327,7 +4366,25 @@ def q_x_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(dur, 0.95)").alias("_p95_exact"),
         F.expr("approx_percentile(dur, 0.95, 10000)").alias("_p95_sketch"),
     )
-    agg = distincts.join(pctls, "query")
+    # rank check: one more linear pass with the 5-row sketch frame
+    # broadcast back onto the events — frac(dur <= v) must reach 0.94
+    # and frac(dur < v) must not exceed 0.96
+    ranks = (
+        ev.join(
+            F.broadcast(
+                pctls.select(
+                    F.col("query").alias("_q"), "_p95_sketch"
+                )
+            ),
+            ev["event_type"] == F.col("_q"),
+        )
+        .groupBy(F.col("_q").alias("query"))
+        .agg(
+            F.avg((F.col("dur") <= F.col("_p95_sketch")).cast("double")).alias("_le"),
+            F.avg((F.col("dur") < F.col("_p95_sketch")).cast("double")).alias("_lt"),
+        )
+    )
+    agg = distincts.join(pctls, "query").join(ranks, "query")
     return agg.select(
         "query",
         "n_users_exact",
@@ -4338,10 +4395,7 @@ def q_x_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hll_ok"),
         F.round("_p95_exact", 6).alias("p95_exact"),
-        (
-            F.abs(F.col("_p95_sketch") - F.col("_p95_exact"))
-            <= F.col("_p95_exact") * 0.05 + F.lit(1.0)
-        ).alias("pctl_ok"),
+        ((F.col("_le") >= 0.94) & (F.col("_lt") <= 0.96)).alias("pctl_ok"),
     ).orderBy("query")
 
 
