@@ -2124,10 +2124,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     - ``n_true_pairs`` is computed by the SQL oracle from the data;
     - ``pigeonhole_ok``: EVERY true pair at fingerprint Hamming ≤ 3 is
-      found — 4 quarter-blocks and ≤3 bit errors leave one quarter
-      intact, so detection is guaranteed by pigeonhole (uncapped
-      blocks; the caps don't bind on this corpus). Data-independent:
-      any seed, any corpus, TRUE unless the blocker is actually broken;
+      found by an UNCAPPED blocker — 4 quarter-blocks and ≤3 bit errors
+      leave one quarter intact, so detection is guaranteed by
+      pigeonhole. The guaranteed set is checked against candidates
+      built with ``max_block_freq=None`` (the capped production path
+      feeds the recall/blocking gates instead) and excludes pairs where
+      either fingerprint is 0 (token-less docs are excluded from
+      blocking by design — see :func:`simhash_near_pairs`). Without
+      those two carve-outs the bit is data-DEPENDENT: an unseen corpus
+      with a >cap quarter-block or an empty-doc true pair would flip it
+      on a correct blocker (round-7 ADVICE). Now TRUE on any seed, any
+      corpus, unless the blocker is actually broken;
     - ``recall_ok``: overall recall ≥ 0.6 (vacuously TRUE on a corpus
       with no true pairs) — the re-seed band never approaches it
       (min 0.71, binomial P(<0.6) ≈ 4σ) while a dead fingerprint or
@@ -2154,19 +2161,33 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = shared_intermediate(
         spark, ("simhash_cand", sf_dir), build_cand
     ).select("id_a", "id_b")
+
+    def build_cand_uncapped() -> DataFrame:
+        return simhash_near_pairs(docs, "text", "doc_id", max_hamming=8)
+
+    # the pigeonhole THEOREM is about the uncapped blocker: check the
+    # guaranteed set against cap-free candidates so a >cap hot block on
+    # an unseen corpus can't flip the bit on a correct blocker
+    cand_uncapped = shared_intermediate(
+        spark, ("simhash_cand_uncapped", sf_dir), build_cand_uncapped
+    ).select("id_a", "id_b")
     exact = _shared_jaccard3_pairs(spark, sf_dir).filter(
         F.col("jaccard") >= 0.5
     ).select("id_a", "id_b")
     # fingerprint Hamming per true pair → the pigeonhole-guaranteed set
+    # (zero fingerprints are outside the blocking universe, so outside
+    # the guarantee)
     fp = simhash_fingerprints(docs, "text", "doc_id")
     exact_h = (
         exact.join(fp.select(F.col("id").alias("id_a"), F.col("fp").alias("_fa")), "id_a")
         .join(fp.select(F.col("id").alias("id_b"), F.col("fp").alias("_fb")), "id_b")
-        .select("id_a", "id_b", hamming64("_fa", "_fb").alias("_h"))
+        .select("id_a", "id_b", "_fa", "_fb", hamming64("_fa", "_fb").alias("_h"))
     )
     guaranteed_missed = (
-        exact_h.filter(F.col("_h") <= 3)
-        .join(cand, ["id_a", "id_b"], "left_anti")
+        exact_h.filter(
+            (F.col("_h") <= 3) & (F.col("_fa") != 0) & (F.col("_fb") != 0)
+        )
+        .join(cand_uncapped, ["id_a", "id_b"], "left_anti")
         .agg(F.count("*").alias("n_guaranteed_missed"))
     )
     found = exact.join(cand, ["id_a", "id_b"], "left_semi").agg(
@@ -3896,7 +3917,16 @@ def q_x_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     over which heavy values land together (the round-6 driver flake —
     rows/schema matched, the audit bit flipped on different data). A
     per-row id spreads the hot key uniformly over its ROWS on any
-    data, so the bound holds with wide margin."""
+    data, so the bound holds with wide margin.
+
+    Round-7 postmortem: the entry stayed red AFTER the salt fix
+    because the oracle's bare ``SUM(e.duration)`` returns HUGEINT in
+    DuckDB (→ pandas float64) while Spark returns BIGINT — a
+    dtype-level mismatch the driver's value hash sees on ANY data but
+    the local checker's float-tolerant compare silently absorbed. The
+    oracle now casts the sum back to BIGINT, and oracle_check flags
+    int-vs-float dtype splits as failures so this class cannot hide
+    again."""
     from cassandra_slow_queries_spark.operators.skew import salted_join
 
     ev = load(spark, sf_dir, "events").select(
@@ -3943,7 +3973,7 @@ WITH ev AS (
 )
 SELECT d.k_tier,
        CAST(COUNT(*) AS BIGINT) AS n,
-       SUM(e.duration) AS total_duration,
+       CAST(SUM(e.duration) AS BIGINT) AS total_duration,
        TRUE AS spread_ok
 FROM ev e JOIN dim d USING (k)
 GROUP BY d.k_tier
@@ -4337,8 +4367,11 @@ def q_x_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     to their exact counterparts and emits per-group tolerance booleans:
     HLL within 3·rsd relative error, and the percentile sketch judged
     by its OWN contract — the returned value (an actual data point)
-    must have rank within 0.95 ± 0.01 (accuracy 10000 guarantees rank
-    error ≤ n/10000, far inside). The first design compared
+    must have rank within 0.95 ± (1/n + 1e-4): accuracy 10000
+    guarantees rank error ≤ n/10000, and the 1/n term covers order-stat
+    discreteness so the bound stays valid for small groups (a fixed
+    ±0.01 band flips on a correct sketch once a group has < ~35 rows —
+    round-7 ADVICE). The first design compared
     |sketch − interpolated exact| ≤ 5%+1, which silently depended on
     the local order-stat GAP near p95 — a seed-dependent quantity that
     tools/reseed_sweep.py caught flipping on a regenerated corpus
@@ -4382,9 +4415,16 @@ def q_x_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.avg((F.col("dur") <= F.col("_p95_sketch")).cast("double")).alias("_le"),
             F.avg((F.col("dur") < F.col("_p95_sketch")).cast("double")).alias("_lt"),
+            F.count(F.lit(1)).alias("_n"),
         )
     )
     agg = distincts.join(pctls, "query").join(ranks, "query")
+    # the sketch contract bounds the RANK of the returned element:
+    # |rank - 0.95·n| ≤ n/accuracy, plus 1 rank for discreteness — so
+    # the bound must be GROUP-SIZE aware: a fixed 0.94 floor flips on a
+    # correct sketch when a group has < ~35 rows (the p95 order stat of
+    # a 10-row group legitimately sits at rank 0.9) — round-7 ADVICE.
+    _slack = 1.0 / F.col("_n") + 1e-4
     return agg.select(
         "query",
         "n_users_exact",
@@ -4395,7 +4435,9 @@ def q_x_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hll_ok"),
         F.round("_p95_exact", 6).alias("p95_exact"),
-        ((F.col("_le") >= 0.94) & (F.col("_lt") <= 0.96)).alias("pctl_ok"),
+        (
+            (F.col("_le") >= 0.95 - _slack) & (F.col("_lt") <= 0.95 + _slack)
+        ).alias("pctl_ok"),
     ).orderBy("query")
 
 
@@ -7891,6 +7933,135 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def q_cur_model_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored curation end-to-end (operators/quality_model.py +
+    operators/dsir.py) — the two TRAINED data-selection stages a
+    pretraining pipeline runs after the heuristic filters: a fastText-
+    style linear quality classifier (DCLM / FineWeb-Edu) and DSIR
+    importance resampling toward a target distribution (Xie et al.
+    2023). One entry drives both because they share the featurization
+    (FNV-1a hashed 1..2-gram buckets behind one Arrow GEMM seam) — the
+    cur_token_layout consolidation pattern.
+
+    The semantic handle is the corpus's PLANTED near-dup marker: ~5% of
+    documents end in ``" dup"×k`` (the generator's copy chains, present
+    on any seed — tools/reseed_sweep.py regenerates them), so "contains
+    the token ``dup``" is a rare positive class whose evidence lives in
+    the models' own feature space. Gates are invariant-style, not
+    literal values:
+
+    - ``nb_quality.ok``: train the closed-form Naive Bayes on the
+      derived label and re-score the corpus — train-set accuracy
+      ≥ 0.9. A rare positive class makes BOTH sides informative (the
+      prior classifies negatives, the ~e^11 dup-gram likelihood ratio
+      classifies positives); the residual errors are the dup chains'
+      BASE texts, which share every non-dup gram with a positive doc.
+      Measured 0.954-0.996 across testdata SFs and 0.966-0.976 on
+      re-seeded corpora (8-seed tools/reseed_sweep.py run, all gates
+      green). A majority-positive label would be vacuous here:
+      multinomial NB carries no absence evidence, so the neg class
+      would collapse onto the prior (measured acc == base rate);
+    - ``dsir_selected.ok``: DSIR-resample 50 docs toward the marker
+      docs as target; the selection must CAPTURE ≥ 0.6 of
+      ``min(n_target, n_selected)``. Measured capture 0.98-1.0: the
+      marker's log-ratio is ≈ +3 per occurrence, far above the Gumbel
+      noise (σ≈1.28). Smoothing is α=0.01 — with α=1 the
+      ``α·n_features`` pseudo-mass dwarfs the 25-doc target profile's
+      ~750 real grams and the signal measurably vanishes (selection
+      reverts to uniform);
+    - both gates are vacuously TRUE on a corpus with no marker docs
+      (no lottery on an unseen seed);
+    - ``dsir_target.n`` pins an exact oracle-computable anchor so the
+      hash stays data-sensitive.
+    """
+    from cassandra_slow_queries_spark.operators.dsir import (
+        dsir_log_weights,
+        hashed_ngram_profile,
+        importance_resample,
+        log_ratio_vector,
+        profile_probs,
+    )
+    from cassandra_slow_queries_spark.operators.quality_model import (
+        fit_quality_model,
+        score_quality,
+    )
+
+    nf = 4096
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "_cls",
+        F.when(
+            F.array_contains(F.split("text", " "), "dup"), F.lit("pos")
+        ).otherwise(F.lit("neg")),
+    )
+    W, b = fit_quality_model(
+        docs, ["neg", "pos"], text_col="text", label_col="_cls",
+        n_features=nf, smoothing=0.01,
+    )
+    scored = score_quality(
+        docs, W, b, ["neg", "pos"], text_col="text", pooling="sum"
+    )
+    corpus = scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("_cls") == "pos").cast("long")).alias("n_pos"),
+        F.avg((F.col("q_pred") == F.col("_cls")).cast("double")).alias("acc"),
+    )
+    pt = profile_probs(
+        hashed_ngram_profile(
+            docs.filter(F.col("_cls") == "pos"), "text", n_features=nf
+        ),
+        nf,
+        alpha=0.01,
+    )
+    pr = profile_probs(
+        hashed_ngram_profile(docs, "text", n_features=nf), nf, alpha=0.01
+    )
+    picked = importance_resample(
+        dsir_log_weights(docs, log_ratio_vector(pt, pr)), 50, seed=1
+    )
+    sel = picked.agg(
+        F.count(F.lit(1)).alias("n_sel"),
+        F.sum((F.col("_cls") == "pos").cast("long")).alias("pos_sel"),
+    )
+    both = corpus.crossJoin(sel)
+    nb_row = both.select(
+        F.lit("nb_quality").alias("part"),
+        F.col("n_docs").cast("long").alias("n"),
+        ((F.col("n_pos") == 0) | (F.col("acc") >= 0.9)).alias("ok"),
+    )
+    target_row = both.select(
+        F.lit("dsir_target").alias("part"),
+        F.col("n_pos").cast("long").alias("n"),
+        F.lit(True).alias("ok"),
+    )
+    sel_row = both.select(
+        F.lit("dsir_selected").alias("part"),
+        F.col("n_sel").cast("long").alias("n"),
+        (
+            (F.col("n_pos") == 0)
+            | (
+                F.col("pos_sel")
+                >= 0.6 * F.least(F.col("n_pos"), F.col("n_sel"))
+            )
+        ).alias("ok"),
+    )
+    return sel_row.unionByName(target_row).unionByName(nb_row).orderBy("part")
+
+
+CUR_MODEL_SELECT_SQL = """
+SELECT 'dsir_selected' AS part, CAST(LEAST(50, COUNT(*)) AS BIGINT) AS n, TRUE AS ok
+FROM documents
+UNION ALL
+SELECT 'dsir_target',
+       CAST(SUM(CASE WHEN list_contains(string_split(text, ' '), 'dup')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       TRUE
+FROM documents
+UNION ALL
+SELECT 'nb_quality', CAST(COUNT(*) AS BIGINT), TRUE FROM documents
+ORDER BY part
+"""
+
+
 CATALOG: dict[str, QueryDef] = {
     # --- core parity: aggregates, top-N, parse, dispatch, joins ---
     "a1_top_queries": QueryDef(q_a1_top_queries, A1_SQL, "A1+F3+T1 flagship"),
@@ -8389,6 +8560,12 @@ CATALOG: dict[str, QueryDef] = {
         CUR_TOKEN_LAYOUT_SQL,
         "consolidated token layout: padding-waste batching comparison "
         "+ token-budgeted shard manifest",
+    ),
+    "cur_model_select": QueryDef(
+        q_cur_model_select,
+        CUR_MODEL_SELECT_SQL,
+        "trained data selection: NB quality classifier (DCLM-style) "
+        "+ DSIR importance resampling, planted-marker gated",
     ),
     "x_geomean": QueryDef(
         q_x_geomean,

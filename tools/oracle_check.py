@@ -48,6 +48,24 @@ def compare(name: str, spark_df, oracle_df) -> list[str]:
         return problems
     for c in s.columns:
         sv, ov = s[c], o[c]
+        # The driver's value hash is dtype-sensitive: an int64 Spark
+        # column vs a float64 oracle column (e.g. DuckDB SUM(BIGINT) →
+        # HUGEINT → pandas float64) mismatches on ANY data even when
+        # every value is numerically equal. Mirror that strictness here
+        # so the class can't pass locally and fail at the driver
+        # (x_salted_join, rounds 6-7).
+        int_vs_float = (
+            pd.api.types.is_integer_dtype(sv) and pd.api.types.is_float_dtype(ov)
+        ) or (
+            pd.api.types.is_float_dtype(sv) and pd.api.types.is_integer_dtype(ov)
+        )
+        if int_vs_float:
+            problems.append(
+                f"column {c}: dtype split spark={sv.dtype} oracle={ov.dtype} "
+                "(driver hash is dtype-sensitive; cast the oracle, e.g. "
+                "CAST(SUM(..) AS BIGINT))"
+            )
+            continue
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
             import numpy as np
 

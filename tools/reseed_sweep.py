@@ -196,10 +196,17 @@ def main() -> int:
             if line.startswith(("FAIL", "   -")):
                 print(f"  {line}", flush=True)
                 failures += line.startswith("FAIL")
-        oks = sum(
-            line.startswith("ok") for line in proc.stdout.splitlines()
+        lines = proc.stdout.splitlines()
+        oks = sum(line.startswith("ok") for line in lines)
+        # oracle-less entries print "<name>: rows-only" — count them as
+        # covered, not as silent failures-by-omission (round-7 ADVICE)
+        rows_only = sum(": rows-only" in line for line in lines)
+        fails = sum(line.startswith("FAIL") for line in lines)
+        print(
+            f"  seed {seed}: {oks} ok / {rows_only} rows-only / "
+            f"{fails} fail / {len(entries)} entries",
+            flush=True,
         )
-        print(f"  seed {seed}: {oks} ok / {len(entries)} entries", flush=True)
         if proc.returncode not in (0, 1):
             print(proc.stderr[-2000:], flush=True)
             return 2
