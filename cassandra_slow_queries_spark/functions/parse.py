@@ -44,6 +44,30 @@ def str_slice(col: Column | str, before: str, after: str) -> Column:
     )
 
 
+def str_slice_nonempty(col: Column | str, before: str, after: str) -> Column:
+    """:func:`str_slice`, but an EMPTY slice (the two markers adjacent)
+    is a miss → NULL. This is the reference's ``if not table`` fallback
+    reading — empty string and not-found are both falsy — folded INTO
+    the slice condition (``end > 1``).
+
+    Exists so the table-segment fallback chains can stay plain
+    ``coalesce``: the round-7 fix wrapped each candidate in
+    ``nullif(slice, '')``, which expands to ``CASE WHEN slice='' …
+    ELSE slice`` and DUPLICATES the whole locate/substring tree per
+    candidate — the parse family measurably doubled (p5 1.0→1.9 s,
+    stream_e2e_parse 3.8→8.4 s at sf0.1, the expression-width lesson
+    again). One extra comparison here costs nothing.
+    """
+    s = _col(col)
+    start = F.locate(before, s)
+    rest = F.substring(s, start + F.lit(len(before)), F.lit(2147483647))
+    end = F.locate(after, rest)
+    return (
+        F.when((start > 0) & (end > 1), F.substring(rest, 1, end - 1))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
 def parse_timestamp(col: Column | str) -> Column:
     """``'%Y-%m-%dT%H:%M:%S.%fZ'`` → timestamp (analyze_slow_queries.py:913).
 
@@ -239,18 +263,6 @@ def parse_bound_values(col: Column | str) -> Column:
     return F.when(raw.isNotNull(), F.coalesce(result, empty)).otherwise(empty)
 
 
-def _falsy_coalesce(*candidates: Column) -> Column:
-    """First candidate that is neither NULL nor ``''`` — the reference's
-    ``if not table`` fallback chains treat an EMPTY slice as a miss and
-    keep trying later terminators (analyze_slow_queries.py:686-694), so
-    a plain ``coalesce`` (which accepts ``''``) would stop early: found
-    by the round-7 differential fuzz on ``'SELECT a FROM  t;'``-style
-    double-space queries, where the reference resolves ``' t'`` via the
-    ``';'`` fallback. All-falsy yields NULL (the reference returns
-    ``''``/None there; both are dropped by every caller's guard)."""
-    return F.coalesce(*[F.nullif(c, F.lit("")) for c in candidates])
-
-
 def select_table_segment(query: Column | str) -> Column:
     """Table segment of a SELECT: between ``' FROM '`` and the next space,
     with ``' from '`` and ``';'``-terminated fallbacks, tried in the
@@ -259,23 +271,32 @@ def select_table_segment(query: Column | str) -> Column:
     Note the reference tries ``(' FROM ', ' ')`` before ``(' FROM ', ';')``
     — so ``SELECT a FROM t;`` (no trailing space) resolves via the third
     attempt, and a query with BOTH gives the space-terminated slice.
+
+    The chain uses :func:`str_slice_nonempty`: the reference's ``if not
+    table`` guard treats an EMPTY slice as a miss and keeps trying later
+    terminators (found by the round-7 differential fuzz on
+    ``'SELECT a FROM  t;'`` double-space queries, where the reference
+    resolves ``' t'`` via the ``';'`` fallback). All-falsy yields NULL
+    (the reference returns ``''``/None there; both are dropped by every
+    caller's guard).
     """
     q = _col(query)
-    return _falsy_coalesce(
-        str_slice(q, " FROM ", " "),
-        str_slice(q, " from ", " "),
-        str_slice(q, " FROM ", ";"),
-        str_slice(q, " from ", ";"),
+    return F.coalesce(
+        str_slice_nonempty(q, " FROM ", " "),
+        str_slice_nonempty(q, " from ", " "),
+        str_slice_nonempty(q, " FROM ", ";"),
+        str_slice_nonempty(q, " from ", ";"),
     )
 
 
 def insert_table_segment(query: Column | str) -> Column:
     """Table segment of an INSERT: after ``'INSERT INTO '`` up to the next
-    space (analyze_slow_queries.py:766-769)."""
+    space (analyze_slow_queries.py:766-769); empty slice = miss, see
+    :func:`select_table_segment`."""
     q = _col(query)
-    return _falsy_coalesce(
-        str_slice(q, "INSERT INTO ", " "),
-        str_slice(q, "insert into ", " "),
+    return F.coalesce(
+        str_slice_nonempty(q, "INSERT INTO ", " "),
+        str_slice_nonempty(q, "insert into ", " "),
     )
 
 
@@ -292,9 +313,9 @@ def dml_table_segment(query: Column | str) -> Column:
       it and a DELETE never matches the UPDATE prefix).
     """
     q = _col(query)
-    return _falsy_coalesce(
-        str_slice(q, "UPDATE ", " "),
-        str_slice(q, "update ", " "),
+    return F.coalesce(
+        str_slice_nonempty(q, "UPDATE ", " "),
+        str_slice_nonempty(q, "update ", " "),
         select_table_segment(q),
     )
 

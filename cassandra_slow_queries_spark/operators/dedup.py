@@ -1008,6 +1008,7 @@ def simhash_near_pairs(
     hot_block_policy: str = "drop",
     num_representatives: int = 8,
     observation: "Observation | None" = None,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 16-bit fingerprint quarters
     (a pair within Hamming≤3 of 64 bits must agree on ≥1 of 4 quarters —
@@ -1031,9 +1032,22 @@ def simhash_near_pairs(
       star pairs at O(k·R) (see :func:`_block_candidate_pairs` for both
       policies and the ``observation`` metrics that make the hot-block
       load visible).
+
+    ``fingerprints``: optionally pass a precomputed ``(id, fp)`` frame
+    (ideally already materialized — a parquet-backed shared
+    intermediate) so callers that run the blocker more than once (e.g.
+    the dedup_simhash gate: capped production candidates + uncapped
+    pigeonhole candidates) pay the corpus fingerprint pass ONCE. When
+    provided, this function does not manage its storage lifecycle.
     """
-    fp = simhash_fingerprints(df, text_col, id_col)
-    fp = fp.persist()  # released below once the pairs are materialized
+    owns_fp = fingerprints is None
+    fp = (
+        simhash_fingerprints(df, text_col, id_col)
+        if owns_fp
+        else fingerprints
+    )
+    if owns_fp:
+        fp = fp.persist()  # released below once the pairs are materialized
     blocked = fp.filter(F.col("fp") != 0).select(
         "id",
         "fp",
@@ -1072,7 +1086,9 @@ def simhash_near_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
-    return _materialize_release(result, fp)
+    if owns_fp:
+        return _materialize_release(result, fp)
+    return _materialize_release(result)
 
 
 # ---------------------------------------------------------------------------

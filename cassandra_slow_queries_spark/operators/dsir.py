@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from cassandra_slow_queries_spark.operators.quality_model import (
+    batch_bucket_reduce,
     batch_gram_reduce,
     gram_buckets_udf,
 )
@@ -51,11 +52,20 @@ def hashed_ngram_profile(
     text_col: str = "text",
     n_features: int = 1 << 16,
     ngram: int = 2,
+    buckets_col: str | None = None,
 ) -> DataFrame:
     """``(bucket bigint, count bigint)`` hashed-gram counts of a corpus —
     explode the per-document bucket ids, hash-aggregate. Output
-    cardinality is bounded by ``n_features`` regardless of corpus size."""
-    buckets = gram_buckets_udf(n_features, ngram)(F.col(text_col))
+    cardinality is bounded by ``n_features`` regardless of corpus size.
+
+    ``buckets_col``: precomputed bucket-array column (same
+    ``n_features``/``ngram``) — profiles off the shared featurization
+    instead of re-hashing text."""
+    buckets = (
+        F.col(buckets_col)
+        if buckets_col is not None
+        else gram_buckets_udf(n_features, ngram)(F.col(text_col))
+    )
     return (
         df.select(F.explode(buckets).alias("bucket"))
         .groupBy("bucket")
@@ -88,20 +98,28 @@ def log_ratio_vector(
     return np.log(t) - np.log(r)
 
 
-def dsir_logweight_udf(log_ratio: np.ndarray, ngram: int = 2):
+def dsir_logweight_udf(
+    log_ratio: np.ndarray, ngram: int = 2, from_buckets: bool = False
+):
     """``text → double``: sum of ``log_ratio[bucket]`` over the
     document's 1..n-gram buckets. Same Arrow gather + ``reduceat`` shape
     as the quality scorer, with a SUM (likelihood of the document)
     instead of a mean. Empty documents weigh 0 (an empty product of
     likelihood ratios). Reduction order is the fixed gram order, so the
-    float64 result is bitwise reproducible across partitionings."""
+    float64 result is bitwise reproducible across partitionings.
+
+    ``from_buckets=True`` consumes a precomputed ``array<bigint>``
+    bucket column instead of text (the featurize-once seam)."""
     # (n_features, 1): the shared batch_gram_reduce seam — the Arrow
     # batching/segmentation logic lives in quality_model.py exactly once
     ratio_col = np.ascontiguousarray(log_ratio, dtype=np.float64).reshape(-1, 1)
 
     @pandas_udf("double")
-    def _logw(texts: pd.Series) -> pd.Series:
-        sums, _ = batch_gram_reduce(ratio_col, texts, ngram)
+    def _logw(col: pd.Series) -> pd.Series:
+        if from_buckets:
+            sums, _ = batch_bucket_reduce(ratio_col, col)
+        else:
+            sums, _ = batch_gram_reduce(ratio_col, col, ngram)
         return pd.Series(sums[:, 0])
 
     return _logw
@@ -113,12 +131,17 @@ def dsir_log_weights(
     text_col: str = "text",
     ngram: int = 2,
     out_col: str = "dsir_logw",
+    buckets_col: str | None = None,
 ) -> DataFrame:
     """Attach the DSIR importance log-weight column — one Arrow map
     stage, zero shuffles (pinned in tests/test_scale_plans.py style by
-    test_dsir.py)."""
+    test_dsir.py). ``buckets_col``: weigh off a precomputed bucket-array
+    column instead of re-hashing text."""
     return df.withColumn(
-        out_col, dsir_logweight_udf(log_ratio, ngram)(F.col(text_col))
+        out_col,
+        dsir_logweight_udf(
+            log_ratio, ngram, from_buckets=buckets_col is not None
+        )(F.col(buckets_col if buckets_col is not None else text_col)),
     )
 
 

@@ -84,16 +84,32 @@ def batch_gram_reduce(
     sequential per-segment sum), so results are bitwise reproducible
     across partitionings and batch sizes."""
     n_features = matrix.shape[0]
+    bucket_lists = pd.Series(
+        [gram_buckets((t or "").split(), n_features, ngram) for t in texts]
+    )
+    return batch_bucket_reduce(matrix, bucket_lists)
+
+
+def batch_bucket_reduce(
+    matrix: np.ndarray, bucket_lists: "pd.Series"
+) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`batch_gram_reduce` with the featurization already done —
+    ``bucket_lists`` holds each document's gram bucket ids (the
+    :func:`gram_buckets_udf` output column). The seam a FEATURIZE-ONCE
+    pipeline uses: hash the corpus into bucket arrays one time,
+    materialize, and run every downstream model (NB counts, quality
+    scores, DSIR profiles/weights) off the same arrays — at 100 TB
+    that's one corpus tokenization instead of one per model."""
     flat: list[int] = []
-    counts = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        idx = gram_buckets((t or "").split(), n_features, ngram)
+    counts = np.empty(len(bucket_lists), dtype=np.int64)
+    for i, idx in enumerate(bucket_lists):
+        idx = [] if idx is None else idx
         counts[i] = len(idx)
         flat.extend(idx)
-    sums = np.zeros((len(texts), matrix.shape[1]))
+    sums = np.zeros((len(bucket_lists), matrix.shape[1]))
     if flat:
         gathered = matrix[np.asarray(flat, dtype=np.int64)]  # (G, C)
-        starts = np.zeros(len(texts), dtype=np.int64)
+        starts = np.zeros(len(bucket_lists), dtype=np.int64)
         np.cumsum(counts[:-1], out=starts[1:])
         nonempty = counts > 0
         # reduceat needs strictly valid segment starts: compact to
@@ -107,6 +123,7 @@ def quality_logits_udf(
     bias: np.ndarray | Sequence[float],
     ngram: int = 2,
     pooling: str = "mean",
+    from_buckets: bool = False,
 ):
     """``text → array<double>`` of class logits under the linear model
     ``pool(W[gram buckets]) + b``.
@@ -125,6 +142,11 @@ def quality_logits_udf(
     A document with no tokens scores the bias alone under both poolings
     (fastText's behavior for empty input; an empty product of
     likelihoods for NB).
+
+    ``from_buckets=True`` makes the UDF consume a precomputed
+    ``array<bigint>`` bucket column (:func:`gram_buckets_udf` output)
+    instead of re-hashing text — bitwise-identical logits (pinned by
+    tests), one corpus featurization pass shared across models.
     """
     if pooling not in ("mean", "sum"):
         raise ValueError(f"pooling must be 'mean' or 'sum', got {pooling!r}")
@@ -138,9 +160,12 @@ def quality_logits_udf(
         )
 
     @pandas_udf("array<double>")
-    def _logits(texts: pd.Series) -> pd.Series:
-        sums, counts = batch_gram_reduce(W, texts, ngram)
-        out = np.tile(b, (len(texts), 1))  # start every doc at the bias
+    def _logits(col: pd.Series) -> pd.Series:
+        if from_buckets:
+            sums, counts = batch_bucket_reduce(W, col)
+        else:
+            sums, counts = batch_gram_reduce(W, col, ngram)
+        out = np.tile(b, (len(col), 1))  # start every doc at the bias
         nonempty = counts > 0
         if pooling == "mean":
             out[nonempty] += sums[nonempty] / counts[nonempty, None]
@@ -175,6 +200,7 @@ def fit_quality_model(
     n_features: int = 4096,
     ngram: int = 2,
     smoothing: float = 1.0,
+    buckets_col: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Closed-form multinomial Naive Bayes over the hashed gram
     features — the one linear text classifier trainable in a SINGLE
@@ -201,6 +227,10 @@ def fit_quality_model(
 
     Rows whose label is not in ``classes`` raise: a silently dropped
     label would bias the priors.
+
+    ``buckets_col``: name of a precomputed ``array<bigint>`` bucket
+    column (must have been built with the SAME ``n_features``/``ngram``)
+    — skips the featurization pass; see :func:`batch_bucket_reduce`.
     """
     classes = list(classes)
     if len(classes) != len(set(classes)):
@@ -209,7 +239,11 @@ def fit_quality_model(
         raise ValueError("smoothing must be > 0 (zero counts need mass)")
     class_idx = {c: i for i, c in enumerate(classes)}
 
-    buckets = gram_buckets_udf(n_features, ngram)(F.col(text_col))
+    buckets = (
+        F.col(buckets_col)
+        if buckets_col is not None
+        else gram_buckets_udf(n_features, ngram)(F.col(text_col))
+    )
     # sentinel -1 per document → priors come out of the same aggregation
     with_doc_marker = F.concat(
         F.array(F.lit(-1).cast("bigint")), buckets
@@ -263,6 +297,7 @@ def score_quality(
     ngram: int = 2,
     out_prefix: str = "q_",
     pooling: str = "mean",
+    buckets_col: str | None = None,
 ) -> DataFrame:
     """Attach model-quality columns: ``<prefix>logits`` (array<double>),
     ``<prefix>probs`` (softmax), ``<prefix>pred`` (argmax label, first
@@ -273,16 +308,20 @@ def score_quality(
     ``pooling``: ``"mean"`` for fastText-style trained weights,
     ``"sum"`` for :func:`fit_quality_model`'s Naive Bayes weights (see
     :func:`quality_logits_udf` for why this matters under non-uniform
-    priors)."""
+    priors).
+
+    ``buckets_col``: precomputed bucket-array column — scores off the
+    shared featurization instead of re-hashing ``text_col``."""
     classes = list(classes)
     W = np.asarray(weights, dtype=np.float64)
     if len(classes) != W.shape[1]:
         raise ValueError(
             f"{len(classes)} class labels for {W.shape[1]} model outputs"
         )
-    logits_col = quality_logits_udf(W, bias, ngram=ngram, pooling=pooling)(
-        F.col(text_col)
-    )
+    logits_col = quality_logits_udf(
+        W, bias, ngram=ngram, pooling=pooling,
+        from_buckets=buckets_col is not None,
+    )(F.col(buckets_col if buckets_col is not None else text_col))
     out = df.withColumn(f"{out_prefix}logits", logits_col)
     probs = softmax_probs(F.col(f"{out_prefix}logits"))
     out = out.withColumn(f"{out_prefix}probs", probs)

@@ -2153,9 +2153,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
 
+    # one corpus fingerprint pass, parquet-materialized, feeds BOTH
+    # blocker runs and the exact_h join below (was 3 passes)
+    fp = shared_intermediate(
+        spark,
+        ("simhash_fp", sf_dir),
+        lambda: simhash_fingerprints(docs, "text", "doc_id"),
+    )
+
     def build_cand() -> DataFrame:
         return simhash_near_pairs(
-            docs, "text", "doc_id", max_hamming=8, max_block_freq=100
+            docs, "text", "doc_id", max_hamming=8, max_block_freq=100,
+            fingerprints=fp,
         )
 
     cand = shared_intermediate(
@@ -2163,7 +2172,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b")
 
     def build_cand_uncapped() -> DataFrame:
-        return simhash_near_pairs(docs, "text", "doc_id", max_hamming=8)
+        return simhash_near_pairs(
+            docs, "text", "doc_id", max_hamming=8, fingerprints=fp
+        )
 
     # the pigeonhole THEOREM is about the uncapped blocker: check the
     # guaranteed set against cap-free candidates so a >cap hot block on
@@ -2177,7 +2188,6 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fingerprint Hamming per true pair → the pigeonhole-guaranteed set
     # (zero fingerprints are outside the blocking universe, so outside
     # the guarantee)
-    fp = simhash_fingerprints(docs, "text", "doc_id")
     exact_h = (
         exact.join(fp.select(F.col("id").alias("id_a"), F.col("fp").alias("_fa")), "id_a")
         .join(fp.select(F.col("id").alias("id_b"), F.col("fp").alias("_fb")), "id_b")
@@ -7983,22 +7993,36 @@ def q_cur_model_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from cassandra_slow_queries_spark.operators.quality_model import (
         fit_quality_model,
+        gram_buckets_udf,
         score_quality,
+    )
+    from cassandra_slow_queries_spark.plans.intermediates import (
+        shared_intermediate,
     )
 
     nf = 4096
-    docs = load(spark, sf_dir, "documents").withColumn(
-        "_cls",
-        F.when(
-            F.array_contains(F.split("text", " "), "dup"), F.lit("pos")
-        ).otherwise(F.lit("neg")),
+    # featurize ONCE: the NB counts, the scorer, both DSIR profiles and
+    # the DSIR weights all consume the same hashed-gram bucket arrays —
+    # materialized as a shared intermediate, so the corpus pays one
+    # (Python-side FNV) tokenization pass instead of five. At 100 TB
+    # this is the difference between one corpus scan and five.
+    docs = shared_intermediate(
+        spark,
+        ("gram_buckets", nf, sf_dir),
+        lambda: load(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.when(
+                F.array_contains(F.split("text", " "), "dup"), F.lit("pos")
+            ).otherwise(F.lit("neg")).alias("_cls"),
+            gram_buckets_udf(nf, 2)(F.col("text")).alias("_buckets"),
+        ),
     )
     W, b = fit_quality_model(
-        docs, ["neg", "pos"], text_col="text", label_col="_cls",
-        n_features=nf, smoothing=0.01,
+        docs, ["neg", "pos"], label_col="_cls",
+        n_features=nf, smoothing=0.01, buckets_col="_buckets",
     )
     scored = score_quality(
-        docs, W, b, ["neg", "pos"], text_col="text", pooling="sum"
+        docs, W, b, ["neg", "pos"], pooling="sum", buckets_col="_buckets"
     )
     corpus = scored.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -8007,16 +8031,24 @@ def q_cur_model_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pt = profile_probs(
         hashed_ngram_profile(
-            docs.filter(F.col("_cls") == "pos"), "text", n_features=nf
+            docs.filter(F.col("_cls") == "pos"),
+            n_features=nf,
+            buckets_col="_buckets",
         ),
         nf,
         alpha=0.01,
     )
     pr = profile_probs(
-        hashed_ngram_profile(docs, "text", n_features=nf), nf, alpha=0.01
+        hashed_ngram_profile(docs, n_features=nf, buckets_col="_buckets"),
+        nf,
+        alpha=0.01,
     )
     picked = importance_resample(
-        dsir_log_weights(docs, log_ratio_vector(pt, pr)), 50, seed=1
+        dsir_log_weights(
+            docs, log_ratio_vector(pt, pr), buckets_col="_buckets"
+        ),
+        50,
+        seed=1,
     )
     sel = picked.agg(
         F.count(F.lit(1)).alias("n_sel"),

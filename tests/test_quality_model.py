@@ -252,3 +252,75 @@ def test_fit_rejects_bad_inputs(spark):
         fit_quality_model(df, ["low", "low"], n_features=64)
     with pytest.raises(ValueError):
         fit_quality_model(df, ["mystery"], n_features=64, smoothing=0.0)
+
+
+def test_buckets_col_path_is_bitwise_identical(spark):
+    """The featurize-once seam: scoring, fitting, profiling, and
+    weighing off a precomputed gram_buckets_udf column must reproduce
+    the text path BITWISE — same hashing function, same reduction
+    order, one corpus tokenization pass instead of five."""
+    from cassandra_slow_queries_spark.operators.dsir import (
+        dsir_log_weights,
+        hashed_ngram_profile,
+        log_ratio_vector,
+        profile_probs,
+    )
+    from cassandra_slow_queries_spark.operators.quality_model import (
+        gram_buckets_udf,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "lang")
+        .limit(120)
+    )
+    bucketed = docs.withColumn(
+        "_b", gram_buckets_udf(N_FEATURES, 2)(F.col("text"))
+    )
+
+    # scoring parity (trained NB weights exercise fit parity too)
+    classes = ["de", "en", "es", "fr", "zh"]
+    W_t, b_t = fit_quality_model(
+        docs, classes, label_col="lang", n_features=N_FEATURES
+    )
+    W_b, b_b = fit_quality_model(
+        bucketed, classes, label_col="lang",
+        n_features=N_FEATURES, buckets_col="_b",
+    )
+    np.testing.assert_array_equal(W_t, W_b)
+    np.testing.assert_array_equal(b_t, b_b)
+
+    via_text = {
+        r["doc_id"]: r["q_logits"]
+        for r in score_quality(
+            docs, W_t, b_t, classes, pooling="sum"
+        ).select("doc_id", "q_logits").collect()
+    }
+    via_buckets = {
+        r["doc_id"]: r["q_logits"]
+        for r in score_quality(
+            bucketed, W_t, b_t, classes, pooling="sum", buckets_col="_b"
+        ).select("doc_id", "q_logits").collect()
+    }
+    assert via_text == via_buckets  # bitwise: same floats exactly
+
+    # profile + weight parity
+    p_text = profile_probs(
+        hashed_ngram_profile(docs, n_features=N_FEATURES), N_FEATURES
+    )
+    p_buck = profile_probs(
+        hashed_ngram_profile(bucketed, n_features=N_FEATURES, buckets_col="_b"),
+        N_FEATURES,
+    )
+    np.testing.assert_array_equal(p_text, p_buck)
+    ratio = log_ratio_vector(p_text, p_text * 0.5 + 0.5 / N_FEATURES)
+    w_text = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_log_weights(docs, ratio).select("doc_id", "dsir_logw").collect()
+    }
+    w_buck = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_log_weights(bucketed, ratio, buckets_col="_b")
+        .select("doc_id", "dsir_logw").collect()
+    }
+    assert w_text == w_buck
