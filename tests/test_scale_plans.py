@@ -128,3 +128,39 @@ def test_grouped_top_k_rank_pushdown(spark, docs):
     ]
     assert partials, plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_featurize_once_buckets_path_plans(spark, docs):
+    """The featurize-once seam (r8): scoring and DSIR-weighing off a
+    precomputed gram-bucket column must plan WITHOUT re-hashing text —
+    still exactly one Arrow boundary each (the gather+reduceat GEMM),
+    zero exchanges, and the bucket column feeding the UDF instead of
+    the text column. If a refactor silently re-featurizes inside the
+    UDF, the corpus pays one tokenization pass per model again — at
+    100 TB that is the difference between one scan and five."""
+    from cassandra_slow_queries_spark.operators.dsir import dsir_log_weights
+    from cassandra_slow_queries_spark.operators.quality_model import (
+        gram_buckets_udf,
+    )
+
+    bucketed = docs.withColumn(
+        "_b", gram_buckets_udf(64, 2)(F.col("text"))
+    ).select("doc_id", "_b")  # text column GONE: re-hashing can't compile
+    W = np.ones((64, 2)) * 0.01
+    scored = score_quality(
+        bucketed, W, [0.0, 0.0], ["bad", "good"], buckets_col="_b"
+    )
+    plan = _plan(scored.select("doc_id", "q_score"))
+    # Spark FUSES the chained pandas UDFs (bucket featurization → GEMM)
+    # into a single ArrowEvalPython node — one Python boundary total,
+    # evaluated in sequence inside one Arrow exchange with the JVM
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+    weighted = dsir_log_weights(
+        bucketed, np.zeros(64), buckets_col="_b"
+    )
+    plan_w = _plan(weighted)
+    assert plan_w.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan_w
