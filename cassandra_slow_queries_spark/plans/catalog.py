@@ -93,6 +93,21 @@ def _dur() -> Column:
     return F.floor(F.col("value")).cast("long")
 
 
+def _q6(col: Column) -> Column:
+    """Quantize to 6 decimals with EXPLICIT IEEE ops — round-half-up via
+    ``floor(x·1e6 + 0.5)/1e6`` — instead of ``ROUND(x, 6)``. Spark's
+    ROUND (BigDecimal HALF_UP over the exact binary double) and DuckDB's
+    ROUND can disagree on the SAME input when a terminating-rational
+    value (a count ratio, a window average, an interpolation blend)
+    lands exactly on the 7th-digit-5 half boundary — the r8 re-seed
+    sweep caught x_interpolate doing exactly that. The floor idiom is a
+    fixed IEEE op sequence both engines evaluate bit-identically.
+    Callers must quantize NON-NEGATIVE values only (floor(x+0.5) is
+    round-toward-+inf at halves) and mirror the same idiom in the
+    oracle SQL: ``FLOOR((expr) * 1e6 + 0.5) / 1e6``."""
+    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+
+
 def _sum_dec(col: str, scale: str = "decimal(18,2)") -> Column:
     return F.sum(F.col(col).cast(scale)).cast("double")
 
@@ -876,8 +891,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.token_count("text").alias("n_tokens"),
         T.char_count("text").alias("n_chars_actual"),
-        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
-        F.round(T.avg_token_length("text"), 6).alias("avg_token_len"),
+        _q6(T.stopword_ratio("text")).alias("stopword_ratio"),
+        _q6(T.avg_token_length("text")).alias("avg_token_len"),
     ).orderBy("doc_id")
 
 
@@ -889,12 +904,14 @@ TEXT_STATS_SQL = f"""
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars_actual,
-       ROUND(len(list_filter(string_split(text, ' '),
+       FLOOR((len(list_filter(string_split(text, ' '),
                  t -> lower(t) IN ({_STOPWORDS_IN})))
-             / len(string_split(text, ' ')), 6) AS stopword_ratio,
-       ROUND(list_aggregate(list_transform(
+             / len(string_split(text, ' '))) * 1e6 + 0.5) / 1e6
+           AS stopword_ratio,
+       FLOOR((list_aggregate(list_transform(
                  list_filter(string_split(text, ' '), t -> len(t) > 0),
-                 t -> CAST(len(t) AS DOUBLE)), 'avg'), 6) AS avg_token_len
+                 t -> CAST(len(t) AS DOUBLE)), 'avg')) * 1e6 + 0.5) / 1e6
+           AS avg_token_len
 FROM documents
 ORDER BY doc_id
 """
@@ -4043,14 +4060,14 @@ def q_x_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         duration="6 hours",
     )
     return out.select(
-        "user_id", "ts", "n_6h", F.round("avg_6h", 6).alias("avg_6h")
+        "user_id", "ts", "n_6h", _q6(F.col("avg_6h")).alias("avg_6h")
     ).orderBy("user_id", "ts")
 
 
 X_ROLLING_SQL = """
 SELECT user_id, ts,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_6h,
-       ROUND(AVG(value) OVER w, 6) AS avg_6h
+       FLOOR((AVG(value) OVER w) * 1e6 + 0.5) / 1e6 AS avg_6h
 FROM events
 WHERE user_id < 30
 WINDOW w AS (
@@ -7514,7 +7531,17 @@ def q_x_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled continuous signal). Same single shuffle as the ffill path —
     the interpolation is two extra frames over the same keyed window.
     The oracle replays grid, per-bucket latest observation, IGNORE
-    NULLS neighbor scan, and the identical IEEE blend order."""
+    NULLS neighbor scan, and the identical IEEE blend order.
+
+    Quantization note (r8 re-seed find): the blend is rational (2-dp
+    deltas × k/n bucket fractions), so a value CAN land exactly on a
+    6-decimal half boundary — where Spark's ROUND (BigDecimal HALF_UP
+    on the exact binary double) and DuckDB's ROUND disagree on the SAME
+    input (seed-1000 sweep: one row, 1e-6 diff). Both sides therefore
+    quantize with explicit IEEE ops — ``floor(x·1e6 + 0.5)/1e6`` —
+    which every engine evaluates identically bit for bit. Values are
+    non-negative (events.value ≥ 0), so floor(x+0.5) is plain
+    round-half-up."""
     from cassandra_slow_queries_spark.operators.timeseries import resample
 
     ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 6)
@@ -7527,7 +7554,7 @@ def q_x_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             step_seconds=7200,
             fill="interp",
         )
-        .select("user_id", "bucket_ts", F.round("value", 6).alias("value"))
+        .select("user_id", "bucket_ts", _q6(F.col("value")).alias("value"))
         .orderBy("user_id", "bucket_ts")
     )
 
@@ -7577,11 +7604,11 @@ WITH src AS (
 )
 SELECT user_id,
        CAST(to_timestamp(bucket_sec) AS TIMESTAMP) AS bucket_ts,
-       ROUND(CASE WHEN next_s = prev_s THEN prev_v
+       FLOOR(CASE WHEN next_s = prev_s THEN prev_v
                   ELSE prev_v + (next_v - prev_v)
                        * (CAST(bucket_sec - prev_s AS DOUBLE)
                           / CAST(next_s - prev_s AS DOUBLE))
-             END, 6) AS value
+             END * 1e6 + 0.5) / 1e6 AS value
 FROM nbr ORDER BY user_id, bucket_ts
 """
 
