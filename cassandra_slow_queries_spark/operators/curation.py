@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cassandra_slow_queries_spark.functions.quantize import qdec
 from cassandra_slow_queries_spark.functions.text import word_shingles
 from cassandra_slow_queries_spark.session import spread_input
 
@@ -255,9 +256,13 @@ def scale_features(
     var = F.col("_ss") / n - mean * mean
     sd = F.sqrt(F.greatest(var, F.lit(0.0)))
     span = (F.col("_hi") - F.col("_lo")).cast("double")
+    # qdec, not ROUND: minmax is a terminating rational ((x-lo)/span over
+    # 2-decimal inputs) that can land exactly on the half boundary where
+    # engine ROUNDs disagree; zscore rides the same idiom so the oracle
+    # mirrors one quantizer (functions/quantize.py)
     return joined.withColumn(
         "zscore",
-        F.round(
+        qdec(
             F.when(
                 x.isNotNull(),
                 F.when(sd > 0.0, (x - mean) / sd).otherwise(0.0),
@@ -266,7 +271,7 @@ def scale_features(
         ),
     ).withColumn(
         "minmax",
-        F.round(
+        qdec(
             F.when(
                 x.isNotNull(),
                 F.when(span > 0.0, (x - F.col("_lo")) / span).otherwise(
@@ -667,13 +672,13 @@ def repetition_metrics(
         .join(word_frac, "id", "left")
         .select(
             "id",
-            F.round(F.coalesce("dup_chunk_frac", F.lit(0.0)), 6).alias(
+            qdec(F.coalesce("dup_chunk_frac", F.lit(0.0))).alias(
                 "dup_chunk_frac"
             ),
-            F.round(F.coalesce("top_bigram_frac", F.lit(0.0)), 6).alias(
+            qdec(F.coalesce("top_bigram_frac", F.lit(0.0))).alias(
                 "top_bigram_frac"
             ),
-            F.round(F.coalesce("top_word_frac", F.lit(0.0)), 6).alias(
+            qdec(F.coalesce("top_word_frac", F.lit(0.0))).alias(
                 "top_word_frac"
             ),
         )

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cassandra_slow_queries_spark.functions.quantize import qdec
+
 from cassandra_slow_queries_spark.functions.text import tokens, word_shingles
 from cassandra_slow_queries_spark.session import spread_input
 
@@ -181,7 +183,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard_raw") >= threshold)
         .select(
-            "id_a", "id_b", F.round(F.col("jaccard_raw"), 6).alias("jaccard")
+            "id_a", "id_b", qdec(F.col("jaccard_raw")).alias("jaccard")
         )
     )
     return _materialize_release(result, sh)
@@ -613,7 +615,7 @@ def verified_near_dup_pairs(
         )
         .filter(F.col("jaccard_raw") >= threshold)
         .select(
-            "id_a", "id_b", F.round(F.col("jaccard_raw"), 6).alias("jaccard")
+            "id_a", "id_b", qdec(F.col("jaccard_raw")).alias("jaccard")
         )
     )
     return _materialize_release(result, sh)
@@ -1543,6 +1545,6 @@ def containment_pairs(
             "n_common",
             "size_a",
             "size_b",
-            F.round(ratio, 6).alias("containment"),
+            qdec(ratio).alias("containment"),
         )
     )

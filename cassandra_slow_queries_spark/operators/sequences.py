@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cassandra_slow_queries_spark.functions.quantize import qdec
+
 
 def transition_pairs(
     df: DataFrame,
@@ -68,5 +70,8 @@ def transition_matrix(
     row_tot = Window.partitionBy("prev_state")
     p = F.col("n") / F.sum("n").over(row_tot)
     if prob_digits is not None:
-        p = F.round(p, prob_digits)
+        # qdec, not ROUND: p is a terminating rational (count ratio)
+        # that can land exactly on the half boundary where engine
+        # ROUNDs disagree (functions/quantize.py)
+        p = qdec(p, prob_digits)
     return counts.withColumn("p", p)

@@ -101,11 +101,15 @@ def _q6(col: Column) -> Column:
     value (a count ratio, a window average, an interpolation blend)
     lands exactly on the 7th-digit-5 half boundary — the r8 re-seed
     sweep caught x_interpolate doing exactly that. The floor idiom is a
-    fixed IEEE op sequence both engines evaluate bit-identically.
-    Callers must quantize NON-NEGATIVE values only (floor(x+0.5) is
-    round-toward-+inf at halves) and mirror the same idiom in the
-    oracle SQL: ``FLOOR((expr) * 1e6 + 0.5) / 1e6``."""
-    return F.floor(col * 1e6 + F.lit(0.5)) / 1e6
+    fixed IEEE op sequence both engines evaluate bit-identically —
+    which is the property the oracle gate needs, for negative values
+    too (floor(x+0.5) is round-half-toward-+inf there, not HALF_UP,
+    but BOTH sides compute the same thing). Mirror the same idiom in
+    the oracle SQL: ``FLOOR((expr) * 1e6 + 0.5) / 1e6``. Shared
+    library form: functions/quantize.py (qdec / qdec_sql)."""
+    from cassandra_slow_queries_spark.functions.quantize import qdec
+
+    return qdec(col)
 
 
 def _sum_dec(col: str, scale: str = "decimal(18,2)") -> Column:
@@ -874,7 +878,7 @@ WITH sh AS (
     GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+       FLOOR((n_common / (sa.n + sb.n - n_common)) * 1e6 + 0.5) / 1e6 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
@@ -1164,9 +1168,12 @@ c AS (SELECT doc_id,
 cf AS (SELECT doc_id, 1 - COUNT(DISTINCT span)::DOUBLE / COUNT(*) AS dup_chunk_frac
        FROM c GROUP BY doc_id)
 SELECT d.doc_id,
-       ROUND(COALESCE(cf.dup_chunk_frac, 0), 6) AS dup_chunk_frac,
-       ROUND(COALESCE(bf.top_bigram_frac, 0), 6) AS top_bigram_frac,
-       ROUND(COALESCE(wf.top_word_frac, 0), 6) AS top_word_frac
+       FLOOR(COALESCE(cf.dup_chunk_frac, 0) * 1e6 + 0.5) / 1e6
+           AS dup_chunk_frac,
+       FLOOR(COALESCE(bf.top_bigram_frac, 0) * 1e6 + 0.5) / 1e6
+           AS top_bigram_frac,
+       FLOOR(COALESCE(wf.top_word_frac, 0) * 1e6 + 0.5) / 1e6
+           AS top_word_frac
 FROM documents d
 LEFT JOIN cf USING (doc_id) LEFT JOIN bf USING (doc_id) LEFT JOIN wf USING (doc_id)
 ORDER BY doc_id
@@ -2100,7 +2107,7 @@ WITH sh AS (
     GROUP BY 1, 2
 )
 SELECT id_a, id_b,
-       ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+       FLOOR((n_common / (sa.n + sb.n - n_common)) * 1e6 + 0.5) / 1e6 AS jaccard
 FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
@@ -3325,12 +3332,11 @@ def q_x_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         rebased.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.covar_pop("x", "y") / F.var_pop("x"), 6
+            _q6(
+                F.covar_pop("x", "y") / F.var_pop("x")
             ).alias("slope"),
-            F.round(
+            _q6(
                 F.avg("y") - F.covar_pop("x", "y") / F.var_pop("x") * F.avg("x"),
-                6,
             ).alias("intercept"),
         )
         .orderBy("event_type")
@@ -3349,8 +3355,9 @@ WITH ev AS (
 )
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(COVAR_POP(x, y) / VAR_POP(x), 6) AS slope,
-       ROUND(AVG(y) - COVAR_POP(x, y) / VAR_POP(x) * AVG(x), 6) AS intercept
+       FLOOR((COVAR_POP(x, y) / VAR_POP(x)) * 1e6 + 0.5) / 1e6 AS slope,
+       FLOOR((AVG(y) - COVAR_POP(x, y) / VAR_POP(x) * AVG(x)) * 1e6 + 0.5)
+           / 1e6 AS intercept
 FROM r
 GROUP BY event_type
 ORDER BY event_type
@@ -5421,14 +5428,14 @@ def q_cur_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         "n_chars",
-        F.round("pct_rank", 6).alias("pct_rank"),
+        _q6(F.col("pct_rank")).alias("pct_rank"),
     )
 
 
 CUR_QUALITY_RANK_SQL = """
 SELECT doc_id, lang, n_chars,
-       ROUND(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars ASC), 6)
-           AS pct_rank
+       FLOOR(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars ASC)
+             * 1e6 + 0.5) / 1e6 AS pct_rank
 FROM documents
 """
 
@@ -5522,7 +5529,7 @@ WITH pairs AS (
     GROUP BY prev_state, next_state
 )
 SELECT prev_state, next_state, CAST(n AS BIGINT) AS n,
-       ROUND(n / SUM(n) OVER (PARTITION BY prev_state), 6) AS p
+       FLOOR((n / SUM(n) OVER (PARTITION BY prev_state)) * 1e6 + 0.5) / 1e6 AS p
 FROM counts
 ORDER BY prev_state, next_state
 """
@@ -6725,7 +6732,7 @@ WITH corpus AS (
 )
 SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
        CAST(sa.n AS BIGINT) AS size_a, CAST(sb.n AS BIGINT) AS size_b,
-       ROUND(n_common / LEAST(sa.n, sb.n), 6) AS containment
+       FLOOR((n_common / LEAST(sa.n, sb.n)) * 1e6 + 0.5) / 1e6 AS containment
 FROM inter
 JOIN sizes sa ON sa.id = id_a
 JOIN sizes sb ON sb.id = id_b
@@ -7477,9 +7484,9 @@ def q_x_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "antecedent",
         "consequent",
         "pair_count",
-        F.round("support", 6).alias("support"),
-        F.round("confidence", 6).alias("confidence"),
-        F.round("lift", 6).alias("lift"),
+        _q6(F.col("support")).alias("support"),
+        _q6(F.col("confidence")).alias("confidence"),
+        _q6(F.col("lift")).alias("lift"),
     ).orderBy("antecedent", "consequent")
 
 
@@ -7510,11 +7517,11 @@ WITH items AS (
     SELECT item_b, item_a, pair_count FROM pairs
 )
 SELECT r.antecedent, r.consequent, r.pair_count,
-       ROUND(r.pair_count / t.n, 6) AS support,
-       ROUND(r.pair_count / CAST(fa.item_count AS DOUBLE), 6)
-           AS confidence,
-       ROUND((r.pair_count / CAST(fa.item_count AS DOUBLE))
-             / (fc.item_count / t.n), 6) AS lift
+       FLOOR((r.pair_count / t.n) * 1e6 + 0.5) / 1e6 AS support,
+       FLOOR((r.pair_count / CAST(fa.item_count AS DOUBLE)) * 1e6 + 0.5)
+           / 1e6 AS confidence,
+       FLOOR(((r.pair_count / CAST(fa.item_count AS DOUBLE))
+             / (fc.item_count / t.n)) * 1e6 + 0.5) / 1e6 AS lift
 FROM rules r
 CROSS JOIN totals t
 JOIN freq fa ON fa.item = r.antecedent
@@ -7916,11 +7923,11 @@ WITH src AS (
     FROM src GROUP BY 1
 )
 SELECT event_id, src.event_type, dur,
-       ROUND(CASE WHEN sd > 0.0 THEN (dur - mean) / sd ELSE 0.0 END, 6)
-           AS zscore,
-       ROUND(CASE WHEN hi > lo
-                  THEN (dur - lo) / CAST(hi - lo AS DOUBLE)
-                  ELSE 0.0 END, 6) AS minmax
+       FLOOR((CASE WHEN sd > 0.0 THEN (dur - mean) / sd ELSE 0.0 END)
+             * 1e6 + 0.5) / 1e6 AS zscore,
+       FLOOR((CASE WHEN hi > lo
+                   THEN (dur - lo) / CAST(hi - lo AS DOUBLE)
+                   ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS minmax
 FROM src
 JOIN (
     SELECT event_type, lo, hi,
