@@ -36,6 +36,7 @@ corpus — so the write is negligible next to the corpus pass it saves.
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import tempfile
 from typing import Callable
@@ -44,6 +45,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple, object] = {}
 _DIRS: dict[tuple, str] = {}
+
+
+@atexit.register
+def _drop_all_dirs() -> None:
+    """Remove this process's parquet materializations at interpreter
+    exit: _prune_dead only sees OTHER keys inside one live process, so
+    without this every short-lived session (a test run, an
+    oracle-check subprocess) leaks its temp dirs on the shared FS."""
+    for path in _DIRS.values():
+        shutil.rmtree(path, ignore_errors=True)
+    _DIRS.clear()
+    _CACHE.clear()
 
 
 def shared_intermediate(
