@@ -172,6 +172,10 @@ def main() -> int:
     ap.add_argument("entries", nargs="*", help="catalog entry names (default: driver window)")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument(
+        "--seed-base", type=int, default=1000,
+        help="first seed; the sweep runs seed-base .. seed-base+seeds-1",
+    )
     ap.add_argument("--out-root", default="/tmp/reseed")
     args = ap.parse_args()
 
@@ -183,7 +187,7 @@ def main() -> int:
 
     failures = 0
     for k in range(args.seeds):
-        seed = 1000 + k
+        seed = args.seed_base + k
         out_dir = build_reseed_dir(args.sf_dir, f"{args.out_root}_s{seed}", seed)
         print(f"=== seed {seed} → {out_dir}", flush=True)
         proc = subprocess.run(
