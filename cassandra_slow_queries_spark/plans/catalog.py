@@ -2194,18 +2194,6 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = shared_intermediate(
         spark, ("simhash_cand", sf_dir), build_cand
     ).select("id_a", "id_b")
-
-    def build_cand_uncapped() -> DataFrame:
-        return simhash_near_pairs(
-            docs, "text", "doc_id", max_hamming=8, fingerprints=fp
-        )
-
-    # the pigeonhole THEOREM is about the uncapped blocker: check the
-    # guaranteed set against cap-free candidates so a >cap hot block on
-    # an unseen corpus can't flip the bit on a correct blocker
-    cand_uncapped = shared_intermediate(
-        spark, ("simhash_cand_uncapped", sf_dir), build_cand_uncapped
-    ).select("id_a", "id_b")
     exact = _shared_jaccard3_pairs(spark, sf_dir).filter(
         F.col("jaccard") >= 0.5
     ).select("id_a", "id_b")
@@ -2217,11 +2205,33 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(fp.select(F.col("id").alias("id_b"), F.col("fp").alias("_fb")), "id_b")
         .select("id_a", "id_b", "_fa", "_fb", hamming64("_fa", "_fb").alias("_h"))
     )
+    guaranteed = exact_h.filter(
+        (F.col("_h") <= 3) & (F.col("_fa") != 0) & (F.col("_fb") != 0)
+    ).select("id_a", "id_b")
+    # the pigeonhole THEOREM is about the uncapped blocker: check the
+    # guaranteed set against cap-free candidates so a >cap hot block on
+    # an unseen corpus can't flip the bit on a correct blocker. The
+    # uncapped run is RESTRICTED to the suspect docs (those in a
+    # guaranteed pair): uncapped blocking emits (a, b) iff the two
+    # fingerprints share a quarter — a per-pair condition other docs
+    # can't affect — so the restricted run finds exactly the full run's
+    # pairs over those docs, through the same blocking code, without a
+    # second full-corpus self-join (r8: the full pass tripled the
+    # entry's bench cost for identical gate strength).
+    suspects = (
+        guaranteed.select(F.col("id_a").alias("id"))
+        .unionByName(guaranteed.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    cand_uncapped = simhash_near_pairs(
+        docs,
+        "text",
+        "doc_id",
+        max_hamming=8,
+        fingerprints=fp.join(F.broadcast(suspects), "id", "left_semi"),
+    ).select("id_a", "id_b")
     guaranteed_missed = (
-        exact_h.filter(
-            (F.col("_h") <= 3) & (F.col("_fa") != 0) & (F.col("_fb") != 0)
-        )
-        .join(cand_uncapped, ["id_a", "id_b"], "left_anti")
+        guaranteed.join(cand_uncapped, ["id_a", "id_b"], "left_anti")
         .agg(F.count("*").alias("n_guaranteed_missed"))
     )
     found = exact.join(cand, ["id_a", "id_b"], "left_semi").agg(
