@@ -1,0 +1,127 @@
+"""Count-min sketch as a pure DataFrame composition.
+
+Spark ships HyperLogLog (``approx_count_distinct`` /
+``hll_sketch_agg``) and a quantile sketch (``approx_percentile``) but
+no frequency sketch; the DataFrame-native form of Cormode &
+Muthukrishnan's count-min (2005) needs nothing custom at all:
+
+- **build**: every item row emits ``depth`` cells ``(row j, column
+  xxhash64(item, j) mod width)`` via one ``explode`` over a literal
+  row-index array, then ONE hash aggregation counts cell hits. The
+  sketch IS a ``(j, col, cnt)`` DataFrame of at most ``depth × width``
+  rows — mergeable by construction (union + re-aggregate = the sketch
+  of the concatenated streams, exactly), partition-agnostic, and tiny
+  (the classic ε-δ sizing: width = ⌈e/ε⌉, depth = ⌈ln(1/δ)⌉ — a
+  2720×5 sketch answers with ε=0.1% overcount at 99.3% confidence
+  regardless of stream size).
+- **query**: hash the probe items with the SAME expression, join the
+  cell frame, take ``min(cnt)`` over the depth rows. Absent rows are
+  zero hits on every level → estimate 0.
+
+Guarantees (exact, not statistical, given the hash family):
+``estimate ≥ true count`` always (collisions only ADD), and
+``estimate ≤ true + ε·N`` with probability ≥ 1−δ over the hash draw —
+here the "draw" is the seed offsets, so for a FIXED seed the estimate
+is deterministic and replayable, the same property every other gate in
+this repo leans on (no ``rand()``).
+
+At 100 TB: the build is one linear scan + one map-side-combinable
+aggregation into ≤ depth·width cells; merging shards/days/months is a
+union + re-agg over cell frames (the ``x_sketch_rollup`` HLL pattern);
+queries touch ``depth`` rows per probe against a broadcastable cell
+frame. Nothing is proportional to the stream.
+
+Reference scope note: the reference engine has no frequency sketch
+either — this extends the sketch tier (SURVEY §2 extension table)
+alongside the HLL rollup and the approx-percentile gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cm_col(item: Column, j: Column | int, width: int, seed: int) -> Column:
+    """Column index of ``item`` on sketch row ``j`` — xxhash64 with the
+    row index mixed in as an extra hash input (an independent-enough
+    family for CM's pairwise-independence requirement in practice),
+    pmod'd to the table width. Deterministic: same item, same row, same
+    seed → same cell on any partitioning or engine run."""
+    jcol = F.lit(j) if isinstance(j, int) else j
+    return F.pmod(F.xxhash64(item, jcol, F.lit(seed)), F.lit(width))
+
+
+def cm_build(
+    df: DataFrame,
+    item_col: str,
+    width: int = 2048,
+    depth: int = 5,
+    seed: int = 41,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the count-min cell frame ``(j, col, cnt)`` for the items in
+    ``df[item_col]`` (NULL items are skipped — they are not a value the
+    sketch can answer for). ``weight_col`` makes it a weighted CM
+    (counts advance by the weight instead of 1).
+
+    One explode (×depth, a constant) + one aggregation; output ≤
+    depth × width rows regardless of input size.
+    """
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be >= 1")
+    item = F.col(item_col)
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = (
+        df.filter(item.isNotNull())
+        .select(
+            item.alias("_it"),
+            w.alias("_w"),
+            F.explode(F.lit(list(range(depth)))).alias("j"),
+        )
+        .select("j", _cm_col(F.col("_it"), F.col("j"), width, seed).alias("col"), "_w")
+    )
+    return rows.groupBy("j", "col").agg(F.sum("_w").alias("cnt"))
+
+
+def cm_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge cell frames built with the SAME (width, depth, seed):
+    union + re-aggregate. Exactly the sketch of the concatenated
+    streams — the mergeability that makes per-shard/per-day builds
+    roll up without rescanning (the HLL-rollup pattern)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_query(
+    sketch: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    width: int = 2048,
+    depth: int = 5,
+    seed: int = 41,
+    out_col: str = "cm_count",
+) -> DataFrame:
+    """Point-query estimates for ``probes[item_col]``: min over the
+    depth cells. The (width, depth, seed) MUST match the build — they
+    are the sketch's identity, like an HLL's lgK. The sketch frame is
+    at most depth×width rows, so Spark broadcasts the join side; a
+    probe item absent from every level estimates 0 (left join +
+    coalesce), preserving ``estimate ≥ true`` for unseen items too.
+    """
+    item = F.col(item_col)
+    keyed = probes.select(
+        "*", F.explode(F.lit(list(range(depth)))).alias("j")
+    ).withColumn("col", _cm_col(item, F.col("j"), width, seed))
+    hits = keyed.join(F.broadcast(sketch), ["j", "col"], "left").fillna(
+        0, subset=["cnt"]
+    )
+    others = [c for c in probes.columns]
+    return (
+        hits.groupBy(*others)
+        .agg(F.min("cnt").alias(out_col))
+    )

@@ -164,3 +164,21 @@ def test_featurize_once_buckets_path_plans(spark, docs):
     plan_w = _plan(weighted)
     assert plan_w.count("ArrowEvalPython") == 1
     assert "Exchange" not in plan_w
+
+
+def test_count_min_build_is_one_aggregation(spark, docs):
+    """The CM cell frame must come from ONE hash aggregation over the
+    exploded (j, col) rows — no joins, no windows, no Python — and the
+    query side must broadcast the (≤ depth×width)-row sketch."""
+    from cassandra_slow_queries_spark.operators.sketches import (
+        cm_build,
+        cm_query,
+    )
+
+    sketch = cm_build(docs, "text", width=256, depth=3)
+    plan = _plan(sketch)
+    assert plan.count("HashAggregate") >= 1
+    assert "Join" not in plan and "Window" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    q = cm_query(sketch, docs.select("text").distinct(), "text", width=256, depth=3)
+    assert "BroadcastHashJoin" in _plan(q)

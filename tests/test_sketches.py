@@ -1,0 +1,123 @@
+"""Count-min sketch invariants (operators/sketches.py).
+
+The CM contract is asymmetric and exactly testable: estimates NEVER
+undercount (collisions only add), overcount is bounded by ε·N at the
+chosen width, the sketch is deterministic for a fixed seed, and merging
+per-shard sketches equals the whole-stream sketch cell-for-cell. All
+four are pinned on the real events table plus an adversarial skewed
+stream.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_slow_queries_spark.operators.sketches import (
+    cm_build,
+    cm_merge,
+    cm_query,
+)
+
+SF = "/root/testdata/sf0.001"
+W, D = 2048, 5
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def _exact(df, col):
+    return {
+        r[col]: r["n"]
+        for r in df.groupBy(col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def test_never_undercounts_and_bounded_overcount(spark, events):
+    sketch = cm_build(events, "event_type", width=W, depth=D)
+    probes = events.select("event_type").distinct()
+    est = {
+        r["event_type"]: r["cm_count"]
+        for r in cm_query(sketch, probes, "event_type", width=W, depth=D).collect()
+    }
+    exact = _exact(events, "event_type")
+    n = sum(exact.values())
+    eps_n = (2.718281828 / W) * n  # the classic e/width bound
+    for k, true in exact.items():
+        assert est[k] >= true, f"{k}: CM undercounted {est[k]} < {true}"
+        assert est[k] <= true + eps_n + 1e-9
+    # a handful of distinct items in a 2048-wide table: no collisions,
+    # so the estimates are exactly the counts
+    assert est == exact
+
+
+def test_unseen_item_estimates_zero_or_collision_only(spark, events):
+    sketch = cm_build(events, "event_type", width=W, depth=D)
+    probes = spark.createDataFrame(
+        [("never-seen-item-xyz",)], "event_type string"
+    )
+    est = cm_query(sketch, probes, "event_type", width=W, depth=D).first()[
+        "cm_count"
+    ]
+    assert est >= 0  # >= true(=0); with 5 levels a collision on ALL
+    assert est == 0  # levels at width 2048 over ~5 items cannot happen
+
+
+def test_merge_equals_whole_stream(spark, events):
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    merged = cm_merge(
+        cm_build(a, "event_type", width=W, depth=D),
+        cm_build(b, "event_type", width=W, depth=D),
+    )
+    whole = cm_build(events, "event_type", width=W, depth=D)
+    m = {(r["j"], r["col"]): r["cnt"] for r in merged.collect()}
+    w = {(r["j"], r["col"]): r["cnt"] for r in whole.collect()}
+    assert m == w  # cell-for-cell, not just query-equivalent
+
+
+def test_deterministic_across_partitionings(spark, events):
+    s1 = cm_build(events.repartition(1), "event_type", width=W, depth=D)
+    s2 = cm_build(events.repartition(13), "event_type", width=W, depth=D)
+    assert {tuple(r) for r in s1.collect()} == {tuple(r) for r in s2.collect()}
+
+
+def test_skewed_stream_heavy_hitter_accuracy(spark):
+    # 90% of rows one key + 200 tail keys: the CM use case. The heavy
+    # hitter must be exact-ish; tail estimates stay within the bound.
+    rows = [(i, "hot" if i % 10 else f"k{i % 200}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "i long, k string")
+    sketch = cm_build(df, "k", width=W, depth=D)
+    exact = _exact(df, "k")
+    probes = df.select("k").distinct()
+    est = {
+        r["k"]: r["cm_count"]
+        for r in cm_query(sketch, probes, "k", width=W, depth=D).collect()
+    }
+    n = len(rows)
+    for k, true in exact.items():
+        assert est[k] >= true
+        assert est[k] <= true + (2.718281828 / W) * n + 1e-9
+
+
+def test_weighted_build(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 4), ("b", 5)], "k string, w int"
+    )
+    sketch = cm_build(df, "k", width=64, depth=3, weight_col="w")
+    est = {
+        r["k"]: r["cm_count"]
+        for r in cm_query(
+            sketch, df.select("k").distinct(), "k", width=64, depth=3
+        ).collect()
+    }
+    assert est["a"] >= 7 and est["b"] >= 5
+
+
+def test_validation(spark, events):
+    with pytest.raises(ValueError):
+        cm_build(events, "event_type", width=0)
+    with pytest.raises(ValueError):
+        cm_merge()
