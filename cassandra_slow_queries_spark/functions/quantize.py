@@ -19,6 +19,18 @@ Semantics note: ``floor(x + 0.5)`` is round-half-toward-+inf, which
 matches HALF_UP for the non-negative values these columns carry; for
 possibly-negative columns (a regression slope) the two sides still
 agree with EACH OTHER, which is the property the oracle gate needs.
+
+Valid magnitude range (round-9 ADVICE): the parity contract holds only
+for ``|x| < 2^53 / 10^digits`` (≈ 9.0e9 at 6 digits). Past 2^53 the
+scaled double ``x·10^d`` can no longer represent every integer, so the
+``+ 0.5`` nudge may be absorbed and the two engines' FLOOR inputs can
+differ in the last bit; past 2^63 Spark's ``F.floor(double)`` (which
+returns BIGINT via a non-ANSI cast) saturates at Long.MAX while
+DuckDB's FLOOR stays DOUBLE, silently breaking parity. Every current
+call site carries bounded ratios/averages/z-scores well inside the
+range; guard any NEW unbounded column (slope, intercept, raw sums)
+with a range check or keep it on ROUND with a transcendental-input
+argument.
 """
 
 from __future__ import annotations

@@ -178,11 +178,16 @@ class ExpectationSuite:
                 ok = ok & (n <= rc.max_rows)
             rows.append((rc.name, n.cast("double"), F.lit(thr), ok))
 
+        # qdec, not ROUND: ratio metrics (k/n) are terminating rationals
+        # that can land exactly on the half boundary where Spark and a
+        # DuckDB oracle round the same double differently (r9 ADVICE).
+        from cassandra_slow_queries_spark.functions.quantize import qdec
+
         packed = F.array(
             *[
                 F.struct(
                     F.lit(name).alias("check"),
-                    F.round(metric, 6).alias("metric"),
+                    qdec(metric).alias("metric"),
                     threshold.alias("threshold"),
                     passed.alias("passed"),
                 )

@@ -112,16 +112,37 @@ def cm_query(
     at most depth×width rows, so Spark broadcasts the join side; a
     probe item absent from every level estimates 0 (left join +
     coalesce), preserving ``estimate ≥ true`` for unseen items too.
+
+    Probe-frame hygiene (round-9 ADVICE): a NULL probe estimates NULL —
+    ``cm_build`` skipped NULL items, and Spark's ``xxhash64`` IGNORES
+    null inputs, so without the guard a NULL probe would hash as
+    ``xxhash64(j, seed)`` and return whatever count that accidental
+    cell holds. Duplicate probe rows are preserved (a synthetic unique
+    row id joins the group-by, then drops), and the internal working
+    columns are ``_cm_``-prefixed so probe frames that themselves carry
+    ``j``/``col``/``cnt`` columns don't collide.
     """
     item = F.col(item_col)
-    keyed = probes.select(
-        "*", F.explode(F.lit(list(range(depth)))).alias("j")
-    ).withColumn("col", _cm_col(item, F.col("j"), width, seed))
-    hits = keyed.join(F.broadcast(sketch), ["j", "col"], "left").fillna(
-        0, subset=["cnt"]
+    base = probes.withColumn("_cm_rid", F.monotonically_increasing_id())
+    keyed = base.select(
+        "*", F.explode(F.lit(list(range(depth)))).alias("_cm_j")
+    ).withColumn(
+        "_cm_col",
+        F.when(item.isNotNull(), _cm_col(item, F.col("_cm_j"), width, seed)),
     )
-    others = [c for c in probes.columns]
+    cells = sketch.select(
+        F.col("j").alias("_cm_j"),
+        F.col("col").alias("_cm_col"),
+        F.col("cnt").alias("_cm_cnt"),
+    )
+    hits = keyed.join(F.broadcast(cells), ["_cm_j", "_cm_col"], "left")
+    # Non-null probe: absent cell = 0 hits; null probe: stays NULL on
+    # every level so MIN propagates NULL.
+    level = F.when(
+        item.isNotNull(), F.coalesce(F.col("_cm_cnt"), F.lit(0).cast("long"))
+    )
     return (
-        hits.groupBy(*others)
-        .agg(F.min("cnt").alias(out_col))
+        hits.groupBy(*base.columns)
+        .agg(F.min(level).alias(out_col))
+        .drop("_cm_rid")
     )

@@ -232,11 +232,16 @@ def mad_outliers(
     z = F.when(
         F.col("mad") > 0, 0.6745 * (x - F.col("median")) / F.col("mad")
     )
+    # qdec, not ROUND: z is a ratio of terminating decimals scaled by
+    # 0.6745 — a terminating rational that can land on the half
+    # boundary where engines' ROUND diverge (r9 ADVICE).
+    from cassandra_slow_queries_spark.functions.quantize import qdec
+
     return scored.select(
         *df.columns,
         "median",
         "mad",
-        F.round(z, 6).alias("z"),
+        qdec(z).alias("z"),
         F.when(F.col("mad") > 0, F.abs(z) > threshold)
         .otherwise(x != F.col("median"))
         .alias("is_outlier"),

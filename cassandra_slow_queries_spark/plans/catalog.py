@@ -4167,8 +4167,8 @@ def q_x_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
-            F.round(F.min("median"), 6).alias("median"),
-            F.round(F.min("mad"), 6).alias("mad"),
+            _q6(F.min("median")).alias("median"),
+            _q6(F.min("mad")).alias("mad"),
         )
         .orderBy("event_type")
     )
@@ -4191,8 +4191,8 @@ SELECT e.event_type,
                            THEN 1 ELSE 0 END
             ELSE CASE WHEN e.value <> med.median THEN 1 ELSE 0 END
        END) AS BIGINT) AS n_outliers,
-       ROUND(MIN(med.median), 6) AS median,
-       ROUND(MIN(m2.mad), 6) AS mad
+       FLOOR(MIN(med.median) * 1000000.0 + 0.5) / 1000000.0 AS median,
+       FLOOR(MIN(m2.mad) * 1000000.0 + 0.5) / 1000000.0 AS mad
 FROM events e
 JOIN med USING (event_type)
 JOIN m2 USING (event_type)
@@ -4344,17 +4344,17 @@ def q_x_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 X_EXPECTATIONS_SQL = """
 SELECT * FROM (
     SELECT 'complete(o_custkey)' AS "check",
-           ROUND(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
-                 / CAST(COUNT(*) AS DOUBLE), 6) AS metric,
+           FLOOR((SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS metric,
            1.0 AS threshold,
            SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
                / CAST(COUNT(*) AS DOUBLE) >= 1.0 AS passed
     FROM orders
     UNION ALL
     SELECT 'between(o_totalprice)',
-           ROUND(SUM(CASE WHEN o_totalprice IS NOT NULL
+           FLOOR((SUM(CASE WHEN o_totalprice IS NOT NULL
                           AND o_totalprice BETWEEN 0 AND 300000
-                          THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6),
+                          THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0,
            0.99,
            SUM(CASE WHEN o_totalprice IS NOT NULL
                     AND o_totalprice BETWEEN 0 AND 300000
@@ -4362,9 +4362,9 @@ SELECT * FROM (
     FROM orders
     UNION ALL
     SELECT 'matches(o_orderpriority)',
-           ROUND(SUM(CASE WHEN o_orderpriority IS NOT NULL
+           FLOOR((SUM(CASE WHEN o_orderpriority IS NOT NULL
                           AND regexp_matches(o_orderpriority, '^[1-5]-')
-                          THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6),
+                          THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0,
            1.0,
            SUM(CASE WHEN o_orderpriority IS NOT NULL
                     AND regexp_matches(o_orderpriority, '^[1-5]-')
@@ -4372,27 +4372,27 @@ SELECT * FROM (
     FROM orders
     UNION ALL
     SELECT 'in_set(o_orderstatus)',
-           ROUND(SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
-                          THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6),
+           FLOOR((SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                          THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0,
            1.0,
            SUM(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
                THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) >= 1.0
     FROM orders
     UNION ALL
     SELECT 'unique(o_orderkey)',
-           ROUND(COUNT(DISTINCT o_orderkey) / CAST(COUNT(*) AS DOUBLE), 6),
+           FLOOR((COUNT(DISTINCT o_orderkey) / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0,
            1.0,
            COUNT(DISTINCT o_orderkey) / CAST(COUNT(*) AS DOUBLE) >= 1.0
     FROM orders
     UNION ALL
     SELECT 'unique(o_custkey)',
-           ROUND(COUNT(DISTINCT o_custkey) / CAST(COUNT(*) AS DOUBLE), 6),
+           FLOOR((COUNT(DISTINCT o_custkey) / CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0,
            1.0,
            COUNT(DISTINCT o_custkey) / CAST(COUNT(*) AS DOUBLE) >= 1.0
     FROM orders
     UNION ALL
     SELECT 'row_count',
-           ROUND(CAST(COUNT(*) AS DOUBLE), 6),
+           FLOOR(CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0,
            1.0,
            COUNT(*) >= 1
     FROM orders

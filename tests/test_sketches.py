@@ -121,3 +121,42 @@ def test_validation(spark, events):
         cm_build(events, "event_type", width=0)
     with pytest.raises(ValueError):
         cm_merge()
+
+
+def test_null_probe_estimates_null(spark, events):
+    # xxhash64 IGNORES null inputs, so an unguarded NULL probe would
+    # hash as xxhash64(j, seed) and read an accidental cell (r9 ADVICE)
+    sketch = cm_build(events, "event_type", width=W, depth=D)
+    real = events.first()["event_type"]
+    probes = spark.createDataFrame(
+        [("x", real), ("y", None)], "tag string, event_type string"
+    )
+    rows = {
+        r["tag"]: r["cm_count"]
+        for r in cm_query(sketch, probes, "event_type", width=W, depth=D).collect()
+    }
+    assert rows["y"] is None
+    assert rows["x"] is not None and rows["x"] > 0
+
+
+def test_duplicate_probe_rows_preserved(spark, events):
+    sketch = cm_build(events, "event_type", width=W, depth=D)
+    real = events.first()["event_type"]
+    probes = spark.createDataFrame(
+        [(real,), (real,), (real,)], "event_type string"
+    )
+    out = cm_query(sketch, probes, "event_type", width=W, depth=D).collect()
+    assert len(out) == 3
+    assert len({r["cm_count"] for r in out}) == 1
+
+
+def test_probe_columns_named_j_col_cnt_do_not_collide(spark, events):
+    sketch = cm_build(events, "event_type", width=W, depth=D)
+    real = events.first()["event_type"]
+    probes = spark.createDataFrame(
+        [(real, 1, 2, 3)],
+        "event_type string, j int, col int, cnt int",
+    )
+    row = cm_query(sketch, probes, "event_type", width=W, depth=D).first()
+    assert (row["j"], row["col"], row["cnt"]) == (1, 2, 3)
+    assert row["cm_count"] > 0
