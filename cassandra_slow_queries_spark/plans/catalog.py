@@ -6684,6 +6684,155 @@ FROM events
 """
 
 
+def q_x_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (operators/sketches.py — the
+    DataFrame-native Cormode-Muthukrishnan sketch; Spark ships HLL and
+    a quantile sketch but no frequency sketch). Items are event_id mod
+    500 squeezed into a deliberately narrow width-64 table so
+    collisions are CERTAIN (~8 items/cell/row) and the gates have
+    teeth. Every gate is a theorem, not a tolerance, so it is
+    data-independent under the driver's different seed:
+
+    - mass conservation: sum over cells == depth x n_items, exactly
+      (each non-null item increments one cell on each of the depth
+      rows) — an explode or aggregation bug breaks it immediately;
+    - cell bound: the sketch holds at most min(depth*width,
+      depth*n_distinct) rows regardless of stream size;
+    - never-undercounts: estimate >= true count for EVERY probe
+      (collisions only add) — at this collision density most
+      estimates genuinely exceed the true count, so a min-vs-max or
+      lost-cell bug flips the bool_and;
+    - bounded overcount: estimate <= true + 20*N/width. Markov on one
+      row bounds P(row overcount > 20*N/width) <= 1/20, and the min
+      over 5 independent-enough rows makes a violation ~20^-5 per
+      probe — not flakiness, while a degenerate hash (everything in
+      one cell -> estimate ~ N) still flips it;
+    - merge is cell-EXACT: union two half-stream sketches and
+      re-aggregate == the whole-stream sketch cell-for-cell (the
+      mergeability that makes per-shard builds roll up at 100 TB);
+    - partition invariance: the cell frame is identical built on 1 or
+      7 partitions (no rand(), no partition-dependent state);
+    - NULL probes estimate NULL (the round-9 cm_query fix: xxhash64
+      ignores null inputs, so an unguarded NULL probe would read the
+      accidental cell xxhash64(j, seed)).
+
+    The exact item/distinct counts ride the hash (oracle recomputes
+    them); the estimates themselves are seed-defined and stay out,
+    exactly like x_sketch_rollup's HLL estimate."""
+    from cassandra_slow_queries_spark.operators.sketches import (
+        cm_build,
+        cm_merge,
+        cm_query,
+    )
+
+    width, depth = 64, 5
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull())
+        .select(F.pmod(F.col("event_id"), F.lit(500)).alias("item"))
+    )
+    sketch = cm_build(ev, "item", width=width, depth=depth)
+
+    stats = ev.agg(
+        F.count("item").alias("n_items"),
+        F.count_distinct("item").alias("n_distinct"),
+    )
+    sketch_stats = sketch.agg(
+        F.count(F.lit(1)).alias("_n_cells"),
+        F.sum("cnt").alias("_mass"),
+    )
+
+    exact = ev.groupBy("item").agg(F.count(F.lit(1)).alias("_true"))
+    probes = exact.unionByName(
+        spark.range(1).select(
+            F.lit(None).cast("long").alias("item"),
+            F.lit(None).cast("long").alias("_true"),
+        )
+    )
+    est = cm_query(sketch, probes, "item", width=width, depth=depth)
+    probe_gates = (
+        est.crossJoin(F.broadcast(stats.select(F.col("n_items").alias("_n"))))
+        .agg(
+            F.bool_and(
+                F.when(F.col("item").isNotNull(), F.col("cm_count") >= F.col("_true"))
+            ).alias("never_undercounts"),
+            F.bool_and(
+                F.when(
+                    F.col("item").isNotNull(),
+                    F.col("cm_count")
+                    <= F.col("_true") + 20.0 * F.col("_n") / width,
+                )
+            ).alias("overcount_bounded"),
+            F.bool_and(
+                F.when(F.col("item").isNull(), F.col("cm_count").isNull())
+            ).alias("null_probe_null"),
+        )
+    )
+
+    def _cells_equal(a: DataFrame, b: DataFrame, out: str) -> DataFrame:
+        joined = a.alias("a").join(
+            b.alias("b"), ["j", "col"], "full_outer"
+        )
+        return joined.agg(
+            F.bool_and(
+                F.col("a.cnt").eqNullSafe(F.col("b.cnt"))
+            ).alias(out)
+        )
+
+    halves = cm_merge(
+        cm_build(ev.filter(F.pmod(F.col("item"), F.lit(2)) == 0), "item",
+                 width=width, depth=depth),
+        cm_build(ev.filter(F.pmod(F.col("item"), F.lit(2)) == 1), "item",
+                 width=width, depth=depth),
+    )
+    merge_gate = _cells_equal(sketch, halves, "merge_cell_exact")
+    repart_gate = _cells_equal(
+        sketch,
+        cm_build(ev.repartition(7), "item", width=width, depth=depth),
+        "partition_invariant",
+    )
+
+    return (
+        stats.crossJoin(F.broadcast(sketch_stats))
+        .crossJoin(F.broadcast(probe_gates))
+        .crossJoin(F.broadcast(merge_gate))
+        .crossJoin(F.broadcast(repart_gate))
+        .select(
+            "n_items",
+            "n_distinct",
+            (
+                (F.col("_mass") == F.lit(depth) * F.col("n_items"))
+                & (
+                    F.col("_n_cells")
+                    <= F.least(
+                        F.lit(depth * width),
+                        F.lit(depth) * F.col("n_distinct"),
+                    )
+                )
+            ).alias("mass_and_cells_ok"),
+            "never_undercounts",
+            "overcount_bounded",
+            "null_probe_null",
+            "merge_cell_exact",
+            "partition_invariant",
+        )
+    )
+
+
+X_CM_SKETCH_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(COUNT(DISTINCT event_id % 500) AS BIGINT) AS n_distinct,
+       TRUE AS mass_and_cells_ok,
+       TRUE AS never_undercounts,
+       TRUE AS overcount_bounded,
+       TRUE AS null_probe_null,
+       TRUE AS merge_cell_exact,
+       TRUE AS partition_invariant
+FROM events
+WHERE event_id IS NOT NULL
+"""
+
+
 
 
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8615,6 +8764,11 @@ CATALOG: dict[str, QueryDef] = {
         q_x_sketch_rollup,
         X_SKETCH_ROLLUP_SQL,
         "per-day HLL sketches merged without rescan (tolerance-gated)",
+    ),
+    "x_cm_sketch": QueryDef(
+        q_x_cm_sketch,
+        X_CM_SKETCH_SQL,
+        "count-min frequency sketch: theorem-exact invariant gates",
     ),
     "dedup_containment": QueryDef(
         q_dedup_containment,
