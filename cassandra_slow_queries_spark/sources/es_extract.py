@@ -207,9 +207,6 @@ def fetch_pages(
 
     Returns the written file paths, in page order.
     """
-    import time
-    import urllib.error
-    import urllib.request
     from pathlib import Path
 
     out = Path(out_dir)
@@ -217,32 +214,137 @@ def fetch_pages(
     headers = build_page_headers(cookie)
     written: list[str] = []
     for page in pages:
-        dest = out / page.filename
-        for attempt in range(retries + 1):
-            req = urllib.request.Request(
-                page.url,
-                data=page.ndjson.encode("utf-8"),
-                headers=headers,
-                method="POST",
-            )
-            try:
-                with urllib.request.urlopen(req, timeout=timeout) as resp:
-                    dest.write_bytes(resp.read())
-                break
-            except urllib.error.HTTPError as exc:
-                # 4xx is non-transient (expired cookie, bad request):
-                # re-POSTing it identically just hammers the endpoint
-                # with doomed attempts — fail fast. 5xx may recover.
-                if exc.code < 500 or attempt == retries:
-                    raise
-                time.sleep(backoff * (attempt + 1))
-            except OSError:
-                # URLError / socket timeout — transient, retry
-                if attempt == retries:
-                    raise
-                time.sleep(backoff * (attempt + 1))
-        written.append(str(dest))
+        written.append(
+            _fetch_one(page, str(out / page.filename), headers, timeout, retries, backoff)
+        )
     return written
+
+
+def _fetch_one(
+    page: PageRequest,
+    dest: str,
+    headers: dict[str, str],
+    timeout: float,
+    retries: int,
+    backoff: float,
+) -> str:
+    """POST one page's NDJSON and stream the response body to ``dest``,
+    with the shared retry contract: 5xx/socket errors retry up to
+    ``retries`` times with linear ``backoff``; 4xx is non-transient
+    (expired cookie, bad request — re-POSTing it identically just
+    hammers the endpoint with doomed attempts) and fails fast. The ONE
+    body both the driver-side loop (:func:`fetch_pages`) and the
+    distributed runner (:func:`fetch_pages_distributed`) execute, so
+    the two paths cannot drift."""
+    import time
+    import urllib.error
+    import urllib.request
+    from pathlib import Path
+
+    for attempt in range(retries + 1):
+        req = urllib.request.Request(
+            page.url,
+            data=page.ndjson.encode("utf-8"),
+            headers=headers,
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                Path(dest).write_bytes(resp.read())
+            return dest
+        except urllib.error.HTTPError as exc:
+            if exc.code < 500 or attempt == retries:
+                raise
+            time.sleep(backoff * (attempt + 1))
+        except OSError:
+            # URLError / socket timeout — transient, retry
+            if attempt == retries:
+                raise
+            time.sleep(backoff * (attempt + 1))
+    raise AssertionError("unreachable")  # loop always returns or raises
+
+
+def fetch_pages_distributed(
+    spark,
+    pages: list[PageRequest],
+    out_dir: str,
+    cookie: str = "",
+    timeout: float = 30.0,
+    retries: int = 2,
+    backoff: float = 1.0,
+    num_tasks: int | None = None,
+):
+    """Execute the planned page fan-out as SPARK TASKS instead of a
+    driver-side loop — the scale path for S1 ingest (round-8 verdict
+    item 3; reference download_slow_queries.py:263-297 runs curl
+    serially). Each :class:`PageRequest` is already an independent,
+    idempotent fetch, i.e. exactly a Spark task: the page list becomes
+    a DataFrame round-robin-repartitioned over ``num_tasks`` tasks
+    (default ``min(len(pages), defaultParallelism)``), and a
+    ``mapInPandas`` stage runs :func:`_fetch_one` per page — the SAME
+    retry body as :func:`fetch_pages`, so per-page 5xx/timeout retry
+    and 4xx fail-fast semantics are identical. A page that exhausts its
+    HTTP retries raises in the task; after Spark's own task retries
+    (safe — the write is idempotent, one file per page) the JOB fails:
+    a silently missing page is silently missing data.
+
+    ``out_dir`` must be visible to the executors — on a real cluster a
+    shared filesystem (HDFS/NFS/FUSE-mounted object store), in
+    local-mode tests any tmp dir. Returns ``(paths, n_tasks_used)``:
+    the written file paths in page order plus the number of DISTINCT
+    Spark partitions that actually fetched, so callers (and the
+    loopback e2e test) can assert the fan-out really distributed.
+
+    A real deployment with the elasticsearch-hadoop jar should still
+    prefer :func:`read_es` — the connector parallelizes by index shard
+    and pushes S2 down natively; this runner is for the landing-zone
+    workflow (raw response files kept on disk, the reference's layout).
+    """
+    from pathlib import Path
+
+    if not pages:
+        return [], 0
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    headers = build_page_headers(cookie)
+    if num_tasks is None:
+        num_tasks = min(len(pages), spark.sparkContext.defaultParallelism)
+    num_tasks = max(1, min(num_tasks, len(pages)))
+
+    specs = spark.createDataFrame(
+        [(p.url, p.filename, p.ndjson) for p in pages],
+        "url string, filename string, ndjson string",
+    ).repartition(num_tasks)
+
+    out = str(out_dir)
+
+    def run_partition(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        for batch in batches:
+            done = []
+            for row in batch.itertuples(index=False):
+                _fetch_one(
+                    PageRequest(url=row.url, filename=row.filename, ndjson=row.ndjson),
+                    f"{out}/{row.filename}",
+                    headers,
+                    timeout,
+                    retries,
+                    backoff,
+                )
+                done.append(row.filename)
+            yield pd.DataFrame({"filename": done, "task_id": pid})
+
+    fetched = specs.mapInPandas(
+        run_partition, "filename string, task_id int"
+    ).collect()
+    by_name = {r["filename"]: r["task_id"] for r in fetched}
+    missing = [p.filename for p in pages if p.filename not in by_name]
+    if missing:  # defensive: a lost task result must not pass silently
+        raise RuntimeError(f"pages not fetched: {missing}")
+    n_tasks_used = len(set(by_name.values()))
+    return [f"{out}/{p.filename}" for p in pages], n_tasks_used
 
 
 def es_reader_options(

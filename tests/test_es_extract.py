@@ -285,3 +285,72 @@ def test_fetch_pages_retries_transient_failures(tmp_path):
         assert attempts[20] == 1  # single attempt, no retries
     finally:
         srv.shutdown()
+
+
+def test_fetch_pages_distributed_multi_task(spark, tmp_path):
+    """The scale path for S1 ingest (round-8 verdict item 3): the page
+    fan-out dispatched as Spark tasks via mapInPandas. Pins (a) every
+    page fetched, by MORE than one task; (b) the files are
+    byte-identical to the driver-side loop's output; (c) per-page retry
+    (5xx then success) still happens inside the task; (d) a page that
+    keeps failing fails the whole JOB, not silently."""
+    import http.server
+    import threading
+    from collections import Counter
+
+    from cassandra_slow_queries_spark.sources.es_extract import (
+        fetch_pages,
+        fetch_pages_distributed,
+    )
+
+    attempts: Counter = Counter()
+    fail_always: set[int] = set()
+    fail_once: set[int] = set()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            frm = json.loads(body.decode().splitlines()[1])["from"]
+            attempts[frm] += 1
+            if frm in fail_always or (frm in fail_once and attempts[frm] == 1):
+                self.send_response(500)
+                self.end_headers()
+                return
+            payload = json.dumps({"responses": [{"page_from": frm}]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *args):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}/_msearch"
+        start = datetime(2026, 8, 13, 5)
+        end = datetime(2026, 8, 13, 12)
+        pages = plan_extraction(url, "ix", start, end, total_hits=80, size=10)
+        assert len(pages) == 8
+
+        fail_once.add(30)  # page 3: one 500, then success (in-task retry)
+        paths, n_tasks = fetch_pages_distributed(
+            spark, pages, str(tmp_path / "dist"), backoff=0.0, num_tasks=4
+        )
+        assert n_tasks > 1, "fan-out ran on a single task"
+        assert [p.rsplit("/", 1)[1] for p in paths] == [p.filename for p in pages]
+        assert attempts[30] == 2  # retried inside the task
+        # byte-parity with the driver-side loop
+        serial = fetch_pages(pages, str(tmp_path / "serial"), backoff=0.0)
+        for d, s in zip(paths, serial):
+            assert open(d).read() == open(s).read()
+
+        # a permanently failing page fails the JOB
+        fail_always.add(50)
+        with pytest.raises(Exception):
+            fetch_pages_distributed(
+                spark, pages, str(tmp_path / "dist2"), retries=1, backoff=0.0
+            )
+    finally:
+        srv.shutdown()
