@@ -175,3 +175,45 @@ def importance_resample(
     key = F.col(logw_col) - F.log(-F.log(u))
     keyed = df.withColumn("_gumbel_key", key)
     return top_n(keyed, "_gumbel_key", n, tiebreaks=[id_col]).drop("_gumbel_key")
+
+
+def save_dsir_profile(
+    spark, path: str, log_ratio: np.ndarray, ngram: int = 2
+) -> None:
+    """Persist the DSIR log-ratio vector as parquet (round-8 verdict
+    item 4: the profile is fit once over target+raw corpora, then
+    weighs ingest batches for weeks). One row per bucket
+    ``(bucket int, log_ratio double)`` plus a one-row meta frame; the
+    parquet doubles round-trip bit-exactly, so loaded weights reproduce
+    the saved pipeline's Gumbel keys digit for digit (the resample is
+    seeded on the weights, so bitwise weight parity IS resample
+    parity). Spark-side write keeps the path portable to hdfs://s3a://
+    mounts like the quality model's."""
+    v = np.asarray(log_ratio, dtype=np.float64)
+    if v.ndim != 1:
+        raise ValueError(f"log_ratio must be 1-D, got shape {v.shape}")
+    rows = [(int(i), float(x)) for i, x in enumerate(v)]
+    spark.createDataFrame(rows, "bucket int, log_ratio double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/ratio")
+    spark.createDataFrame(
+        [(int(v.shape[0]), int(ngram))], "n_features int, ngram int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_dsir_profile(spark, path: str) -> tuple[np.ndarray, int]:
+    """Load ``(log_ratio, ngram)`` saved by :func:`save_dsir_profile`,
+    bitwise-identical (pinned by tests/test_streaming_inference.py).
+    Bounded collect: ≤ n_features rows."""
+    meta = spark.read.parquet(f"{path}/meta").collect()
+    if len(meta) != 1:
+        raise ValueError(f"corrupt profile meta at {path}: {len(meta)} rows")
+    n, ngram = meta[0]["n_features"], int(meta[0]["ngram"])
+    v = np.full(n, np.nan, dtype=np.float64)
+    seen = 0
+    for r in spark.read.parquet(f"{path}/ratio").collect():
+        v[r["bucket"]] = r["log_ratio"]
+        seen += 1
+    if seen != n or np.isnan(v).any():
+        raise ValueError(f"corrupt profile at {path}: {seen}/{n} buckets")
+    return v, ngram
