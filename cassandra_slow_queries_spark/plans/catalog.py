@@ -46,6 +46,18 @@ class QueryDef:
     doc: str
 
 
+def _one_row(spark: SparkSession, *cols: tuple[str, object, str]) -> DataFrame:
+    """One-row DataFrame from driver-side scalars via range(1) +
+    literals. NOT spark.createDataFrame: that path serializes through a
+    Python RDD and costs ~0.3-0.5 s per call even for a single row —
+    measured as the bulk of the r8 x_agg_pushdown "regression" (0.55 →
+    0.73 s); range+lit plans as a pure LocalTableScan and writes in
+    ~0.1 s. Each col is (name, python_value, sql_type)."""
+    return spark.range(1).select(
+        *[F.lit(v).cast(t).alias(n) for n, v, t in cols]
+    )
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     # TIMESTAMP(NANOS) columns arrive as long (nanosAsLong conf, session.py);
@@ -5229,9 +5241,12 @@ def q_x_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted = spark.read.parquet(dst)
     rows = compacted.count()
     ids = compacted.select("doc_id").distinct().count()
-    return spark.createDataFrame(
-        [(files_before, files_after, rows, ids)],
-        "files_before long, files_after long, rows long, distinct_ids long",
+    return _one_row(
+        spark,
+        ("files_before", files_before, "long"),
+        ("files_after", files_after, "long"),
+        ("rows", rows, "long"),
+        ("distinct_ids", ids, "long"),
     )
 
 
@@ -6474,9 +6489,12 @@ def q_x_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(key, prev)
     ok = pushed.startswith("COUNT(*)") and "MIN(l_orderkey)" in pushed
-    return spark.createDataFrame(
-        [(row["n_rows"], row["min_ok"], row["max_ok"], bool(ok))],
-        "n_rows bigint, min_ok bigint, max_ok bigint, agg_pushed boolean",
+    return _one_row(
+        spark,
+        ("n_rows", row["n_rows"], "bigint"),
+        ("min_ok", row["min_ok"], "bigint"),
+        ("max_ok", row["max_ok"], "bigint"),
+        ("agg_pushed", bool(ok), "boolean"),
     )
 
 
