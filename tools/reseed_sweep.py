@@ -59,7 +59,7 @@ def _resample(rng: np.random.Generator, values: np.ndarray, n: int) -> np.ndarra
     return values[rng.integers(0, len(values), size=n)]
 
 
-def regen_documents(src: str, dst: str, rng: np.random.Generator) -> None:
+def regen_documents(src: str, dst: str, rng: np.random.Generator, factor: int = 1) -> None:
     """Word-frequency/length/label-faithful regeneration PLUS the
     original's near-duplicate structure: the testdata generator plants
     copy-chains by appending ``dup`` tokens (doc + " dup", doc +
@@ -71,10 +71,10 @@ def regen_documents(src: str, dst: str, rng: np.random.Generator) -> None:
     words = np.array([w for txt in texts for w in txt.split() if w != "dup"])
     lengths = np.array([len(txt.split()) for txt in texts])
     pairs = list(zip(t.column("lang").to_pylist(), t.column("source").to_pylist()))
-    n = len(texts)
+    n = len(texts) * factor
     n_copies = max(2, round(0.05 * n))
     n_base = n - n_copies
-    new_pairs = [pairs[i] for i in rng.integers(0, n, size=n)]
+    new_pairs = [pairs[i] for i in rng.integers(0, len(pairs), size=n)]
     new_texts = [
         " ".join(_resample(rng, words, int(ln)))
         for ln in _resample(rng, lengths, n_base)
@@ -100,29 +100,31 @@ def regen_documents(src: str, dst: str, rng: np.random.Generator) -> None:
     )
 
 
-def regen_embeddings(src: str, dst: str, rng: np.random.Generator) -> None:
+def regen_embeddings(src: str, dst: str, rng: np.random.Generator, factor: int = 1) -> None:
     t = pq.read_table(f"{src}/embeddings.parquet")
     vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
     labels = t.column("label").to_numpy()
     mu, sd = vecs.mean(axis=0), vecs.std(axis=0)
-    new = rng.normal(mu, sd, size=vecs.shape).astype(np.float32)
+    new = rng.normal(
+        mu, sd, size=(vecs.shape[0] * factor, vecs.shape[1])
+    ).astype(np.float32)
     pq.write_table(
         pa.table(
             {
-                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "vec_id": pa.array(range(len(new)), pa.int64()),
                 "embedding": pa.array(
                     [v.tolist() for v in new], pa.list_(pa.float32())
                 ),
-                "label": pa.array(_resample(rng, labels, len(vecs)), pa.int32()),
+                "label": pa.array(_resample(rng, labels, len(new)), pa.int32()),
             }
         ),
         f"{dst}/embeddings.parquet",
     )
 
 
-def regen_events(src: str, dst: str, rng: np.random.Generator) -> None:
+def regen_events(src: str, dst: str, rng: np.random.Generator, factor: int = 1) -> None:
     t = pq.read_table(f"{src}/events.parquet")
-    n = t.num_rows
+    n = t.num_rows * factor
     ts = t.column("ts").cast(pa.int64()).to_numpy()  # µs since epoch
     users = t.column("user_id").to_numpy()
     etypes = np.array(t.column("event_type").to_pylist())
