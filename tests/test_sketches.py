@@ -160,3 +160,42 @@ def test_probe_columns_named_j_col_cnt_do_not_collide(spark, events):
     row = cm_query(sketch, probes, "event_type", width=W, depth=D).first()
     assert (row["j"], row["col"], row["cnt"]) == (1, 2, 3)
     assert row["cm_count"] > 0
+
+
+def test_streaming_build_matches_batch(spark, events, tmp_path):
+    """cm_build is ONE hash aggregation, so under Structured Streaming
+    (complete mode) the cell frame after the last micro-batch must
+    equal the batch sketch cell-for-cell — the ingest-time deployment
+    shape: sketch arriving events without a rescan, exactly like the
+    HLL rollup. Two micro-batches prove cross-batch state merge."""
+    src = str(tmp_path / "src")
+    half_a = events.filter("event_id % 2 = 0").select("event_type")
+    half_b = events.filter("event_id % 2 = 1").select("event_type")
+    half_a.write.mode("append").parquet(src)
+    half_b.write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        cm_build(stream, "event_type", width=W, depth=D)
+        .writeStream.format("memory")
+        .queryName("cm_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r["j"], r["col"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM cm_stream").collect()
+    }
+    batch = {
+        (r["j"], r["col"]): r["cnt"]
+        for r in cm_build(events, "event_type", width=W, depth=D).collect()
+    }
+    assert streamed == batch
