@@ -483,7 +483,22 @@ def q_j4_prefix_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: prefix theta-join against a broadcast pattern dim, first match
     (lowest priority) wins — the reference's QueryPattern loop as a join."""
     ev = load(spark, sf_dir, "events")
-    pats = spark.createDataFrame(J4_PATTERNS, "start string, label string, priority int")
+    # literal inline dim, not createDataFrame: the Python-RDD path costs
+    # ~0.3-0.5 s per call even for 3 rows (see _one_row)
+    pats = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("start"),
+                        F.lit(lbl).alias("label"),
+                        F.lit(pr).alias("priority"),
+                    )
+                    for s, lbl, pr in J4_PATTERNS
+                ]
+            )
+        ).alias("_p")
+    ).select("_p.*")
     joined = ev.join(
         F.broadcast(pats), F.col("event_type").startswith(F.col("start")), "left"
     )
