@@ -1411,7 +1411,11 @@ def winnow_fingerprints(
     """
     from cassandra_slow_queries_spark.functions.text import char_ngrams
 
-    toked = df.select(
+    # spread_input like every other per-row-heavy dedup featurizer: the
+    # O(len·window) array expressions otherwise run on however few
+    # splits the landing file has (r9 sf1 smoke: 22x wall at 10x data,
+    # 2 splits carrying all 32 cores' work)
+    toked = spread_input(df, by=id_col).select(
         F.col(id_col).alias("id"), F.lower(F.col(text_col)).alias("_t")
     )
     hashed = toked.select(

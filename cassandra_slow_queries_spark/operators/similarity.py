@@ -455,10 +455,16 @@ def train_ivf_centroids(
     cents = _np.array([list(r["v"]) for r in seeds], dtype=_np.float64)
     cents /= _np.maximum(_np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
+    # spread past the input's split count: a single-row-group landing
+    # file would serialize every Lloyd pass onto 1-2 cores (the r9 sf1
+    # smoke finding on train_pq_codebooks; same shape here)
+    spread = spread_input(corpus.select(F.col(vec_col).alias("v")))
+    if refine_iters > 1:
+        spread = spread.persist()
     for _ in range(refine_iters):
         assign = ivf_cell_udf(cents, n_probe=1)
         means = (
-            corpus.select(assign(F.col(vec_col))[0].alias("cell"), F.col(vec_col).alias("v"))
+            spread.select(assign(F.col("v"))[0].alias("cell"), "v")
             .groupBy("cell")
             .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
             .collect()
@@ -468,6 +474,8 @@ def train_ivf_centroids(
             new[r["cell"]] = [r[f"c{i}"] for i in range(dim)]
         new /= _np.maximum(_np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
         cents = new
+    if refine_iters > 1:
+        spread.unpersist()
     return [[float(x) for x in row] for row in cents]
 
 
@@ -540,29 +548,41 @@ def train_pq_codebooks(
     smat /= _np.maximum(_np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
     books = [smat[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
 
-    unit = _unit_vec_expr(vec_col)
-    for _ in range(iters):
-        codes = pq_code_udf(books)
-        assigned = corpus.select(
-            F.posexplode(codes(unit)).alias("sub", "code"),
-            unit.alias("_u"),
-        )
-        means = (
-            assigned.groupBy("sub", "code")
-            .agg(
-                *[
-                    F.avg(
-                        F.element_at(
-                            F.col("_u"), F.col("sub") * dsub + i + 1
-                        )
-                    ).alias(f"c{i}")
-                    for i in range(dsub)
-                ]
+    # Materialize the normalized corpus ONCE, spread past the input's
+    # split count, and keep it cached across the Lloyd iterations: the
+    # unguarded loop re-read the parquet and re-ran the 64-element norm
+    # fold every iteration on however many splits the file happened to
+    # have — a single-row-group landing file serializes the whole
+    # training pass onto 1-2 cores (measured 281 s vs 21 s for this
+    # function at the sf1 smoke; the round-9 scale finding).
+    prep = spread_input(
+        corpus.select(_unit_vec_expr(vec_col).alias("_u"))
+    ).persist()
+    try:
+        for _ in range(iters):
+            codes = pq_code_udf(books)
+            assigned = prep.select(
+                F.posexplode(codes(F.col("_u"))).alias("sub", "code"),
+                F.col("_u"),
             )
-            .collect()
-        )
-        for r in means:
-            books[r["sub"]][r["code"]] = [r[f"c{i}"] for i in range(dsub)]
+            means = (
+                assigned.groupBy("sub", "code")
+                .agg(
+                    *[
+                        F.avg(
+                            F.element_at(
+                                F.col("_u"), F.col("sub") * dsub + i + 1
+                            )
+                        ).alias(f"c{i}")
+                        for i in range(dsub)
+                    ]
+                )
+                .collect()
+            )
+            for r in means:
+                books[r["sub"]][r["code"]] = [r[f"c{i}"] for i in range(dsub)]
+    finally:
+        prep.unpersist()
     return [[list(map(float, row)) for row in b] for b in books]
 
 
