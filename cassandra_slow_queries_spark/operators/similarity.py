@@ -52,8 +52,13 @@ def cosine_topk_bruteforce(
     the unrolled dot (functions/vectors.py) — worthwhile only when the
     input is large enough to amortize the much bigger codegen compile;
     at bench scale the fold form wins.
+
+    The corpus (stream) side of the broadcast cross join is spread past
+    the input's split count — the N·Q dot-product folds otherwise run
+    on however few splits the landing file has (the r9 sf1 lesson on
+    the PQ trainer; same guard as cosine_near_dup_pairs_exact).
     """
-    c = corpus.select(
+    c = spread_input(corpus, by=id_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         norm(vec_col, dim).alias("_cn"),
