@@ -66,8 +66,14 @@ def hashed_ngram_profile(
         if buckets_col is not None
         else gram_buckets_udf(n_features, ngram)(F.col(text_col))
     )
+    # spread the profile featurize past the input's split count (the r9
+    # sf1 lesson); profiling is train-time, the weigh path stays a pure
+    # shuffle-free map
+    from cassandra_slow_queries_spark.session import spread_input
+
     return (
-        df.select(F.explode(buckets).alias("bucket"))
+        spread_input(df)
+        .select(F.explode(buckets).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("count"))
     )

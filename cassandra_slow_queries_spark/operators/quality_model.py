@@ -248,8 +248,16 @@ def fit_quality_model(
     with_doc_marker = F.concat(
         F.array(F.lit(-1).cast("bigint")), buckets
     )
+    # spread the featurize pass past the input's split count (the r9
+    # sf1 lesson: a single-row-group landing file runs the gram-hash
+    # UDF on 1-2 cores). Training only — the SCORING path stays a pure
+    # shuffle-free map, the property that makes it stream-embeddable
+    # (plan-pinned in test_scale_plans.py).
+    from cassandra_slow_queries_spark.session import spread_input
+
     counts = (
-        df.select(F.col(label_col).alias("_label"), with_doc_marker.alias("_b"))
+        spread_input(df)
+        .select(F.col(label_col).alias("_label"), with_doc_marker.alias("_b"))
         .select("_label", F.explode("_b").alias("_bucket"))
         .groupBy("_label", "_bucket")
         .agg(F.count(F.lit(1)).alias("_n"))
