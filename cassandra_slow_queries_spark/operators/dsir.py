@@ -67,12 +67,15 @@ def hashed_ngram_profile(
         else gram_buckets_udf(n_features, ngram)(F.col(text_col))
     )
     # spread the profile featurize past the input's split count (the r9
-    # sf1 lesson); profiling is train-time, the weigh path stays a pure
-    # shuffle-free map
+    # sf1 lesson) — only when hashing text here; a precomputed
+    # buckets_col has no UDF to parallelize and the exchange would
+    # shuffle the fat bucket arrays for nothing. Profiling is
+    # train-time; the weigh path stays a pure shuffle-free map.
     from cassandra_slow_queries_spark.session import spread_input
 
+    base = df if buckets_col is not None else spread_input(df)
     return (
-        spread_input(df)
+        base
         .select(F.explode(buckets).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("count"))

@@ -250,13 +250,18 @@ def fit_quality_model(
     )
     # spread the featurize pass past the input's split count (the r9
     # sf1 lesson: a single-row-group landing file runs the gram-hash
-    # UDF on 1-2 cores). Training only — the SCORING path stays a pure
-    # shuffle-free map, the property that makes it stream-embeddable
-    # (plan-pinned in test_scale_plans.py).
+    # UDF on 1-2 cores) — but ONLY when hashing text here: with a
+    # precomputed buckets_col there is no per-row UDF to parallelize,
+    # and the exchange would shuffle the fat bucket arrays for nothing
+    # (measured +9 s at sf1 on the featurize-once entry). Training
+    # only — the SCORING path stays a pure shuffle-free map, the
+    # property that makes it stream-embeddable (plan-pinned in
+    # test_scale_plans.py).
     from cassandra_slow_queries_spark.session import spread_input
 
+    base = df if buckets_col is not None else spread_input(df)
     counts = (
-        spread_input(df)
+        base
         .select(F.col(label_col).alias("_label"), with_doc_marker.alias("_b"))
         .select("_label", F.explode("_b").alias("_bucket"))
         .groupBy("_label", "_bucket")

@@ -8232,6 +8232,13 @@ def q_cur_model_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialized as a shared intermediate, so the corpus pays one
     # (Python-side FNV) tokenization pass instead of five. At 100 TB
     # this is the difference between one corpus scan and five.
+    # NO spread_input on this featurize: measured at sf0.1 the
+    # 32-partition exchange + 16x more Arrow batches cost MORE than the
+    # parallelism buys on a small corpus (2.3 -> 3.9 s median), and
+    # even at sf1 the gain was ~2 s of a 15 s entry — the bucket UDF is
+    # cheap per row next to the dedup featurizers that do spread. At
+    # real corpus scale the input has many splits and the question is
+    # moot.
     docs = shared_intermediate(
         spark,
         ("gram_buckets", nf, sf_dir),
