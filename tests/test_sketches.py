@@ -199,3 +199,65 @@ def test_streaming_build_matches_batch(spark, events, tmp_path):
         for r in cm_build(events, "event_type", width=W, depth=D).collect()
     }
     assert streamed == batch
+
+
+# --- property-based invariants (hypothesis) -------------------------------
+# One Spark job per example is seconds, so examples stay tiny — the value
+# is randomized stream STRUCTURE (dup patterns, weights, widths), not
+# volume; the deterministic tests above cover scale shapes.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_stream = st.lists(
+    st.sampled_from(["a", "b", "c", "dd", "ee", "f0", "g1", "h2"]),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(items=_stream, width=st.sampled_from([4, 16, 256]))
+def test_prop_never_undercounts_any_stream(spark, items, width):
+    from collections import Counter
+
+    df = spark.createDataFrame([(x,) for x in items], "k string")
+    sketch = cm_build(df, "k", width=width, depth=3)
+    est = {
+        r["k"]: r["cm_count"]
+        for r in cm_query(
+            sketch, df.select("k").distinct(), "k", width=width, depth=3
+        ).collect()
+    }
+    true = Counter(items)
+    for k, n in true.items():
+        assert est[k] >= n  # theorem: collisions only add
+        assert est[k] <= len(items)  # cannot exceed total mass
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(items=_stream, cut=st.integers(min_value=0, max_value=40))
+def test_prop_merge_equals_whole_for_any_split(spark, items, cut):
+    cut = min(cut, len(items))
+    a, b = items[:cut], items[cut:]
+    whole = cm_build(
+        spark.createDataFrame([(x,) for x in items], "k string"), "k",
+        width=16, depth=3,
+    )
+    parts = [
+        cm_build(spark.createDataFrame([(x,) for x in part], "k string"),
+                 "k", width=16, depth=3)
+        for part in (a, b) if part
+    ]
+    merged = cm_merge(*parts) if parts else None
+    w = {(r["j"], r["col"]): r["cnt"] for r in whole.collect()}
+    m = {(r["j"], r["col"]): r["cnt"] for r in merged.collect()}
+    assert w == m  # cell-exact for ANY split point
