@@ -146,6 +146,18 @@ def resolve_keyspace_cf(
         how="left",
     )
     if config.tags:
+        bad = {
+            k: v
+            for k, v in config.tags.items()
+            if not isinstance(k, str) or not isinstance(v, str)
+        }
+        if bad:
+            # fail with the contract, not Spark's opaque
+            # UNSUPPORTED_FEATURE.LITERAL_TYPE from F.lit(tuple)
+            raise TypeError(
+                "config.tags must map tag string -> keyspace string "
+                f"(reference analyze_slow_queries.py tag→keyspace); got {bad}"
+            )
         tag_map = F.create_map(
             *[F.lit(x) for kv in config.tags.items() for x in kv]
         )

@@ -153,3 +153,23 @@ def test_attach_primary_key_guard(spark):
     )
     out = attach_primary_key(df, spark, cfg).select("primary_key").collect()
     assert [r.primary_key for r in out] == ["1-2", "2", None, None, None]
+
+
+def test_resolve_keyspace_cf_rejects_non_string_tags(spark):
+    """Malformed tags config (tag -> tuple instead of keyspace string)
+    must fail with the contract, not Spark's opaque
+    UNSUPPORTED_FEATURE.LITERAL_TYPE at plan time (found by the r9
+    verify drive)."""
+    import pytest
+
+    from cassandra_slow_queries_spark.config import AnalysisConfig
+    from cassandra_slow_queries_spark.operators.enrich import (
+        resolve_keyspace_cf,
+    )
+
+    df = spark.createDataFrame(
+        [("t1", ["prod"])], "table_segment string, tags array<string>"
+    )
+    cfg = AnalysisConfig(schema={}, tags={"prod": ("ks1", "events")})
+    with pytest.raises(TypeError, match="keyspace string"):
+        resolve_keyspace_cf(df, spark, cfg)
