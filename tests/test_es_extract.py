@@ -354,3 +354,12 @@ def test_fetch_pages_distributed_multi_task(spark, tmp_path):
             )
     finally:
         srv.shutdown()
+
+
+def test_fetch_pages_distributed_empty_plan(spark, tmp_path):
+    from cassandra_slow_queries_spark.sources.es_extract import (
+        fetch_pages_distributed,
+    )
+
+    paths, n_tasks = fetch_pages_distributed(spark, [], str(tmp_path / "d"))
+    assert paths == [] and n_tasks == 0

@@ -261,3 +261,17 @@ def test_prop_merge_equals_whole_for_any_split(spark, items, cut):
     w = {(r["j"], r["col"]): r["cnt"] for r in whole.collect()}
     m = {(r["j"], r["col"]): r["cnt"] for r in merged.collect()}
     assert w == m  # cell-exact for ANY split point
+
+
+def test_empty_stream_and_empty_probe_edges(spark, events):
+    # empty stream -> empty cell frame; probes against it estimate 0
+    empty = cm_build(events.filter("1=0"), "event_type", width=W, depth=D)
+    assert empty.count() == 0
+    real = events.first()["event_type"]
+    probes = spark.createDataFrame([(real,)], "event_type string")
+    est = cm_query(empty, probes, "event_type", width=W, depth=D).first()["cm_count"]
+    assert est == 0  # >= true(=0), never NULL for a non-null probe
+    # empty probe frame -> empty result, no error
+    sketch = cm_build(events, "event_type", width=W, depth=D)
+    out = cm_query(sketch, probes.filter("1=0"), "event_type", width=W, depth=D)
+    assert out.count() == 0
