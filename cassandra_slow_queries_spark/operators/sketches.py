@@ -146,3 +146,95 @@ def cm_query(
         .agg(F.min(level).alias(out_col))
         .drop("_cm_rid")
     )
+
+
+def mg_partition_summaries(
+    df: DataFrame,
+    item_col: str,
+    k: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-partition Misra-Gries summaries: ``(item, cnt)`` with at most
+    ``k`` rows PER PARTITION, regardless of partition size.
+
+    The dual of :func:`cm_build`: MG counters never OVERcount
+    (``cnt <= true``) and the per-partition undercount is bounded by
+    ``n_p/(k+1)`` — each compress step subtracts the (k+1)-th largest
+    counter value from every survivor, and the subtracted mass is
+    charged against at least k+1 counted items (Misra & Gries 1982;
+    the summary form and merge bound are Agarwal et al., "Mergeable
+    Summaries", PODS 2012). Arrow batches arrive bounded, so the
+    working dict holds at most k + batch-distinct entries.
+
+    NULL items are skipped, matching cm_build. ``weight_col`` makes it
+    weighted (bounds in total weight instead of rows).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict = {}
+        for batch in batches:
+            items = batch[item_col]
+            w = (
+                batch[weight_col]
+                if weight_col
+                else pd.Series(1, index=items.index)
+            )
+            mask = items.notna()
+            grouped = w[mask].groupby(items[mask]).sum()
+            for it, c in grouped.items():
+                counters[it] = counters.get(it, 0) + int(c)
+            if len(counters) > k:
+                # compress: subtract the (k+1)-th largest value from
+                # every counter, drop the non-positive — the mergeable-
+                # summaries step whose total decrement per partition is
+                # <= n_p/(k+1)
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    it: c - cut for it, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame(
+            {"item": list(counters), "cnt": list(counters.values())}
+        )
+
+    src = df.select(
+        F.col(item_col).alias(item_col),
+        *( [F.col(weight_col).cast("long").alias(weight_col)] if weight_col else [] ),
+    )
+    item_type = dict(zip(src.columns, [f.dataType.simpleString() for f in src.schema.fields]))[item_col]
+    return src.mapInPandas(summarize, f"item {item_type}, cnt long")
+
+
+def mg_topk_candidates(
+    df: DataFrame,
+    item_col: str,
+    k: int = 256,
+    weight_col: str | None = None,
+    out_col: str = "mg_count",
+) -> DataFrame:
+    """Heavy-hitter candidates from merged per-partition MG summaries:
+    ``(item, mg_count)`` where ``mg_count`` is a LOWER bound on the true
+    count with ``true - mg_count <= N/(k+1)`` (sum of the per-partition
+    bounds — absent counters contribute 0, which still respects each
+    partition's bound). Consequences, both exactly testable:
+
+    - never overcounts: ``mg_count <= true`` always;
+    - complete above the threshold: every item with true count
+      ``> N/(k+1)`` appears (its merged counter is positive).
+
+    The scale shape: one linear scan emitting <= k rows per partition,
+    one hash aggregation over <= k * n_partitions rows, nothing
+    proportional to the stream or the item universe. The standard
+    deployment verifies the candidates' EXACT counts with one semi-join
+    pass (candidates are <= k * n_partitions rows, broadcastable);
+    count-min answers point queries instead — the two sketches are
+    complementary, not interchangeable.
+    """
+    summaries = mg_partition_summaries(df, item_col, k, weight_col)
+    return (
+        summaries.groupBy(F.col("item").alias(item_col))
+        .agg(F.sum("cnt").alias(out_col))
+        .filter(F.col(out_col) > 0)
+    )

@@ -275,3 +275,72 @@ def test_empty_stream_and_empty_probe_edges(spark, events):
     sketch = cm_build(events, "event_type", width=W, depth=D)
     out = cm_query(sketch, probes.filter("1=0"), "event_type", width=W, depth=D)
     assert out.count() == 0
+
+
+# --- Misra-Gries heavy-hitter summaries (the dual sketch) -----------------
+
+from cassandra_slow_queries_spark.operators.sketches import (
+    mg_partition_summaries,
+    mg_topk_candidates,
+)
+
+
+def test_mg_never_overcounts_and_bounded_undercount(spark, events):
+    from pyspark.sql import functions as F2
+
+    exact = _exact(events, "event_type")
+    n = sum(exact.values())
+    k = 8
+    cands = {
+        r["event_type"]: r["mg_count"]
+        for r in mg_topk_candidates(events, "event_type", k=k).collect()
+    }
+    for it, est in cands.items():
+        assert est <= exact[it], f"{it}: MG overcounted {est} > {exact[it]}"
+        assert exact[it] - est <= n / (k + 1) + 1e-9
+    # completeness: every item above the threshold must appear
+    for it, true in exact.items():
+        if true > n / (k + 1):
+            assert it in cands and cands[it] > 0
+
+
+def test_mg_summary_size_bounded_per_partition(spark):
+    rows = [(i, f"k{i % 500}") for i in range(20000)]
+    df = spark.createDataFrame(rows, "i long, k string").repartition(4)
+    summ = mg_partition_summaries(df, "k", k=16)
+    # <= k rows per partition -> <= 4*k total, despite 500 distinct items
+    assert summ.count() <= 4 * 16
+
+
+def test_mg_guarantees_hold_under_any_partitioning(spark):
+    from collections import Counter
+
+    rows = [(i, "hot" if i % 5 else f"t{i % 97}") for i in range(10000)]
+    true = Counter(k for _, k in rows)
+    n = len(rows)
+    k = 24
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(rows, "i long, key string").repartition(parts)
+        cands = {
+            r["key"]: r["mg_count"]
+            for r in mg_topk_candidates(df, "key", k=k).collect()
+        }
+        for it, est in cands.items():
+            assert est <= true[it]
+            assert true[it] - est <= n / (k + 1) + 1e-9
+        assert "hot" in cands  # 8000 occurrences >> n/(k+1)=400
+        assert cands["hot"] >= true["hot"] - n / (k + 1)
+
+
+def test_mg_weighted_and_null_items(spark):
+    df = spark.createDataFrame(
+        [("a", 30), ("b", 3), (None, 99), ("a", 10)], "k string, w int"
+    )
+    cands = {
+        r["k"]: r["mg_count"]
+        for r in mg_topk_candidates(df, "k", k=1, weight_col="w").collect()
+    }
+    assert None not in cands
+    assert cands.get("a", 0) <= 40 and cands.get("a", 0) >= 40 - 43 / 2
+    with pytest.raises(ValueError):
+        mg_partition_summaries(df, "k", k=0)
