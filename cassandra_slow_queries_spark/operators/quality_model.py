@@ -404,14 +404,17 @@ def load_quality_model(
         raise ValueError(f"corrupt model meta at {path}: {len(meta)} rows")
     m = meta[0]
     classes = list(m["classes"])
-    W = np.empty((m["n_features"], len(classes)), dtype=np.float64)
+    # NaN-init + completeness check (not np.empty + row count): a weights
+    # frame with a duplicate f index and a missing one has the right row
+    # count but would leave one feature row as uninitialized memory.
+    W = np.full((m["n_features"], len(classes)), np.nan, dtype=np.float64)
     seen = 0
     for r in spark.read.parquet(f"{path}/weights").collect():
         W[r["f"]] = r["w"]
         seen += 1
-    if seen != m["n_features"]:
+    if seen != m["n_features"] or np.isnan(W).any():
         raise ValueError(
             f"corrupt model weights at {path}: {seen} rows, "
-            f"expected {m['n_features']}"
+            f"expected {m['n_features']} distinct feature indices"
         )
     return W, np.asarray(m["priors"], dtype=np.float64), classes, int(m["ngram"])

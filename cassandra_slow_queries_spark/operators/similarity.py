@@ -466,21 +466,23 @@ def train_ivf_centroids(
     spread = spread_input(corpus.select(F.col(vec_col).alias("v")))
     if refine_iters > 1:
         spread = spread.persist()
-    for _ in range(refine_iters):
-        assign = ivf_cell_udf(cents, n_probe=1)
-        means = (
-            spread.select(assign(F.col("v"))[0].alias("cell"), "v")
-            .groupBy("cell")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
-            .collect()
-        )
-        new = cents.copy()
-        for r in means:
-            new[r["cell"]] = [r[f"c{i}"] for i in range(dim)]
-        new /= _np.maximum(_np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
-        cents = new
-    if refine_iters > 1:
-        spread.unpersist()
+    try:
+        for _ in range(refine_iters):
+            assign = ivf_cell_udf(cents, n_probe=1)
+            means = (
+                spread.select(assign(F.col("v"))[0].alias("cell"), "v")
+                .groupBy("cell")
+                .agg(*[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)])
+                .collect()
+            )
+            new = cents.copy()
+            for r in means:
+                new[r["cell"]] = [r[f"c{i}"] for i in range(dim)]
+            new /= _np.maximum(_np.linalg.norm(new, axis=1, keepdims=True), 1e-12)
+            cents = new
+    finally:
+        if refine_iters > 1:
+            spread.unpersist()
     return [[float(x) for x in row] for row in cents]
 
 

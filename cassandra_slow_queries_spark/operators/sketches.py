@@ -182,7 +182,11 @@ def mg_partition_summaries(
                 if weight_col
                 else pd.Series(1, index=items.index)
             )
-            mask = items.notna()
+            # mask null weights alongside null items: Spark long nulls
+            # arrive in pandas as NaN, would poison the group sum and
+            # crash int(c) — cm_build (the documented dual) silently
+            # skips null weights via F.sum, so MG matches.
+            mask = items.notna() & w.notna()
             grouped = w[mask].groupby(items[mask]).sum()
             for it, c in grouped.items():
                 counters[it] = counters.get(it, 0) + int(c)

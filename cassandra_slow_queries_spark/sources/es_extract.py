@@ -235,10 +235,20 @@ def _fetch_one(
     hammers the endpoint with doomed attempts) and fails fast. The ONE
     body both the driver-side loop (:func:`fetch_pages`) and the
     distributed runner (:func:`fetch_pages_distributed`) execute, so
-    the two paths cannot drift."""
+    the two paths cannot drift.
+
+    The body lands in an attempt-unique temp file and is atomically
+    renamed onto ``dest``: under Spark task retries a zombie first
+    attempt (executor loss, speculation) may still be writing while
+    the retry runs — two attempts writing ``dest`` in place could
+    interleave into a corrupt landing file the job then reports as
+    fetched. With rename, each attempt's bytes are private until
+    complete and the last rename wins whole."""
+    import os
     import time
     import urllib.error
     import urllib.request
+    import uuid
     from pathlib import Path
 
     for attempt in range(retries + 1):
@@ -250,7 +260,9 @@ def _fetch_one(
         )
         try:
             with urllib.request.urlopen(req, timeout=timeout) as resp:
-                Path(dest).write_bytes(resp.read())
+                tmp = Path(f"{dest}.{os.getpid()}.{uuid.uuid4().hex}.tmp")
+                tmp.write_bytes(resp.read())
+                os.replace(tmp, dest)
             return dest
         except urllib.error.HTTPError as exc:
             if exc.code < 500 or attempt == retries:
@@ -285,7 +297,9 @@ def fetch_pages_distributed(
     retry body as :func:`fetch_pages`, so per-page 5xx/timeout retry
     and 4xx fail-fast semantics are identical. A page that exhausts its
     HTTP retries raises in the task; after Spark's own task retries
-    (safe — the write is idempotent, one file per page) the JOB fails:
+    (safe — each attempt writes a private temp file and atomically
+    renames onto the page's path, so concurrent zombie/speculative
+    attempts cannot interleave bytes) the JOB fails:
     a silently missing page is silently missing data.
 
     ``out_dir`` must be visible to the executors — on a real cluster a

@@ -344,3 +344,18 @@ def test_mg_weighted_and_null_items(spark):
     assert cands.get("a", 0) <= 40 and cands.get("a", 0) >= 40 - 43 / 2
     with pytest.raises(ValueError):
         mg_partition_summaries(df, "k", k=0)
+
+
+def test_mg_null_weights_skipped_like_cm_build(spark):
+    # Spark long nulls arrive in pandas as NaN — a null WEIGHT must be
+    # skipped (matching cm_build's F.sum semantics), not poison the
+    # group sum into NaN and crash int() in the executor
+    df = spark.createDataFrame(
+        [("a", 5), ("a", None), ("b", 2), (None, None)],
+        "k string, w int",
+    ).repartition(2)
+    cands = {
+        r["k"]: r["mg_count"]
+        for r in mg_topk_candidates(df, "k", k=8, weight_col="w").collect()
+    }
+    assert cands == {"a": 5, "b": 2}

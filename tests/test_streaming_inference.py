@@ -175,3 +175,17 @@ def test_model_persistence_rejects_corrupt_and_bad_shapes(spark, tmp_path):
     ).write.parquet(str(tmp_path / "m/weights"))
     with pytest.raises(ValueError, match="corrupt"):
         load_quality_model(spark, str(tmp_path / "m"))
+
+    # a weights frame with a DUPLICATE f index and a missing one has the
+    # right row COUNT but would leave one feature row uninitialized —
+    # must raise, not silently return garbage scores
+    save_quality_model(
+        spark, str(tmp_path / "d"), np.ones((3, 2)), np.zeros(2), ["a", "b"]
+    )
+    shutil.rmtree(str(tmp_path / "d/weights"))
+    spark.createDataFrame(
+        [(0, [1.0, 1.0]), (0, [1.0, 1.0]), (2, [1.0, 1.0])],
+        "f int, w array<double>",
+    ).write.parquet(str(tmp_path / "d/weights"))
+    with pytest.raises(ValueError, match="corrupt"):
+        load_quality_model(spark, str(tmp_path / "d"))

@@ -32,6 +32,7 @@ import shutil
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from tools.reseed_sweep import (
@@ -64,7 +65,7 @@ def _replicate_shifted(src: str, dst: str, table: str, factor: int) -> None:
         for name in t.column_names:
             col = t.column(name)
             if name in keys:
-                col = pa.compute.add(col, i * stride[name])
+                col = pc.add(col, i * stride[name])
             cols[name] = col
         chunks.append(pa.table(cols))
     pq.write_table(pa.concat_tables(chunks), f"{dst}/{table}.parquet")
@@ -79,7 +80,7 @@ def _key_stride(src: str, base: str) -> int:
         col = f"{prefix}_{base}"
         t = pq.read_table(path, columns=[col]) if os.path.exists(path) else None
         if t is not None and col in t.column_names:
-            mx = max(mx, pa.compute.max(t.column(col)).as_py() or 0)
+            mx = max(mx, pc.max(t.column(col)).as_py() or 0)
     return mx + 1
 
 
