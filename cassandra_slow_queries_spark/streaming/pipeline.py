@@ -218,9 +218,18 @@ def stream_stream_interval_join(
     return l.join(r, cond, how).drop("_r_on")
 
 
-def run_stream_to_batch(streaming_df: DataFrame, output_mode: str = "complete") -> DataFrame:
-    """Execute a finite streaming frame with ``Trigger.AvailableNow`` into
-    an in-memory sink and return the final contents as a batch frame."""
+def start_stream_to_batch(
+    streaming_df: DataFrame, output_mode: str = "complete"
+):
+    """Start a finite streaming frame (``Trigger.AvailableNow`` → memory
+    sink) WITHOUT awaiting it; returns ``(query, table_name)``.
+
+    Independent finite streams each pay a fixed micro-batch trigger
+    latency floor; starting them concurrently and awaiting afterwards
+    overlaps those floors (and their state-store open/commit cost) in
+    one wall-clock cycle instead of serializing them (the parity
+    suite's three jobs). Each query gets a UUID sink table, so
+    concurrent starts never collide."""
     name = f"stream_result_{uuid.uuid4().hex}"
     q = (
         streaming_df.writeStream.format("memory")
@@ -229,6 +238,13 @@ def run_stream_to_batch(streaming_df: DataFrame, output_mode: str = "complete") 
         .trigger(availableNow=True)
         .start()
     )
+    return q, name
+
+
+def run_stream_to_batch(streaming_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a finite streaming frame with ``Trigger.AvailableNow`` into
+    an in-memory sink and return the final contents as a batch frame."""
+    q, name = start_stream_to_batch(streaming_df, output_mode)
     q.awaitTermination()
     spark = streaming_df.sparkSession
     return spark.table(name)

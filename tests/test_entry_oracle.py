@@ -23,6 +23,12 @@ def _catalog():
     return CATALOG
 
 
+def _deferred():
+    from cassandra_slow_queries_spark.plans.catalog import DEFERRED_CATALOG
+
+    return DEFERRED_CATALOG
+
+
 @pytest.fixture(scope="module")
 def duck():
     return duck_connection(SF_DIR)
@@ -38,6 +44,17 @@ def test_catalog_query(spark, duck, name):
         assert len(df.columns) > 0
         return
     problems = compare(name, df.toPandas(), duck.sql(qd.oracle).df())
+    assert not problems, f"{name}: {problems}"
+
+
+@pytest.mark.parametrize("name", list(_deferred().keys()))
+def test_deferred_query(spark, duck, name):
+    # staged-for-promotion entries get the SAME oracle gate as live ones;
+    # they must NOT be registered yet (no-slot rule: a never-checked
+    # entry would evict a pre-verified one from the rotation window)
+    assert name not in _catalog()
+    qd = _deferred()[name]
+    problems = compare(name, qd.spark(spark, SF_DIR).toPandas(), duck.sql(qd.oracle).df())
     assert not problems, f"{name}: {problems}"
 
 
