@@ -809,3 +809,69 @@ def test_find_pk_nodes_matches_reference(spark, tmp_path, capsys):
             ",".join([r["keyspace"], r["column_family"], r["primary_key"], *eps]) + ","
         )
     assert ref_lines[1:] == got_lines
+
+
+def test_malformed_tags_divergence_pinned(spark):
+    """Malformed tag→keyspace maps, fuzzed through both engines — the
+    last unpinned edge of the r9 tags-shape contract. The reference's
+    ``_guess_keyspace`` (:528-551) never validates ``config.tags``: a
+    non-string VALUE is returned verbatim and silently propagated as
+    "keyspace" into every downstream report key; a non-string KEY just
+    never matches any log tag (tags are strings) and is silently
+    ignored. The repo instead raises a contract-stating TypeError at
+    plan-build time for BOTH shapes — a deliberate, pinned divergence:
+    silent tuple-typed keyspace keys corrupt every report they touch,
+    and Spark's own failure (UNSUPPORTED_FEATURE.LITERAL_TYPE from
+    ``F.lit(tuple)``) would surface lazily, mid-action, naming no
+    argument. Well-formed maps must agree end-to-end (parity case
+    last)."""
+    from cassandra_slow_queries_spark.config import AnalysisConfig
+    from cassandra_slow_queries_spark.operators.enrich import (
+        resolve_keyspace_cf,
+    )
+
+    ns: dict = {}
+    exec(_carve("class MessageProcessor", "_guess_keyspace"), ns)
+
+    class _RefCls:
+        # prefilled index so _build_keyspace_guesses never runs; the
+        # probe cf is absent -> the tag map path is always consulted
+        CF_KEYSPACES = {"other_cf": "ks_other"}
+
+    class _RefCfg:
+        def __init__(self, tags):
+            self.tags = tags
+            self.schema = {}
+
+    df = spark.createDataFrame(
+        [("some_cf", ["prod", "canary"])],
+        "table_segment string, tags array<string>",
+    )
+
+    malformed = [
+        {"prod": ("ks1", "cf1")},   # tuple value
+        {"prod": ["ks1"]},          # list value
+        {"prod": None},             # None value
+        {"prod": 7},                # int value
+        {3: "ks1"},                 # int key
+        {"ok": "ks9", "prod": ()},  # one good entry does not excuse it
+    ]
+    for tags in malformed:
+        # reference: never raises — returns the garbage value verbatim
+        # when a log tag matches, else falls through to None
+        ref = ns["_guess_keyspace"](_RefCls, "some_cf", ["prod"], _RefCfg(tags))
+        str_keyed = {k: v for k, v in tags.items() if isinstance(k, str)}
+        assert ref == str_keyed.get("prod"), (tags, ref)
+        # repo: contract error at plan-build time, naming config.tags
+        with pytest.raises(TypeError, match="config.tags"):
+            resolve_keyspace_cf(df, spark, AnalysisConfig(schema={}, tags=tags))
+
+    # parity on a well-formed map: both engines resolve the first
+    # matching tag's keyspace for an unindexed cf
+    good = {"canary": "ks_canary", "prod": "ks_prod"}
+    ref = ns["_guess_keyspace"](_RefCls, "some_cf", ["prod", "canary"], _RefCfg(good))
+    out = resolve_keyspace_cf(
+        df, spark, AnalysisConfig(schema={}, tags=good)
+    ).collect()[0]
+    assert ref == "ks_prod" == out["keyspace"]
+    assert out["column_family"] == "some_cf"
