@@ -90,14 +90,26 @@ def compare(name: str, spark_df, oracle_df) -> list[str]:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from cassandra_slow_queries_spark import get_spark
-    from cassandra_slow_queries_spark.plans.catalog import CATALOG
+    from cassandra_slow_queries_spark.plans.catalog import (
+        CATALOG,
+        DEFERRED_CATALOG,
+    )
 
+    # deferred (staged-for-promotion) entries get the same gate when
+    # named — and sweeping them before promotion is the point of staging
+    catalog = {**CATALOG, **DEFERRED_CATALOG}
     only = set(sys.argv[2:])
+    unknown = only - set(catalog)
+    if unknown:
+        # a typo'd window list silently skipping entries would fake a
+        # green pre-verification
+        print(f"FAIL unknown entries: {sorted(unknown)}")
+        return 1
     spark = get_spark("oracle-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connection(sf_dir)
     failures = 0
-    for name, qd in CATALOG.items():
+    for name, qd in catalog.items():
         if only and name not in only:
             continue
         if qd.oracle is None:
