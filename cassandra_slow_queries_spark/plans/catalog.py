@@ -5150,13 +5150,23 @@ def q_stream_parity_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    started: list = []
     try:
-        started = [
-            start_stream_to_batch(stream, output_mode=mode)
-            for stream, mode in builds
-        ]
+        for stream, mode in builds:
+            started.append(start_stream_to_batch(stream, output_mode=mode))
         for q, _ in started:
             q.awaitTermination()
+    except Exception:
+        # one failed query must not leave its siblings running: callers
+        # that catch per-entry errors and continue (the bench loop)
+        # would otherwise time every later entry against two live
+        # streaming jobs
+        for q, _ in started:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        raise
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
