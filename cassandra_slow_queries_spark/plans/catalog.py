@@ -5140,6 +5140,7 @@ def q_stream_parity_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     state volume, not the batch default; result values are
     partition-count-independent (distinct set / global aggregates)."""
     from cassandra_slow_queries_spark.streaming.pipeline import (
+        release_stream_sink,
         start_stream_to_batch,
     )
 
@@ -5170,7 +5171,9 @@ def q_stream_parity_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
-    dedup_t, enrich_t, ss_t = (spark.table(name) for _, name in started)
+    dedup_t, enrich_t, ss_t = (
+        release_stream_sink(spark, name) for _, name in started
+    )
     dedup = dedup_t.select(
         F.lit("dedup").alias("method"),
         F.col("bucket"),

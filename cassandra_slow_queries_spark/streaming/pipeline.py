@@ -241,13 +241,29 @@ def start_stream_to_batch(
     return q, name
 
 
+def release_stream_sink(spark: SparkSession, name: str) -> DataFrame:
+    """Detach a finished memory-sink table: materialize its rows as a
+    localCheckpoint and DROP the temp view, returning the checkpointed
+    frame.
+
+    A memory sink holds its full result on the driver/executors for the
+    SESSION lifetime — a long-lived session running many finite streams
+    (a bench loop, a notebook, a scheduled re-analysis) accumulates
+    every result ever produced and degrades under GC pressure. The
+    checkpointed blocks, by contrast, are released by the ContextCleaner
+    once the returned frame is garbage-collected, so each result's
+    lifetime is its caller's, not the session's."""
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def run_stream_to_batch(streaming_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Execute a finite streaming frame with ``Trigger.AvailableNow`` into
     an in-memory sink and return the final contents as a batch frame."""
     q, name = start_stream_to_batch(streaming_df, output_mode)
     q.awaitTermination()
-    spark = streaming_df.sparkSession
-    return spark.table(name)
+    return release_stream_sink(streaming_df.sparkSession, name)
 
 
 def run_volume_top_stream(
@@ -560,7 +576,7 @@ def run_stream_drain(
         q.processAllAvailable()
     finally:
         q.stop()
-    return streaming_df.sparkSession.table(name)
+    return release_stream_sink(streaming_df.sparkSession, name)
 
 
 def run_paced_backfill(
@@ -616,4 +632,4 @@ def run_paced_backfill(
     n_batches = len(
         {p["batchId"] for p in progresses if p["numInputRows"] > 0}
     )
-    return spark.table(name), n_batches
+    return release_stream_sink(spark, name), n_batches

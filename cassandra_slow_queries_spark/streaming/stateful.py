@@ -185,8 +185,11 @@ def run_burst_detection(
         .start()
     )
     q.awaitTermination()
-    spark = fact_stream.sparkSession
-    all_emissions = spark.table(name)
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        release_stream_sink,
+    )
+
+    all_emissions = release_stream_sink(fact_stream.sparkSession, name)
     # keep the last emission per key (final state)
     from pyspark.sql import Window
     from pyspark.sql import functions as F
