@@ -242,3 +242,111 @@ def mg_topk_candidates(
         .agg(F.sum("cnt").alias(out_col))
         .filter(F.col(out_col) > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (membership) — the semi-join pushdown sketch
+# ---------------------------------------------------------------------------
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    bits_per_key: int = 16,
+    n_hashes: int = 6,
+    seed: int = 97,
+) -> tuple[list[int], int, int]:
+    """Build a Bloom filter over ``df[key_col]`` as a bitmap of packed
+    64-bit words: ``(words, m, k)`` with ``m = next_pow2(bits_per_key ·
+    n_keys)`` bits and ``k = n_hashes`` hash functions (Bloom 1970).
+
+    This is Spark's own runtime row-level-filtering pattern
+    (``bloom_filter_agg`` exists but is NOT SQL-registered in 4.1) as
+    explicit DataFrame ops: each key emits ``k`` bit positions
+    ``xxhash64(key, i, seed) mod m`` through one explode, one hash
+    aggregation ORs them into ≤ m/64 words, and the bounded word frame
+    (1 KiB per 8192 bits — model-sized, the same bounded-collect
+    contract as the quality-model weights) is returned as a Python list
+    for embedding as a broadcast literal via :func:`bloom_might_contain`.
+
+    Guarantees: membership probes of TRUE members always pass (a
+    member's bits were all set by construction — the zero-false-negative
+    theorem that makes Bloom pruning safe: the real join afterwards
+    removes false positives, so bloom-pruned join == exact join,
+    EXACTLY); false-positive rate ≈ (1 − e^{−k·n/m})^k, ~0.1% at 16
+    bits/key with k=6.
+
+    At 100 TB: the dim-side build is one linear scan into a fixed-size
+    bitmap; the fact side probes with pure bitwise expressions inside
+    whole-stage codegen BEFORE the shuffle join, cutting shuffled rows
+    to matches + εn — the classic semi-join pushdown without shipping
+    the key set.
+
+    NULL keys are skipped (a NULL never joins, so pruning it is
+    correct). Raises on an empty/all-NULL build: an empty filter would
+    prune EVERYTHING silently.
+    """
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be >= 1")
+    keys = df.select(F.col(key_col).alias("_bk")).filter(
+        F.col("_bk").isNotNull()
+    )
+    n = keys.count()
+    if n == 0:
+        raise ValueError(
+            f"bloom_build: no non-null keys in {key_col!r} — an empty "
+            "filter would silently prune every probe"
+        )
+    m = 64
+    while m < bits_per_key * n:
+        m *= 2
+    pos = keys.select(
+        F.explode(
+            F.array(*[
+                F.pmod(F.xxhash64("_bk", F.lit(i), F.lit(seed)), F.lit(m))
+                for i in range(n_hashes)
+            ])
+        ).alias("bit")
+    )
+    packed = (
+        pos.select(
+            (F.col("bit") / 64).cast("long").alias("word"),
+            # call_function: the F.shiftleft wrapper requires a Python
+            # int for numBits; the SQL function takes an expression
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("bit") % 64).cast("int"),
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()  # bounded: <= m/64 rows (128 longs per 8192 bits)
+    )
+    words = [0] * (m // 64)
+    for r in packed:
+        words[r["word"]] = r["bits"]
+    return words, m, n_hashes
+
+
+def bloom_might_contain(
+    words: list[int], m: int, k: int, key: Column, seed: int = 97
+) -> Column:
+    """Membership-probe expression against a built filter: TRUE iff all
+    ``k`` bit positions of ``key`` are set. Pure bitwise arithmetic on a
+    broadcast array literal — stays inside whole-stage codegen, no UDF,
+    no join. NULL keys probe NULL (three-valued logic: a NULL key can't
+    match a join anyway)."""
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    checks = []
+    for i in range(k):
+        bit = F.pmod(F.xxhash64(key, F.lit(i), F.lit(seed)), F.lit(m))
+        word = F.element_at(arr, (bit / 64).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (bit % 64).cast("int")
+        )
+        checks.append(word.bitwiseAND(mask) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return F.when(key.isNull(), F.lit(None).cast("boolean")).otherwise(out)

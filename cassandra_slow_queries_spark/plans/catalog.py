@@ -9140,6 +9140,94 @@ CATALOG: dict[str, QueryDef] = {
 }
 
 
+def q_x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pushdown (operators/sketches.py:
+    bloom_build/bloom_might_contain — Spark's runtime row-level
+    filtering pattern as explicit DataFrame ops; ``bloom_filter_agg``
+    exists in the engine but is not SQL-registered in 4.1): build a
+    bitmap over the BUILDING customers' keys (one linear dim scan into
+    m = next_pow2(16·n) bits), prune the orders fact with pure bitwise
+    probe expressions BEFORE the join, then join and aggregate. Gates:
+
+    - pruned join == exact join, EXACTLY (theorem: Bloom has zero
+      false negatives, and the real join removes false positives) —
+      the n_orders/total_revenue columns ride the hash against the
+      plain-join oracle;
+    - no_false_negatives: every dim key probes TRUE (theorem);
+    - prune_bounded: fact rows surviving the prune ≤ true matches +
+      4×analytic-FPR + 10 (the (1−e^{−k·n/m})^k ≈ 0.1% rate at 16
+      bits/key, k=6; a degenerate all-bits-set filter trips this);
+    - null_probe_null: a NULL fact key probes NULL and is pruned
+      (a NULL never joins, so pruning it is exact).
+
+    At 100 TB this is the semi-join pushdown that cuts the fact
+    shuffle to matches + εn without shipping the key set; the bitmap
+    (1 KiB per 8 k bits) broadcasts as an expression literal."""
+    from cassandra_slow_queries_spark.functions.quantize import qdec
+    from cassandra_slow_queries_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    words, m, k = bloom_build(dim, "c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    probe = bloom_might_contain(words, m, k, F.col("o_custkey"))
+    pruned = orders.filter(probe)
+
+    agg = pruned.join(
+        F.broadcast(dim), pruned.o_custkey == dim.c_custkey
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        qdec(F.sum("o_totalprice")).alias("total_revenue"),
+    )
+    nfn = dim.agg(
+        F.bool_and(
+            bloom_might_contain(words, m, k, F.col("c_custkey"))
+        ).alias("no_false_negatives")
+    )
+    matches = orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left_semi")
+    fpr_bound = (1 - 2.718281828 ** (-k * dim.count() / m)) ** k
+    prune_gate = pruned.agg(F.count(F.lit(1)).alias("_surv")).crossJoin(
+        F.broadcast(matches.agg(F.count(F.lit(1)).alias("_match")))
+    ).crossJoin(
+        F.broadcast(orders.agg(F.count(F.lit(1)).alias("_total")))
+    ).select(
+        (
+            F.col("_surv")
+            <= F.col("_match")
+            + 4 * F.lit(fpr_bound) * (F.col("_total") - F.col("_match"))
+            + 10
+        ).alias("prune_bounded")
+    )
+    null_gate = spark.range(1).select(
+        bloom_might_contain(
+            words, m, k, F.lit(None).cast("long")
+        ).isNull().alias("null_probe_null")
+    )
+    return (
+        agg.crossJoin(F.broadcast(nfn))
+        .crossJoin(F.broadcast(prune_gate))
+        .crossJoin(F.broadcast(null_gate))
+    )
+
+
+X_BLOOM_PRUNE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       FLOOR(SUM(o_totalprice) * 1000000.0 + 0.5) / 1000000.0 AS total_revenue,
+       TRUE AS no_false_negatives,
+       TRUE AS prune_bounded,
+       TRUE AS null_probe_null
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+"""
+
+
 # Entries finished and oracle-gated locally but NOT yet registered in
 # CATALOG. The no-slot rule (BASELINE.md, round-9 verdict item 2): a
 # never-driver-checked entry sorts to the FRONT of the rotation window
@@ -9152,6 +9240,11 @@ DEFERRED_CATALOG: dict[str, QueryDef] = {
         q_x_mg_topk,
         X_MG_TOPK_SQL,
         "Misra-Gries heavy hitters: theorem-exact invariant gates",
+    ),
+    "x_bloom_prune": QueryDef(
+        q_x_bloom_prune,
+        X_BLOOM_PRUNE_SQL,
+        "Bloom semi-join pushdown: pruned join == exact join, FPR-bounded",
     ),
 }
 

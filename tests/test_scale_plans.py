@@ -182,3 +182,25 @@ def test_count_min_build_is_one_aggregation(spark, docs):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     q = cm_query(sketch, docs.select("text").distinct(), "text", width=256, depth=3)
     assert "BroadcastHashJoin" in _plan(q)
+
+
+def test_bloom_probe_is_pure_codegen_no_join(spark):
+    """The Bloom prune's value at 100 TB is that the fact-side probe is
+    a pure bitwise expression over a broadcast literal — no join, no
+    shuffle, no Python — applied at the scan before the real join. If
+    the probe ever degenerates into a join against the bit table or a
+    UDF, the pushdown costs what it saves."""
+    from cassandra_slow_queries_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    dim = spark.range(0, 300).select((F.col("id") * 3).alias("key"))
+    words, m, k = bloom_build(dim, "key")
+    fact = spark.range(0, 5000).select((F.col("id") % 900).alias("key"))
+    pruned = fact.filter(bloom_might_contain(words, m, k, F.col("key")))
+    plan = _plan(pruned)
+    for node in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython",
+                 "mapInPandas"):
+        assert node not in plan, f"{node} leaked into the probe plan:\n{plan}"
+    assert "Filter" in plan

@@ -359,3 +359,59 @@ def test_mg_null_weights_skipped_like_cm_build(spark):
         for r in mg_topk_candidates(df, "k", k=8, weight_col="w").collect()
     }
     assert cands == {"a": 5, "b": 2}
+
+
+# --- Bloom filter (membership / semi-join pushdown) ------------------------
+
+from cassandra_slow_queries_spark.operators.sketches import (
+    bloom_build,
+    bloom_might_contain,
+)
+
+
+def test_bloom_zero_false_negatives_and_fpr(spark):
+    members = spark.range(0, 2000).select((F.col("id") * 7 + 3).alias("k"))
+    words, m, k = bloom_build(members, "k")
+    assert m >= 16 * 2000 and m & (m - 1) == 0  # pow2 sizing
+    probe = bloom_might_contain(words, m, k, F.col("k"))
+    # theorem: every member probes TRUE, on any partitioning
+    assert (
+        members.repartition(7).select(probe.alias("hit"))
+        .filter(~F.col("hit")).count() == 0
+    )
+    # non-members (disjoint key space): FPR near the analytic ~0.1%
+    non = spark.range(0, 20000).select((F.col("id") * 7 + 4).alias("k"))
+    fp = non.select(probe.alias("hit")).filter(F.col("hit")).count()
+    assert fp <= 0.004 * 20000 + 10  # 4x the (1-e^{-6/16})^6 bound + slack
+
+
+def test_bloom_pruned_join_equals_exact_join(spark):
+    dim = spark.range(0, 500).select((F.col("id") * 3).alias("key"))
+    fact = spark.range(0, 30000).select(
+        (F.col("id") % 2000).alias("key"), F.col("id").alias("v")
+    )
+    words, m, k = bloom_build(dim, "key")
+    pruned = fact.filter(bloom_might_contain(words, m, k, F.col("key")))
+    exact = fact.join(dim, "key").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    ).collect()[0]
+    via_bloom = pruned.join(dim, "key").agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    ).collect()[0]
+    assert (exact["n"], exact["s"]) == (via_bloom["n"], via_bloom["s"])
+    # and the prune actually prunes: survivors <= matches + FPR slack
+    matches = fact.join(dim, "key", "left_semi").count()
+    assert matches <= pruned.count() <= matches + 0.004 * 30000 + 10
+
+
+def test_bloom_null_and_empty_contracts(spark):
+    df = spark.createDataFrame([(1,), (None,), (2,)], "k bigint")
+    words, m, k = bloom_build(df, "k")
+    hits = dict(
+        df.select("k", bloom_might_contain(words, m, k, F.col("k")).alias("h")).collect()
+    )
+    assert hits[1] is True and hits[2] is True and hits[None] is None
+    with pytest.raises(ValueError, match="no non-null keys"):
+        bloom_build(df.filter("k IS NULL"), "k")
+    with pytest.raises(ValueError):
+        bloom_build(df, "k", n_hashes=0)
