@@ -9140,6 +9140,99 @@ CATALOG: dict[str, QueryDef] = {
 }
 
 
+def q_stream_volume_top_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two A5+T2 streaming top-K gates consolidated into one slot
+    (the stream_parity_suite precedent; staged to FREE a rotation slot
+    at promotion time — replacing stream_volume_top and
+    stream_volume_top_append buys the catalog headroom the 3-round
+    rotation cap demands): complete-mode foreachBatch rank and
+    watermarked append-mode closed-window rank, each still running its
+    FULL streaming pipeline and contributing every detail row,
+    harmonized to (method, bucket, query, primary_key, cnt, duration,
+    avg_duration) and hash-compared against the union of both batch
+    oracles. The two jobs run in parallel driver threads (each helper
+    blocks on its own foreachBatch/awaitTermination cycle), overlapping
+    their trigger floors exactly like the parity suite's concurrent
+    starts."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        run_volume_top_stream,
+        run_volume_top_stream_append,
+    )
+
+    parsed_c = _event_fact_stream(spark, sf_dir)
+    parsed_a = _event_fact_stream(spark, sf_dir)
+    # same per-partition state-store sizing rationale as
+    # q_stream_parity_suite; restored after both queries have started
+    # AND finished (the helpers block until termination)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        with ThreadPoolExecutor(2) as ex:
+            fut_c = ex.submit(
+                run_volume_top_stream, parsed_c, 3, window="1 hour"
+            )
+            fut_a = ex.submit(
+                run_volume_top_stream_append,
+                parsed_a,
+                3,
+                watermark="90 minutes",
+                window="1 hour",
+            )
+            top_c, top_a = fut_c.result(), fut_a.result()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    cols = ["bucket", "query", "primary_key", "cnt", "duration", "avg_duration"]
+    comp = top_c.withColumnRenamed("minute", "bucket").select(
+        F.lit("complete").alias("method"), *cols
+    )
+    app = top_a.withColumnRenamed("minute", "bucket").select(
+        F.lit("append").alias("method"), *cols
+    )
+    return comp.unionByName(app).orderBy(
+        "method", "bucket", F.col("duration").desc(), "query", "primary_key"
+    )
+
+
+STREAM_VOLUME_TOP_SUITE_SQL = f"""
+WITH cells AS (
+    SELECT {HOUR_FMT_DUCK} AS bucket,
+           event_type AS query,
+           CAST(user_id % 10 AS VARCHAR) AS primary_key,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS duration,
+           CAST(FLOOR(SUM(CAST(FLOOR(value) AS BIGINT)) / COUNT(*)) AS BIGINT) AS avg_duration
+    FROM events GROUP BY 1, 2, 3
+), complete_top AS (
+    SELECT 'complete' AS method, * FROM cells
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY bucket ORDER BY duration DESC, query, primary_key) <= 3
+), closed AS (
+    SELECT * FROM events
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+          <= (SELECT MAX(ts) FROM events) - INTERVAL 90 MINUTE
+), closed_cells AS (
+    SELECT {HOUR_FMT_DUCK} AS bucket,
+           event_type AS query,
+           CAST(user_id % 10 AS VARCHAR) AS primary_key,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS duration,
+           CAST(FLOOR(SUM(CAST(FLOOR(value) AS BIGINT)) / COUNT(*)) AS BIGINT) AS avg_duration
+    FROM closed GROUP BY 1, 2, 3
+), append_top AS (
+    SELECT 'append' AS method, * FROM closed_cells
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY bucket ORDER BY duration DESC, query, primary_key) <= 3
+)
+SELECT * FROM (
+    SELECT * FROM complete_top UNION ALL SELECT * FROM append_top
+)
+ORDER BY method, bucket, duration DESC, query, primary_key
+"""
+
+
 def q_x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join pushdown (operators/sketches.py:
     bloom_build/bloom_might_contain — Spark's runtime row-level
@@ -9245,6 +9338,14 @@ DEFERRED_CATALOG: dict[str, QueryDef] = {
         q_x_bloom_prune,
         X_BLOOM_PRUNE_SQL,
         "Bloom semi-join pushdown: pruned join == exact join, FPR-bounded",
+    ),
+    # replaces stream_volume_top + stream_volume_top_append at promotion
+    # time, freeing one rotation slot (the catalog sits at the 3-round
+    # cap of 150 once x_mg_topk lands)
+    "stream_volume_top_suite": QueryDef(
+        q_stream_volume_top_suite,
+        STREAM_VOLUME_TOP_SUITE_SQL,
+        "A5+T2 complete + append top-K consolidated, concurrent starts",
     ),
 }
 
