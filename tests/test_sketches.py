@@ -415,3 +415,32 @@ def test_bloom_null_and_empty_contracts(spark):
         bloom_build(df.filter("k IS NULL"), "k")
     with pytest.raises(ValueError):
         bloom_build(df, "k", n_hashes=0)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    bits=st.sampled_from([8, 16, 32]),
+    k=st.sampled_from([2, 6]),
+)
+def test_prop_bloom_never_false_negative(spark, keys, bits, k):
+    # THE theorem: any member key set, any sizing, any partitioning —
+    # every member probes TRUE
+    df = spark.createDataFrame([(x,) for x in keys], "key bigint")
+    words, m, kk = bloom_build(df, "key", bits_per_key=bits, n_hashes=k)
+    misses = (
+        df.repartition(3)
+        .select(bloom_might_contain(words, m, kk, F.col("key")).alias("h"))
+        .filter(~F.col("h"))
+        .count()
+    )
+    assert misses == 0
