@@ -404,17 +404,29 @@ def load_quality_model(
         raise ValueError(f"corrupt model meta at {path}: {len(meta)} rows")
     m = meta[0]
     classes = list(m["classes"])
-    # NaN-init + completeness check (not np.empty + row count): a weights
-    # frame with a duplicate f index and a missing one has the right row
-    # count but would leave one feature row as uninitialized memory.
-    W = np.full((m["n_features"], len(classes)), np.nan, dtype=np.float64)
-    seen = 0
+    # Completeness = exactly the index SET {0..n_features-1}, not a row
+    # count: a duplicate f plus a missing one has the right count but
+    # leaves a row uninitialized; a negative f would alias onto the
+    # last row via numpy indexing; an out-of-range f must be the
+    # contract error, not a raw IndexError. Tracking indices (not
+    # scanning for NaN) also keeps the documented save/load round-trip
+    # for models whose trained weights legitimately contain NaN.
+    n_features = m["n_features"]
+    W = np.empty((n_features, len(classes)), dtype=np.float64)
+    seen: set[int] = set()
     for r in spark.read.parquet(f"{path}/weights").collect():
-        W[r["f"]] = r["w"]
-        seen += 1
-    if seen != m["n_features"] or np.isnan(W).any():
+        f = int(r["f"])
+        if not 0 <= f < n_features or f in seen:
+            raise ValueError(
+                f"corrupt model weights at {path}: feature index {f} "
+                f"{'duplicated' if f in seen else 'out of range'} "
+                f"(expected each of 0..{n_features - 1} exactly once)"
+            )
+        seen.add(f)
+        W[f] = r["w"]
+    if len(seen) != n_features:
         raise ValueError(
-            f"corrupt model weights at {path}: {seen} rows, "
-            f"expected {m['n_features']} distinct feature indices"
+            f"corrupt model weights at {path}: {len(seen)} distinct "
+            f"feature indices, expected {n_features}"
         )
     return W, np.asarray(m["priors"], dtype=np.float64), classes, int(m["ngram"])

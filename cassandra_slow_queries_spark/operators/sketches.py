@@ -38,6 +38,8 @@ alongside the HLL rollup and the approx-percentile gate.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -249,16 +251,34 @@ def mg_topk_candidates(
 # ---------------------------------------------------------------------------
 
 
+class BloomFilter(NamedTuple):
+    """A built Bloom filter: the packed bitmap plus the sizing and the
+    BUILD KEY TYPE. ``key_type`` matters for correctness, not just
+    documentation: ``xxhash64`` is type-sensitive (an int32 and an
+    int64 holding the same value hash differently), so a probe column
+    of a different type would silently void the zero-false-negative
+    theorem — :func:`bloom_might_contain` casts every probe to this
+    type before hashing."""
+
+    words: list[int]
+    m: int
+    k: int
+    n_keys: int
+    key_type: str
+    seed: int
+
+
 def bloom_build(
     df: DataFrame,
     key_col: str,
     bits_per_key: int = 16,
     n_hashes: int = 6,
     seed: int = 97,
-) -> tuple[list[int], int, int]:
+) -> BloomFilter:
     """Build a Bloom filter over ``df[key_col]`` as a bitmap of packed
-    64-bit words: ``(words, m, k)`` with ``m = next_pow2(bits_per_key ·
-    n_keys)`` bits and ``k = n_hashes`` hash functions (Bloom 1970).
+    64-bit words: a :class:`BloomFilter` with ``m = next_pow2(
+    bits_per_key · n_keys)`` bits and ``k = n_hashes`` hash functions
+    (Bloom 1970).
 
     This is Spark's own runtime row-level-filtering pattern
     (``bloom_filter_agg`` exists but is NOT SQL-registered in 4.1) as
@@ -288,6 +308,14 @@ def bloom_build(
     """
     if n_hashes < 1:
         raise ValueError("n_hashes must be >= 1")
+    if bits_per_key < 1:
+        # a zero/negative budget would silently leave m at the 64-bit
+        # floor: a saturated filter that prunes nothing while callers
+        # believe they built a real one
+        raise ValueError("bits_per_key must be >= 1")
+    key_type = dict(
+        zip(df.columns, [f.dataType.simpleString() for f in df.schema.fields])
+    )[key_col]
     keys = df.select(F.col(key_col).alias("_bk")).filter(
         F.col("_bk").isNotNull()
     )
@@ -326,21 +354,29 @@ def bloom_build(
     words = [0] * (m // 64)
     for r in packed:
         words[r["word"]] = r["bits"]
-    return words, m, n_hashes
+    return BloomFilter(words, m, n_hashes, n, key_type, seed)
 
 
-def bloom_might_contain(
-    words: list[int], m: int, k: int, key: Column, seed: int = 97
-) -> Column:
+def bloom_might_contain(bf: BloomFilter, key: Column) -> Column:
     """Membership-probe expression against a built filter: TRUE iff all
     ``k`` bit positions of ``key`` are set. Pure bitwise arithmetic on a
     broadcast array literal — stays inside whole-stage codegen, no UDF,
-    no join. NULL keys probe NULL (three-valued logic: a NULL key can't
-    match a join anyway)."""
-    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    no join.
+
+    The probe is CAST to the filter's build key type first: xxhash64 is
+    type-sensitive, so an int32 probe against an int64-built filter
+    would otherwise compute different bit positions and silently break
+    the zero-false-negative theorem. NULL keys — genuine NULLs and
+    probes the cast cannot represent in the build type — probe NULL
+    (three-valued logic: such a key can't equi-join the build side
+    anyway, so pruning it is exact)."""
+    # try_cast, not cast: under ANSI mode a malformed probe (e.g. a
+    # string that can't be a bigint) must prune as NULL, not throw
+    casted = key.try_cast(bf.key_type)
+    arr = F.array(*[F.lit(w).cast("long") for w in bf.words])
     checks = []
-    for i in range(k):
-        bit = F.pmod(F.xxhash64(key, F.lit(i), F.lit(seed)), F.lit(m))
+    for i in range(bf.k):
+        bit = F.pmod(F.xxhash64(casted, F.lit(i), F.lit(bf.seed)), F.lit(bf.m))
         word = F.element_at(arr, (bit / 64).cast("int") + 1)
         mask = F.call_function(
             "shiftleft", F.lit(1).cast("long"), (bit % 64).cast("int")
@@ -349,4 +385,4 @@ def bloom_might_contain(
     out = checks[0]
     for c in checks[1:]:
         out = out & c
-    return F.when(key.isNull(), F.lit(None).cast("boolean")).otherwise(out)
+    return F.when(casted.isNull(), F.lit(None).cast("boolean")).otherwise(out)

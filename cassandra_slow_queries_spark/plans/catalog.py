@@ -5158,22 +5158,27 @@ def q_stream_parity_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q, _ in started:
             q.awaitTermination()
     except Exception:
-        # one failed query must not leave its siblings running: callers
-        # that catch per-entry errors and continue (the bench loop)
-        # would otherwise time every later entry against two live
-        # streaming jobs
-        for q, _ in started:
+        # one failed query must not leave its siblings running OR their
+        # memory-sink tables registered: callers that catch per-entry
+        # errors and continue (the bench loop) would otherwise time
+        # every later entry against two live streaming jobs and an
+        # ever-growing pile of session-lifetime sinks
+        for q, name in started:
             try:
                 q.stop()
+            except Exception:
+                pass
+            try:
+                spark.catalog.dropTempView(name)
             except Exception:
                 pass
         raise
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
-    dedup_t, enrich_t, ss_t = (
+    dedup_t, enrich_t, ss_t = [
         release_stream_sink(spark, name) for _, name in started
-    )
+    ]
     dedup = dedup_t.select(
         F.lit("dedup").alias("method"),
         F.col("bucket"),
@@ -9267,9 +9272,9 @@ def q_x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
-    words, m, k = bloom_build(dim, "c_custkey")
+    bf = bloom_build(dim, "c_custkey")
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    probe = bloom_might_contain(words, m, k, F.col("o_custkey"))
+    probe = bloom_might_contain(bf, F.col("o_custkey"))
     pruned = orders.filter(probe)
 
     agg = pruned.join(
@@ -9280,11 +9285,12 @@ def q_x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nfn = dim.agg(
         F.bool_and(
-            bloom_might_contain(words, m, k, F.col("c_custkey"))
+            bloom_might_contain(bf, F.col("c_custkey"))
         ).alias("no_false_negatives")
     )
     matches = orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left_semi")
-    fpr_bound = (1 - 2.718281828 ** (-k * dim.count() / m)) ** k
+    # n_keys comes from the build (it already counted the dim)
+    fpr_bound = (1 - 2.718281828 ** (-bf.k * bf.n_keys / bf.m)) ** bf.k
     prune_gate = pruned.agg(F.count(F.lit(1)).alias("_surv")).crossJoin(
         F.broadcast(matches.agg(F.count(F.lit(1)).alias("_match")))
     ).crossJoin(
@@ -9299,7 +9305,7 @@ def q_x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     null_gate = spark.range(1).select(
         bloom_might_contain(
-            words, m, k, F.lit(None).cast("long")
+            bf, F.lit(None).cast("long")
         ).isNull().alias("null_probe_null")
     )
     return (

@@ -261,8 +261,16 @@ def _fetch_one(
         try:
             with urllib.request.urlopen(req, timeout=timeout) as resp:
                 tmp = Path(f"{dest}.{os.getpid()}.{uuid.uuid4().hex}.tmp")
-                tmp.write_bytes(resp.read())
-                os.replace(tmp, dest)
+                try:
+                    tmp.write_bytes(resp.read())
+                    os.replace(tmp, dest)
+                finally:
+                    # a failed write (full disk, dropped connection mid
+                    # body) must not litter the landing zone; after a
+                    # successful replace this is a no-op. A hard-killed
+                    # process can still leave one .tmp — uniquely named,
+                    # never read as data (consumers take explicit paths)
+                    tmp.unlink(missing_ok=True)
             return dest
         except urllib.error.HTTPError as exc:
             if exc.code < 500 or attempt == retries:

@@ -196,9 +196,9 @@ def test_bloom_probe_is_pure_codegen_no_join(spark):
     )
 
     dim = spark.range(0, 300).select((F.col("id") * 3).alias("key"))
-    words, m, k = bloom_build(dim, "key")
+    bf = bloom_build(dim, "key")
     fact = spark.range(0, 5000).select((F.col("id") % 900).alias("key"))
-    pruned = fact.filter(bloom_might_contain(words, m, k, F.col("key")))
+    pruned = fact.filter(bloom_might_contain(bf, F.col("key")))
     plan = _plan(pruned)
     for node in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython",
                  "mapInPandas"):

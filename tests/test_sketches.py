@@ -371,9 +371,10 @@ from cassandra_slow_queries_spark.operators.sketches import (
 
 def test_bloom_zero_false_negatives_and_fpr(spark):
     members = spark.range(0, 2000).select((F.col("id") * 7 + 3).alias("k"))
-    words, m, k = bloom_build(members, "k")
-    assert m >= 16 * 2000 and m & (m - 1) == 0  # pow2 sizing
-    probe = bloom_might_contain(words, m, k, F.col("k"))
+    bf = bloom_build(members, "k")
+    assert bf.m >= 16 * 2000 and bf.m & (bf.m - 1) == 0  # pow2 sizing
+    assert bf.n_keys == 2000 and bf.key_type == "bigint"
+    probe = bloom_might_contain(bf, F.col("k"))
     # theorem: every member probes TRUE, on any partitioning
     assert (
         members.repartition(7).select(probe.alias("hit"))
@@ -390,8 +391,8 @@ def test_bloom_pruned_join_equals_exact_join(spark):
     fact = spark.range(0, 30000).select(
         (F.col("id") % 2000).alias("key"), F.col("id").alias("v")
     )
-    words, m, k = bloom_build(dim, "key")
-    pruned = fact.filter(bloom_might_contain(words, m, k, F.col("key")))
+    bf = bloom_build(dim, "key")
+    pruned = fact.filter(bloom_might_contain(bf, F.col("key")))
     exact = fact.join(dim, "key").agg(
         F.count("*").alias("n"), F.sum("v").alias("s")
     ).collect()[0]
@@ -406,15 +407,17 @@ def test_bloom_pruned_join_equals_exact_join(spark):
 
 def test_bloom_null_and_empty_contracts(spark):
     df = spark.createDataFrame([(1,), (None,), (2,)], "k bigint")
-    words, m, k = bloom_build(df, "k")
+    bf = bloom_build(df, "k")
     hits = dict(
-        df.select("k", bloom_might_contain(words, m, k, F.col("k")).alias("h")).collect()
+        df.select("k", bloom_might_contain(bf, F.col("k")).alias("h")).collect()
     )
     assert hits[1] is True and hits[2] is True and hits[None] is None
     with pytest.raises(ValueError, match="no non-null keys"):
         bloom_build(df.filter("k IS NULL"), "k")
     with pytest.raises(ValueError):
         bloom_build(df, "k", n_hashes=0)
+    with pytest.raises(ValueError):
+        bloom_build(df, "k", bits_per_key=0)
 
 
 @settings(
@@ -436,11 +439,31 @@ def test_prop_bloom_never_false_negative(spark, keys, bits, k):
     # THE theorem: any member key set, any sizing, any partitioning —
     # every member probes TRUE
     df = spark.createDataFrame([(x,) for x in keys], "key bigint")
-    words, m, kk = bloom_build(df, "key", bits_per_key=bits, n_hashes=k)
+    bf = bloom_build(df, "key", bits_per_key=bits, n_hashes=k)
     misses = (
         df.repartition(3)
-        .select(bloom_might_contain(words, m, kk, F.col("key")).alias("h"))
+        .select(bloom_might_contain(bf, F.col("key")).alias("h"))
         .filter(~F.col("h"))
         .count()
     )
     assert misses == 0
+
+
+def test_bloom_probe_type_mismatch_is_cast_safe(spark):
+    # xxhash64 is type-sensitive: an int32 probe against an int64-built
+    # filter hashes differently UNLESS the probe is cast to the build
+    # type — bloom_might_contain must do that cast, or members vanish
+    members = spark.range(0, 500).select(F.col("id").alias("k"))  # bigint
+    bf = bloom_build(members, "k")
+    as_int32 = members.select(F.col("k").cast("int").alias("k"))
+    misses = (
+        as_int32.select(bloom_might_contain(bf, F.col("k")).alias("h"))
+        .filter(~F.col("h"))
+        .count()
+    )
+    assert misses == 0
+    # a probe the build type cannot represent prunes as NULL, not FALSE
+    r = spark.range(1).select(
+        bloom_might_contain(bf, F.lit("not-a-number")).alias("h")
+    ).collect()[0]["h"]
+    assert r is None

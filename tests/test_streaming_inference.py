@@ -189,3 +189,27 @@ def test_model_persistence_rejects_corrupt_and_bad_shapes(spark, tmp_path):
     ).write.parquet(str(tmp_path / "d/weights"))
     with pytest.raises(ValueError, match="corrupt"):
         load_quality_model(spark, str(tmp_path / "d"))
+
+    # a NEGATIVE f would alias onto the last row via numpy indexing
+    # (right row count, no gap) — must be the contract error, and an
+    # out-of-range f must be the contract error, not a raw IndexError
+    for rows in ([(-1, [1.0, 1.0]), (0, [1.0, 1.0]), (1, [1.0, 1.0])],
+                 [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (7, [1.0, 1.0])]):
+        save_quality_model(
+            spark, str(tmp_path / "n"), np.ones((3, 2)), np.zeros(2), ["a", "b"]
+        )
+        shutil.rmtree(str(tmp_path / "n/weights"))
+        spark.createDataFrame(rows, "f int, w array<double>").write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "n/weights"))
+        with pytest.raises(ValueError, match="corrupt"):
+            load_quality_model(spark, str(tmp_path / "n"))
+        shutil.rmtree(str(tmp_path / "n"))
+
+    # legitimately-NaN trained weights must still round-trip (the
+    # completeness check tracks indices, it does not scan for NaN)
+    Wn = np.ones((2, 2))
+    Wn[1, 0] = np.nan
+    save_quality_model(spark, str(tmp_path / "nan"), Wn, np.zeros(2), ["a", "b"])
+    W2, _, _, _ = load_quality_model(spark, str(tmp_path / "nan"))
+    assert np.isnan(W2[1, 0]) and W2[0, 0] == 1.0

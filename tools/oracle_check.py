@@ -97,6 +97,12 @@ def main() -> int:
 
     # deferred (staged-for-promotion) entries get the same gate when
     # named — and sweeping them before promotion is the point of staging
+    overlap = set(CATALOG) & set(DEFERRED_CATALOG)
+    if overlap:
+        # a deferred entry shadowing a live name would make this tool
+        # green-light code the external driver never runs
+        print(f"FAIL deferred entries shadow live catalog names: {sorted(overlap)}")
+        return 1
     catalog = {**CATALOG, **DEFERRED_CATALOG}
     only = set(sys.argv[2:])
     unknown = only - set(catalog)
