@@ -9238,6 +9238,47 @@ ORDER BY method, bucket, duration DESC, query, primary_key
 """
 
 
+def q_x_fuzzy_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two SNM record-linkage gates consolidated into one slot
+    (staged to free a second rotation slot at r12, after the
+    stream_volume_top_suite swap at r11): single-pass sorted-
+    neighborhood over the dirtied customer registry and multi-pass
+    (name + reversed-name orderings) over the edit-end-split supplier
+    registry — each still the FULL pipeline of the entry it replaces
+    (q_x_fuzzy_link / q_x_fuzzy_multipass above), every detail row
+    kept, harmonized with a method tag. Unlike the streaming suites
+    there are no trigger floors to overlap: both linkages are batch
+    plans, so the union executes as ONE Spark action and the scheduler
+    interleaves their stages for free."""
+    link = q_x_fuzzy_link(spark, sf_dir).select(
+        F.lit("snm").alias("method"),
+        "a_id",
+        "b_id",
+        "a_name",
+        "b_name",
+        "distance",
+    )
+    multi = q_x_fuzzy_multipass(spark, sf_dir).select(
+        F.lit("multipass").alias("method"),
+        "a_id",
+        "b_id",
+        "a_name",
+        "b_name",
+        "distance",
+    )
+    return link.unionByName(multi).orderBy("method", "a_id", "b_id")
+
+
+X_FUZZY_SUITE_SQL = f"""
+SELECT * FROM (
+    SELECT 'snm' AS method, * FROM ({X_FUZZY_LINK_SQL.replace("ORDER BY a_id, b_id", "")})
+    UNION ALL
+    SELECT 'multipass', * FROM ({X_FUZZY_MULTIPASS_SQL.replace("ORDER BY a_id, b_id", "")})
+)
+ORDER BY method, a_id, b_id
+"""
+
+
 def q_x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join pushdown (operators/sketches.py:
     bloom_build/bloom_might_contain — Spark's runtime row-level
@@ -9352,6 +9393,12 @@ DEFERRED_CATALOG: dict[str, QueryDef] = {
         q_stream_volume_top_suite,
         STREAM_VOLUME_TOP_SUITE_SQL,
         "A5+T2 complete + append top-K consolidated, concurrent starts",
+    ),
+    # replaces x_fuzzy_link + x_fuzzy_multipass (r12 headroom)
+    "x_fuzzy_suite": QueryDef(
+        q_x_fuzzy_suite,
+        X_FUZZY_SUITE_SQL,
+        "single- and multi-pass SNM linkage consolidated, one action",
     ),
 }
 
