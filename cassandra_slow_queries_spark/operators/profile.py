@@ -200,6 +200,75 @@ def histogram(
     )
 
 
+def equi_depth_histogram(
+    df: DataFrame,
+    col: str,
+    buckets: int = 8,
+    digits: int = 6,
+) -> DataFrame:
+    """Equi-DEPTH histogram — the optimizer-statistics dual of
+    :func:`histogram`: bucket EDGES sit at exact interpolated quantiles
+    (``i/buckets`` for i in 0..buckets), so each bucket holds ~n/buckets
+    rows regardless of the value distribution. Equi-width bins starve
+    on skew (one bin holds everything); equi-depth bounds are what a
+    cost-based optimizer stores for selectivity estimation and what a
+    range-partitioner wants as split points at 100 TB.
+
+    Returns ``(bucket, lo, hi, n)`` with every bucket present (empty at
+    n=0). Assignment is deterministic and engine-replayable: a value
+    lands in bucket = #(interior bounds strictly below it), with bounds
+    quantized to ``digits`` decimals on BOTH engines before comparison
+    (the h_percentiles parity pattern), so ties AT a bound fall to the
+    lower bucket everywhere. NULLs are excluded.
+
+    Scale shape: ONE exact-percentile aggregation for the bounds (1-row
+    frame, crossJoined back so the plan stays lazy — at 100 TB swap in
+    ``approx_percentile``, same plan shape) + one scan whose bucket id
+    is a pure ``aggregate`` fold over the bounds array (no UDF, no
+    join, no sort) + a ``buckets``-row group-by. Nothing is
+    proportional to the data but the two scans."""
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    from cassandra_slow_queries_spark.functions.quantize import qdec
+
+    x = F.col(col).cast("double")
+    ps = [i / buckets for i in range(buckets + 1)]
+    bounds = df.filter(x.isNotNull()).agg(
+        F.array(
+            *[
+                qdec(F.expr(f"percentile({col}, {p!r})"), digits)
+                for p in ps
+            ]
+        ).alias("_edges")
+    )
+    interior = F.slice(F.col("_edges"), 2, buckets - 1)  # bounds 1..b-1
+    bucket_id = F.aggregate(
+        interior,
+        F.lit(0),
+        lambda acc, t: acc + F.when(x > t, F.lit(1)).otherwise(F.lit(0)),
+    )
+    counted = (
+        df.filter(x.isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(bucket_id.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    shell = bounds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("bucket"),
+        "_edges",
+    )
+    return (
+        shell.join(counted, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.element_at("_edges", F.col("bucket").cast("int") + 1).alias("lo"),
+            F.element_at("_edges", F.col("bucket").cast("int") + 2).alias("hi"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

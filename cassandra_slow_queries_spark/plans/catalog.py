@@ -9238,6 +9238,53 @@ ORDER BY method, bucket, duration DESC, query, primary_key
 """
 
 
+def q_x_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram (operators/profile.py:equi_depth_histogram
+    — the optimizer-statistics dual of the equi-width `histogram`):
+    8 buckets over the events duration with edges at exact interpolated
+    octile quantiles, each holding ~n/8 rows regardless of skew — the
+    bounds a cost-based optimizer stores for selectivity and a range
+    partitioner wants as split points. Integer-valued input + the
+    qdec-quantized-edge comparison keep the bucket assignment
+    engine-replayable (the proven h_percentiles quantile_cont parity);
+    the oracle replays edges, strict-below assignment, and per-bucket
+    counts."""
+    from cassandra_slow_queries_spark.operators.profile import (
+        equi_depth_histogram,
+    )
+
+    ev = load(spark, sf_dir, "events").select(_dur().alias("dur"))
+    return equi_depth_histogram(ev, "dur", buckets=8)
+
+
+def _equi_depth_sql(buckets: int = 8) -> str:
+    qd = "FLOOR(quantile_cont(x, {p})*1000000.0+0.5)/1000000.0"
+    edges = ", ".join(qd.format(p=repr(i / buckets)) for i in range(buckets + 1))
+    return f"""
+WITH f AS (
+    SELECT CAST(FLOOR(value) AS BIGINT) AS x FROM events
+    WHERE value IS NOT NULL
+), q AS (
+    SELECT [{edges}] AS edges FROM f
+), a AS (
+    SELECT len(list_filter(edges[2:{buckets}], t -> t < x)) AS bucket
+    FROM f CROSS JOIN q
+), c AS (
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM a GROUP BY bucket
+)
+SELECT gs.bucket, edges[CAST(gs.bucket AS INTEGER) + 1] AS lo,
+       edges[CAST(gs.bucket AS INTEGER) + 2] AS hi,
+       COALESCE(n, 0) AS n
+FROM generate_series(0, {buckets - 1}) AS gs(bucket)
+CROSS JOIN q
+LEFT JOIN c ON c.bucket = gs.bucket
+ORDER BY gs.bucket
+"""
+
+
+X_EQUI_DEPTH_SQL = _equi_depth_sql(8)
+
+
 def q_x_fuzzy_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The two SNM record-linkage gates consolidated into one slot
     (staged to free a second rotation slot at r12, after the
@@ -9399,6 +9446,12 @@ DEFERRED_CATALOG: dict[str, QueryDef] = {
         q_x_fuzzy_suite,
         X_FUZZY_SUITE_SQL,
         "single- and multi-pass SNM linkage consolidated, one action",
+    ),
+    # the new operator the fuzzy-suite swap makes room for at r12
+    "x_equi_depth": QueryDef(
+        q_x_equi_depth,
+        X_EQUI_DEPTH_SQL,
+        "equi-depth histogram: quantile edges, replayable assignment",
     ),
 }
 

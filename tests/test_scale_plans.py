@@ -204,3 +204,22 @@ def test_bloom_probe_is_pure_codegen_no_join(spark):
                  "mapInPandas"):
         assert node not in plan, f"{node} leaked into the probe plan:\n{plan}"
     assert "Filter" in plan
+
+
+def test_equi_depth_assignment_is_fold_not_join(spark):
+    """Equi-depth's bucket id must be a pure `aggregate` fold over the
+    broadcast 1-row bounds frame — a per-row join against an exploded
+    bounds table or a Python seam would put an O(buckets) join (or
+    Arrow hop) on the full-corpus scan."""
+    from cassandra_slow_queries_spark.operators.profile import (
+        equi_depth_histogram,
+    )
+
+    df = spark.range(0, 5000).select((F.col("id") % 97).cast("double").alias("v"))
+    out = equi_depth_histogram(df, "v", buckets=8)
+    plan = _plan(out)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "mapInPandas",
+                 "SortMergeJoin", "CartesianProduct"):
+        assert node not in plan, f"{node} leaked into the plan:\n{plan}"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan \
+        or "Broadcast" in plan  # the 1-row bounds crossJoin broadcasts

@@ -229,3 +229,38 @@ def test_token_entropy_closed_form(spark):
     assert abs(out[2][2] - math.log(4)) < 1e-12
     want3 = math.log(3) - (2 * math.log(2)) / 3
     assert out[3][:2] == (3, 2) and abs(out[3][2] - want3) < 1e-12
+
+
+def test_equi_depth_histogram_invariants(spark):
+    from cassandra_slow_queries_spark.operators.profile import (
+        equi_depth_histogram,
+    )
+
+    # skewed data: equi-width would starve — equi-depth must balance
+    rows = [
+        (float(v) if v is not None else None,)
+        for v in list(range(100)) + [1000.0] * 20 + [None]
+    ]
+    df = spark.createDataFrame(rows, "v double").repartition(5)
+    out = equi_depth_histogram(df, "v", buckets=4).collect()
+    assert [r["bucket"] for r in out] == [0, 1, 2, 3]
+    n_total = sum(r["n"] for r in out)
+    assert n_total == 120  # NULL excluded
+    # depth balance: no bucket more than 2x the ideal share even with
+    # the planted point mass at 1000
+    assert max(r["n"] for r in out) <= 2 * (120 / 4)
+    # edges are the interpolated quartiles, monotone, spanning min..max
+    edges = [out[0]["lo"]] + [r["hi"] for r in out]
+    assert edges == sorted(edges)
+    assert edges[0] == 0.0 and edges[-1] == 1000.0
+    # ties at a bound fall to the LOWER bucket: all 20 copies of the
+    # max sit together in the last bucket
+    assert out[3]["n"] >= 20
+
+    # single bucket degenerates to a total count
+    one = equi_depth_histogram(df, "v", buckets=1).collect()
+    assert len(one) == 1 and one[0]["n"] == 120
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        equi_depth_histogram(df, "v", buckets=0)
