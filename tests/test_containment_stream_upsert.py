@@ -218,3 +218,37 @@ def test_upsert_version_committed_without_success_marker(spark, tmp_path):
     (snap / "v=0" / "part-00000-abc.parquet").touch()
     (snap / "v=1" / "_temporary").mkdir(parents=True)  # crashed
     assert _latest_snapshot_version(str(snap)) == 0
+
+
+def test_stream_sinks_released_across_repeated_runs(spark, tmp_path):
+    """Session hygiene regression (r10): every finite-stream run used
+    to leave its memory-sink table registered for the session lifetime,
+    so a long-lived session (bench loop, notebook) accumulated every
+    streaming result ever produced. release_stream_sink must leave
+    ZERO stream_result_ temp views behind, run after run, while the
+    returned frames stay independently readable."""
+    from pyspark.sql import functions as F
+
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        run_stream_to_batch,
+    )
+
+    src = str(tmp_path / "src")
+    spark.range(0, 100).select(
+        (F.col("id") % 7).alias("k")
+    ).write.parquet(src)
+
+    frames = []
+    for _ in range(4):
+        stream = spark.readStream.schema("k bigint").parquet(src)
+        agg = stream.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        frames.append(run_stream_to_batch(agg, output_mode="complete"))
+    leftovers = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.isTemporary and t.name.startswith("stream_result_")
+    ]
+    assert leftovers == [], leftovers
+    # every run's result remains readable after its view was dropped
+    for f in frames:
+        assert f.count() == 7 and f.agg(F.sum("n")).collect()[0][0] == 100
