@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cassandra_slow_queries_spark.functions.vectors import dot, norm
@@ -32,6 +32,24 @@ try:  # numpy/pandas are baked into the target env; gate for safety
     _HAVE_ARROW = True
 except ImportError:  # pragma: no cover
     _HAVE_ARROW = False
+
+
+def _masked_stack(v):
+    """``(positions, matrix)`` for an Arrow batch that may hold NULL
+    embeddings: the row positions of non-null vectors and their stacked
+    float64 matrix (``(0, 0)``-shaped when every row is NULL).
+
+    Every vectorized UDF in this module must route batches through this
+    (and emit None at the null positions) — ``np.stack`` on a raw batch
+    crashes the executor on the first NULL embedding, while the exact
+    expression paths (cosine_topk_bruteforce etc.) tolerate NULLs via
+    F.when; the approximate twins must not be stricter than the exact
+    operators they stand in for."""
+    mask = v.notna().to_numpy()
+    pos = _np.nonzero(mask)[0]
+    if len(pos) == 0:
+        return pos, _np.zeros((0, 0), dtype=_np.float64)
+    return pos, _np.stack(v.iloc[pos].to_numpy()).astype(_np.float64)
 
 
 def cosine_topk_bruteforce(
@@ -110,16 +128,19 @@ def _hyperplanes(n_planes: int, dim: int, seed: int) -> list[list[float]]:
 def hyperplane_bucket(vec_col: str, planes: list[list[float]]):
     """Sign-pattern bucket id (one bit per plane) as a long.
 
-    ``plane`` length must equal the vector dimension: ``zip_with`` pads
-    the shorter side with NULL, which would NULL the whole dot product
-    and collapse every vector into bucket 0 (caught once as a dim=32
-    config against 64-wide embeddings — LSH silently degenerated to
-    brute force). Summing the distinct power-of-two bit weights is the
-    bitwise OR. The fold form is deliberate: a fully unrolled
-    multiply-add chain generates ~2 300 expression nodes here, and
-    whole-stage codegen compile time (janino) dominates every stage that
-    embeds it — measured 7× slower than the interpreted fold at sf0.1."""
+    A dim mismatch or NULL vector RAISES / yields NULL instead of
+    silently collapsing into bucket 0: ``zip_with`` pads the shorter
+    side with NULL, which NULLs the whole dot product — caught once as
+    a dim=32 config against 64-wide embeddings, where LSH silently
+    degenerated to an undetected brute-force quadratic. The guard is
+    the same raise_error contract as :func:`jl_project`. Summing the
+    distinct power-of-two bit weights is the bitwise OR. The fold form
+    is deliberate: a fully unrolled multiply-add chain generates ~2 300
+    expression nodes here, and whole-stage codegen compile time
+    (janino) dominates every stage that embeds it — measured 7× slower
+    than the interpreted fold at sf0.1."""
     v = F.col(vec_col).cast("array<double>")
+    dim = len(planes[0])
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(c)) for c in plane])
@@ -131,7 +152,19 @@ def hyperplane_bucket(vec_col: str, planes: list[list[float]]):
         bucket = bucket + F.when(d >= 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-    return bucket
+    return (
+        F.when(v.isNull(), F.lit(None).cast("long"))
+        .when(F.size(v) == dim, bucket)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("hyperplane_bucket: vector width "),
+                    F.size(v).cast("string"),
+                    F.lit(f" != plane dim {dim}"),
+                )
+            ).cast("long")
+        )
+    )
 
 
 def cosine_near_dup_pairs_exact(
@@ -306,11 +339,15 @@ def bucket_ids_udf(tables: list[list[list[float]]]):
 
     @_pandas_udf("array<bigint>")
     def _buckets(v: _pd.Series) -> _pd.Series:
-        mat = _np.stack(v.to_numpy())  # (B, dim), float32 → promoted in dot
-        signs = (mat.astype(_np.float64) @ flat.T) >= 0.0  # (B, T*P)
-        per_table = signs.reshape(len(mat), n_tables, n_planes)  # (B, T, P)
-        ids = per_table @ weights  # (B, T) int64
-        return _pd.Series(list(ids))
+        pos, mat = _masked_stack(v)  # NULL embeddings → NULL buckets
+        out: list = [None] * len(v)
+        if len(pos):
+            signs = (mat @ flat.T) >= 0.0  # (B, T*P)
+            per_table = signs.reshape(len(mat), n_tables, n_planes)
+            ids = per_table @ weights  # (B, T) int64
+            for p, row in zip(pos, ids):
+                out[p] = row
+        return _pd.Series(out)
 
     return _buckets
 
@@ -498,11 +535,15 @@ def ivf_cell_udf(centroids, n_probe: int = 1):
 
     @_pandas_udf("array<int>")
     def _cells(v: _pd.Series) -> _pd.Series:
-        mat = _np.stack(v.to_numpy()).astype(_np.float64)  # (B, dim)
-        sims = mat @ cmat.T  # (B, C); argmax cosine == argmax dot vs unit centroids
-        # stable descending sort → deterministic lowest-id tie-break
-        order = _np.argsort(-sims, axis=1, kind="stable")[:, :probe]
-        return _pd.Series(list(order.astype(_np.int32)))
+        pos, mat = _masked_stack(v)  # NULL embeddings → NULL cells
+        out: list = [None] * len(v)
+        if len(pos):
+            sims = mat @ cmat.T  # (B, C); argmax cosine == argmax dot
+            # stable descending sort → deterministic lowest-id tie-break
+            order = _np.argsort(-sims, axis=1, kind="stable")[:, :probe]
+            for p, row in zip(pos, order.astype(_np.int32)):
+                out[p] = row
+        return _pd.Series(out)
 
     return _cells
 
@@ -604,10 +645,9 @@ def pq_code_udf(codebooks):
     """Arrow-vectorized PQ encoder: ``embedding → array<int>`` of the
     ``m`` nearest-code ids (L2, per subspace). One small GEMM per
     subspace per batch — argmin ||x−c||² computed as argmax (x·c −
-    ||c||²/2); ties break on the lower code id via a reversed argmax
-    over the flipped array (numpy argmax alone returns the FIRST max,
-    which after sign games can differ between engines — the explicit
-    flip keeps it deterministic)."""
+    ||c||²/2); ties break on the LOWER code id because numpy's plain
+    ``argmax`` returns the first (lowest-index) maximum — that built-in
+    behavior IS the deterministic tie-break, no extra flip needed."""
     mats = [_np.asarray(b, dtype=_np.float64) for b in codebooks]
     halfn = [0.5 * (b * b).sum(axis=1) for b in mats]
     m = len(mats)
@@ -615,13 +655,17 @@ def pq_code_udf(codebooks):
 
     @_pandas_udf("array<int>")
     def _codes(v: _pd.Series) -> _pd.Series:
-        mat = _np.stack(v.to_numpy()).astype(_np.float64)  # (B, dim)
-        out = _np.zeros((len(mat), m), dtype=_np.int32)
-        for s in range(m):
-            sub = mat[:, s * dsub : (s + 1) * dsub]
-            score = sub @ mats[s].T - halfn[s]  # (B, k)
-            out[:, s] = score.argmax(axis=1)
-        return _pd.Series(list(out))
+        pos, mat = _masked_stack(v)  # NULL embeddings → NULL codes
+        out: list = [None] * len(v)
+        if len(pos):
+            codes = _np.zeros((len(mat), m), dtype=_np.int32)
+            for s in range(m):
+                sub = mat[:, s * dsub : (s + 1) * dsub]
+                score = sub @ mats[s].T - halfn[s]  # (B, k)
+                codes[:, s] = score.argmax(axis=1)
+            for p, row in zip(pos, codes):
+                out[p] = row
+        return _pd.Series(out)
 
     return _codes
 
@@ -693,14 +737,16 @@ def cosine_topk_pq(
 
     @_pandas_udf("array<array<double>>")
     def _lut(v: _pd.Series) -> _pd.Series:
-        q = _np.stack(v.to_numpy()).astype(_np.float64)  # (B, dim)
-        norms = _np.maximum(_np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        q = q / norms
-        out = []
-        for row in q:
-            out.append(
-                [list(mats[s] @ row[s * dsub : (s + 1) * dsub]) for s in range(n_sub)]
-            )
+        pos, q = _masked_stack(v)  # NULL query embeddings → NULL LUTs
+        out: list = [None] * len(v)
+        if len(pos):
+            norms = _np.maximum(_np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            q = q / norms
+            for p, row in zip(pos, q):
+                out[p] = [
+                    list(mats[s] @ row[s * dsub : (s + 1) * dsub])
+                    for s in range(n_sub)
+                ]
         return _pd.Series(out)
 
     q_side = queries.select(
@@ -884,8 +930,6 @@ def hard_negatives(
     with NULL labels are excluded from BOTH sides: a NULL label can't
     certify a negative.
     """
-    from cassandra_slow_queries_spark.operators.topk import grouped_top_k
-
     c = corpus.filter(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
@@ -942,27 +986,36 @@ def quantize_int8(
     """
     v = F.col(vec_col)
     mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    scale = (mx / F.lit(127.0)).alias(scale_col)
-    codes = F.when(mx == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+    # codes reference the MATERIALIZED scale column, not the mx
+    # expression: a lambda body is interpreted per ELEMENT with no
+    # subexpression elimination, so inlining mx would re-run the
+    # O(dim) max-abs scan dim times per row (O(dim²)); the column
+    # reference blocks CollapseProject from re-inlining (verified: one
+    # array_max in the optimized plan) and evaluates once per row.
+    out = df.withColumn(scale_col, (mx / F.lit(127.0)).alias(scale_col))
+    codes = F.when(
+        F.col(scale_col) == 0, F.transform(v, lambda x: F.lit(0))
+    ).otherwise(
         F.transform(
             v,
-            lambda x: F.round(x.cast("double") / (mx / F.lit(127.0)), 0)
+            lambda x: F.round(x.cast("double") / F.col(scale_col), 0)
             .cast("int"),
         )
     )
-    return df.withColumn(scale_col, scale).withColumn(code_col, codes)
+    return out.withColumn(code_col, codes)
 
 
 def dequantize_cosine(
-    df: DataFrame,
     vec_col: str = "embedding",
     code_col: str = "codes",
     scale_col: str = "scale",
     digits: int = 6,
 ) -> Column:
     """cos(original, code·scale), rounded — the quantization-fidelity
-    projection. NULL when either norm is zero (degenerate vectors have
-    no direction to preserve)."""
+    projection, as a pure column expression over the named columns
+    (the :func:`bloom_might_contain` signature shape — no DataFrame
+    parameter, because none was ever used). NULL when either norm is
+    zero (degenerate vectors have no direction to preserve)."""
     recon = F.transform(
         F.col(code_col), lambda c: c.cast("double") * F.col(scale_col)
     )
@@ -1045,7 +1098,11 @@ def jl_project(
     planes = _hyperplanes(out_dim, dim, seed)
     scale = 1.0 / math.sqrt(out_dim)
     if engine == "auto":
-        engine = "arrow" if dim * out_dim >= 4096 and _np is not None else "expr"
+        # gate on _HAVE_ARROW, not `_np is not None`: if the guarded
+        # import failed at numpy, _np was never BOUND (NameError, not
+        # None), and if numpy imported but pandas/pandas_udf didn't,
+        # the arrow path would crash on the undefined decorator
+        engine = "arrow" if dim * out_dim >= 4096 and _HAVE_ARROW else "expr"
 
     if engine == "arrow":
         projected = _jl_project_udf(planes, dim, scale)(F.col(vec_col))

@@ -49,9 +49,22 @@ def _cm_col(item: Column, j: Column | int, width: int, seed: int) -> Column:
     row index mixed in as an extra hash input (an independent-enough
     family for CM's pairwise-independence requirement in practice),
     pmod'd to the table width. Deterministic: same item, same row, same
-    seed → same cell on any partitioning or engine run."""
+    seed → same cell on any partitioning or engine run.
+
+    The item is canonicalized to STRING before hashing: xxhash64 is
+    type-sensitive (an int32 and an int64 holding the same value hash
+    differently — the hazard :class:`BloomFilter` records key_type
+    for), and the cell frame carries no type side channel, so a probe
+    column typed differently from the build column would silently hash
+    to cells the build never touched and estimate 0 — breaking the
+    ``estimate ≥ true`` guarantee. String canonicalization makes any
+    two columns that RENDER the same value hash identically (int32 5 ==
+    int64 5; note double 5.0 renders "5.0" and stays distinct from
+    integer 5, which is the honest reading of "different value")."""
     jcol = F.lit(j) if isinstance(j, int) else j
-    return F.pmod(F.xxhash64(item, jcol, F.lit(seed)), F.lit(width))
+    return F.pmod(
+        F.xxhash64(item.cast("string"), jcol, F.lit(seed)), F.lit(width)
+    )
 
 
 def cm_build(
@@ -284,10 +297,14 @@ def bloom_build(
     (``bloom_filter_agg`` exists but is NOT SQL-registered in 4.1) as
     explicit DataFrame ops: each key emits ``k`` bit positions
     ``xxhash64(key, i, seed) mod m`` through one explode, one hash
-    aggregation ORs them into ≤ m/64 words, and the bounded word frame
-    (1 KiB per 8192 bits — model-sized, the same bounded-collect
-    contract as the quality-model weights) is returned as a Python list
-    for embedding as a broadcast literal via :func:`bloom_might_contain`.
+    aggregation ORs them into ≤ m/64 words, and the word frame (2 bytes
+    per key at 16 bits/key — LINEAR in the build side but 4-32× smaller
+    than shipping the key set, the entire point of the pushdown: 2 MiB
+    per million keys) is collected and returned as a Python list for
+    embedding as ONE array literal via :func:`bloom_might_contain`.
+    Size the build side accordingly — a filter over billions of keys
+    belongs in the engine's own runtime row-level filtering, not a
+    driver-held literal.
 
     Guarantees: membership probes of TRUE members always pass (a
     member's bits were all set by construction — the zero-false-negative
@@ -373,7 +390,12 @@ def bloom_might_contain(bf: BloomFilter, key: Column) -> Column:
     # try_cast, not cast: under ANSI mode a malformed probe (e.g. a
     # string that can't be a bigint) must prune as NULL, not throw
     casted = key.try_cast(bf.key_type)
-    arr = F.array(*[F.lit(w).cast("long") for w in bf.words])
+    # ONE array<bigint> Literal node, NOT F.array of m/64 F.lit nodes:
+    # m scales with n_keys (16 bits/key), so a 1M-key build would
+    # otherwise plant ~260k expression nodes per probe replica — the
+    # plan-explosion class jl_project documents. One Literal keeps the
+    # analyzer and codegen flat no matter the filter size.
+    arr = F.lit(bf.words)
     checks = []
     for i in range(bf.k):
         bit = F.pmod(F.xxhash64(casted, F.lit(i), F.lit(bf.seed)), F.lit(bf.m))

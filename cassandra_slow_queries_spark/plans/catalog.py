@@ -7241,7 +7241,7 @@ def q_x_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform(F.col("codes"), lambda c: F.abs(c))).alias(
             "max_abs_code"
         ),
-        dequantize_cosine(q).alias("fidelity"),
+        dequantize_cosine().alias("fidelity"),
     ).orderBy("vec_id")
 
 

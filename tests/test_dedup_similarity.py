@@ -1283,3 +1283,49 @@ def test_incremental_minhash_matches_oneshot_blocking(spark):
     ).collect()
     dropped = {p["id_b"] for p in pairs}
     assert kept_ids == {1, 2, 3, 4, 5} - dropped
+
+
+def test_ann_paths_tolerate_null_embeddings(spark):
+    """The approximate operators must not be stricter than the exact
+    ones they stand in for: a corpus with a NULL embedding row used to
+    crash every Arrow UDF (np.stack on None) while the exact paths
+    handled it — NULL vectors now produce NULL buckets/cells/codes and
+    simply fall out of the candidate joins."""
+    from cassandra_slow_queries_spark.operators.similarity import (
+        bucket_ids_udf,
+        ivf_cell_udf,
+        pq_code_udf,
+    )
+
+    rows = [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(20)]
+    rows.append((99, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    buckets = dict(
+        df.select(
+            "vec_id",
+            bucket_ids_udf([[[1.0] * 8, [-1.0] * 8]])(F.col("embedding")).alias("b"),
+        ).collect()
+    )
+    cells = dict(
+        df.select(
+            "vec_id",
+            ivf_cell_udf([[1.0] * 8, [0.5] * 8], n_probe=1)(F.col("embedding")).alias("c"),
+        ).collect()
+    )
+    codes = dict(
+        df.select(
+            "vec_id",
+            pq_code_udf([[[1.0] * 4, [0.0] * 4], [[1.0] * 4, [2.0] * 4]])(
+                F.col("embedding")
+            ).alias("p"),
+        ).collect()
+    )
+    for d in (buckets, cells, codes):
+        assert d[99] is None
+        assert all(v is not None for k, v in d.items() if k != 99)
+    # an all-NULL batch also survives
+    nulls = spark.createDataFrame([(1, None)], "vec_id long, embedding array<double>")
+    assert nulls.select(
+        bucket_ids_udf([[[1.0] * 8]])(F.col("embedding")).alias("b")
+    ).collect()[0]["b"] is None

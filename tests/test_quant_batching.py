@@ -41,7 +41,7 @@ def test_quantize_int8_bounds_and_fidelity(spark):
     out = q.select(
         "vec_id",
         F.array_max(F.transform("codes", lambda c: F.abs(c))).alias("mx"),
-        dequantize_cosine(q).alias("fid"),
+        dequantize_cosine().alias("fid"),
     ).collect()
     assert all(r["mx"] <= 127 for r in out)
     assert all(r["fid"] >= 0.999 for r in out)
@@ -50,7 +50,7 @@ def test_quantize_int8_bounds_and_fidelity(spark):
 def test_quantize_int8_zero_vector_fidelity_null(spark):
     df = spark.createDataFrame([(1, [0.0, 0.0])], ["vec_id", "embedding"])
     q = quantize_int8(df)
-    assert q.select(dequantize_cosine(q).alias("f")).collect()[0]["f"] is None
+    assert q.select(dequantize_cosine().alias("f")).collect()[0]["f"] is None
 
 
 # ----------------------------------------------------- padding waste ---

@@ -467,3 +467,16 @@ def test_bloom_probe_type_mismatch_is_cast_safe(spark):
         bloom_might_contain(bf, F.lit("not-a-number")).alias("h")
     ).collect()[0]["h"]
     assert r is None
+
+
+def test_cm_probe_type_mismatch_still_never_undercounts(spark):
+    # xxhash64 is type-sensitive; the string canonicalization must make
+    # an int32 probe against a bigint-built sketch hit the same cells
+    df = spark.range(0, 2000).select((F.col("id") % 40).alias("k"))  # bigint
+    sketch = cm_build(df, "k", width=64, depth=3)
+    probes32 = df.select(F.col("k").cast("int").alias("k")).distinct()
+    est = {
+        r["k"]: r["cm_count"]
+        for r in cm_query(sketch, probes32, "k", width=64, depth=3).collect()
+    }
+    assert all(v >= 50 for v in est.values()), est  # true count per key
