@@ -408,3 +408,267 @@ def bloom_might_contain(bf: BloomFilter, key: Column) -> Column:
     for c in checks[1:]:
         out = out & c
     return F.when(casted.isNull(), F.lit(None).cast("boolean")).otherwise(out)
+
+
+# ---------------------------------------------------------------------------
+# q-digest (rank / quantile) — the deterministic mergeable quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def _qd_compress(counts: dict, t: int, level_bits: int) -> dict:
+    """One bottom-up q-digest compression pass (Shrivastava et al.,
+    SenSys 2004) over ``{(level, lo): cnt}`` with threshold ``t``:
+    every (node, sibling, parent) triple whose total mass is below
+    ``t`` folds into the parent. Post-conditions the theorems lean on:
+
+    - mass is conserved exactly (folds only MOVE counts up);
+    - any node that RECEIVED folded mass holds < t at that moment and
+      can only grow through another fold, which again requires the
+      triple (hence the result) to stay < t;
+    - any surviving non-root node's triple was >= t when examined and
+      triples only grow afterwards, which caps the node count at
+      O(k) (see :func:`qd_merge` for the exact constant used).
+    """
+    for level in range(level_bits, 0, -1):
+        width = 1 << (level_bits - level)
+        for key in sorted(kk for kk in counts if kk[0] == level):
+            if key not in counts:  # consumed as an earlier key's sibling
+                continue
+            _, lo = key
+            sib = (level, lo ^ width)
+            parent = (level - 1, min(lo, lo ^ width))
+            tot = (
+                counts[key]
+                + counts.get(sib, 0)
+                + counts.get(parent, 0)
+            )
+            if tot < t:
+                counts[parent] = tot
+                del counts[key]
+                counts.pop(sib, None)
+    return counts
+
+
+def qd_partition_digests(
+    df: DataFrame,
+    value_col: str,
+    k: int = 64,
+    level_bits: int = 20,
+) -> DataFrame:
+    """Per-partition q-digest summaries over the integer domain
+    ``[0, 2^level_bits)``: rows ``(level, lo, cnt)`` where the node at
+    ``level`` covers the dyadic range ``[lo, lo + 2^(level_bits-level))``
+    (level 0 = root, level ``level_bits`` = unit-width leaves).
+
+    The third member of the mergeable-summaries family here (Agarwal
+    et al., PODS 2012): count-min answers FREQUENCY, Misra-Gries
+    answers HEAVY HITTERS, q-digest answers RANK/QUANTILES — and unlike
+    sampling-based quantile sketches it is fully DETERMINISTIC (no
+    random draws at all), so every gate on it is an exact theorem and
+    replays identically under any seed, partitioning, or engine run.
+
+    Each partition folds its value histogram with local threshold
+    ``t_p = max(1, n_p // k)``, so it emits O(k) rows bounded by its
+    own mass — one linear scan, nothing proportional to the stream.
+    NULL values are skipped (the cm_build contract); values outside
+    the domain are a CONTRACT ERROR (raise), because silently clamping
+    them would corrupt rank answers near the domain edges.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not 1 <= level_bits <= 40:
+        raise ValueError("level_bits must be in [1, 40]")
+    import pandas as pd
+
+    domain = 1 << level_bits
+
+    def summarize(batches):
+        counts: dict = {}
+        n = 0
+        for batch in batches:
+            vals = batch[value_col].dropna()
+            if len(vals) == 0:
+                continue
+            iv = vals.astype("int64")
+            if (iv != vals).any():
+                raise ValueError(
+                    f"qd_partition_digests: non-integral value in "
+                    f"{value_col!r} (cast the column first)"
+                )
+            if int(iv.min()) < 0 or int(iv.max()) >= domain:
+                raise ValueError(
+                    f"qd_partition_digests: value outside [0, {domain}) "
+                    f"in {value_col!r} — widen level_bits or clamp "
+                    f"explicitly upstream"
+                )
+            n += len(iv)
+            for v, c in iv.value_counts().items():
+                key = (level_bits, int(v))
+                counts[key] = counts.get(key, 0) + int(c)
+        counts = _qd_compress(counts, max(1, n // k), level_bits)
+        yield pd.DataFrame(
+            {
+                "level": pd.Series(
+                    [kk[0] for kk in counts], dtype="int32"
+                ),
+                "lo": pd.Series([kk[1] for kk in counts], dtype="int64"),
+                "cnt": pd.Series(list(counts.values()), dtype="int64"),
+            }
+        )
+
+    return df.select(value_col).mapInPandas(
+        summarize, "level int, lo long, cnt long"
+    )
+
+
+def qd_merge(
+    digests: DataFrame, k: int = 64, level_bits: int = 20
+) -> DataFrame:
+    """Merge per-partition (or per-shard / per-day) digest frames into
+    ONE digest: a hash aggregation sums coinciding nodes, then a single
+    bounded compress pass with the GLOBAL threshold ``t = max(1,
+    n // k)`` re-establishes the size bound. The input is already O(k)
+    rows per source partition, so the final single-group pass touches
+    O(k · P) rows — bounded by construction, never by the stream
+    (the mg_topk_candidates merge shape).
+
+    Exact post-merge theorems (all gated in the catalog entry):
+
+    - **mass**: sum(cnt) == number of non-null input values, exactly;
+    - **rank sandwich**: for any probe x, ``rank_lo(x) <= |{v < x}| <=
+      rank_lo(x) + anc(x)`` where ``rank_lo`` sums nodes entirely below
+      x and ``anc`` sums x's strict ancestors (every value is counted
+      in exactly one node, and a node's range either lies below x,
+      contains x — i.e. is an ancestor of x's leaf — or lies above);
+    - **uncertainty bound**: ``anc(x) < level_bits · (2n/k + P + 1)``
+      — non-leaf counts stay below Σ_p t_p + t (partials contribute
+      < t_p each; a fold leaves its parent < t), and x has at most
+      ``level_bits`` strict ancestors;
+    - **size**: at most ``8k + 1`` surviving nodes once n >= 2k (every
+      surviving non-root triple held >= t when examined; the triple sum
+      over all nodes is < 4n; t = n // k >= n / (2k) for n >= 2k).
+    """
+    summed = digests.groupBy("level", "lo").agg(F.sum("cnt").alias("cnt"))
+    import pandas as pd
+
+    def compress(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        counts = {
+            (int(lv), int(lo)): int(c)
+            for lv, lo, c in zip(pdf["level"], pdf["lo"], pdf["cnt"])
+        }
+        n = sum(counts.values())
+        counts = _qd_compress(counts, max(1, n // k), level_bits)
+        return pd.DataFrame(
+            {
+                "level": pd.Series([kk[0] for kk in counts], dtype="int32"),
+                "lo": pd.Series([kk[1] for kk in counts], dtype="int64"),
+                "cnt": pd.Series(list(counts.values()), dtype="int64"),
+            }
+        )
+
+    return (
+        summed.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(compress, "level int, lo long, cnt long")
+    )
+
+
+def qd_build(
+    df: DataFrame,
+    value_col: str,
+    k: int = 64,
+    level_bits: int = 20,
+) -> DataFrame:
+    """Per-partition digests + merge: the one-call build."""
+    return qd_merge(
+        qd_partition_digests(df, value_col, k, level_bits), k, level_bits
+    )
+
+
+def _qd_hi(level_bits: int) -> Column:
+    """Inclusive upper bound of a digest node's dyadic range. pow() is
+    exact here: level_bits <= 40 keeps every width below 2^52."""
+    width = F.pow(F.lit(2.0), F.lit(level_bits) - F.col("level")).cast("long")
+    return F.col("lo") + width - 1
+
+
+def qd_rank_bounds(
+    digest: DataFrame,
+    probes: DataFrame,
+    level_bits: int = 20,
+    probe_col: str = "probe",
+) -> DataFrame:
+    """For each probe x: ``rank_lo`` (mass certainly below x) and
+    ``anc`` (mass in x's strict ancestors — the exact rank
+    uncertainty). The digest is O(k) rows, so the crossJoin broadcasts
+    it against the probe frame — no shuffle of anything
+    stream-proportional. The true rank |{v < x}| always lies in
+    ``[rank_lo, rank_lo + anc]`` (see :func:`qd_merge`)."""
+    hi = _qd_hi(level_bits)
+    x = F.col(probe_col)
+    is_probe_leaf = (F.col("level") == level_bits) & (F.col("lo") == x)
+    j = probes.crossJoin(F.broadcast(digest))
+    zero = F.lit(0).cast("long")
+    return j.groupBy(probe_col).agg(
+        F.coalesce(F.sum(F.when(hi < x, F.col("cnt"))), zero).alias(
+            "rank_lo"
+        ),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("lo") <= x) & (x <= hi) & ~is_probe_leaf,
+                    F.col("cnt"),
+                )
+            ),
+            zero,
+        ).alias("anc"),
+    )
+
+
+def qd_quantiles(
+    digest: DataFrame,
+    quantiles: list[float],
+    level_bits: int = 20,
+) -> DataFrame:
+    """Quantile answers from a built digest: for each q, the value
+    ``hi`` of the first node in POST-ORDER (hi ascending, deeper —
+    larger lo — first at equal hi) whose running mass reaches
+    ``ceil(q·n)``. Exact straddle theorems (gated in the entry):
+    ``|{v <= answer}| >= ceil(q·n)`` (every node at or before the
+    answer in post-order lies entirely at or below it) and
+    ``|{v < answer}| < ceil(q·n) + anc(answer)`` (mass before the
+    target that the prefix missed can only sit in the answer's strict
+    ancestors).
+
+    The window here is single-partition BY CONSTRUCTION over the O(k)
+    digest frame — bounded rows, not stream-proportional (the
+    documented exception to the no-single-task-window rule)."""
+    from pyspark.sql import Window
+
+    hi = _qd_hi(level_bits)
+    w = (
+        Window.orderBy(F.col("_hi").asc(), F.col("lo").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cummed = (
+        digest.withColumn("_hi", hi)
+        .withColumn("_cum", F.sum("cnt").over(w))
+    )
+    total = digest.agg(F.sum("cnt").alias("_n"))
+    qs = F.array(*[F.lit(float(q)) for q in quantiles])
+    targets = total.select(
+        F.explode(qs).alias("q"), F.col("_n")
+    ).select("q", F.ceil(F.col("q") * F.col("_n")).cast("long").alias("r_star"))
+    # r_star <= n for every q <= 1 and the full post-order prefix sums
+    # to n, so each target always finds a node — no outer join needed
+    return (
+        cummed.crossJoin(F.broadcast(targets))
+        .filter(F.col("_cum") >= F.col("r_star"))
+        .groupBy("q", "r_star")
+        .agg(
+            F.min(
+                F.struct(F.col("_hi"), (-F.col("lo")).alias("_nlo"))
+            ).alias("_best")
+        )
+        .select("q", "r_star", F.col("_best._hi").alias("value"))
+    )

@@ -9415,6 +9415,376 @@ WHERE c_mktsegment = 'BUILDING'
 """
 
 
+def q_stream_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three streaming WINDOW-SHAPE gates consolidated into one
+    driver slot (the stream_parity_suite / stream_volume_top_suite
+    precedent; staged to FREE TWO rotation slots at promotion time —
+    replacing stream_volume, stream_sliding, and stream_session):
+    tumbling hourly A4 volume, 2h/1h sliding volume, and 30-minute-gap
+    session windows — the full window-assignment taxonomy
+    (``F.window``, ``F.window(slide)``, ``F.session_window``) each
+    still running its COMPLETE streaming pipeline and contributing
+    every detail row, harmonized to (method, bucket, bucket_end,
+    query, cnt, duration, avg_duration) and hash-compared against the
+    union of the three batch oracles. No per-row detail is dropped, so
+    the gate strength of the three standalone entries is preserved.
+
+    The three queries START CONCURRENTLY and are awaited together
+    (streaming/pipeline.py:start_stream_to_batch): each finite stream
+    pays a fixed micro-batch trigger floor plus per-partition
+    state-store open/commit cost, and the floors overlap instead of
+    serializing. All three run under the parity suite's
+    8-shuffle-partition sizing — state stores are per-partition
+    fixed cost, and the result values are partition-count-independent
+    windowed aggregates."""
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        release_stream_sink,
+        session_stream,
+        sliding_volume_stream,
+        start_stream_to_batch,
+        volume_stream,
+    )
+
+    builds = [
+        volume_stream(_event_fact_stream(spark, sf_dir), window="1 hour"),
+        sliding_volume_stream(
+            _event_fact_stream(spark, sf_dir), window="2 hours", slide="1 hour"
+        ),
+        session_stream(_event_fact_stream(spark, sf_dir), gap="30 minutes"),
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    started: list = []
+    try:
+        for stream in builds:
+            started.append(start_stream_to_batch(stream, output_mode="complete"))
+        for q, _ in started:
+            q.awaitTermination()
+    except Exception:
+        # the parity-suite failure contract: a failed sibling must not
+        # leave the other queries running or their sink tables pinned
+        for q, name in started:
+            try:
+                q.stop()
+            except Exception:
+                pass
+            try:
+                spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+        raise
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    vol_t, sld_t, ses_t = [
+        release_stream_sink(spark, name) for _, name in started
+    ]
+    nulls = F.lit(None).cast("string")
+    nulll = F.lit(None).cast("long")
+    vol = vol_t.filter(F.col("cnt") >= 5).select(
+        F.lit("tumbling").alias("method"),
+        F.col("minute").alias("bucket"),
+        nulls.alias("bucket_end"),
+        nulls.alias("query"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("duration").cast("long").alias("duration"),
+        F.col("avg_duration").cast("long").alias("avg_duration"),
+    )
+    sld = sld_t.select(
+        F.lit("sliding").alias("method"),
+        "bucket",
+        nulls.alias("bucket_end"),
+        "query",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("duration").cast("long").alias("duration"),
+        F.col("avg_duration").cast("long").alias("avg_duration"),
+    )
+    ses = ses_t.select(
+        F.lit("session").alias("method"),
+        F.col("session_start").alias("bucket"),
+        F.col("session_end").alias("bucket_end"),
+        "query",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("duration").cast("long").alias("duration"),
+        nulll.alias("avg_duration"),
+    )
+    return (
+        vol.unionByName(sld)
+        .unionByName(ses)
+        .orderBy("method", "bucket", "query")
+    )
+
+
+STREAM_WINDOW_SUITE_SQL = f"""
+WITH f AS (
+    SELECT ts, event_type AS query,
+           CAST(FLOOR(value) AS BIGINT) AS duration
+    FROM events
+), tumbling AS (
+    SELECT 'tumbling' AS method,
+           {HOUR_FMT_DUCK} AS bucket,
+           CAST(NULL AS VARCHAR) AS bucket_end,
+           CAST(NULL AS VARCHAR) AS query,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS duration,
+           CAST(FLOOR(SUM(CAST(FLOOR(value) AS BIGINT)) / COUNT(*)) AS BIGINT)
+               AS avg_duration
+    FROM events
+    GROUP BY 2
+    HAVING COUNT(*) >= 5
+), slide_w AS (
+    SELECT date_trunc('hour', ts) AS ws, query, duration FROM f
+    UNION ALL
+    SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, query, duration FROM f
+), sliding AS (
+    SELECT 'sliding' AS method,
+           strftime(ws, '%Y-%m-%d %H:%M') AS bucket,
+           CAST(NULL AS VARCHAR) AS bucket_end,
+           query,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(duration) AS BIGINT) AS duration,
+           CAST(FLOOR(SUM(duration) / COUNT(*)) AS BIGINT) AS avg_duration
+    FROM slide_w
+    GROUP BY ws, query
+), brk AS (
+    SELECT query, ts, duration,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                 OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS b
+    FROM f WINDOW w AS (PARTITION BY query ORDER BY ts)
+), grp AS (
+    SELECT query, ts, duration,
+           SUM(b) OVER (PARTITION BY query ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+    FROM brk
+), session AS (
+    SELECT 'session' AS method,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS bucket_end,
+           query,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(duration) AS BIGINT) AS duration,
+           CAST(NULL AS BIGINT) AS avg_duration
+    FROM grp GROUP BY query, sid
+)
+SELECT * FROM (
+    SELECT * FROM tumbling
+    UNION ALL SELECT * FROM sliding
+    UNION ALL SELECT * FROM session
+)
+ORDER BY method, bucket, query
+"""
+
+
+_QD_PROBES = [
+    0, 1, 1024, 4096, 16384, 65536, 131072, 262144, 524288, 786432, 1048575,
+]
+
+
+def q_x_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q-digest quantile sketch (operators/sketches.py:qd_build —
+    Shrivastava et al. 2004), completing the mergeable-summaries
+    family: count-min = frequency, Misra-Gries = heavy hitters, HLL =
+    distinct, Bloom = membership, q-digest = RANK/QUANTILES. Unlike
+    sampling quantile sketches it is fully deterministic, so every
+    gate below is an exact theorem — data-independent under the
+    driver's different seed.
+
+    Items spread the event durations across the full 2^20 domain
+    (``(floor(value)·1009 + user_id) mod 2^20`` — ~n distinct leaves,
+    the x_cm_sketch narrow-width trick inverted), so at k=256
+    compression is CERTAIN and the size gate has teeth; k=256 also
+    keeps the ancestor bound at ~17% of n at sf0.01 — far from the
+    vacuous ``anc <= n``. Gates:
+
+    - rank sandwich (EXACT, structural): ``rank_lo(x) <= |{v < x}| <=
+      rank_lo(x) + anc(x)`` for every probe — any mass-routing bug
+      (wrong parent, lost sibling, bad range math) breaks it;
+    - uncertainty theorem: ``anc(x) < L·(2n/k + P + 1)`` — a compress
+      that over-folds (threshold bug) breaks it;
+    - mass conservation: digest mass == n non-null items, exactly;
+    - size theorem: <= 8k+1 nodes (n >= 2k holds at every SF) — a
+      no-op compress leaves ~n leaves and fails immediately;
+    - mergeability: digests of the even/odd halves, unioned and
+      re-compressed, satisfy the same sandwich + uncertainty gates
+      (the per-shard rollup that makes this a 100 TB tool);
+    - partition invariance: the theorems hold on a 7-partition rebuild;
+    - quantile straddle: for each target q, the answered value v has
+      ``|{x <= v}| >= ceil(q·n)`` and ``|{x < v}| < ceil(q·n) +
+      L·(2n/k + P + 1)`` (post-order prefix property).
+
+    The probes and their exact ranks ride the hash (the oracle
+    recomputes them); digest node values and quantile answers are
+    sketch-defined and stay out, exactly like x_cm_sketch's estimates.
+    """
+    from cassandra_slow_queries_spark.operators.sketches import (
+        qd_build,
+        qd_merge,
+        qd_partition_digests,
+        qd_quantiles,
+        qd_rank_bounds,
+    )
+
+    L, K, P = 20, 256, 8
+    domain = 1 << L
+    ev = load(spark, sf_dir, "events")
+    src = (
+        ev.filter(F.col("value").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.pmod(
+                F.floor("value").cast("long") * F.lit(1009)
+                + F.col("user_id"),
+                F.lit(domain),
+            ).alias("item")
+        )
+        .repartition(P)
+    )
+    digest = qd_build(src, "item", k=K, level_bits=L)
+
+    probes = spark.createDataFrame([(p,) for p in _QD_PROBES], "probe long")
+    bounds = qd_rank_bounds(digest, probes, L)
+    exact = (
+        src.crossJoin(F.broadcast(probes))
+        .groupBy("probe")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("item") < F.col("probe"), F.lit(1))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("exact_lt")
+        )
+    )
+    stats = src.agg(F.count(F.lit(1)).alias("n_items"))
+    # the one theorem constant every bound below shares
+    anc_bound = F.lit(L) * (
+        2.0 * F.col("n_items") / F.lit(K) + F.lit(P) + F.lit(1)
+    )
+
+    per_probe = (
+        probes.join(bounds, "probe")
+        .join(exact, "probe")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "probe",
+            "n_items",
+            "exact_lt",
+            (
+                (F.col("rank_lo") <= F.col("exact_lt"))
+                & (F.col("exact_lt") <= F.col("rank_lo") + F.col("anc"))
+            ).alias("sandwich_ok"),
+            (F.col("anc") < anc_bound).alias("anc_bounded"),
+        )
+    )
+
+    mass_size = (
+        digest.agg(
+            F.sum("cnt").alias("_mass"), F.count(F.lit(1)).alias("_nodes")
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            (
+                (F.col("_mass") == F.col("n_items"))
+                & (F.col("_nodes") <= F.lit(8 * K + 1))
+            ).alias("mass_and_size_ok")
+        )
+    )
+
+    def _sandwich_gate(dg: DataFrame, out: str) -> DataFrame:
+        return (
+            qd_rank_bounds(dg, probes, L)
+            .join(exact, "probe")
+            .crossJoin(F.broadcast(stats))
+            .agg(
+                F.bool_and(
+                    (F.col("rank_lo") <= F.col("exact_lt"))
+                    & (F.col("exact_lt") <= F.col("rank_lo") + F.col("anc"))
+                    & (F.col("anc") < anc_bound)
+                ).alias(out)
+            )
+        )
+
+    halves = qd_merge(
+        qd_partition_digests(
+            src.filter(F.pmod(F.col("item"), F.lit(2)) == 0).repartition(4),
+            "item",
+            K,
+            L,
+        ).unionByName(
+            qd_partition_digests(
+                src.filter(F.pmod(F.col("item"), F.lit(2)) == 1).repartition(
+                    4
+                ),
+                "item",
+                K,
+                L,
+            )
+        ),
+        K,
+        L,
+    )
+    merge_gate = _sandwich_gate(halves, "merge_ok")
+    repart_gate = _sandwich_gate(
+        qd_build(src.repartition(7), "item", k=K, level_bits=L),
+        "repartition_ok",
+    )
+
+    answers = qd_quantiles(digest, [0.1, 0.25, 0.5, 0.75, 0.9], L)
+    quant_gate = (
+        src.crossJoin(F.broadcast(answers))
+        .groupBy("q", "r_star", "value")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("item") <= F.col("value"), F.lit(1))),
+                F.lit(0),
+            ).alias("_le"),
+            F.coalesce(
+                F.sum(F.when(F.col("item") < F.col("value"), F.lit(1))),
+                F.lit(0),
+            ).alias("_lt"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .agg(
+            F.bool_and(
+                (F.col("_le") >= F.col("r_star"))
+                & (F.col("_lt") < F.col("r_star") + anc_bound)
+            ).alias("quantile_ok")
+        )
+    )
+
+    return (
+        per_probe.crossJoin(F.broadcast(mass_size))
+        .crossJoin(F.broadcast(merge_gate))
+        .crossJoin(F.broadcast(repart_gate))
+        .crossJoin(F.broadcast(quant_gate))
+        .orderBy("probe")
+    )
+
+
+X_QDIGEST_SQL = f"""
+WITH d AS (
+    SELECT (CAST(FLOOR(value) AS BIGINT) * 1009 + user_id) % 1048576 AS item
+    FROM events
+    WHERE value IS NOT NULL AND user_id IS NOT NULL
+), p AS (
+    SELECT UNNEST({_QD_PROBES}) AS probe
+)
+SELECT CAST(p.probe AS BIGINT) AS probe,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_items,
+       CAST((SELECT COUNT(*) FROM d WHERE item < p.probe) AS BIGINT)
+           AS exact_lt,
+       TRUE AS sandwich_ok,
+       TRUE AS anc_bounded,
+       TRUE AS mass_and_size_ok,
+       TRUE AS merge_ok,
+       TRUE AS repartition_ok,
+       TRUE AS quantile_ok
+FROM p
+ORDER BY probe
+"""
+
+
 # Entries finished and oracle-gated locally but NOT yet registered in
 # CATALOG. The no-slot rule (BASELINE.md, round-9 verdict item 2): a
 # never-driver-checked entry sorts to the FRONT of the rotation window
@@ -9452,6 +9822,19 @@ DEFERRED_CATALOG: dict[str, QueryDef] = {
         q_x_equi_depth,
         X_EQUI_DEPTH_SQL,
         "equi-depth histogram: quantile edges, replayable assignment",
+    ),
+    # completes the mergeable-summaries family (CM/MG/HLL/Bloom + this)
+    "x_qdigest": QueryDef(
+        q_x_qdigest,
+        X_QDIGEST_SQL,
+        "q-digest quantile sketch: exact rank-sandwich theorem gates",
+    ),
+    # replaces stream_volume + stream_sliding + stream_session at
+    # promotion time, freeing TWO rotation slots (the r13 headroom swap)
+    "stream_window_suite": QueryDef(
+        q_stream_window_suite,
+        STREAM_WINDOW_SUITE_SQL,
+        "tumbling + sliding + session windows consolidated, concurrent starts",
     ),
 }
 

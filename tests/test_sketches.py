@@ -480,3 +480,146 @@ def test_cm_probe_type_mismatch_still_never_undercounts(spark):
         for r in cm_query(sketch, probes32, "k", width=64, depth=3).collect()
     }
     assert all(v >= 50 for v in est.values()), est  # true count per key
+
+
+# ---------------------------------------------------------------------------
+# q-digest
+# ---------------------------------------------------------------------------
+
+from cassandra_slow_queries_spark.operators.sketches import (  # noqa: E402
+    qd_build,
+    qd_merge,
+    qd_partition_digests,
+    qd_quantiles,
+    qd_rank_bounds,
+)
+
+_QD_L = 20
+_QD_DOMAIN = 1 << _QD_L
+
+
+def _qd_corpus(spark, seed=7, n_low=4000, n_high=400):
+    """Deterministic mixed corpus: a dense low band plus a sparse high
+    tail so compression genuinely fires at small k."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vals = (
+        list(rng.integers(0, 600, n_low))
+        + list(rng.integers(100_000, _QD_DOMAIN, n_high))
+        + [0, _QD_DOMAIN - 1]
+    )
+    df = spark.createDataFrame(
+        [(int(v),) for v in vals], "v long"
+    ).repartition(8)
+    return df, [int(v) for v in vals]
+
+
+def _qd_assert_sandwich(digest, vals, probes, spark, p_bound=8, k=32):
+    b = (
+        qd_rank_bounds(
+            digest,
+            spark.createDataFrame([(int(p),) for p in probes], "probe long"),
+            _QD_L,
+        )
+        .toPandas()
+        .set_index("probe")
+    )
+    n = len(vals)
+    bound = _QD_L * (2 * n / k + p_bound + 1)
+    for p, row in b.iterrows():
+        exact = sum(1 for v in vals if v < p)
+        assert row["rank_lo"] <= exact <= row["rank_lo"] + row["anc"], (
+            p,
+            row["rank_lo"],
+            exact,
+            row["anc"],
+        )
+        assert row["anc"] < bound, (p, row["anc"], bound)
+
+
+def test_qd_mass_size_and_rank_sandwich(spark):
+    df, vals = _qd_corpus(spark)
+    k = 32
+    digest = qd_build(df, "v", k=k, level_bits=_QD_L)
+    rows = digest.collect()
+    assert sum(r["cnt"] for r in rows) == len(vals)  # mass, exactly
+    assert len(rows) <= 8 * k + 1  # size theorem (n >= 2k here)
+    probes = [0, 1, 64, 300, 600, 5000, 200_000, _QD_DOMAIN - 1]
+    _qd_assert_sandwich(digest, vals, probes, spark, k=k)
+
+
+def test_qd_compression_actually_fires(spark):
+    # with ~4400 distinct-ish leaves and k=32 the digest MUST be far
+    # smaller than the leaf histogram — a no-op compress fails here
+    df, vals = _qd_corpus(spark)
+    digest = qd_build(df, "v", k=32, level_bits=_QD_L)
+    n_distinct = len(set(vals))
+    assert digest.count() <= 8 * 32 + 1 < n_distinct
+
+
+def test_qd_merge_of_split_builds_keeps_theorems(spark):
+    df, vals = _qd_corpus(spark)
+    k = 32
+    evens = df.filter(F.pmod(F.col("v"), F.lit(2)) == 0).repartition(4)
+    odds = df.filter(F.pmod(F.col("v"), F.lit(2)) == 1).repartition(4)
+    merged = qd_merge(
+        qd_partition_digests(evens, "v", k, _QD_L).unionByName(
+            qd_partition_digests(odds, "v", k, _QD_L)
+        ),
+        k,
+        _QD_L,
+    )
+    assert sum(r["cnt"] for r in merged.collect()) == len(vals)
+    _qd_assert_sandwich(
+        merged, vals, [0, 300, 5000, _QD_DOMAIN - 1], spark, k=k
+    )
+
+
+def test_qd_partitioning_invariant_bounds(spark):
+    df, vals = _qd_corpus(spark)
+    for parts in (1, 7):
+        digest = qd_build(df.repartition(parts), "v", k=32, level_bits=_QD_L)
+        _qd_assert_sandwich(
+            digest, vals, [1, 600, 200_000], spark, p_bound=parts, k=32
+        )
+
+
+def test_qd_quantile_straddle_gates(spark):
+    df, vals = _qd_corpus(spark)
+    k, p = 64, 8
+    digest = qd_build(df, "v", k=k, level_bits=_QD_L)
+    out = qd_quantiles(digest, [0.1, 0.25, 0.5, 0.75, 0.9], _QD_L).collect()
+    assert len(out) == 5
+    n = len(vals)
+    bound = _QD_L * (2 * n / k + p + 1)
+    for r in out:
+        v, r_star = r["value"], r["r_star"]
+        le = sum(1 for x in vals if x <= v)
+        lt = sum(1 for x in vals if x < v)
+        assert le >= r_star  # G1: the answer covers the target rank
+        assert lt < r_star + bound  # G2: and overshoots at most the bound
+
+
+def test_qd_nulls_skipped_and_domain_contract(spark):
+    df = spark.createDataFrame(
+        [(1,), (None,), (5,), (None,), (5,)], "v long"
+    )
+    digest = qd_build(df, "v", k=8, level_bits=_QD_L)
+    assert sum(r["cnt"] for r in digest.collect()) == 3  # nulls skipped
+    import pytest as _pt
+
+    bad = spark.createDataFrame([(_QD_DOMAIN,)], "v long")
+    with _pt.raises(Exception, match="outside"):
+        qd_build(bad, "v", k=8, level_bits=_QD_L).collect()
+    neg = spark.createDataFrame([(-1,)], "v long")
+    with _pt.raises(Exception, match="outside"):
+        qd_build(neg, "v", k=8, level_bits=_QD_L).collect()
+
+
+def test_qd_validates_params(spark):
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="k must be"):
+        qd_partition_digests(df, "v", k=0)
+    with pytest.raises(ValueError, match="level_bits"):
+        qd_partition_digests(df, "v", k=8, level_bits=0)
