@@ -337,3 +337,123 @@ def survival_curve(
             "survival",
         )
     )
+
+
+#: cumulative Poisson(1) CDF F(0)..F(8): partial sums of e^-1 / i!.
+#: repr-exact doubles — the catalog oracle interpolates these SAME
+#: literals into its SQL, so the weight ladder is engine-identical.
+POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+]
+
+#: denominator of the portable 60-bit md5 uniform draw (curation.py's
+#: weighted_sample contract: (md5_60bit(s) + 0.5) / 2^60)
+_BS_U_SPACE = float(1 << 60)
+
+
+def _md5_uniform(s: Column) -> Column:
+    """The portable uniform draw in (0,1): a pure function of the input
+    string, reproducible across runs, partitionings, and engines —
+    DuckDB replays it as ``(CAST('0x'||substr(md5(s),1,15) AS BIGINT)
+    + 0.5) / 2^60``."""
+    h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+    return (h.cast("bigint").cast("double") + F.lit(0.5)) / F.lit(_BS_U_SPACE)
+
+
+def _poisson1_weight(u: Column) -> Column:
+    """Inverse-CDF Poisson(1) draw from a uniform: the CASE ladder over
+    :data:`POISSON1_CDF` (clamped to 9 above F(8), ~1.1e-6 of the
+    mass — the same clamp in both engines, so parity is unaffected)."""
+    w: Column = F.lit(len(POISSON1_CDF))
+    for i in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[i]), F.lit(i)).otherwise(w)
+    return w
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    replicates: int = 64,
+    alpha: float = 0.05,
+    salt: str = "bs",
+) -> DataFrame:
+    """Bootstrap confidence interval for the per-group MEAN of
+    ``value_col`` via the POISSON BOOTSTRAP (Chamandy et al., "Estimating
+    uncertainty for massive data streams", 2012) — the bootstrap that
+    actually runs at 100 TB: classical resampling needs n draws with
+    global coordination per replicate, while Poisson(1) replicate
+    weights are independent PER ROW, so all ``replicates`` resamples
+    ride ONE linear scan and ONE hash aggregation (2·B fixed-width
+    sum columns — the explode-free agg shape the MinHash signature
+    path uses; no row expansion, no shuffle beyond the group agg).
+
+    Replicate weights are deterministic: ``w(row, b) =
+    PoissonInvCDF₁(md5_uniform(id:b:salt))`` — a pure function of the
+    row id, so the WHOLE interval is reproducible across runs,
+    partitionings, and engines. With an INTEGRAL ``value_col`` the
+    replicate sums are exact longs and every output value replays
+    bit-for-bit in DuckDB (the catalog oracle does exactly that);
+    fractional values work but are subject to float-sum ordering.
+
+    CI convention (both engines, explicitly): sort the B replicate
+    means ascending; ``ci_lo`` = the ``floor(alpha/2·B)+1``-th,
+    ``ci_hi`` = the ``B − floor(alpha/2·B)``-th (1-based). A replicate
+    whose weights all drew 0 would yield a NULL mean (probability
+    e^{-n} per replicate — vanishing for any real group); NULLs sort
+    last and would show up as a NULL ci_hi, not a silent skew.
+
+    Output: group cols + ``n_items``, ``mean``, ``ci_lo``, ``ci_hi``.
+    """
+    if replicates < 4:
+        raise ValueError("replicates must be >= 4")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    group_cols = group_cols or []
+    x = F.col(value_col)
+    rid = F.col(id_col).cast("string")
+
+    aggs = [
+        F.count(x).alias("n_items"),
+        F.sum(x).alias("_sx"),
+    ]
+    for b in range(replicates):
+        u = _md5_uniform(F.concat(rid, F.lit(f":{b}:{salt}")))
+        w = _poisson1_weight(u)
+        aggs.append(F.sum(w * x).alias(f"_s{b}"))
+        aggs.append(F.sum(w).alias(f"_c{b}"))
+
+    agged = (
+        df.groupBy(*group_cols).agg(*aggs)
+        if group_cols
+        else df.groupBy().agg(*aggs)
+    )
+    means = F.array_sort(
+        F.array(
+            *[
+                F.col(f"_s{b}").cast("double")
+                / F.col(f"_c{b}").cast("double")
+                for b in range(replicates)
+            ]
+        )
+    )
+    lo_idx = int(alpha / 2 * replicates) + 1
+    hi_idx = replicates - (lo_idx - 1)
+    return agged.select(
+        *group_cols,
+        "n_items",
+        (F.col("_sx").cast("double") / F.col("n_items").cast("double")).alias(
+            "mean"
+        ),
+        F.element_at(means, lo_idx).alias("ci_lo"),
+        F.element_at(means, hi_idx).alias("ci_hi"),
+    )

@@ -9577,6 +9577,90 @@ ORDER BY method, bucket, query
 """
 
 
+def q_x_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence intervals
+    (operators/analytics.py:poisson_bootstrap_ci — Chamandy et al.
+    2012): a 95% CI for the mean duration per event type from 64
+    bootstrap replicates, all riding ONE scan + ONE hash aggregation
+    (per-row Poisson(1) replicate weights — the bootstrap that scales,
+    since classical resampling needs coordinated n-draws per
+    replicate).
+
+    Unlike the sketch entries, NOTHING here is implementation-defined:
+    the replicate weights come from the portable md5 draw and the
+    durations are integral, so the replicate sums are exact longs and
+    the full output — means AND interval endpoints — replays
+    bit-for-bit in DuckDB. The oracle recomputes all 64 resamples from
+    the same md5 arithmetic, Poisson CDF ladder (literals interpolated
+    from the SAME module constant), and rank convention."""
+    from cassandra_slow_queries_spark.operators.analytics import (
+        poisson_bootstrap_ci,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_id").isNotNull() & F.col("value").isNotNull())
+        .select(
+            "event_id",
+            F.col("event_type").alias("query"),
+            _dur().alias("dur"),
+        )
+    )
+    return poisson_bootstrap_ci(
+        ev, "dur", "event_id", ["query"], replicates=64, alpha=0.05
+    ).orderBy("query")
+
+
+def _bootstrap_ci_sql() -> str:
+    from cassandra_slow_queries_spark.operators.analytics import (
+        POISSON1_CDF,
+    )
+
+    ladder = " ".join(
+        f"WHEN u < {c!r} THEN {i}" for i, c in enumerate(POISSON1_CDF)
+    )
+    u_space = float(1 << 60)
+    return f"""
+WITH f AS (
+    SELECT CAST(event_id AS VARCHAR) AS rid,
+           event_type AS query,
+           CAST(FLOOR(value) AS BIGINT) AS dur
+    FROM events
+    WHERE event_id IS NOT NULL AND value IS NOT NULL
+), reps AS (
+    SELECT f.query, b.b, f.dur,
+           (CAST('0x' || substr(md5(f.rid || ':' || CAST(b.b AS VARCHAR)
+                                     || ':bs'), 1, 15) AS BIGINT)
+            + 0.5) / {u_space!r} AS u
+    FROM f CROSS JOIN (SELECT UNNEST(range(64)) AS b) b
+), wtd AS (
+    SELECT query, b, dur, CASE {ladder} ELSE 9 END AS w FROM reps
+), rmeans AS (
+    SELECT query, b,
+           CAST(SUM(w * dur) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS m
+    FROM wtd GROUP BY query, b
+), ranked AS (
+    SELECT query, m,
+           ROW_NUMBER() OVER (PARTITION BY query ORDER BY m) AS rn
+    FROM rmeans
+), base AS (
+    SELECT query, CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(dur) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean
+    FROM f GROUP BY query
+)
+SELECT base.query AS query, n_items, mean,
+       (SELECT m FROM ranked r WHERE r.query = base.query AND rn = 2)
+           AS ci_lo,
+       (SELECT m FROM ranked r WHERE r.query = base.query AND rn = 63)
+           AS ci_hi
+FROM base
+ORDER BY query
+"""
+
+
+X_BOOTSTRAP_CI_SQL = _bootstrap_ci_sql()
+
+
 _QD_PROBES = [
     0, 1, 1024, 4096, 16384, 65536, 131072, 262144, 524288, 786432, 1048575,
 ]
@@ -9640,7 +9724,13 @@ def q_x_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .repartition(P)
     )
-    digest = qd_build(src, "item", k=K, level_bits=L)
+    # the digest (O(k) rows) and the tiny exact/stat frames are each
+    # reused by several gates below; localCheckpoint materializes them
+    # ONCE instead of replaying the Python build / corpus scan per gate
+    # (block lifetime = this frame, the release_stream_sink contract)
+    digest = qd_build(src, "item", k=K, level_bits=L).localCheckpoint(
+        eager=True
+    )
 
     probes = spark.createDataFrame([(p,) for p in _QD_PROBES], "probe long")
     bounds = qd_rank_bounds(digest, probes, L)
@@ -9655,8 +9745,11 @@ def q_x_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("exact_lt")
         )
+        .localCheckpoint(eager=True)
     )
-    stats = src.agg(F.count(F.lit(1)).alias("n_items"))
+    stats = src.agg(F.count(F.lit(1)).alias("n_items")).localCheckpoint(
+        eager=True
+    )
     # the one theorem constant every bound below shares
     anc_bound = F.lit(L) * (
         2.0 * F.col("n_items") / F.lit(K) + F.lit(P) + F.lit(1)
@@ -9835,6 +9928,12 @@ DEFERRED_CATALOG: dict[str, QueryDef] = {
         q_stream_window_suite,
         STREAM_WINDOW_SUITE_SQL,
         "tumbling + sliding + session windows consolidated, concurrent starts",
+    ),
+    # fills the second slot the window-suite swap frees at r13
+    "x_bootstrap_ci": QueryDef(
+        q_x_bootstrap_ci,
+        X_BOOTSTRAP_CI_SQL,
+        "Poisson-bootstrap CI: 64 one-pass resamples, bit-exact oracle",
     ),
 }
 

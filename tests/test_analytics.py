@@ -471,3 +471,84 @@ def test_survival_curve_grouped_independent(spark):
     assert by[("b", 3)]["survival"] == 0.0
     # groups don't see each other's at-risk pools
     assert by[("b", 1)]["n_at_risk"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI
+# ---------------------------------------------------------------------------
+
+from cassandra_slow_queries_spark.operators.analytics import (  # noqa: E402
+    POISSON1_CDF,
+    poisson_bootstrap_ci,
+)
+
+
+def test_poisson1_cdf_constants_are_the_exact_partial_sums():
+    s = 0.0
+    for i, c in enumerate(POISSON1_CDF):
+        s += math.exp(-1) / math.factorial(i)
+        assert s == c  # repr-exact: the oracle SQL interpolates these
+
+
+def _bs_frame(spark, parts=4):
+    rows = [(i, "g" if i % 2 else "h", (i * 37) % 100) for i in range(400)]
+    return spark.createDataFrame(
+        rows, "event_id long, grp string, v long"
+    ).repartition(parts)
+
+
+def test_bootstrap_ci_brackets_and_orders(spark):
+    out = poisson_bootstrap_ci(
+        _bs_frame(spark), "v", "event_id", ["grp"], replicates=64
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["ci_lo"] <= r["ci_hi"]
+        # with 64 replicates the 2nd..63rd means always bracket a
+        # well-behaved sample mean
+        assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+        assert r["n_items"] == 200
+
+
+def test_bootstrap_ci_partitioning_invariant_bitwise(spark):
+    # integral values → exact long replicate sums → the WHOLE output is
+    # a pure function of the ids, identical on any partitioning
+    a = poisson_bootstrap_ci(
+        _bs_frame(spark, parts=1), "v", "event_id", ["grp"]
+    ).orderBy("grp").collect()
+    b = poisson_bootstrap_ci(
+        _bs_frame(spark, parts=7), "v", "event_id", ["grp"]
+    ).orderBy("grp").collect()
+    assert a == b
+
+
+def test_bootstrap_ci_constant_data_degenerates_to_the_constant(spark):
+    df = spark.createDataFrame(
+        [(i, 42) for i in range(200)], "event_id long, v long"
+    )
+    r = poisson_bootstrap_ci(df, "v", "event_id", replicates=16).collect()[0]
+    assert r["mean"] == 42.0 and r["ci_lo"] == 42.0 and r["ci_hi"] == 42.0
+
+
+def test_bootstrap_ci_salt_changes_resamples_not_mean(spark):
+    df = _bs_frame(spark)
+    a = poisson_bootstrap_ci(df, "v", "event_id", ["grp"], salt="bs")
+    b = poisson_bootstrap_ci(df, "v", "event_id", ["grp"], salt="other")
+    ja = {r["grp"]: r for r in a.collect()}
+    jb = {r["grp"]: r for r in b.collect()}
+    for g in ja:
+        assert ja[g]["mean"] == jb[g]["mean"]
+        assert (ja[g]["ci_lo"], ja[g]["ci_hi"]) != (
+            jb[g]["ci_lo"],
+            jb[g]["ci_hi"],
+        )
+
+
+def test_bootstrap_ci_validates_params(spark):
+    import pytest as _pt
+
+    df = _bs_frame(spark)
+    with _pt.raises(ValueError, match="replicates"):
+        poisson_bootstrap_ci(df, "v", "event_id", replicates=2)
+    with _pt.raises(ValueError, match="alpha"):
+        poisson_bootstrap_ci(df, "v", "event_id", alpha=1.5)
