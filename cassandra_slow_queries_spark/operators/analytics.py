@@ -428,7 +428,10 @@ def poisson_bootstrap_ci(
     ]
     for b in range(replicates):
         u = _md5_uniform(F.concat(rid, F.lit(f":{b}:{salt}")))
-        w = _poisson1_weight(u)
+        # NULL values must not count in the replicate DENOMINATOR either
+        # (sum(w*x) already skips them): an unmasked weight would bias
+        # every replicate mean low relative to the point mean
+        w = F.when(x.isNotNull(), _poisson1_weight(u))
         aggs.append(F.sum(w * x).alias(f"_s{b}"))
         aggs.append(F.sum(w).alias(f"_c{b}"))
 

@@ -552,3 +552,16 @@ def test_bootstrap_ci_validates_params(spark):
         poisson_bootstrap_ci(df, "v", "event_id", replicates=2)
     with _pt.raises(ValueError, match="alpha"):
         poisson_bootstrap_ci(df, "v", "event_id", alpha=1.5)
+
+
+def test_bootstrap_ci_null_values_fully_excluded(spark):
+    # a NULL value must not contribute to numerator OR denominator of
+    # any replicate: with nulls interleaved the result must equal the
+    # same computation on the pre-filtered frame
+    rows = [(i, (i * 37) % 100 if i % 3 else None) for i in range(300)]
+    df = spark.createDataFrame(rows, "event_id long, v long")
+    a = poisson_bootstrap_ci(df, "v", "event_id").collect()[0]
+    b = poisson_bootstrap_ci(
+        df.filter(F.col("v").isNotNull()), "v", "event_id"
+    ).collect()[0]
+    assert a == b
