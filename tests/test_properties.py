@@ -662,3 +662,125 @@ def test_association_rules_match_bruteforce(spark, baskets, cap):
         expect[(a, b)] = c
         expect[(b, a)] = c
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# q-digest compress invariants (pure Python — no Spark session needed,
+# so hypothesis can afford real example counts here)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=255), min_size=1, max_size=400
+    ),
+    k=st.integers(min_value=1, max_value=64),
+)
+def test_qd_compress_invariants_pure_python(vals, k):
+    """The theorems the Spark gates lean on, fuzzed directly over the
+    fold: mass conservation, non-leaf counts below the threshold, the
+    rank sandwich at EVERY domain value, and the size bound."""
+    from cassandra_slow_queries_spark.operators.sketches import _qd_compress
+
+    L = 8  # domain [0, 256)
+    n = len(vals)
+    t = max(1, n // k)
+    counts: dict = {}
+    for v in vals:
+        counts[(L, v)] = counts.get((L, v), 0) + 1
+    digest = _qd_compress(dict(counts), t, L)
+
+    assert sum(digest.values()) == n  # mass, exactly
+    # non-leaf counts stay below the threshold (the anc-bound engine)
+    for (lev, _lo), c in digest.items():
+        if lev < L:
+            assert c < t or t == 1 and c < 2 * t, (lev, c, t)
+    # size theorem: <= 4n/t + 1 nodes (the documented charging bound)
+    assert len(digest) <= 4 * n / t + 1
+    # rank sandwich at every value in the domain
+    import bisect
+
+    sv = sorted(vals)
+    for x in range(256):
+        rank_lo = 0
+        anc = 0
+        for (lev, lo), c in digest.items():
+            hi = lo + (1 << (L - lev)) - 1
+            if hi < x:
+                rank_lo += c
+            elif lo <= x <= hi and not (lev == L and lo == x):
+                anc += c
+        exact = bisect.bisect_left(sv, x)
+        assert rank_lo <= exact <= rank_lo + anc, (x, rank_lo, exact, anc)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=127), max_size=200),
+    b=st.lists(st.integers(min_value=0, max_value=127), max_size=200),
+    k=st.integers(min_value=2, max_value=32),
+)
+def test_qd_merge_of_folds_keeps_sandwich_pure_python(a, b, k):
+    """Mergeability fuzzed: fold each half with its own local threshold,
+    sum coinciding nodes, re-fold with the global threshold — mass and
+    the rank sandwich must survive (the per-shard rollup path)."""
+    from cassandra_slow_queries_spark.operators.sketches import _qd_compress
+
+    L = 7
+    merged: dict = {}
+    for half in (a, b):
+        counts: dict = {}
+        for v in half:
+            counts[(L, v)] = counts.get((L, v), 0) + 1
+        dg = _qd_compress(counts, max(1, len(half) // k), L)
+        for key, c in dg.items():
+            merged[key] = merged.get(key, 0) + c
+    n = len(a) + len(b)
+    digest = _qd_compress(merged, max(1, n // k), L)
+    assert sum(digest.values()) == n
+    import bisect
+
+    sv = sorted(a + b)
+    for x in (0, 1, 31, 63, 64, 100, 127):
+        rank_lo = sum(
+            c
+            for (lev, lo), c in digest.items()
+            if lo + (1 << (L - lev)) - 1 < x
+        )
+        anc = sum(
+            c
+            for (lev, lo), c in digest.items()
+            if lo <= x <= lo + (1 << (L - lev)) - 1
+            and not (lev == L and lo == x)
+        )
+        exact = bisect.bisect_left(sv, x)
+        assert rank_lo <= exact <= rank_lo + anc, (x, rank_lo, exact, anc)
+
+
+@settings(max_examples=300, deadline=None)
+@given(u=st.floats(min_value=0.0, max_value=1.0, exclude_max=True))
+def test_poisson_ladder_matches_direct_cdf_pure_python(u):
+    """The Poisson(1) inverse-CDF ladder (shared by the Spark expression
+    and the DuckDB oracle through the same literals) against a direct
+    computation."""
+    import math
+
+    from cassandra_slow_queries_spark.operators.analytics import (
+        POISSON1_CDF,
+    )
+
+    # direct inverse CDF
+    expect = 9
+    for i, c in enumerate(POISSON1_CDF):
+        if u < c:
+            expect = i
+            break
+    # recompute the CDF independently and clamp identically
+    s, direct = 0.0, 9
+    for i in range(9):
+        s += math.exp(-1) / math.factorial(i)
+        if u < s:
+            direct = i
+            break
+    assert expect == direct
