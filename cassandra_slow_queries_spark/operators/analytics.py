@@ -354,18 +354,7 @@ POISSON1_CDF = [
     0.999998874797402,
 ]
 
-#: denominator of the portable 60-bit md5 uniform draw (curation.py's
-#: weighted_sample contract: (md5_60bit(s) + 0.5) / 2^60)
-_BS_U_SPACE = float(1 << 60)
-
-
-def _md5_uniform(s: Column) -> Column:
-    """The portable uniform draw in (0,1): a pure function of the input
-    string, reproducible across runs, partitionings, and engines —
-    DuckDB replays it as ``(CAST('0x'||substr(md5(s),1,15) AS BIGINT)
-    + 0.5) / 2^60``."""
-    h = F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
-    return (h.cast("bigint").cast("double") + F.lit(0.5)) / F.lit(_BS_U_SPACE)
+from cassandra_slow_queries_spark.functions.draws import md5_uniform
 
 
 def _poisson1_weight(u: Column) -> Column:
@@ -427,7 +416,7 @@ def poisson_bootstrap_ci(
         F.sum(x).alias("_sx"),
     ]
     for b in range(replicates):
-        u = _md5_uniform(F.concat(rid, F.lit(f":{b}:{salt}")))
+        u = md5_uniform(F.concat(rid, F.lit(f":{b}:{salt}")))
         # NULL values must not count in the replicate DENOMINATOR either
         # (sum(w*x) already skips them): an unmasked weight would bias
         # every replicate mean low relative to the point mean

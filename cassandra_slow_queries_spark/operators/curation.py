@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cassandra_slow_queries_spark.functions.draws import md5_long, md5_uniform
 from cassandra_slow_queries_spark.functions.quantize import qdec
 from cassandra_slow_queries_spark.functions.text import word_shingles
 from cassandra_slow_queries_spark.session import spread_input
@@ -59,8 +60,7 @@ def sample_bucket(id_col: Column | str) -> Column:
     BIGINT) % 10000``. 15 hex chars = 60 bits, safely inside a long.
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
-    return F.pmod(h.cast("bigint"), F.lit(SAMPLE_BUCKETS))
+    return F.pmod(md5_long(c.cast("string")), F.lit(SAMPLE_BUCKETS))
 
 
 def stratified_sample(
@@ -116,10 +116,6 @@ def cap_per_group(
     )
 
 
-#: denominator for the 60-bit md5 uniform draw in :func:`weighted_sample`
-_U_SPACE = float(1 << 60)
-
-
 def weighted_sample(
     df: DataFrame,
     weight_col: str,
@@ -150,8 +146,7 @@ def weighted_sample(
     rows), no full sort, no shuffle of the corpus.
     """
     c = F.col(id_col)
-    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10)
-    u = (h.cast("bigint").cast("double") + F.lit(0.5)) / F.lit(_U_SPACE)
+    u = md5_uniform(c.cast("string"))
     w = F.col(weight_col).cast("double")
     key = F.round(F.pow(u, F.lit(1.0) / w), 12)
     return (

@@ -470,6 +470,13 @@ def qd_partition_digests(
     Each partition folds its value histogram with local threshold
     ``t_p = max(1, n_p // k)``, so it emits O(k) rows bounded by its
     own mass — one linear scan, nothing proportional to the stream.
+    Working memory is bounded too: whenever the counter dict outgrows
+    a small multiple of the final digest size, it is folded with the
+    RUNNING threshold (``n_so_far // k``) — a fold at a smaller
+    threshold still leaves every receiving parent below the FINAL
+    threshold (later folds re-check the triple against the larger t),
+    so the mass/anc/size theorems are unchanged while memory stays
+    O(k·level_bits + batch_distinct) instead of O(distinct values).
     NULL values are skipped (the cm_build contract); values outside
     the domain are a CONTRACT ERROR (raise), because silently clamping
     them would corrupt rank answers near the domain edges.
@@ -481,6 +488,9 @@ def qd_partition_digests(
     import pandas as pd
 
     domain = 1 << level_bits
+    # fold early once the dict outgrows this (≈ a few final digests);
+    # 4096 floor keeps tiny-k builds from folding every batch
+    compact_at = max(8 * k * level_bits, 4096)
 
     def summarize(batches):
         counts: dict = {}
@@ -505,6 +515,8 @@ def qd_partition_digests(
             for v, c in iv.value_counts().items():
                 key = (level_bits, int(v))
                 counts[key] = counts.get(key, 0) + int(c)
+            if len(counts) > compact_at:
+                counts = _qd_compress(counts, max(1, n // k), level_bits)
         counts = _qd_compress(counts, max(1, n // k), level_bits)
         yield pd.DataFrame(
             {
@@ -643,6 +655,11 @@ def qd_quantiles(
     The window here is single-partition BY CONSTRUCTION over the O(k)
     digest frame — bounded rows, not stream-proportional (the
     documented exception to the no-single-task-window rule)."""
+    bad = [q for q in quantiles if not 0.0 <= q <= 1.0]
+    if bad:
+        # an out-of-range q would otherwise SILENTLY vanish from the
+        # output (its ceil(q·n) target exceeds every prefix sum)
+        raise ValueError(f"quantiles must be in [0, 1], got {bad}")
     from pyspark.sql import Window
 
     hi = _qd_hi(level_bits)

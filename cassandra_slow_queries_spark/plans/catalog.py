@@ -5140,45 +5140,23 @@ def q_stream_parity_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     state volume, not the batch default; result values are
     partition-count-independent (distinct set / global aggregates)."""
     from cassandra_slow_queries_spark.streaming.pipeline import (
-        release_stream_sink,
-        start_stream_to_batch,
+        run_streams_concurrently,
     )
 
-    builds = [
-        _stream_dedup_build(spark, sf_dir),
-        _stream_enrich_build(spark, sf_dir),
-        _stream_ssjoin_build(spark, sf_dir),
-    ]
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    started: list = []
-    try:
-        for stream, mode in builds:
-            started.append(start_stream_to_batch(stream, output_mode=mode))
-        for q, _ in started:
-            q.awaitTermination()
-    except Exception:
-        # one failed query must not leave its siblings running OR their
-        # memory-sink tables registered: callers that catch per-entry
-        # errors and continue (the bench loop) would otherwise time
-        # every later entry against two live streaming jobs and an
-        # ever-growing pile of session-lifetime sinks
-        for q, name in started:
-            try:
-                q.stop()
-            except Exception:
-                pass
-            try:
-                spark.catalog.dropTempView(name)
-            except Exception:
-                pass
-        raise
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-
-    dedup_t, enrich_t, ss_t = [
-        release_stream_sink(spark, name) for _, name in started
-    ]
+    # run_streams_concurrently owns the failure contract: one failed
+    # query (start, await, or sink release) must not leave siblings
+    # running or memory-sink tables registered — callers that catch
+    # per-entry errors and continue (the bench loop) would otherwise
+    # time every later entry against live streaming jobs and an
+    # ever-growing pile of session-lifetime sinks
+    dedup_t, enrich_t, ss_t = run_streams_concurrently(
+        spark,
+        [
+            _stream_dedup_build(spark, sf_dir),
+            _stream_enrich_build(spark, sf_dir),
+            _stream_ssjoin_build(spark, sf_dir),
+        ],
+    )
     dedup = dedup_t.select(
         F.lit("dedup").alias("method"),
         F.col("bucket"),
@@ -9438,47 +9416,37 @@ def q_stream_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed cost, and the result values are partition-count-independent
     windowed aggregates."""
     from cassandra_slow_queries_spark.streaming.pipeline import (
-        release_stream_sink,
+        run_streams_concurrently,
         session_stream,
         sliding_volume_stream,
-        start_stream_to_batch,
         volume_stream,
     )
 
-    builds = [
-        volume_stream(_event_fact_stream(spark, sf_dir), window="1 hour"),
-        sliding_volume_stream(
-            _event_fact_stream(spark, sf_dir), window="2 hours", slide="1 hour"
-        ),
-        session_stream(_event_fact_stream(spark, sf_dir), gap="30 minutes"),
-    ]
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    started: list = []
-    try:
-        for stream in builds:
-            started.append(start_stream_to_batch(stream, output_mode="complete"))
-        for q, _ in started:
-            q.awaitTermination()
-    except Exception:
-        # the parity-suite failure contract: a failed sibling must not
-        # leave the other queries running or their sink tables pinned
-        for q, name in started:
-            try:
-                q.stop()
-            except Exception:
-                pass
-            try:
-                spark.catalog.dropTempView(name)
-            except Exception:
-                pass
-        raise
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-
-    vol_t, sld_t, ses_t = [
-        release_stream_sink(spark, name) for _, name in started
-    ]
+    vol_t, sld_t, ses_t = run_streams_concurrently(
+        spark,
+        [
+            (
+                volume_stream(
+                    _event_fact_stream(spark, sf_dir), window="1 hour"
+                ),
+                "complete",
+            ),
+            (
+                sliding_volume_stream(
+                    _event_fact_stream(spark, sf_dir),
+                    window="2 hours",
+                    slide="1 hour",
+                ),
+                "complete",
+            ),
+            (
+                session_stream(
+                    _event_fact_stream(spark, sf_dir), gap="30 minutes"
+                ),
+                "complete",
+            ),
+        ],
+    )
     nulls = F.lit(None).cast("string")
     nulll = F.lit(None).cast("long")
     vol = vol_t.filter(F.col("cnt") >= 5).select(
@@ -9857,7 +9825,10 @@ def q_x_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 X_QDIGEST_SQL = f"""
 WITH d AS (
-    SELECT (CAST(FLOOR(value) AS BIGINT) * 1009 + user_id) % 1048576 AS item
+    -- double-mod: DuckDB % keeps the dividend's sign while Spark pmod
+    -- is always non-negative; identical for today's non-negative values
+    SELECT (((CAST(FLOOR(value) AS BIGINT) * 1009 + user_id) % 1048576)
+            + 1048576) % 1048576 AS item
     FROM events
     WHERE value IS NOT NULL AND user_id IS NOT NULL
 ), p AS (

@@ -241,6 +241,56 @@ def start_stream_to_batch(
     return q, name
 
 
+def run_streams_concurrently(
+    spark: SparkSession,
+    builds: list[tuple[DataFrame, str]],
+    shuffle_partitions: str = "8",
+) -> list[DataFrame]:
+    """Start several finite streaming frames CONCURRENTLY, await them
+    all, and return their released results in build order — the shared
+    scaffold of the consolidated suite entries (parity, window
+    taxonomy), kept in ONE place so the failure contract cannot drift
+    between copies.
+
+    Contract pieces, each load-bearing:
+
+    - all queries start before any is awaited, overlapping their fixed
+      micro-batch trigger floors and per-partition state-store
+      open/commit costs in one wall-clock cycle;
+    - they run under a reduced ``spark.sql.shuffle.partitions`` (state
+      stores are per-partition FIXED cost, so partition count should
+      track state volume, not the batch default) — restored in a
+      finally whatever happens;
+    - on ANY failure — a start, an await, or a sink RELEASE — every
+      live query is stopped and every sink table dropped before the
+      error propagates: callers that catch per-entry errors and
+      continue (the bench loop) must never inherit live streaming jobs
+      or session-lifetime memory sinks.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
+    started: list = []
+    try:
+        for stream, mode in builds:
+            started.append(start_stream_to_batch(stream, output_mode=mode))
+        for q, _ in started:
+            q.awaitTermination()
+        return [release_stream_sink(spark, name) for _, name in started]
+    except Exception:
+        for q, name in started:
+            try:
+                q.stop()
+            except Exception:
+                pass
+            try:
+                spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+        raise
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def release_stream_sink(spark: SparkSession, name: str) -> DataFrame:
     """Detach a finished memory-sink table: materialize its rows as a
     localCheckpoint and DROP the temp view, returning the checkpointed

@@ -746,3 +746,43 @@ def test_paced_backfill_batches_and_equality(spark, tmp_path):
     res1, nb1 = run_paced_backfill(spark, d, files_per_trigger=6)
     assert nb1 == 1
     assert {r["event_type"]: r["n"] for r in res1.collect()} == got
+
+
+def test_run_streams_concurrently_failure_leaves_nothing_behind(
+    spark, fact_dir
+):
+    """The consolidated-suite failure contract, pinned: a sibling that
+    fails to START must stop every already-running query and drop every
+    memory-sink table before the error propagates, and the shuffle conf
+    must be restored — a bench loop that catches per-entry errors would
+    otherwise time later entries against leaked jobs and sinks."""
+    from cassandra_slow_queries_spark.streaming.pipeline import (
+        read_fact_stream,
+        run_streams_concurrently,
+    )
+
+    before_views = {
+        t.name for t in spark.catalog.listTables() if "stream_result" in t.name
+    }
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+
+    good = volume_stream(read_fact_stream(spark, fact_dir))
+    batch_not_stream = spark.range(3).toDF("id")  # .writeStream raises
+    with pytest.raises(Exception):
+        run_streams_concurrently(
+            spark, [(good, "complete"), (batch_not_stream, "complete")]
+        )
+
+    assert spark.streams.active == []  # no zombie queries
+    after_views = {
+        t.name for t in spark.catalog.listTables() if "stream_result" in t.name
+    }
+    assert after_views == before_views  # no leaked memory sinks
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_conf
+
+    # and the helper still works cleanly in the same session afterwards
+    [ok] = run_streams_concurrently(
+        spark, [(volume_stream(read_fact_stream(spark, fact_dir)), "complete")]
+    )
+    assert ok.count() > 0
+    assert spark.streams.active == []
