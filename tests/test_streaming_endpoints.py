@@ -786,3 +786,38 @@ def test_run_streams_concurrently_failure_leaves_nothing_behind(
     )
     assert ok.count() > 0
     assert spark.streams.active == []
+
+
+def test_run_streams_concurrently_release_failure_drops_sinks(
+    spark, fact_dir, monkeypatch
+):
+    """The release phase runs INSIDE the cleanup contract: if
+    materializing one finished sink fails, the remaining sink tables
+    must still be dropped before the error propagates."""
+    from cassandra_slow_queries_spark.streaming import pipeline as sp
+
+    real_release = sp.release_stream_sink
+    calls = {"n": 0}
+
+    def flaky_release(session, name):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("planted release failure")
+        return real_release(session, name)
+
+    monkeypatch.setattr(sp, "release_stream_sink", flaky_release)
+    before_views = {
+        t.name for t in spark.catalog.listTables() if "stream_result" in t.name
+    }
+    good = [
+        (volume_stream(read_fact_stream(spark, fact_dir)), "complete"),
+        (volume_stream(read_fact_stream(spark, fact_dir)), "complete"),
+    ]
+    with pytest.raises(RuntimeError, match="planted release failure"):
+        sp.run_streams_concurrently(spark, good)
+    assert spark.streams.active == []
+    after_views = {
+        t.name for t in spark.catalog.listTables() if "stream_result" in t.name
+    }
+    assert after_views == before_views  # both sinks dropped, incl. the
+    # one whose release never ran
