@@ -223,3 +223,54 @@ def test_equi_depth_assignment_is_fold_not_join(spark):
         assert node not in plan, f"{node} leaked into the plan:\n{plan}"
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan \
         or "Broadcast" in plan  # the 1-row bounds crossJoin broadcasts
+
+
+def test_qdigest_build_shape_and_query_broadcasts(spark):
+    """The q-digest build must be: Python ONLY at the two documented
+    Arrow seams (per-partition fold, single-group final compress) with
+    ONE hash aggregation merging partials between them — no windows, no
+    joins, nothing proportional to the stream. The rank-probe side must
+    broadcast the O(k) digest (BroadcastNestedLoopJoin is correct here:
+    the crossJoin against a bounded frame), never shuffle it."""
+    from cassandra_slow_queries_spark.operators.sketches import (
+        qd_build,
+        qd_rank_bounds,
+    )
+
+    df = spark.range(0, 4000).select((F.col("id") * 37 % 1024).alias("v"))
+    digest = qd_build(df, "v", k=32, level_bits=10)
+    plan = _plan(digest)
+    assert plan.count("HashAggregate") >= 1
+    # exactly the two sanctioned Python seams, not one per gate
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+    probes = spark.createDataFrame([(10,), (500,)], "probe long")
+    q = qd_rank_bounds(digest, probes, 10)
+    qplan = _plan(q)
+    assert "BroadcastNestedLoopJoin" in qplan or "BroadcastHashJoin" in qplan
+    assert "CartesianProduct" not in qplan
+
+
+def test_bootstrap_ci_is_one_aggregation_no_python(spark):
+    """All B resamples must ride ONE hash aggregation of fixed-width sum
+    columns — md5/CDF-ladder weights are codegen expressions, so the
+    plan must contain no Python seam, no window, no join, and no more
+    aggregations than the single group-by (partial + final pair)."""
+    from cassandra_slow_queries_spark.operators.analytics import (
+        poisson_bootstrap_ci,
+    )
+
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5).cast("string").alias("g"),
+        (F.col("id") % 97).alias("v"),
+    )
+    out = poisson_bootstrap_ci(df, "v", "event_id", ["g"], replicates=16)
+    plan = _plan(out)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "Window", "Join"):
+        assert node not in plan, f"{node} leaked into the plan:\n{plan}"
+    # one logical aggregation = at most a partial/final HashAggregate
+    # pair (plus AQE wrappers), never a per-replicate aggregation chain
+    assert 1 <= plan.count("HashAggregate") <= 2
