@@ -38,5 +38,13 @@ def md5_long_sql(expr: str) -> str:
 
 
 def md5_uniform_sql(expr: str) -> str:
-    """The DuckDB replay of :func:`md5_uniform`."""
-    return f"(({md5_long_sql(expr)}) + 0.5) / {U_SPACE!r}"
+    """The DuckDB replay of :func:`md5_uniform` — BITWISE equal, which
+    takes care: the draw has up to 60 significant bits, so the float
+    path matters. Spark promotes the long to double FIRST (rounding h
+    to 53 bits; the +0.5 is then absorbed below the ulp), while
+    DuckDB's ``BIGINT + 0.5`` runs through extended precision and can
+    land one ulp away. The explicit ``CAST(... AS DOUBLE)`` pins DuckDB
+    to Spark's evaluation order (verified value-for-value by
+    tests/test_draws.py; downstream consumers additionally quantize, so
+    even the unpinned form never produced a visible divergence)."""
+    return f"((CAST({md5_long_sql(expr)} AS DOUBLE)) + 0.5) / {U_SPACE!r}"

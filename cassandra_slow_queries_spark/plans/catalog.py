@@ -9580,6 +9580,9 @@ def q_x_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bootstrap_ci_sql() -> str:
+    from cassandra_slow_queries_spark.functions.draws import (
+        md5_uniform_sql,
+    )
     from cassandra_slow_queries_spark.operators.analytics import (
         POISSON1_CDF,
     )
@@ -9587,7 +9590,7 @@ def _bootstrap_ci_sql() -> str:
     ladder = " ".join(
         f"WHEN u < {c!r} THEN {i}" for i, c in enumerate(POISSON1_CDF)
     )
-    u_space = float(1 << 60)
+    u_expr = md5_uniform_sql("f.rid || ':' || CAST(b.b AS VARCHAR) || ':bs'")
     return f"""
 WITH f AS (
     SELECT CAST(event_id AS VARCHAR) AS rid,
@@ -9596,10 +9599,7 @@ WITH f AS (
     FROM events
     WHERE event_id IS NOT NULL AND value IS NOT NULL
 ), reps AS (
-    SELECT f.query, b.b, f.dur,
-           (CAST('0x' || substr(md5(f.rid || ':' || CAST(b.b AS VARCHAR)
-                                     || ':bs'), 1, 15) AS BIGINT)
-            + 0.5) / {u_space!r} AS u
+    SELECT f.query, b.b, f.dur, {u_expr} AS u
     FROM f CROSS JOIN (SELECT UNNEST(range(64)) AS b) b
 ), wtd AS (
     SELECT query, b, dur, CASE {ladder} ELSE 9 END AS w FROM reps
