@@ -358,13 +358,23 @@ from cassandra_slow_queries_spark.functions.draws import md5_uniform
 
 
 def _poisson1_weight(u: Column) -> Column:
-    """Inverse-CDF Poisson(1) draw from a uniform: the CASE ladder over
-    :data:`POISSON1_CDF` (clamped to 9 above F(8), ~1.1e-6 of the
-    mass — the same clamp in both engines, so parity is unaffected)."""
-    w: Column = F.lit(len(POISSON1_CDF))
-    for i in range(len(POISSON1_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(POISSON1_CDF[i]), F.lit(i)).otherwise(w)
-    return w
+    """Inverse-CDF Poisson(1) draw from a uniform: the number of CDF
+    thresholds at or below ``u`` — ``Σ_i (u >= F(i))`` over
+    :data:`POISSON1_CDF`, which equals the CASE-ladder formulation
+    (first i with ``u < F(i)``, clamped to 9 above F(8), ~1.1e-6 of
+    the mass; the oracle interpolates the same literals, so parity is
+    unaffected). Emitted as ONE higher-order fold over the 9-element
+    literal array instead of 10 chained WHENs: with B=64 replicates the
+    ladder form generated ~640 branches of aggregate code and janino
+    compile time dominated small-SF runs; the fold compiles to a tiny
+    loop. Pass ``u`` as a plain column reference (not an inline md5
+    expression) — a lambda body re-evaluates its closed-over
+    expressions per array element."""
+    return F.aggregate(
+        F.lit(POISSON1_CDF),
+        F.lit(0),
+        lambda acc, c: acc + (u >= c).cast("int"),
+    )
 
 
 def poisson_bootstrap_ci(
@@ -401,6 +411,11 @@ def poisson_bootstrap_ci(
     e^{-n} per replicate — vanishing for any real group); NULLs sort
     last and would show up as a NULL ci_hi, not a silent skew.
 
+    ``id_col`` must be NON-NULL for engine parity: a NULL id draws a
+    NULL uniform, which the fold here excludes from every replicate
+    while a SQL CASE ladder would fall through to weight 9 — filter
+    null ids upstream (the catalog entry does).
+
     Output: group cols + ``n_items``, ``mean``, ``ci_lo``, ``ci_hi``.
     """
     if replicates < 4:
@@ -409,25 +424,44 @@ def poisson_bootstrap_ci(
         raise ValueError("alpha must be in (0, 1)")
     group_cols = group_cols or []
     x = F.col(value_col)
-    rid = F.col(id_col).cast("string")
 
+    # NULL values must not count in the replicate NUMERATOR or
+    # DENOMINATOR (an unmasked weight would bias every replicate mean
+    # low relative to the point mean). The masking is hoisted into ONE
+    # projection — `xz` (null→0) and a 0/1 indicator — so each of the
+    # 2·B aggregate expressions stays a plain ladder times a multiply.
+    # The first version wrapped each ladder in WHEN(x IS NOT NULL, ...)
+    # instead, which pushed the generated aggregate past the codegen
+    # cliff into interpreted evaluation: 4.8 s → >600 s at sf1 on the
+    # SAME data. Expression COUNT wasn't the problem; per-expression
+    # conditionals were.
+    rid = F.col(id_col).cast("string")
+    proj = df.select(
+        *group_cols,
+        x.alias("_x"),
+        F.coalesce(x, F.lit(0)).alias("_xz"),
+        x.isNotNull().cast("long").alias("_ind"),
+        # the 64 uniforms as straight-line projected columns: the md5s
+        # compute exactly once per (row, replicate), and the aggregate
+        # stage below stays small generated code (see _poisson1_weight)
+        *[
+            md5_uniform(F.concat(rid, F.lit(f":{b}:{salt}"))).alias(f"_u{b}")
+            for b in range(replicates)
+        ],
+    )
     aggs = [
-        F.count(x).alias("n_items"),
-        F.sum(x).alias("_sx"),
+        F.count("_x").alias("n_items"),
+        F.sum("_x").alias("_sx"),
     ]
     for b in range(replicates):
-        u = md5_uniform(F.concat(rid, F.lit(f":{b}:{salt}")))
-        # NULL values must not count in the replicate DENOMINATOR either
-        # (sum(w*x) already skips them): an unmasked weight would bias
-        # every replicate mean low relative to the point mean
-        w = F.when(x.isNotNull(), _poisson1_weight(u))
-        aggs.append(F.sum(w * x).alias(f"_s{b}"))
-        aggs.append(F.sum(w).alias(f"_c{b}"))
+        w = _poisson1_weight(F.col(f"_u{b}"))
+        aggs.append(F.sum(w * F.col("_xz")).alias(f"_s{b}"))
+        aggs.append(F.sum(w * F.col("_ind")).alias(f"_c{b}"))
 
     agged = (
-        df.groupBy(*group_cols).agg(*aggs)
+        proj.groupBy(*group_cols).agg(*aggs)
         if group_cols
-        else df.groupBy().agg(*aggs)
+        else proj.groupBy().agg(*aggs)
     )
     means = F.array_sort(
         F.array(

@@ -9565,7 +9565,13 @@ def q_x_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         poisson_bootstrap_ci,
     )
 
-    ev = (
+    from cassandra_slow_queries_spark.session import spread_input
+
+    # spread: the single-row-group landing file would serialize the
+    # 64-replicate expression pass onto 1-2 cores (measured at sf1:
+    # 120 s → the synthetic many-partition twin runs in 19 s) — the
+    # same under-split class the r9 sf1 smoke found on the trainers
+    ev = spread_input(
         load(spark, sf_dir, "events")
         .filter(F.col("event_id").isNotNull() & F.col("value").isNotNull())
         .select(
