@@ -78,12 +78,16 @@ def stratified_sample(
     dispatch operator) — no join, no shuffle, the filter sits directly
     above the scan and combines with predicate pushdown. Expected-size
     accounting is exact in distribution: buckets are uniform over the
-    id space, so a 0.37 rate keeps 37.00% ± binomial noise.
+    id space, so a 0.37 rate keeps 37.00% ± binomial noise — which
+    requires ``round``, not truncation: ``int(0.57 * 10000)`` is 5699
+    (the float product lands just below the integer), silently keeping
+    one bucket too few (assign_split rounds the same way).
     """
-    threshold = F.lit(int(default_rate * SAMPLE_BUCKETS))
+    threshold = F.lit(int(round(default_rate * SAMPLE_BUCKETS)))
     for stratum, rate in sorted(rates.items()):
         threshold = F.when(
-            F.col(strata_col) == stratum, F.lit(int(rate * SAMPLE_BUCKETS))
+            F.col(strata_col) == stratum,
+            F.lit(int(round(rate * SAMPLE_BUCKETS))),
         ).otherwise(threshold)
     return df.filter(sample_bucket(id_col) < threshold)
 
@@ -191,14 +195,25 @@ def group_percent_rank(
         cells.withColumn("_below", F.sum("_c").over(w) - F.col("_c"))
         .withColumn("_n", F.sum("_c").over(wg))
         .select(
-            group_col,
-            score_col,
+            F.col(group_col).alias("_pr_g"),
+            F.col(score_col).alias("_pr_s"),
             F.when(F.col("_n") > 1, F.col("_below") / (F.col("_n") - 1))
             .otherwise(F.lit(0.0))
             .alias(out_col),
         )
     )
-    return df.join(F.broadcast(cdf), [group_col, score_col], "left")
+    # null-safe back-join: the CDF frame HAS cells for NULL scores and
+    # NULL groups (groupBy keeps them, and the asc window ranks NULL
+    # scores first = rank 0.0, the SQL NULLS-FIRST peer group) — a
+    # plain equi-join would hand exactly those rows a NULL rank, and
+    # quantile_bins a NULL bin that falls out of every curriculum
+    # phase filter
+    return df.join(
+        F.broadcast(cdf),
+        F.col(group_col).eqNullSafe(F.col("_pr_g"))
+        & F.col(score_col).eqNullSafe(F.col("_pr_s")),
+        "left",
+    ).drop("_pr_g", "_pr_s")
 
 
 def scale_features(
@@ -367,9 +382,19 @@ def _distributed_prefix_sum(
 
     1. ``repartitionByRange`` on the order splits the corpus into
        ``num_ranges`` ordered, non-overlapping chunks;
-    2. each partition computes its LOCAL running sum with a window
-       partitioned by ``spark_partition_id()`` (local sort, no extra
-       shuffle — the range exchange already clustered the data);
+    2. each range computes its LOCAL running sum with a window
+       partitioned by the captured ``spark_partition_id()``. Honest
+       shuffle accounting: RangePartitioning does NOT satisfy the
+       window's ClusteredDistribution(_pid), so Catalyst inserts a
+       second hash exchange on ``_pid`` — two full shuffles total, not
+       one. That is still the scale-correct shape (parallelism stays
+       ``num_ranges``-bounded either way — size ``num_ranges`` to the
+       cluster, it is the parallelism knob of the whole primitive —
+       and no single-task sort ever appears, which is what the plan
+       pin guards); a JVM-only one-shuffle form does not exist without
+       per-partition imperative state, and pushing the whole corpus
+       through an Arrow seam to save the exchange costs more than the
+       exchange for wide rows;
     3. per-partition totals (``num_ranges`` rows) come to the driver
        once and go back as a broadcast literal offset map — the only
        driver round-trip, O(num_ranges) bytes.
@@ -403,14 +428,25 @@ def _distributed_prefix_sum(
     acc = 0
     for pid in sorted(totals):
         offsets[pid] = acc
-        acc += totals[pid]
+        # a range whose token values are ALL NULL sums to None — it
+        # contributes nothing to later offsets rather than crashing
+        acc += totals[pid] or 0
     offset_expr: Column = F.lit(0).cast("long")
     for pid, off in offsets.items():
         offset_expr = (
             F.when(F.col("_pid") == pid, F.lit(off).cast("long"))
             .otherwise(offset_expr)
         )
-    w = Window.partitionBy("_pid").orderBy(*order)
+    # ROWS frame, not the default RANGE frame: with a strict total
+    # order they are identical, but on order TIES the RANGE frame
+    # aggregates the whole peer group into every peer — assign_global_ids
+    # would mint DUPLICATE ids (order [5,5,7] → ids [2,2,3]) instead of
+    # the documented arbitrary-but-unique tiebreak
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     summed = ranged.withColumn(
         out_col, F.sum(F.col(token_col)).over(w) + offset_expr
     ).drop("_pid")
@@ -822,6 +858,11 @@ def assign_split(
     expr = (
         F.lit(last_label) if expr is None else expr.otherwise(last_label)
     )
+    # a NULL id must assign NULL, not the last label: every when-chain
+    # condition evaluates NULL for it, so the bare otherwise() branch
+    # would silently funnel all unidentifiable rows into the final
+    # (typically held-out test) split
+    expr = F.when(F.col(id_col).isNotNull(), expr)
     return df.withColumn(out_col, expr)
 
 
@@ -901,8 +942,20 @@ def mixture_sample(
         "_cut",
         F.floor(F.col("_rate") * F.lit(SAMPLE_BUCKETS)).cast("bigint"),
     )
-    keep_cols = [source_col, "_rate", "_cut"]
-    joined = df.join(F.broadcast(rates.select(*keep_cols)), source_col)
+    # null-safe join back: a NULL source is a real group under
+    # temperature smoothing (groupBy kept it and its share sits in the
+    # normalization denominator) — a plain equi-join would drop those
+    # rows AFTER they consumed mixture budget, silently shrinking the
+    # realized corpus. Weights mode is unaffected: NULL is never in the
+    # allowlist, so its rates row was already filtered and the inner
+    # join drops the rows either way.
+    rates_sel = rates.select(
+        F.col(source_col).alias("_mix_src"), "_rate", "_cut"
+    )
+    joined = df.join(
+        F.broadcast(rates_sel),
+        F.col(source_col).eqNullSafe(F.col("_mix_src")),
+    ).drop("_mix_src")
     kept = joined.filter(sample_bucket(id_col) < F.col("_cut"))
     if rate_col is None:
         return kept.drop("_rate", "_cut")

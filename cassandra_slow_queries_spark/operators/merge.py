@@ -193,11 +193,26 @@ def corpus_diff(
     Output: ``(id, status)``. The standard audit between intake runs —
     "what did yesterday's pipeline change?" — and the input to
     incremental downstream refresh (feed ``added``+``changed`` forward).
+
+    NULLs are canonicalized BEFORE hashing: ``xxhash64`` skips NULL
+    arguments entirely, so without the sentinel a value MOVING between
+    content columns (``('x', NULL)`` → ``(NULL, 'x')``) would hash
+    identically and a changed row would classify as ``unchanged`` —
+    and the incremental refresh would silently never reprocess it. The
+    string cast + ``\\x00``-sentinel keeps every column positionally
+    present in the hash input (a real ``"\\x00"`` string value could
+    still collide with an actual NULL — accepted and documented, the
+    standard sentinel tradeoff).
     """
     def hashed(df: DataFrame, tag: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias("id"),
-            F.xxhash64(*[F.col(c) for c in content_cols]).alias(f"_h_{tag}"),
+            F.xxhash64(
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in content_cols
+                ]
+            ).alias(f"_h_{tag}"),
         )
 
     o = hashed(old, "old")
@@ -248,6 +263,8 @@ def pit_join(
     keys: list[str],
     ts_col: str = "ts",
     from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
     value_cols: list[str] | None = None,
     prefix: str = "pit_",
 ) -> DataFrame:
@@ -269,6 +286,13 @@ def pit_join(
 
     Output: every fact column, plus ``<prefix><col>`` per value column
     and ``<prefix><ts_col>`` = the matched version's ``valid_from``.
+
+    If the history was built with RENAMED interval metadata
+    (``scd2_history(to_col=..., current_col=...)``), pass the same
+    names here: the default ``value_cols`` excludes them, and a
+    metadata column that slipped through would surface as a
+    ``pit_``-prefixed feature carrying the version's END time — the
+    future-information leak this join exists to prevent.
     """
     from cassandra_slow_queries_spark.operators.asof import as_of_join
 
@@ -277,7 +301,7 @@ def pit_join(
             c
             for c in history.columns
             if c not in set(keys)
-            and c not in (from_col, "valid_to", "is_current")
+            and c not in (from_col, to_col, current_col)
         ]
     versions = history.select(
         *keys, F.col(from_col).alias(ts_col), *value_cols

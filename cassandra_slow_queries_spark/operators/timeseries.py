@@ -122,6 +122,12 @@ def resample(
             f"fill must be 'ffill', 'interp' or 'none', got {fill!r}"
         )
     step = F.lit(step_seconds).cast("long")
+    # a row with a NULL value is NOT an observation: kept, it would win
+    # a bucket's latest-by-ts struct max and shadow an earlier real
+    # reading (turning an observed bucket into a gap), and a NULL
+    # boundary observation would void the "interpolated series is
+    # total" guarantee by propagating NULL through prev/next blending
+    df = df.filter(F.col(value_col).isNotNull())
     sec = (F.unix_micros(F.col(ts_col).cast("timestamp")) / 1_000_000).cast(
         "long"
     )
@@ -218,17 +224,34 @@ def mad_outliers(
     Output: input columns + ``(median, mad, z, is_outlier)``.
     """
     x = F.col(value_col).cast("double")
+
+    def _back_join(rows: DataFrame, stats: DataFrame) -> DataFrame:
+        # null-safe: groupBy computed a stats row for the NULL group,
+        # and a plain equi-join would silently drop exactly those input
+        # rows from the output (the scale_features eqNullSafe rule)
+        aliased = stats.select(
+            *[F.col(g).alias(f"_mo_{g}") for g in group_cols],
+            *[c for c in stats.columns if c not in group_cols],
+        )
+        cond = None
+        for g in group_cols:
+            piece = F.col(g).eqNullSafe(F.col(f"_mo_{g}"))
+            cond = piece if cond is None else cond & piece
+        return rows.join(F.broadcast(aliased), cond).drop(
+            *[f"_mo_{g}" for g in group_cols]
+        )
+
     med = df.groupBy(*group_cols).agg(
         F.expr(f"percentile({value_col}, 0.5)").alias("median")
     )
-    with_med = df.join(F.broadcast(med), group_cols)
+    with_med = _back_join(df, med)
     mad = (
         with_med.groupBy(*group_cols)
         .agg(
             F.expr(f"percentile(abs({value_col} - median), 0.5)").alias("mad")
         )
     )
-    scored = with_med.join(F.broadcast(mad), group_cols)
+    scored = _back_join(with_med, mad)
     z = F.when(
         F.col("mad") > 0, 0.6745 * (x - F.col("median")) / F.col("mad")
     )
@@ -242,7 +265,10 @@ def mad_outliers(
         "median",
         "mad",
         qdec(z).alias("z"),
-        F.when(F.col("mad") > 0, F.abs(z) > threshold)
+        # NULL value → false, not NULL: "is_outlier" is a verdict
+        # column; an unobserved value is not an outlier
+        F.when(x.isNull(), F.lit(False))
+        .when(F.col("mad") > 0, F.abs(z) > threshold)
         .otherwise(x != F.col("median"))
         .alias("is_outlier"),
     )

@@ -1351,7 +1351,10 @@ def q_cur_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RATE_CASE = " ".join(
-    f"WHEN '{s}' THEN {int(r * 10000)}" for s, r in sorted(CURATION_RATES.items())
+    # int(round(..)), matching stratified_sample's threshold exactly —
+    # plain int() truncates 0.57*10000 to 5699
+    f"WHEN '{s}' THEN {int(round(r * 10000))}"
+    for s, r in sorted(CURATION_RATES.items())
 )
 CUR_SAMPLE_SQL = f"""
 SELECT doc_id, lang, source, n_chars
@@ -6001,7 +6004,8 @@ def q_cur_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CUR_SPLIT_SQL = """
 SELECT doc_id,
-       CASE WHEN b < 8000 THEN 'train'
+       CASE WHEN doc_id IS NULL THEN NULL
+            WHEN b < 8000 THEN 'train'
             WHEN b < 9000 THEN 'val'
             ELSE 'test' END AS split
 FROM (

@@ -412,3 +412,82 @@ def test_assign_split_validates_fractions(spark):
     df = spark.range(3).withColumnRenamed("id", "doc_id")
     with _pytest.raises(ValueError):
         assign_split(df, "doc_id", {"train": 0.5, "test": 0.4})
+
+
+# ---------------------------------------------------------------------------
+# NULL-handling and rounding regressions (extension-session review)
+# ---------------------------------------------------------------------------
+
+
+def test_assign_split_null_id_is_null_not_last_label(spark):
+    from cassandra_slow_queries_spark.operators.curation import assign_split
+
+    df = spark.createDataFrame(
+        [(1,), (None,), (2,)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(
+            df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    # a NULL id must not silently land in the held-out test split
+    assert got[None] is None
+    assert got[1] in ("train", "val", "test")
+
+
+def test_mixture_temperature_keeps_null_source_group(spark):
+    from cassandra_slow_queries_spark.operators.curation import (
+        mixture_sample,
+    )
+
+    rows = [(i, "a") for i in range(50)] + [(i + 50, None) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    kept = mixture_sample(
+        df, "src", "doc_id", budget=100, temperature=1.0
+    )
+    by_src = {
+        r["src"]: r["cnt"]
+        for r in kept.groupBy("src").agg(F.count("*").alias("cnt")).collect()
+    }
+    # the NULL source consumed half the mixture share — it must also
+    # RECEIVE it, not vanish in the rates back-join
+    assert by_src.get("a", 0) == 50
+    assert by_src.get(None, 0) == 50
+
+
+def test_stratified_rate_threshold_rounds_not_truncates(spark):
+    import hashlib
+
+    from cassandra_slow_queries_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    # find an id whose portable bucket is exactly 5699: kept at rate
+    # 0.57 only if the threshold rounds to 5700 (int() truncated to
+    # 5699 and dropped it)
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 10000
+
+    edge_id = next(i for i in range(100_000) if bucket(i) == 5699)
+    df = spark.createDataFrame([(edge_id, "en")], "doc_id long, lang string")
+    kept = stratified_sample(df, "lang", {"en": 0.57}, "doc_id").count()
+    assert kept == 1
+
+
+def test_group_percent_rank_null_cells_get_ranks(spark):
+    from cassandra_slow_queries_spark.operators.curation import (
+        group_percent_rank,
+    )
+
+    rows = [("g", None), ("g", 1.0), ("g", 2.0), (None, 5.0)]
+    df = spark.createDataFrame(rows, "grp string, score double")
+    out = group_percent_rank(df, "score", "grp").collect()
+    assert len(out) == 4
+    by = {(r["grp"], r["score"]): r["pct_rank"] for r in out}
+    # NULL score ranks first (the SQL NULLS-FIRST peer group), and the
+    # NULL group ranks within itself — neither gets a NULL rank
+    assert by[("g", None)] == 0.0
+    assert by[("g", 1.0)] == 0.5
+    assert by[("g", 2.0)] == 1.0
+    assert by[(None, 5.0)] == 0.0

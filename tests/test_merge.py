@@ -279,3 +279,73 @@ def test_pit_join_picks_version_in_effect(spark):
     assert out[13] == ("gold", 300)
     assert out[14] == ("bronze", 150)
     assert out[15] == (None, None)
+
+
+def test_corpus_diff_null_swap_is_changed(spark):
+    # xxhash64 SKIPS null args: without per-column null sentinels,
+    # ('x', NULL) and (NULL, 'x') hash identically and a changed row
+    # silently classifies as unchanged
+    from cassandra_slow_queries_spark.operators.merge import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "x", None), (2, "a", "b")], "id long, t string, b string"
+    )
+    new = spark.createDataFrame(
+        [(1, None, "x"), (2, "a", "b")], "id long, t string, b string"
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in corpus_diff(old, new, "id", ["t", "b"]).collect()
+    }
+    assert got == {1: "changed", 2: "unchanged"}
+
+
+def test_assign_global_ids_ties_stay_unique(spark):
+    # the default RANGE window frame aggregates order-tie peers
+    # together: order [5,5,7] minted ids [2,2,3] — duplicates — before
+    # the ROWS-frame fix
+    from cassandra_slow_queries_spark.operators.merge import (
+        assign_global_ids,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([5, 5, 7, 5, 7, 1])],
+        "row long, v long",
+    )
+    out = assign_global_ids(df, [F.col("v")], num_ranges=3).collect()
+    ids = sorted(r["global_id"] for r in out)
+    assert ids == [1, 2, 3, 4, 5, 6]  # contiguous, no duplicates
+    by_v = {}
+    for r in out:
+        by_v.setdefault(r["v"], []).append(r["global_id"])
+    assert sorted(by_v[1]) == [1]
+    assert sorted(by_v[5]) == [2, 3, 4]  # ties: arbitrary but unique
+    assert sorted(by_v[7]) == [5, 6]
+
+
+def test_pit_join_excludes_renamed_interval_metadata(spark):
+    # scd2_history lets callers rename valid_to/is_current; pit_join
+    # must exclude THOSE names or the version's end time leaks as a
+    # pit_ feature — the exact future-leak the operator exists to stop
+    from cassandra_slow_queries_spark.operators.merge import (
+        pit_join,
+        scd2_history,
+    )
+
+    changes = spark.createDataFrame(
+        [(1, "2026-01-01 00:00:00", "basic"),
+         (1, "2026-06-01 00:00:00", "pro")],
+        "user long, ts string, plan string",
+    ).select("user", F.to_timestamp("ts").alias("ts"), "plan")
+    hist = scd2_history(
+        changes, ["user"], ["ts"], to_col="end_ts", current_col="current"
+    ).drop("ts")
+    facts = spark.createDataFrame(
+        [(1, "2026-03-01 00:00:00")], "user long, ts string"
+    ).select("user", F.to_timestamp("ts").alias("ts"))
+    out = pit_join(
+        facts, hist, ["user"], to_col="end_ts", current_col="current"
+    )
+    leaked = [c for c in out.columns if "end_ts" in c or "current" in c]
+    assert leaked == [], out.columns
+    assert out.collect()[0]["pit_plan"] == "basic"

@@ -97,3 +97,43 @@ def test_mad_outliers_flags_and_zero_mad_convention(spark):
     assert out[("b", 7.0)]["is_outlier"] is True
     assert out[("b", 5.0)]["is_outlier"] is False
     assert out[("b", 5.0)]["z"] is None
+
+
+def test_resample_null_valued_rows_are_not_observations(spark):
+    # a later-timestamp NULL value must not shadow an earlier real
+    # reading in the same bucket, and a NULL boundary row must not
+    # void the "interpolated series is total" guarantee
+    from cassandra_slow_queries_spark.operators.timeseries import resample
+
+    rows = [
+        ("k", "2026-01-01 00:00:00", 1.0),
+        ("k", "2026-01-01 00:00:10", 5.0),
+        ("k", "2026-01-01 00:00:20", None),  # same bucket, later ts
+        ("k", "2026-01-01 00:02:00", None),  # trailing non-observation
+        ("k", "2026-01-01 00:01:30", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts string, v double"
+    ).select("k", F.to_timestamp("ts").alias("ts"), "v")
+    out = resample(df, ["k"], "ts", "v", step_seconds=60, fill="interp")
+    got = {r["bucket_ts"].strftime("%H:%M"): r["value"] for r in out.collect()}
+    assert got == {"00:00": 5.0, "00:01": 7.0}  # total, no NULLs
+    assert all(v is not None for v in got.values())
+
+
+def test_mad_outliers_keeps_null_groups_and_flags_null_values_false(spark):
+    from cassandra_slow_queries_spark.operators.timeseries import (
+        mad_outliers,
+    )
+
+    rows = [
+        ("g", 1.0), ("g", 2.0), ("g", 100.0),
+        (None, 10.0), (None, 11.0), (None, None),
+    ]
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = mad_outliers(df, ["grp"], "v", threshold=3.5).collect()
+    assert len(out) == 6  # NULL-group rows survive the stats back-join
+    null_group = [r for r in out if r["grp"] is None]
+    assert len(null_group) == 3
+    nv = [r for r in null_group if r["v"] is None]
+    assert nv[0]["is_outlier"] is False  # verdict column, never NULL
