@@ -64,6 +64,11 @@ def funnel_steps(
     # would otherwise reject unix_micros in the lag computation. Both
     # step times get the same cast, so the lag difference is unaffected.
     u, t = F.col(user_col), F.col(ts_col).cast("timestamp")
+    # NULL users can never convert: the step-2+ equi-join on _u is not
+    # null-safe, so an anonymous event would count in step 1's
+    # denominator and systematically understate every conversion rate
+    # (SQL's COUNT(DISTINCT user) convention excludes NULLs too)
+    events = events.filter(u.isNotNull())
     summaries: list[DataFrame] = []
     prev: DataFrame | None = None
     for i, (label, pred) in enumerate(steps):

@@ -59,6 +59,12 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
+    # an edge with a NULL endpoint is not an edge: kept, its
+    # contributions would aggregate into a node=NULL group the
+    # (non-null-safe) rank back-join can never match, silently leaking
+    # d/outdeg of rank mass per iteration — the Σrank=1 invariant the
+    # gates pin would decay
+    e = e.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -147,6 +153,10 @@ def bfs_distances(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
+    # NULL endpoints: the visited anti-join is not null-safe, so a NULL
+    # dst would count as "unvisited" EVERY hop — duplicate (NULL, dist)
+    # rows and a frontier that never empties (no early exit)
+    e = e.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     if not directed:
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -154,6 +164,7 @@ def bfs_distances(
     e = e.distinct()
     frontier = (
         sources.select(F.col(sources.columns[0]).alias("node"))
+        .filter(F.col(sources.columns[0]).isNotNull())
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -216,10 +227,14 @@ def triangle_counts(
     signal worth their quadratic cost, and the cap bounds per-key
     fan-out the same way every blocked operator in this repo does.
     Capped nodes still appear in the output with the triangles they
-    form in the capped graph (possibly 0), so the result schema is
-    stable under the cap.
+    form in the capped graph (possibly 0), so the result NODE SET is
+    stable under the cap — the universe comes from the UNCAPPED
+    canonical edges, so a hub (or a node whose every neighbor was a
+    hub) reports 0 rather than vanishing, and capped vs uncapped runs
+    diff row-for-row.
     """
-    e = canonical_edges(edges, src_col, dst_col)
+    ec = canonical_edges(edges, src_col, dst_col)
+    e = ec
     if max_degree is not None:
         deg = (
             e.select(F.col("a").alias("node"))
@@ -231,7 +246,11 @@ def triangle_counts(
         e = e.join(
             hot, e["a"] == hot["node"], "left_anti"
         ).join(hot, e["b"] == hot["node"], "left_anti")
-    e = e.persist()
+    # localCheckpoint, not persist: the blocks release when the caller's
+    # result frame is garbage-collected (block lifetime = caller's
+    # frame, the assign_global_ids rule) instead of pinning a cached
+    # edge list in executor storage for the session per call
+    e = e.localCheckpoint(eager=True)
     # wedge (a<b<c): (a,b) and (b,c) share the middle vertex b
     e2 = e.select(F.col("a").alias("b2"), F.col("b").alias("c"))
     wedges = e.join(e2, e["b"] == e2["b2"]).select("a", "b", "c")
@@ -245,8 +264,8 @@ def triangle_counts(
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     nodes = (
-        e.select(F.col("a").alias("node"))
-        .unionAll(e.select(F.col("b").alias("node")))
+        ec.select(F.col("a").alias("node"))
+        .unionAll(ec.select(F.col("b").alias("node")))
         .distinct()
     )
     out = nodes.join(per_node, "node", "left").select(

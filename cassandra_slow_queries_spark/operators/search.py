@@ -18,9 +18,15 @@ from pyspark.sql import functions as F
 
 
 def tokenize(text_col):
-    """Whitespace tokenization, lowercased, empty tokens dropped — the
-    same split the corpus text stats use (functions/text.py), so index
-    terms and analysis terms agree."""
+    """Whitespace tokenization, lowercased, empty tokens dropped.
+
+    Deliberately NOT the split the corpus text stats use:
+    ``functions/text.py:tokens`` splits on a single literal space,
+    keeps empty tokens, and preserves case (reference-parity
+    semantics), while an index analyzer wants ``\\s+``, lowercase, and
+    no empties. On text with tabs, newlines, or doubled spaces the two
+    disagree by design — don't cross-check ``token_count`` against
+    index ``doc_len``."""
     return F.filter(
         F.split(F.lower(text_col), r"\s+"), lambda t: t != F.lit("")
     )
@@ -297,10 +303,11 @@ def mmr_rerank(
     selection time (rounded to 6; the first pick's score is
     ``lambda·relevance`` — no diversity term exists yet). Selection
     ties break on the smaller id. Zero or NULL vectors contribute
-    similarity 0; candidates with a NULL relevance score OR a NULL id
-    are dropped (an unscored row has no place in a relevance re-rank,
-    and an id-less pick is unreturnable — and None is unorderable in
-    the id tie-break). Mixed
+    similarity 0; candidates with a NULL or NaN relevance score OR a
+    NULL id are dropped (an unscored row has no place in a relevance
+    re-rank; a NaN score poisons every greedy comparison and would
+    stick as "best" forever; an id-less pick is unreturnable — and
+    None is unorderable in the id tie-break). Mixed
     vector dimensions raise rather than silently truncating the dot
     product (the silent-dim-mismatch bug class the LSH bucketizer
     once hit).
@@ -313,7 +320,11 @@ def mmr_rerank(
             F.col(score_col).cast("double").alias("_rel"),
             F.col(vec_col).alias("_v"),
         )
-        .filter(F.col("_rel").isNotNull() & F.col("_id").isNotNull())
+        .filter(
+            F.col("_rel").isNotNull()
+            & ~F.isnan(F.col("_rel"))
+            & F.col("_id").isNotNull()
+        )
         .limit(max_candidates + 1)
         .collect()
     )
@@ -326,7 +337,15 @@ def mmr_rerank(
 
     ids = [r["_id"] for r in rows]
     rel = [r["_rel"] for r in rows]
-    vecs = [[float(x) for x in (r["_v"] or [])] for r in rows]
+    # a vector with a NULL ELEMENT (failed feature join) is as unusable
+    # as a NULL vector: treat it as missing (cosine 0) rather than
+    # crashing on float(None)
+    vecs = [
+        []
+        if r["_v"] is None or any(x is None for x in r["_v"])
+        else [float(x) for x in r["_v"]]
+        for r in rows
+    ]
     dims = {len(v) for v in vecs if v}
     if len(dims) > 1:
         raise ValueError(

@@ -34,11 +34,17 @@ def transition_pairs(
     sequence, ordered by ``order_by`` (pass a strict total order — add a
     unique tiebreak column — or pair formation is nondeterministic).
     The first event of each sequence has no predecessor and emits no
-    pair."""
+    pair.
+
+    NULL states break the chain SYMMETRICALLY: lag() cannot distinguish
+    "first event" from "previous state was NULL", so a one-sided filter
+    would drop (NULL→x) pairs while emitting (x→NULL) — deflating
+    p(x→real states) in the matrix normalization. Neither direction of
+    a NULL-state event forms a pair."""
     w = Window.partitionBy(key_col).orderBy(*order_by)
     return (
         df.withColumn("_prev", F.lag(F.col(state_col)).over(w))
-        .filter(F.col("_prev").isNotNull())
+        .filter(F.col("_prev").isNotNull() & F.col(state_col).isNotNull())
         .select(
             F.col("_prev").alias("prev_state"),
             F.col(state_col).alias("next_state"),

@@ -5649,8 +5649,9 @@ WITH pairs AS (
            event_type AS next_state
     FROM events
 ), counts AS (
+    -- symmetric NULL-state break, mirroring transition_pairs
     SELECT prev_state, next_state, COUNT(*) AS n
-    FROM pairs WHERE prev_state IS NOT NULL
+    FROM pairs WHERE prev_state IS NOT NULL AND next_state IS NOT NULL
     GROUP BY prev_state, next_state
 )
 SELECT prev_state, next_state, CAST(n AS BIGINT) AS n,
@@ -5774,7 +5775,9 @@ WITH e0 AS (
         UNION ALL SELECT c FROM tri
     ) GROUP BY node
 ), nodes AS (
-    SELECT a AS node FROM e UNION SELECT b FROM e
+    -- UNCAPPED universe (ec, not e): capped hubs report 0 triangles
+    -- instead of vanishing — the stable-node-set contract
+    SELECT a AS node FROM ec UNION SELECT b FROM ec
 )
 SELECT node, COALESCE(n_triangles, CAST(0 AS BIGINT)) AS n_triangles
 FROM nodes LEFT JOIN per USING (node)

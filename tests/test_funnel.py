@@ -109,3 +109,23 @@ def test_funnel_earliest_qualifying_event_wins(spark):
     out = {r["step"]: r.asDict() for r in funnel_steps(ev, _steps()).collect()}
     # purchase lag measured from the FIRST qualifying click (01:00)
     assert out["purchase"]["sum_lag_us"] == 5 * 3600 * 1_000_000
+
+
+def test_funnel_null_users_excluded_from_denominator(spark):
+    from cassandra_slow_queries_spark.operators.funnel import funnel_steps
+
+    rows = [
+        (1, "2026-01-01 00:00:00", "view"),
+        (1, "2026-01-01 00:01:00", "buy"),
+        (None, "2026-01-01 00:00:30", "view"),  # anonymous: can't convert
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts string, et string"
+    ).select("user_id", F.to_timestamp("ts").alias("ts"), "et")
+    out = funnel_steps(
+        events,
+        [("view", F.col("et") == "view"), ("buy", F.col("et") == "buy")],
+    ).collect()
+    by = {r["step"]: r for r in out}
+    assert by["view"]["n_users"] == 1  # NULL user not in the denominator
+    assert by["buy"]["n_users"] == 1

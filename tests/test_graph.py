@@ -102,3 +102,40 @@ def test_bfs_max_hops_and_undirected(spark):
     assert got == {3: 0, 2: 1, 1: 2, 0: 3}
     with pytest.raises(ValueError):
         _bfs(spark, edges, [0], max_hops=-1)
+
+
+def test_pagerank_null_edges_do_not_leak_mass(spark):
+    from cassandra_slow_queries_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, None), (1, 2), (2, 1), (None, 2)], "src long, dst long"
+    )
+    out = pagerank(edges, iters=5).collect()
+    assert sorted(r["node"] for r in out) == [1, 2]
+    total = sum(r["rank"] for r in out)
+    assert abs(total - 1.0) < 1e-9  # the invariant NULL edges broke
+
+
+def test_bfs_null_edges_no_duplicate_rows_and_early_exit(spark):
+    from cassandra_slow_queries_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(0, None), (0, 1), (1, None)], "src long, dst long"
+    )
+    srcs = spark.createDataFrame([(0,), (None,)], "node long")
+    out = bfs_distances(edges, srcs, max_hops=10).collect()
+    # one row per reachable real node, minimum distance, no NULL rows
+    got = {r["node"]: r["dist"] for r in out}
+    assert got == {0: 0, 1: 1}
+    assert len(out) == 2
+
+
+def test_triangle_cap_keeps_stable_node_universe(spark):
+    from cassandra_slow_queries_spark.operators.graph import triangle_counts
+
+    # star 1-2, 1-3: with max_degree=1 node 1 is hot and both edges go,
+    # but all three nodes must still appear with 0 triangles
+    edges = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
+    out = {r["node"]: r["n_triangles"]
+           for r in triangle_counts(edges, max_degree=1).collect()}
+    assert out == {1: 0, 2: 0, 3: 0}

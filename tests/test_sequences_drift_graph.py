@@ -167,11 +167,15 @@ def test_triangles_zero_rows_for_triangle_free_nodes(spark):
 
 
 def test_triangles_degree_cap_removes_hub(spark):
-    # hub 0 touches everyone; capped out, only the 1-2-3 triangle stays
+    # hub 0 touches everyone; capped out of the GRAPH, only the 1-2-3
+    # triangle survives — but the hub still appears in the OUTPUT with
+    # 0 triangles (stable node universe: capped vs uncapped runs diff
+    # row-for-row instead of silently losing rows)
     edges = [(0, v) for v in range(1, 6)] + [(1, 2), (2, 3), (1, 3)]
     capped = _run_triangles(spark, edges, max_degree=4)
     assert capped[1] == 1 and capped[2] == 1 and capped[3] == 1
-    assert 0 not in capped  # hub removed from the capped graph entirely
+    assert capped[0] == 0  # hub: edges removed, node reported
+    assert capped[4] == 0 and capped[5] == 0  # hub-only neighbors too
     uncapped = _run_triangles(spark, edges)
     assert uncapped == _brute_triangles(edges)
 
@@ -264,3 +268,18 @@ def test_equi_depth_histogram_invariants(spark):
 
     with _pytest.raises(ValueError):
         equi_depth_histogram(df, "v", buckets=0)
+
+
+def test_transition_pairs_null_state_breaks_chain_symmetrically(spark):
+    from cassandra_slow_queries_spark.operators.sequences import (
+        transition_pairs,
+    )
+
+    rows = [("u", 1, "a"), ("u", 2, None), ("u", 3, "b"), ("u", 4, "c")]
+    df = spark.createDataFrame(rows, "k string, t long, s string")
+    pairs = sorted(
+        (r["prev_state"], r["next_state"])
+        for r in transition_pairs(df, "k", "s", ["t"]).collect()
+    )
+    # neither (a -> NULL) nor (NULL -> b) exists; only the real pair
+    assert pairs == [("b", "c")]
