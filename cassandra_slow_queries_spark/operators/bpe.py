@@ -189,6 +189,13 @@ def encode(
         engine = "arrow" if len(merges) >= 32 and _pd is not None else "expr"
     words = df.withColumn("_words", tokenize(F.col(text_col)))
     if engine == "arrow":
+        if _pd is None:
+            # the explicit-arrow path would otherwise hit an unbound
+            # _pandas_udf NameError instead of an actionable gate error
+            raise ValueError(
+                "engine='arrow' requires pandas (not importable here) — "
+                "use engine='expr' or 'auto'"
+            )
         return words.withColumn(
             out_col, _encode_words_udf(merges)(F.col("_words"))
         ).drop("_words")

@@ -147,7 +147,18 @@ class ExpectationSuite:
             raise ValueError("empty expectation suite")
         aggs = [F.count(F.lit(1)).alias("_n")]
         for i, r in enumerate(self._ratios):
-            aggs.append(F.sum(r.predicate.cast("long")).alias(f"_ok_{i}"))
+            # coalesce the PREDICATE, not just the final ratio: a check
+            # whose predicate is NULL on every row (expect_in_set over
+            # an all-NULL column, a NULL-valued expect_satisfies) would
+            # otherwise SUM to NULL, fall into the empty-table
+            # vacuous-1.0 branch, and silently PASS a 0%-conforming
+            # column — three-valued logic says NULL-is-not-in-set, so
+            # a NULL predicate row is a failing row
+            aggs.append(
+                F.sum(
+                    F.coalesce(r.predicate, F.lit(False)).cast("long")
+                ).alias(f"_ok_{i}")
+            )
         wide = df.agg(*aggs)
         if self._uniques:
             wide = wide.crossJoin(
@@ -161,15 +172,21 @@ class ExpectationSuite:
                 )
             )
 
+        from cassandra_slow_queries_spark.functions.quantize import qdec as _q
+
         n = F.col("_n")
         # guard n=0: ratio checks on an empty table are vacuously metric 1.0
         safe_n = F.when(n > 0, n.cast("double"))
         rows = []
         for i, r in enumerate(self._ratios):
-            metric = F.coalesce(F.col(f"_ok_{i}") / safe_n, F.lit(1.0))
+            # passed is derived from the SAME quantized metric the row
+            # reports — a raw-double comparison could disagree with the
+            # displayed (metric, threshold) pair at the quantization
+            # boundary, breaking consumers that re-derive passed
+            metric = _q(F.coalesce(F.col(f"_ok_{i}") / safe_n, F.lit(1.0)))
             rows.append((r.name, metric, F.lit(float(r.min_ratio)), metric >= r.min_ratio))
         for i, u in enumerate(self._uniques):
-            metric = F.coalesce(F.col(f"_uniq_{i}") / safe_n, F.lit(1.0))
+            metric = _q(F.coalesce(F.col(f"_uniq_{i}") / safe_n, F.lit(1.0)))
             rows.append((u.name, metric, F.lit(float(u.min_ratio)), metric >= u.min_ratio))
         for rc in self._row_counts:
             ok = n >= rc.min_rows

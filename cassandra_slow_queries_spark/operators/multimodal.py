@@ -146,11 +146,17 @@ def extract_features(
 
         for pdf in batches:
             payloads = pdf[content_col]
+            # NULL payloads: NULL metrics, never TypeError inside the
+            # executor (len(None)/subscript) — the resize_media contract
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
-                    "n_bytes": payloads.map(len),
-                    "features": payloads.map(featurize),
+                    "n_bytes": payloads.map(
+                        lambda p: len(p) if p is not None else None
+                    ),
+                    "features": payloads.map(
+                        lambda p: featurize(p) if p is not None else None
+                    ),
                 }
             )
 
@@ -165,6 +171,10 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     per (media, frame) via ``explode`` — see catalog ``mm_frame_sample``,
     which pairs each planned frame with a content-addressed digest of
     the payload window it covers."""
+    if every_n < 1:
+        # 0 would build a step-0 sequence that fails deep in the job;
+        # negatives would silently plan nonsense negative frame indices
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     return df.withColumn(
         "sample_frames",
         F.sequence(F.lit(0), F.lit(every_n * (FEATURE_DIM - 1)), F.lit(every_n)),

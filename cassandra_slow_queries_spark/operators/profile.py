@@ -123,8 +123,14 @@ def profile_embeddings(
         F.sum(v.isNull().cast("long")).alias("n_nulls"),
         F.min(dim).cast("long").alias("min_dim"),
         F.max(dim).cast("long").alias("max_dim"),
+        # outer coalesce-to-true: when expected_dim is None AND every
+        # embedding is NULL, _want itself is NULL and the comparison is
+        # NULL on every row — the sum would report NULL instead of
+        # flagging the whole batch as mismatched
         F.sum(
-            (F.coalesce(dim, F.lit(-1)) != F.col("_want")).cast("long")
+            F.coalesce(
+                F.coalesce(dim, F.lit(-1)) != F.col("_want"), F.lit(True)
+            ).cast("long")
         ).alias("n_dim_mismatch"),
         F.sum((F.abs(norm) < 1e-12).cast("long")).alias("n_zero_norm"),
         F.round(F.avg(norm), 4).alias("avg_norm"),
@@ -171,11 +177,7 @@ def histogram(
     counted = (
         src.filter(x.isNotNull())
         .groupBy(bin_id.alias("bin"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("_lo").alias("_lo"),
-            F.max("_hi").alias("_hi"),
-        )
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     # 1-row bounds frame again so empty bins carry correct edges even
     # when derived bounds were used
@@ -432,17 +434,15 @@ def bigram_pmi(
     the collapsed count frames. Totals ride along as broadcast 1-row
     frames. All shuffles are on post-aggregation vocabulary-sized data.
     """
+    # the SHARED guarded helper, not a local re-implementation: the
+    # lm.py version carries the greatest(size-1, 0) guard without which
+    # one empty/whitespace-only document (slice length -1) kills the
+    # whole job — the copy here had drifted exactly that guard away
+    from cassandra_slow_queries_spark.operators.lm import _adjacent_bigrams
     from cassandra_slow_queries_spark.operators.search import tokenize
 
     toked = df.select(tokenize(F.col(text_col)).alias("_toks"))
-    pairs = toked.select(
-        F.explode(
-            F.expr(
-                "transform(slice(_toks, 1, size(_toks)-1), "
-                "(t, i) -> struct(t AS x, _toks[i+1] AS y))"
-            )
-        ).alias("_p")
-    ).select("_p.x", "_p.y")
+    pairs = _adjacent_bigrams(df, text_col, [])
     bi = (
         pairs.groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("n_xy"))

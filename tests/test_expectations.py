@@ -104,3 +104,21 @@ def test_single_aggregation_plan_without_uniques(spark):
     )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in plan
+
+
+def test_all_null_predicate_column_fails_not_vacuous_pass(spark):
+    # SUM over an all-NULL predicate is NULL, which used to fall into
+    # the empty-table vacuous-1.0 branch: a 0%-in-set column PASSED
+    from cassandra_slow_queries_spark.operators.expectations import (
+        ExpectationSuite,
+    )
+
+    df = spark.createDataFrame([(None,), (None,)], "status string")
+    [r] = (
+        ExpectationSuite()
+        .expect_in_set("status", ["A", "B"])
+        .run(df)
+        .collect()
+    )
+    assert r["metric"] == 0.0
+    assert r["passed"] is False

@@ -179,3 +179,65 @@ def test_heavy_hitters_candidate_state_is_bounded(spark):
 
     with _pytest.raises(ValueError):
         heavy_hitters(df, "item", k=0)
+
+
+def test_bigram_pmi_survives_empty_documents(spark):
+    # the local bigram expression had drifted away lm.py's
+    # greatest(size-1, 0) guard: one blank row killed the whole job
+    from cassandra_slow_queries_spark.operators.profile import bigram_pmi
+
+    df = spark.createDataFrame(
+        [("a b a b",), ("",), ("   ",)], "text string"
+    )
+    rows = bigram_pmi(df, "text", min_count=1).collect()
+    assert {(r["x"], r["y"]) for r in rows} == {("a", "b"), ("b", "a")}
+
+
+def test_profile_embeddings_all_null_batch_flags_all_mismatched(spark):
+    from cassandra_slow_queries_spark.operators.profile import (
+        profile_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), (None,), (None,)], "embedding array<double>"
+    )
+    [r] = profile_embeddings(df, "embedding").collect()
+    assert r["n_rows"] == 3 and r["n_nulls"] == 3
+    assert r["n_dim_mismatch"] == 3  # was NULL: the poisoned batch passed
+
+
+def test_extract_features_null_payload_yields_null_metrics(spark):
+    from cassandra_slow_queries_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"xx")), (2, None)], "media_id long, content binary"
+    )
+    got = {r["media_id"]: r for r in extract_features(df).collect()}
+    assert got[1]["n_bytes"] == 2 and got[1]["features"] is not None
+    assert got[2]["n_bytes"] is None and got[2]["features"] is None
+
+
+def test_frame_sample_plan_validates_every_n(spark):
+    import pytest as _pt
+
+    from cassandra_slow_queries_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    df = spark.createDataFrame([(1,)], "media_id long")
+    for bad in (0, -5):
+        with _pt.raises(ValueError, match="every_n"):
+            frame_sample_plan(df, every_n=bad)
+
+
+def test_bpe_explicit_arrow_engine_gated_when_pandas_missing(spark, monkeypatch):
+    from cassandra_slow_queries_spark.operators import bpe as bpe_mod
+
+    monkeypatch.setattr(bpe_mod, "_pd", None)
+    df = spark.createDataFrame([("a b",)], "text string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="pandas"):
+        bpe_mod.encode(df, [("a", "b", 1)], engine="arrow")
