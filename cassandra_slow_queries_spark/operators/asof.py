@@ -189,34 +189,42 @@ def _banded_fill(
 
     banded = _assign_bands(u, ts_col, n_bands)
 
-    # Per-(key, band) summary: the latest quote's carried values — NULL
-    # for probe-only bands. max_by on (ts, _side) mirrors the unsalted
-    # tie order (at equal ts the quote row, _side=0, wins by being the
-    # only side aggregated). O(keys · bands) rows.
-    summary = (
-        banded.filter(F.col("_side") == 0)
-        .groupBy(*key_cols, "_band")
-        .agg(
+    # Per-(key, band) summary, PER COLUMN: the latest NON-NULL quote
+    # value of each carried column (conditional max_by — rows whose
+    # ordering expression is NULL, i.e. probe rows and quotes where
+    # THIS column is NULL, drop out). Per-column, not a latest-quote
+    # struct: the unsalted path's last(ignorenulls) looks THROUGH a
+    # newer quote whose column is NULL to an older non-null value, and
+    # a struct carry would mask exactly that (the row-identical
+    # contract would silently depend on the performance knob).
+    # Aggregating over ALL rows also folds the old probe-only-band
+    # universe+left-join into this one pass — such bands simply yield
+    # all-NULL summaries that the cross-band last(ignorenulls) skips.
+    # O(keys · bands) rows.
+    summary = banded.groupBy(*key_cols, "_band").agg(
+        *[
             F.max_by(
-                F.struct(*[F.col(c) for c in carried]), F.col(ts_col)
-            ).alias("_last_quote")
-        )
+                F.col(c),
+                F.when(
+                    (F.col("_side") == 0) & F.col(c).isNotNull(),
+                    F.col(ts_col),
+                ),
+            ).alias(f"_s_{c}")
+            for c in carried
+        ]
     )
-    # Probe-only bands still need a carry row; left-join the summary
-    # onto the distinct (key, band) universe before the running last.
-    universe = banded.select(*key_cols, "_band").distinct()
     wb = (
         Window.partitionBy(*key_cols)
         .orderBy(F.col("_band").asc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carry = (
-        universe.join(summary, [*key_cols, "_band"], "left")
-        .select(
-            *key_cols,
-            "_band",
-            F.last("_last_quote", ignorenulls=True).over(wb).alias("_carry"),
-        )
+    carry = summary.select(
+        *key_cols,
+        "_band",
+        *[
+            F.last(f"_s_{c}", ignorenulls=True).over(wb).alias(f"_cry_{c}")
+            for c in carried
+        ],
     )
 
     w = (
@@ -233,7 +241,7 @@ def _banded_fill(
             *[
                 F.coalesce(
                     F.last(c, ignorenulls=True).over(w),
-                    F.col("_carry").getField(c),
+                    F.col(f"_cry_{c}"),
                 ).alias(c)
                 for c in carried
             ],

@@ -98,6 +98,20 @@ def interval_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how {how!r}")
+    # INTEGRAL coordinates only: the bucket cover uses `hi - 1` (exact
+    # half-open arithmetic on integers). Doubles fail loudly at
+    # analysis, but DECIMAL coordinates would type-check and then
+    # silently DROP true matches — an interval [63.9, 64.5) covers
+    # bucket(63.5)..=0 while its point 64.2 sits in bucket 1 and the
+    # equi-join never pairs them. Fail eagerly instead.
+    integral = ("byte", "short", "int", "bigint", "long", "integer", "smallint", "tinyint")
+    for frame, col in ((points, point_col), (intervals, lo_col), (intervals, hi_col)):
+        t = frame.schema[col].dataType.simpleString()
+        if t not in integral:
+            raise ValueError(
+                f"interval_join needs integral coordinates; {col!r} is "
+                f"{t} — scale to integers (e.g. epoch micros) upstream"
+            )
     w = (
         int(bucket_width)
         if bucket_width is not None

@@ -60,8 +60,14 @@ def parse_cql_schema(schema_text: str) -> dict:
     for line in schema_text.splitlines():
         if "CREATE TABLE" in line:
             keyspace = _slice_between(line, "CREATE TABLE ", ".")
-            column_family = _slice_between(line, ".", " ")
-            if keyspace is not None:
+            # the table name ends at the first space OR opening paren:
+            # a compact `CREATE TABLE ks.cf(` has no space, and the
+            # old space-only slice registered a None table whose later
+            # PRIMARY KEY line then raised on perfectly valid DDL
+            # (third documented intent-over-bug divergence)
+            tail = line.split(".", 1)[1] if "." in line else ""
+            column_family = tail.split(" ")[0].split("(")[0].strip() or None
+            if keyspace is not None and column_family is not None:
                 ret.setdefault(keyspace, {}).setdefault(column_family, {})
         if "PRIMARY KEY (" in line:
             if not keyspace or not column_family:
@@ -88,10 +94,29 @@ def parse_cql_schema(schema_text: str) -> dict:
     return ret
 
 
+def _pk_clause(line: str) -> str:
+    """Truncate at the balanced close of the PRIMARY KEY parens: a
+    one-line ``... PRIMARY KEY (a, b)) WITH gc_grace_seconds = ...``
+    would otherwise leak the table options into the last clustering
+    key name (which then silently matches no real column downstream)."""
+    start = line.find("(")
+    if start < 0:
+        return line
+    depth = 0
+    for i in range(start, len(line)):
+        if line[i] == "(":
+            depth += 1
+        elif line[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return line[: i + 1]
+    return line
+
+
 def _parse_compound_keys(line: str) -> tuple[list[str], list[str]]:
     """``PRIMARY KEY ((a, b), c)`` → ([a, b], [c]);
     ``PRIMARY KEY (a, b, c)`` → ([a], [b, c])."""
-    body = line.replace("PRIMARY KEY ", "")
+    body = _pk_clause(line).replace("PRIMARY KEY ", "")
     if body.lstrip().startswith("(("):
         body = body.lstrip()
         close = body.find(")")

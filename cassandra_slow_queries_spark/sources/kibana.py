@@ -94,6 +94,23 @@ KIBANA_SCHEMA = StructType(
 )
 
 
+def _scan(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """The ONE Kibana scan contract (schema + PERMISSIVE + multiLine +
+    corrupt-record column) every reader in this module shares — the
+    hits path, the shard-failure report, and the corrupt-record
+    accounting must stay byte-for-byte the same scan, or the drop
+    metrics stop describing the frame they claim to mirror."""
+    if isinstance(paths, str):
+        paths = [paths]
+    return (
+        spark.read.schema(KIBANA_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("multiLine", "true")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(paths)
+    )
+
+
 def read_kibana_json(
     spark: SparkSession,
     paths: list[str] | str,
@@ -109,9 +126,7 @@ def read_kibana_json(
     """
     if isinstance(paths, str):
         paths = [paths]
-    raw = spark.read.schema(KIBANA_SCHEMA).option("mode", "PERMISSIVE").option(
-        "multiLine", "true"
-    ).option("columnNameOfCorruptRecord", "_corrupt_record").json(paths)
+    raw = _scan(spark, paths)
 
     hits = (
         raw.filter(F.col("_corrupt_record").isNull())
@@ -149,9 +164,7 @@ def shard_failure_report(spark: SparkSession, paths: list[str] | str) -> DataFra
     """
     if isinstance(paths, str):
         paths = [paths]
-    raw = spark.read.schema(KIBANA_SCHEMA).option("mode", "PERMISSIVE").option(
-        "multiLine", "true"
-    ).option("columnNameOfCorruptRecord", "_corrupt_record").json(paths)
+    raw = _scan(spark, paths)
     per_response = (
         raw.filter(F.col("_corrupt_record").isNull())
         .select(
@@ -186,9 +199,7 @@ def corrupt_record_count(spark: SparkSession, paths: list[str] | str) -> int:
     """Dead-letter observability: number of unparseable top-level records."""
     if isinstance(paths, str):
         paths = [paths]
-    raw = spark.read.schema(KIBANA_SCHEMA).option("mode", "PERMISSIVE").option(
-        "multiLine", "true"
-    ).option("columnNameOfCorruptRecord", "_corrupt_record").json(paths)
+    raw = _scan(spark, paths)
     # Spark disallows querying only the corrupt-record column from a raw
     # JSON scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN);
     # the documented workaround is to cache the parsed frame first.

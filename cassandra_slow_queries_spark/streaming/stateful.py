@@ -38,10 +38,21 @@ OUTPUT_SCHEMA = StructType(
         StructField("n_events", LongType()),
         StructField("ema_duration", DoubleType()),
         StructField("bursting", LongType()),  # 0/1 (bool as long for parity)
+        # per-key emission counter: the ONLY safe "which row is final"
+        # key for the update-mode sink. n_events is NOT: a timeout
+        # eviction re-emits the same n_events (nondeterministic tie on
+        # the bursting flag), and a key re-arriving after eviction
+        # restarts at a SMALLER n_events, so its true final row would
+        # lose a max-n_events pick to the stale pre-eviction row.
+        StructField("emit_seq", LongType()),
     ]
 )
 STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("ema", DoubleType())]
+    [
+        StructField("n", LongType()),
+        StructField("ema", DoubleType()),
+        StructField("seq", LongType()),
+    ]
 )
 
 
@@ -83,7 +94,7 @@ def _update(
     if state.hasTimedOut:
         # idle-key eviction (ProcessingTimeTimeout): emit the final state
         # tagged non-bursting and free the store slot
-        n, ema = state.get
+        n, ema, seq = state.get
         state.remove()
         yield pd.DataFrame(
             {
@@ -95,13 +106,14 @@ def _update(
                 # safely inside that for ms-scale durations
                 "ema_duration": [round(ema, 4)],
                 "bursting": [0],
+                "emit_seq": [seq + 1],
             }
         )
         return
     if state.exists:
-        n, ema = state.get
+        n, ema, seq = state.get
     else:
-        n, ema = 0, None
+        n, ema, seq = 0, None, 0
     for pdf in pdfs:
         # duration as a tie-break makes the fold deterministic when the
         # upstream feed is (ts, duration)-sorted: equal (ts, duration)
@@ -110,7 +122,8 @@ def _update(
         pdf = pdf.sort_values(["ts", "duration"])
         n += len(pdf)
         ema = _fold_ema(ema, pdf["duration"].to_numpy(), alpha)
-    state.update((n, float(ema if ema is not None else 0.0)))
+    seq += 1
+    state.update((n, float(ema if ema is not None else 0.0), seq))
     if timeout_ms is not None:
         state.setTimeoutDuration(timeout_ms)
     yield pd.DataFrame(
@@ -119,6 +132,7 @@ def _update(
             "n_events": [n],
             "ema_duration": [round(ema or 0.0, 4)],  # see timeout branch note
             "bursting": [1 if n >= burst_threshold else 0],
+            "emit_seq": [seq],
         }
     )
 
@@ -190,13 +204,15 @@ def run_burst_detection(
     )
 
     all_emissions = release_stream_sink(fact_stream.sparkSession, name)
-    # keep the last emission per key (final state)
+    # keep the LAST emission per key by the per-key emission counter —
+    # see the OUTPUT_SCHEMA note on why n_events cannot identify the
+    # final row once timeouts evict and keys re-arrive
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    w = Window.partitionBy("query").orderBy(F.col("n_events").desc())
+    w = Window.partitionBy("query").orderBy(F.col("emit_seq").desc())
     return (
         all_emissions.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "emit_seq")
     )

@@ -784,3 +784,47 @@ def test_poisson_ladder_matches_direct_cdf_pure_python(u):
             direct = i
             break
     assert expect == direct
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    quotes=st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.one_of(st.none(), st.integers(0, 9)),
+            st.one_of(st.none(), st.integers(0, 9)),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    probes=st.lists(st.integers(0, 40), min_size=1, max_size=10),
+)
+def test_banded_asof_null_columns_match_unsalted(spark, quotes, probes):
+    """The salted path must stay row-identical to the unsalted one even
+    when carried columns contain NULLs (last-ignorenulls looks THROUGH
+    a newer NULL to an older value — a struct carry would not)."""
+    from cassandra_slow_queries_spark.operators.asof import as_of_join
+
+    qdf = spark.createDataFrame(
+        [("k", t, a, b) for t, a, b in quotes],
+        "key string, ts long, a int, b int",
+    )
+    pdf = spark.createDataFrame(
+        [("k", t) for t in probes], "key string, ts long"
+    )
+    base = sorted(
+        map(tuple, as_of_join(
+            pdf, qdf, ["key"], ts_col="ts", value_cols=["a", "b"]
+        ).collect())
+    )
+    banded = sorted(
+        map(tuple, as_of_join(
+            pdf, qdf, ["key"], ts_col="ts", value_cols=["a", "b"],
+            salt_bands=4,
+        ).collect())
+    )
+    assert base == banded

@@ -108,3 +108,34 @@ def test_shard_failure_report(spark, tmp_path):
     assert sorted(r.reasons) == ["node n1 disconnected", "shard 4 timed out"]
     # the hits path is unaffected by the schema extension
     assert read_kibana_json(spark, paths).count() == 1
+
+
+def test_parse_cql_one_line_with_clause_does_not_leak_options():
+    from cassandra_slow_queries_spark.sources.cql_schema import (
+        parse_cql_schema,
+    )
+
+    s = parse_cql_schema(
+        "CREATE TABLE ks.t (a int, b int, PRIMARY KEY (a, b)) "
+        "WITH gc_grace_seconds = 864000;"
+    )
+    assert s["ks"]["t"] == {"primary_key": ["a"], "clustering_key": ["b"]}
+    comp = parse_cql_schema(
+        "CREATE TABLE ks.u (a int, b int, c int, PRIMARY KEY ((a, b), c)) "
+        "WITH comment = 'x';"
+    )
+    assert comp["ks"]["u"] == {
+        "primary_key": ["a", "b"],
+        "clustering_key": ["c"],
+    }
+
+
+def test_parse_cql_compact_table_name_no_space():
+    from cassandra_slow_queries_spark.sources.cql_schema import (
+        parse_cql_schema,
+    )
+
+    s = parse_cql_schema(
+        "CREATE TABLE ks.cf(id int, v text,\n    PRIMARY KEY (id)\n);"
+    )
+    assert s["ks"]["cf"]["primary_key"] == ["id"]

@@ -255,11 +255,12 @@ def test_stateful_timeout_eviction_branch():
 
     from cassandra_slow_queries_spark.streaming.stateful import _update
 
-    st = _StubState(value=(7, 123.5), timed_out=True)
+    st = _StubState(value=(7, 123.5, 3), timed_out=True)
     [out] = list(_update(("q0",), iter([]), st, 0.5, 5, 60_000))
     assert st.removed
     assert out.n_events.iloc[0] == 7 and out.bursting.iloc[0] == 0
     assert out.ema_duration.iloc[0] == 123.5
+    assert out.emit_seq.iloc[0] == 4  # the eviction row outranks update 3
 
     st2 = _StubState()
     batch = pd.DataFrame({"ts": [1, 2], "duration": [100, 200]})
@@ -268,6 +269,7 @@ def test_stateful_timeout_eviction_branch():
     assert out2.n_events.iloc[0] == 2 and out2.bursting.iloc[0] == 1
     # seed 100, then 0.5·200 + 0.5·100
     assert out2.ema_duration.iloc[0] == 150.0
+    assert out2.emit_seq.iloc[0] == 1
 
 
 def test_stateful_burst_with_processing_timeout_runs(spark, fact_dir):

@@ -241,3 +241,21 @@ def test_bpe_explicit_arrow_engine_gated_when_pandas_missing(spark, monkeypatch)
 
     with _pt.raises(ValueError, match="pandas"):
         bpe_mod.encode(df, [("a", "b", 1)], engine="arrow")
+
+
+def test_interval_join_rejects_decimal_coordinates(spark):
+    # decimal coordinates type-check but silently drop true matches in
+    # the integer bucket cover — the join must fail eagerly instead
+    import pytest as _pt
+
+    from cassandra_slow_queries_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    pts = spark.sql("SELECT CAST(64.2 AS DECIMAL(10,1)) AS v")
+    ivs = spark.sql(
+        "SELECT CAST(63.9 AS DECIMAL(10,1)) AS lo, "
+        "CAST(64.5 AS DECIMAL(10,1)) AS hi"
+    )
+    with _pt.raises(ValueError, match="integral"):
+        interval_join(pts, ivs, "v", bucket_width=64)
