@@ -26,8 +26,12 @@ def _col(c: Column | str) -> Column:
 
 
 def tokens(text: Column | str, sep: str = " ") -> Column:
-    """Split into tokens (keeps empty tokens — ``split`` limit -1)."""
-    return F.split(_col(text), sep, -1)
+    """Split into tokens on the LITERAL separator (keeps empty tokens —
+    ``split`` limit -1). ``F.split`` treats its pattern as a Java
+    regex, so the separator is ``\\Q…\\E``-quoted: a caller passing
+    ``'. '`` (sentence split) or ``'||'`` would otherwise get
+    any-character / between-every-character splits silently."""
+    return F.split(_col(text), "\\Q" + sep + "\\E", -1)
 
 
 def token_count(text: Column | str) -> Column:

@@ -346,7 +346,15 @@ def _cap_block_freq(
         return blocked.join(small, keys, "left_semi")
     hot = F.col("_bf") > max_block_freq
     tagged = blocked.join(freq, keys).observe(
-        observation,
+        observation, *_hot_block_metrics(hot)
+    )
+    return tagged.filter(~hot).drop("_bf").localCheckpoint(eager=True)
+
+
+def _hot_block_metrics(hot: Column) -> list[Column]:
+    """The ONE hot-block metric triple both capping paths report —
+    factored so the drop and sample branches cannot drift apart."""
+    return [
         F.sum(hot.cast("long")).alias("rows_in_hot_blocks"),
         # observe() forbids DISTINCT aggregates; a hot block contributes
         # exactly _bf rows, so Σ 1/_bf over hot rows == #distinct blocks
@@ -354,8 +362,7 @@ def _cap_block_freq(
             F.sum(F.when(hot, F.lit(1.0) / F.col("_bf")).otherwise(F.lit(0.0)))
         ).cast("long").alias("n_hot_blocks"),
         F.max("_bf").alias("max_block_freq_seen"),
-    )
-    return tagged.filter(~hot).drop("_bf").localCheckpoint(eager=True)
+    ]
 
 
 def _self_join_pairs(blocked: DataFrame, keys: list[str]) -> DataFrame:
@@ -422,14 +429,7 @@ def _block_candidate_pairs(
     hot = F.col("_bf") > max_block_freq
     tagged = blocked.join(freq, keys)
     if observation is not None:
-        tagged = tagged.observe(
-            observation,
-            F.sum(hot.cast("long")).alias("rows_in_hot_blocks"),
-            F.round(
-                F.sum(F.when(hot, F.lit(1.0) / F.col("_bf")).otherwise(F.lit(0.0)))
-            ).cast("long").alias("n_hot_blocks"),
-            F.max("_bf").alias("max_block_freq_seen"),
-        )
+        tagged = tagged.observe(observation, *_hot_block_metrics(hot))
     tagged = tagged.localCheckpoint(eager=True)
     cold_pairs = _self_join_pairs(tagged.filter(~hot).drop("_bf"), keys)
     hot_rows = tagged.filter(hot)
@@ -531,7 +531,13 @@ def minhash_lsh_pairs(
     ``pyspark.sql.Observation`` as ``observation`` to see how many
     blocking rows the cap dropped/sampled.
     """
-    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    if num_hashes % bands != 0:
+        # ValueError, not assert: python -O strips asserts, and a
+        # short slice past the signature end TRUNCATES silently — the
+        # silently-degraded-blocker class this module warns about
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, seed)
     sig = sig.persist()  # released below once the pairs are materialized
@@ -1116,13 +1122,24 @@ def split_spans(
 
     ``pos`` is the 0-based paragraph index, which makes re-assembly
     (:func:`strip_duplicate_spans`) order-exact. Empty documents yield a
-    single empty span, mirroring ``str.split`` semantics.
+    single empty span, mirroring ``str.split`` semantics — and NULL
+    documents are treated as empty for the same reason: ``split(NULL)``
+    is a NULL array whose posexplode emits ZERO rows, which would
+    silently drop the document from every downstream strip (violating
+    the no-silent-row-loss contract there).
     """
     return spread_input(df, by=id_col).select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(text_col, F.lit(sep), F.lit(-1))).alias(
-            "pos", "span"
-        ),
+        F.posexplode(
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")),
+                # literal separator: F.split's pattern is a Java regex,
+                # and a sep like '. ' or '||' would silently split on
+                # any character / between every character
+                F.lit("\\Q" + sep + "\\E"),
+                F.lit(-1),
+            )
+        ).alias("pos", "span"),
     )
 
 
@@ -1224,9 +1241,14 @@ def strip_corpus_duplicate_chunks(
     Output ``(id, n_spans, n_dup_spans, clean_text)``; see
     :func:`strip_duplicate_spans` for the re-assembly contract.
     """
-    spans = word_chunk_spans(df, text_col, id_col, chunk_words)
+    # persist: the chunk-explode subtree feeds BOTH the corpus-hot
+    # aggregate and the strip join — uncached it executes twice over
+    # the whole corpus, wasting exactly the pass the building blocks
+    # were designed to save; released via the module's standard
+    # materialize-then-unpersist contract
+    spans = word_chunk_spans(df, text_col, id_col, chunk_words).persist()
     hot = corpus_hot_spans(spans, min_dup_docs)
-    return strip_duplicate_spans(spans, hot)
+    return _materialize_release(strip_duplicate_spans(spans, hot), spans)
 
 
 # ---------------------------------------------------------------------------
@@ -1258,8 +1280,18 @@ def incremental_exact_dedup(
       so the next batch's anti-join is co-located too.
     """
     inc = incoming.withColumn("_h", content_hash(text_col))
-    keepers = inc.groupBy("_h").agg(F.min(id_col).alias(id_col))
-    batch_kept = inc.join(keepers, ["_h", id_col], "left_semi")
+    # the keeper semi-join keys on the ID alone (ids are unique rows,
+    # so the keeper set IS the kept set) — keying on ["_h", id] would
+    # never match the NULL-hash group (NULL-text rows) and silently
+    # drop every one of them, keeper included. NULL text follows the
+    # drop_exact_duplicates convention: one group, one keeper — and the
+    # anti-join below is null-safe by accident of semantics (a NULL _h
+    # never matches the index, so the keeper survives; it also never
+    # ENTERS the index, see the filter).
+    keepers = inc.groupBy("_h").agg(F.min(id_col).alias(id_col)).select(
+        id_col
+    )
+    batch_kept = inc.join(keepers, id_col, "left_semi")
     kept = batch_kept.join(
         history_index.select(F.col("h").alias("_h")), "_h", "left_anti"
     )
@@ -1269,9 +1301,14 @@ def incremental_exact_dedup(
     # re-runs the hash + groupBy + anti-join lineage per consumer
     # (measured 7 source scans for the catalog entry vs 4 after)
     kept = kept.localCheckpoint(eager=True)
+    # NO .distinct(): kept hashes are unique within the batch (one
+    # keeper per hash) and disjoint from history (the anti-join), so
+    # the union is duplicate-free by construction — a distinct here
+    # would re-shuffle the ENTIRE history-scale index every batch,
+    # exactly the rescan this function exists to avoid
     new_index = history_index.unionByName(
-        kept.select(F.col("_h").alias("h"))
-    ).distinct()
+        kept.filter(F.col("_h").isNotNull()).select(F.col("_h").alias("h"))
+    )
     return kept.drop("_h"), new_index
 
 
@@ -1314,7 +1351,13 @@ def incremental_minhash_dedup(
     threshold is ≈0.06, so set ``est_threshold`` with margin or keep
     history text reachable and verify the emitted matches exactly.
     """
-    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    if num_hashes % bands != 0:
+        # ValueError, not assert: python -O strips asserts, and a
+        # short slice past the signature end TRUNCATES silently — the
+        # silently-degraded-blocker class this module warns about
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
     rows_per_band = num_hashes // bands
     inc_sig = minhash_signatures(
         incoming, text_col, id_col, num_hashes, shingle_n, seed
@@ -1473,7 +1516,11 @@ def winnow_match_pairs(
     # recomputes under pressure, AND the CacheManager's plan matching
     # lets repeated invocations (bench passes, retried jobs) reuse the
     # materialized fingerprints — localCheckpoint re-materializes every
-    # call (measured 4-5 s/run vs 1.2-1.5 s warm).
+    # call (measured 4-5 s/run vs 1.2-1.5 s warm). CAVEAT of that
+    # trade, explicit: nothing here ever unpersists, so a long-lived
+    # session sweeping DIFFERENT inputs/parameters accumulates one
+    # corpus-scale cache entry per distinct plan until LRU eviction —
+    # such callers should spark.catalog.clearCache() between corpora.
     fps = winnow_fingerprints(
         df, text_col, id_col, k=k, window=window
     ).persist()
@@ -1533,7 +1580,7 @@ def containment_pairs(
         .agg(F.count("*").alias("n_common"))
     )
     ratio = F.col("n_common") / F.least(F.col("size_a"), F.col("size_b"))
-    return (
+    result = (
         inter.join(
             sizes.withColumnsRenamed({"id": "id_a", "n_shingles": "size_a"}),
             "id_a",
@@ -1552,3 +1599,6 @@ def containment_pairs(
             qdec(ratio).alias("containment"),
         )
     )
+    # same release contract as every sibling blocker: the corpus-scale
+    # shingle cache must not outlive the returned frame
+    return _materialize_release(result, sh)

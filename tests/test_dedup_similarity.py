@@ -1329,3 +1329,77 @@ def test_ann_paths_tolerate_null_embeddings(spark):
     assert nulls.select(
         bucket_ids_udf([[[1.0] * 8]])(F.col("embedding")).alias("b")
     ).collect()[0]["b"] is None
+
+
+# ---------------------------------------------------------------------------
+# NULL-text and literal-separator regressions (extension-session review)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_exact_dedup_null_text_keeps_one_keeper(spark):
+    from cassandra_slow_queries_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    incoming = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "b")], "doc_id long, text string"
+    )
+    history = spark.createDataFrame([("zz",)], "h string").filter("h != h")
+    kept, new_index = incremental_exact_dedup(
+        incoming, history, "text", "doc_id"
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # NULL text follows the drop_exact_duplicates convention: one
+    # group, one keeper (min id) — the old hash-keyed semi-join
+    # dropped EVERY null-text row, keeper included
+    assert ids == [1, 2, 4]
+    # and the NULL hash never pollutes the index
+    assert all(r["h"] is not None for r in new_index.collect())
+    assert new_index.count() == 2
+
+
+def test_strip_corpus_chunks_null_text_survives(spark):
+    from cassandra_slow_queries_spark.operators.dedup import (
+        strip_corpus_duplicate_chunks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x y x y"), (2, "x y z q"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in strip_corpus_duplicate_chunks(
+        df, "text", "doc_id", chunk_words=2, min_dup_docs=2
+    ).collect()}
+    assert set(out) == {1, 2, 3}  # the NULL doc is not silently lost
+    assert out[3]["clean_text"] == ""
+
+
+def test_split_spans_sep_is_literal_not_regex(spark):
+    from cassandra_slow_queries_spark.operators.dedup import split_spans
+
+    df = spark.createDataFrame([(1, "ab. cd. ef")], "doc_id long, t string")
+    spans = [r["span"] for r in split_spans(df, "t", "doc_id", sep=". ")
+             .orderBy("pos").collect()]
+    # a regex '.' would swallow the char before every space
+    assert spans == ["ab", "cd", "ef"]
+
+
+def test_tokens_sep_is_literal_not_regex(spark):
+    from cassandra_slow_queries_spark.functions.text import tokens
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a||b||c",)], "t string")
+    [r] = df.select(tokens("t", sep="||").alias("tk")).collect()
+    assert r["tk"] == ["a", "b", "c"]
+
+
+def test_lsh_bands_must_divide_num_hashes_raises(spark):
+    import pytest as _pt
+
+    from cassandra_slow_queries_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(df, "text", "doc_id", num_hashes=60, bands=16)
