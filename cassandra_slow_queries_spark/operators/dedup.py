@@ -41,6 +41,22 @@ def content_hash(text: Column | str) -> Column:
     return F.md5(c)
 
 
+# Reserved index key for NULL text. md5 hex is exactly 32 hex chars, so
+# an underscored token can never collide with a real content hash.
+NULL_TEXT_SENTINEL = "__null_text__"
+
+
+def index_content_hash(text: Column | str) -> Column:
+    """:func:`content_hash` with NULL text mapped to a reserved non-NULL
+    sentinel, for keys that must JOIN (equi-joins never match NULL=NULL).
+    Used by the incremental dedup index so the one-group-one-keeper
+    convention for NULL text holds ACROSS batches, not just within one —
+    build the persisted history index with this same function (r10
+    ADVICE: a NULL-keyed keeper could never enter the index, so every
+    batch re-kept a fresh NULL-text keeper)."""
+    return F.coalesce(content_hash(text), F.lit(NULL_TEXT_SENTINEL))
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct content with the
     keeper (minimum id — deterministic) and the duplicate count."""
@@ -1267,9 +1283,11 @@ def incremental_exact_dedup(
     per batch (what :func:`drop_exact_duplicates` over history ∪ batch
     would do) is a non-starter at 100 TB of history.
 
-    ``history_index`` is a one-column frame ``(h)`` of md5 content
-    hashes (16 bytes/doc — the only state the pipeline persists between
-    batches). Returns ``(kept, new_index)``:
+    ``history_index`` is a one-column frame ``(h)`` of
+    :func:`index_content_hash` keys — md5 hex per doc (16 bytes — the
+    only state the pipeline persists between batches), with NULL text
+    mapped to :data:`NULL_TEXT_SENTINEL` so NULL-text dedup also holds
+    across batches. Returns ``(kept, new_index)``:
 
     - ``kept`` — incoming rows that are neither within-batch duplicates
       (min-id keeper per hash) nor present in the index. One groupBy on
@@ -1279,15 +1297,19 @@ def incremental_exact_dedup(
       write it back (e.g. a bucketed table on ``h`` — plans/layout.py)
       so the next batch's anti-join is co-located too.
     """
-    inc = incoming.withColumn("_h", content_hash(text_col))
+    # index_content_hash, not content_hash: NULL text hashes to a
+    # reserved non-NULL sentinel so its keeper both (a) survives the
+    # keeper groupBy like any other group and (b) ENTERS the index,
+    # making the one-group-one-keeper convention hold across batches —
+    # with a raw NULL key, the sentinel group could never anti-join
+    # against history, so every batch re-kept a fresh NULL-text keeper
+    # (r10 ADVICE). The history side must be built with
+    # index_content_hash too (see the docstring).
+    inc = incoming.withColumn("_h", index_content_hash(text_col))
     # the keeper semi-join keys on the ID alone (ids are unique rows,
-    # so the keeper set IS the kept set) — keying on ["_h", id] would
-    # never match the NULL-hash group (NULL-text rows) and silently
-    # drop every one of them, keeper included. NULL text follows the
-    # drop_exact_duplicates convention: one group, one keeper — and the
-    # anti-join below is null-safe by accident of semantics (a NULL _h
-    # never matches the index, so the keeper survives; it also never
-    # ENTERS the index, see the filter).
+    # so the keeper set IS the kept set) — keying on ["_h", id] is
+    # equivalent now that _h is never NULL, but the id key is the
+    # narrower shuffle.
     keepers = inc.groupBy("_h").agg(F.min(id_col).alias(id_col)).select(
         id_col
     )
@@ -1307,7 +1329,7 @@ def incremental_exact_dedup(
     # would re-shuffle the ENTIRE history-scale index every batch,
     # exactly the rescan this function exists to avoid
     new_index = history_index.unionByName(
-        kept.filter(F.col("_h").isNotNull()).select(F.col("_h").alias("h"))
+        kept.select(F.col("_h").alias("h"))
     )
     return kept.drop("_h"), new_index
 

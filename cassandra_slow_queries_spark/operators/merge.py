@@ -263,6 +263,10 @@ def pit_join(
     keys: list[str],
     ts_col: str = "ts",
     from_col: str = "valid_from",
+    # keyword-only past here: to_col/current_col were INSERTED before
+    # value_cols (r10), so a pre-existing positional value_cols call
+    # would silently bind to to_col — fail loudly instead (r10 ADVICE)
+    *,
     to_col: str = "valid_to",
     current_col: str = "is_current",
     value_cols: list[str] | None = None,

@@ -793,14 +793,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the hash compare. No history re-scan — one groupBy + one
     anti-join, both keyed on the hash."""
     from cassandra_slow_queries_spark.operators.dedup import (
-        content_hash,
         incremental_exact_dedup,
+        index_content_hash,
     )
 
     docs = load(spark, sf_dir, "documents")
     history = docs.filter(F.col("doc_id") % 2 == 0)
     incoming = docs.filter(F.col("doc_id") % 2 == 1)
-    index = history.select(content_hash("text").alias("h")).distinct()
+    # index_content_hash (NULL-text sentinel), matching the operator's
+    # index contract — NULL-text keepers dedup across batches too
+    index = history.select(index_content_hash("text").alias("h")).distinct()
     kept, new_index = incremental_exact_dedup(incoming, index, "text", "doc_id")
     n_index = new_index.agg(F.count("*").cast("long").alias("index_size"))
     return (
@@ -809,8 +811,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_INCREMENTAL_SQL = """
-WITH hist AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
-inc AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1),
+WITH hist AS (SELECT DISTINCT COALESCE(md5(text), '__null_text__') AS h
+              FROM documents WHERE doc_id % 2 = 0),
+inc AS (SELECT doc_id, COALESCE(md5(text), '__null_text__') AS h
+        FROM documents WHERE doc_id % 2 = 1),
 keep AS (SELECT h, MIN(doc_id) AS doc_id FROM inc GROUP BY h),
 kept AS (SELECT k.doc_id, k.h FROM keep k LEFT JOIN hist USING (h)
          WHERE hist.h IS NULL)
@@ -8929,14 +8933,11 @@ CATALOG: dict[str, QueryDef] = {
         "applyInPandasWithState running count/EMA (closed-form oracle)",
     ),
     "stream_volume": QueryDef(q_stream_volume, A4_SQL, "A4 via Structured Streaming"),
-    "stream_volume_top": QueryDef(
-        q_stream_volume_top, A5_SQL, "A5+T2 via streaming foreachBatch"
-    ),
-    "stream_volume_top_append": QueryDef(
-        q_stream_volume_top_append,
-        STREAM_A5_APPEND_SQL,
-        "A5+T2 append-mode watermarked (closed windows only)",
-    ),
+    # r11 consolidation: stream_volume_top + stream_volume_top_append are
+    # now covered by the single stream_volume_top_suite entry (registered
+    # below, after its runner's definition; its tests pin row-for-row
+    # parity against both standalone runners, which stay), freeing one
+    # rotation slot per BASELINE.md r11 staging.
     # --- set ops / window / percentile / star-join extensions ---
     "set_anti_join": QueryDef(
         q_set_customers_without_orders, SET_SQL, "anti join extension"
@@ -9870,24 +9871,6 @@ ORDER BY probe
 # against DuckDB on every pytest run exactly like live entries; promote
 # by moving the QueryDef into CATALOG when a slot opens.
 DEFERRED_CATALOG: dict[str, QueryDef] = {
-    "x_mg_topk": QueryDef(
-        q_x_mg_topk,
-        X_MG_TOPK_SQL,
-        "Misra-Gries heavy hitters: theorem-exact invariant gates",
-    ),
-    "x_bloom_prune": QueryDef(
-        q_x_bloom_prune,
-        X_BLOOM_PRUNE_SQL,
-        "Bloom semi-join pushdown: pruned join == exact join, FPR-bounded",
-    ),
-    # replaces stream_volume_top + stream_volume_top_append at promotion
-    # time, freeing one rotation slot (the catalog sits at the 3-round
-    # cap of 150 once x_mg_topk lands)
-    "stream_volume_top_suite": QueryDef(
-        q_stream_volume_top_suite,
-        STREAM_VOLUME_TOP_SUITE_SQL,
-        "A5+T2 complete + append top-K consolidated, concurrent starts",
-    ),
     # replaces x_fuzzy_link + x_fuzzy_multipass (r12 headroom)
     "x_fuzzy_suite": QueryDef(
         q_x_fuzzy_suite,
@@ -9920,6 +9903,29 @@ DEFERRED_CATALOG: dict[str, QueryDef] = {
         "Poisson-bootstrap CI: 64 one-pass resamples, bit-exact oracle",
     ),
 }
+
+
+# r11 promotion (BASELINE.md "r11 staging recipe", executed verbatim):
+# the three pre-verified deferred entries go live, registered here
+# because their runners are defined after the CATALOG literal. With the
+# two standalone volume-top entries retired above, the catalog lands at
+# exactly the 3-round rotation cap (150 = 3 × CHECK_WINDOW); the three
+# never-driver-checked names sort to window slots 1-3 mechanically.
+CATALOG["stream_volume_top_suite"] = QueryDef(
+    q_stream_volume_top_suite,
+    STREAM_VOLUME_TOP_SUITE_SQL,
+    "A5+T2 complete + append top-K consolidated, concurrent starts",
+)
+CATALOG["x_mg_topk"] = QueryDef(
+    q_x_mg_topk,
+    X_MG_TOPK_SQL,
+    "Misra-Gries heavy hitters: theorem-exact invariant gates",
+)
+CATALOG["x_bloom_prune"] = QueryDef(
+    q_x_bloom_prune,
+    X_BLOOM_PRUNE_SQL,
+    "Bloom semi-join pushdown: pruned join == exact join, FPR-bounded",
+)
 
 
 def _apply_rotation(catalog: dict[str, QueryDef]) -> dict[str, QueryDef]:

@@ -38,13 +38,22 @@ OUTPUT_SCHEMA = StructType(
         StructField("n_events", LongType()),
         StructField("ema_duration", DoubleType()),
         StructField("bursting", LongType()),  # 0/1 (bool as long for parity)
-        # per-key emission counter: the ONLY safe "which row is final"
-        # key for the update-mode sink. n_events is NOT: a timeout
-        # eviction re-emits the same n_events (nondeterministic tie on
-        # the bursting flag), and a key re-arriving after eviction
-        # restarts at a SMALLER n_events, so its true final row would
-        # lose a max-n_events pick to the stale pre-eviction row.
+        # per-key emission counter: identifies the final row WITHIN one
+        # state epoch. n_events cannot: a timeout eviction re-emits the
+        # same n_events (nondeterministic tie on the bursting flag), and
+        # a key re-arriving after eviction restarts at a SMALLER
+        # n_events. emit_seq alone is not enough either — eviction
+        # discards the counter, so a re-arrived key restarts at seq 1
+        # and its true final row would lose a max-emit_seq pick whenever
+        # pre-eviction emissions outnumber post-re-arrival ones. Hence
+        # emit_ms below: the batch processing time, monotonic ACROSS
+        # epochs, ordered first; emit_seq breaks same-ms ties within an
+        # epoch. Residual ambiguity would need two distinct micro-batches
+        # (the eviction batch and a later re-arrival batch) to share one
+        # processing-time millisecond — micro-batch scheduling overhead
+        # makes that unobservable in practice.
         StructField("emit_seq", LongType()),
+        StructField("emit_ms", LongType()),
     ]
 )
 STATE_SCHEMA = StructType(
@@ -107,6 +116,7 @@ def _update(
                 "ema_duration": [round(ema, 4)],
                 "bursting": [0],
                 "emit_seq": [seq + 1],
+                "emit_ms": [state.getCurrentProcessingTimeMs()],
             }
         )
         return
@@ -133,6 +143,7 @@ def _update(
             "ema_duration": [round(ema or 0.0, 4)],  # see timeout branch note
             "bursting": [1 if n >= burst_threshold else 0],
             "emit_seq": [seq],
+            "emit_ms": [state.getCurrentProcessingTimeMs()],
         }
     )
 
@@ -204,15 +215,28 @@ def run_burst_detection(
     )
 
     all_emissions = release_stream_sink(fact_stream.sparkSession, name)
-    # keep the LAST emission per key by the per-key emission counter —
-    # see the OUTPUT_SCHEMA note on why n_events cannot identify the
-    # final row once timeouts evict and keys re-arrive
+    return final_emissions(all_emissions)
+
+
+def final_emissions(all_emissions: DataFrame) -> DataFrame:
+    """Reduce an update-mode emission log to the LAST row per key.
+
+    Ordered by ``(emit_ms, emit_seq)`` descending: emit_ms (the batch
+    processing time) is monotonic across state epochs, so a key that was
+    evicted and re-arrived resolves to its post-re-arrival final row even
+    when the pre-eviction epoch emitted more rows (larger emit_seq);
+    emit_seq then breaks same-millisecond ties within an epoch — see the
+    OUTPUT_SCHEMA note on why neither n_events nor emit_seq alone can
+    identify the final row once timeouts evict and keys re-arrive.
+    """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    w = Window.partitionBy("query").orderBy(F.col("emit_seq").desc())
+    w = Window.partitionBy("query").orderBy(
+        F.col("emit_ms").desc(), F.col("emit_seq").desc()
+    )
     return (
         all_emissions.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "emit_seq")
+        .drop("_rn", "emit_seq", "emit_ms")
     )

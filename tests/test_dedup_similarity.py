@@ -1341,6 +1341,10 @@ def test_incremental_exact_dedup_null_text_keeps_one_keeper(spark):
         incremental_exact_dedup,
     )
 
+    from cassandra_slow_queries_spark.operators.dedup import (
+        NULL_TEXT_SENTINEL,
+    )
+
     incoming = spark.createDataFrame(
         [(1, "a"), (2, None), (3, None), (4, "b")], "doc_id long, text string"
     )
@@ -1353,9 +1357,22 @@ def test_incremental_exact_dedup_null_text_keeps_one_keeper(spark):
     # group, one keeper (min id) — the old hash-keyed semi-join
     # dropped EVERY null-text row, keeper included
     assert ids == [1, 2, 4]
-    # and the NULL hash never pollutes the index
-    assert all(r["h"] is not None for r in new_index.collect())
-    assert new_index.count() == 2
+    # the NULL-text keeper enters the index under the reserved sentinel
+    # (r10 ADVICE: with a raw NULL hash it could never enter, so every
+    # later batch re-kept another NULL-text keeper)
+    hashes = [r["h"] for r in new_index.collect()]
+    assert all(h is not None for h in hashes)
+    assert NULL_TEXT_SENTINEL in hashes
+    assert new_index.count() == 3
+
+    # cross-batch: a second batch with NULL-text rows anti-joins them
+    # away against the sentinel, same as any real hash
+    batch2 = spark.createDataFrame(
+        [(5, None), (6, "c")], "doc_id long, text string"
+    )
+    kept2, index2 = incremental_exact_dedup(batch2, new_index, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [6]
+    assert index2.count() == 4
 
 
 def test_strip_corpus_chunks_null_text_survives(spark):

@@ -223,11 +223,15 @@ class _StubState:
     """Minimal GroupState stand-in for unit-testing the pure-Python
     update function (the real one only exists inside a running query)."""
 
-    def __init__(self, value=None, timed_out=False):
+    def __init__(self, value=None, timed_out=False, now_ms=1_000):
         self._value = value
         self.hasTimedOut = timed_out
         self.removed = False
         self.timeout_set = None
+        self.now_ms = now_ms
+
+    def getCurrentProcessingTimeMs(self):
+        return self.now_ms
 
     @property
     def exists(self):
@@ -255,12 +259,13 @@ def test_stateful_timeout_eviction_branch():
 
     from cassandra_slow_queries_spark.streaming.stateful import _update
 
-    st = _StubState(value=(7, 123.5, 3), timed_out=True)
+    st = _StubState(value=(7, 123.5, 3), timed_out=True, now_ms=5_000)
     [out] = list(_update(("q0",), iter([]), st, 0.5, 5, 60_000))
     assert st.removed
     assert out.n_events.iloc[0] == 7 and out.bursting.iloc[0] == 0
     assert out.ema_duration.iloc[0] == 123.5
     assert out.emit_seq.iloc[0] == 4  # the eviction row outranks update 3
+    assert out.emit_ms.iloc[0] == 5_000  # stamped with the batch time
 
     st2 = _StubState()
     batch = pd.DataFrame({"ts": [1, 2], "duration": [100, 200]})
@@ -270,6 +275,45 @@ def test_stateful_timeout_eviction_branch():
     # seed 100, then 0.5·200 + 0.5·100
     assert out2.ema_duration.iloc[0] == 150.0
     assert out2.emit_seq.iloc[0] == 1
+    assert out2.emit_ms.iloc[0] == 1_000
+
+
+def test_stateful_final_pick_survives_eviction_rearrival(spark):
+    """Regression (r10 ADVICE): a key evicted by ProcessingTimeTimeout
+    restarts emit_seq at 1 on re-arrival, so a max-emit_seq pick would
+    return the stale pre-eviction row whenever the old epoch emitted
+    more rows than the new one. final_emissions orders by (emit_ms,
+    emit_seq) — the batch clock is monotonic across epochs — so the
+    post-re-arrival row must win; a duplicate emit_seq across epochs
+    must not make the pick nondeterministic."""
+    from cassandra_slow_queries_spark.streaming.stateful import (
+        final_emissions,
+    )
+
+    emissions = spark.createDataFrame(
+        [
+            # epoch 1: three updates then the eviction row (seq 1..4)
+            ("q", 10, 100.0, 0, 1, 1_000),
+            ("q", 20, 110.0, 0, 2, 2_000),
+            ("q", 30, 120.0, 0, 3, 3_000),
+            ("q", 30, 120.0, 0, 4, 63_000),  # eviction re-emit
+            # epoch 2: re-arrival — seq restarts at 1, duplicating epoch
+            # 1's seq values, with fewer emissions than epoch 1
+            ("q", 5, 200.0, 1, 1, 70_000),
+            # control key: single epoch, max-seq == max-(ms,seq)
+            ("r", 7, 50.0, 0, 1, 1_000),
+            ("r", 9, 60.0, 0, 2, 2_000),
+        ],
+        schema="query string, n_events long, ema_duration double, "
+        "bursting long, emit_seq long, emit_ms long",
+    )
+    out = {
+        r["query"]: r for r in final_emissions(emissions).collect()
+    }
+    assert out["q"]["n_events"] == 5  # post-re-arrival row, NOT seq 4
+    assert out["q"]["ema_duration"] == 200.0 and out["q"]["bursting"] == 1
+    assert out["r"]["n_events"] == 9
+    assert "emit_seq" not in out["q"].asDict() and "emit_ms" not in out["q"].asDict()
 
 
 def test_stateful_burst_with_processing_timeout_runs(spark, fact_dir):
