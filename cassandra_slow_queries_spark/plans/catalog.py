@@ -7086,21 +7086,38 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     against its source (the union is dominated by the long side) but
     containment ~1 — the asymmetric case the Jaccard entry above
     structurally cannot flag. The oracle replays shingling, the
-    frequency cap, the planted quotes, and the ratio."""
+    frequency cap, the planted quotes, and the ratio.
+
+    The pair frame is session-staged through the shared-intermediate
+    registry (the dedup_sample_policy precedent): the quote-planted
+    corpus has its own shingle universe (the doc-freq cap counts quote
+    docs, so the Jaccard family's shared shingles can't be reused
+    without changing results), and the candidate-bounded pair frame is
+    the natural materialization point — repeated analysis passes read
+    the tiny pair parquet instead of replaying the corpus explode +
+    self-join."""
     from cassandra_slow_queries_spark.operators.dedup import (
         containment_pairs,
     )
-
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    quotes = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
-        F.array_join(
-            F.slice(F.split(F.col("text"), " "), 1, 12), " "
-        ).alias("text"),
+    from cassandra_slow_queries_spark.plans.intermediates import (
+        shared_intermediate,
     )
-    corpus = docs.unionByName(quotes)
-    out = containment_pairs(
-        corpus, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=100
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        quotes = docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.array_join(
+                F.slice(F.split(F.col("text"), " "), 1, 12), " "
+            ).alias("text"),
+        )
+        corpus = docs.unionByName(quotes)
+        return containment_pairs(
+            corpus, "text", "doc_id", n=3, threshold=0.8, max_doc_freq=100
+        )
+
+    out = shared_intermediate(
+        spark, ("containment3_t08_cap100", sf_dir), build
     )
     return out.orderBy("id_a", "id_b")
 

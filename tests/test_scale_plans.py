@@ -274,3 +274,24 @@ def test_bootstrap_ci_is_one_aggregation_no_python(spark):
     # one logical aggregation = at most a partial/final HashAggregate
     # pair (plus AQE wrappers), never a per-replicate aggregation chain
     assert 1 <= plan.count("HashAggregate") <= 2
+
+
+def test_mg_candidates_plan_one_python_seam_one_agg(spark):
+    """Misra-Gries' 100 TB contract: the per-partition summary is ONE
+    Arrow seam emitting <= k rows per partition, merged by ONE hash
+    aggregation over <= k * n_partitions rows — no join, no window,
+    and never a second Python pass. A refactor that grew a per-item
+    shuffle or a second seam would scale with the stream instead of
+    with k * partitions."""
+    from cassandra_slow_queries_spark.operators.sketches import (
+        mg_topk_candidates,
+    )
+
+    df = spark.range(0, 5000).select((F.col("id") % 37).alias("item"))
+    out = mg_topk_candidates(df, "item", k=8)
+    plan = _plan(out)
+    assert plan.count("MapInPandas") == 1, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "Window", "Join"):
+        assert node not in plan, f"{node} leaked into the plan:\n{plan}"
+    # the merge is one logical aggregation (partial/final pair at most)
+    assert 1 <= plan.count("HashAggregate") <= 2, plan

@@ -867,3 +867,40 @@ def test_run_streams_concurrently_release_failure_drops_sinks(
     }
     assert after_views == before_views  # both sinks dropped, incl. the
     # one whose release never ran
+
+
+def test_volume_top_suite_rows_equal_both_standalone_entries(spark):
+    """The r11 consolidation contract, pinned directly: the suite entry's
+    detail rows must equal the UNION of the two standalone runners it
+    replaced in the rotation (complete-mode foreachBatch rank and
+    watermarked append-mode closed-window rank), row for row — the
+    standalone entries left the driver window, so this pin is what keeps
+    the consolidation honest."""
+    import os
+
+    import pytest as _pytest
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        _pytest.skip(f"testdata {sf_dir} not present")
+    from cassandra_slow_queries_spark.plans.catalog import (
+        q_stream_volume_top,
+        q_stream_volume_top_append,
+        q_stream_volume_top_suite,
+    )
+
+    suite = q_stream_volume_top_suite(spark, sf_dir).collect()
+    comp = q_stream_volume_top(spark, sf_dir).collect()
+    app = q_stream_volume_top_append(spark, sf_dir).collect()
+
+    def key(r, method):
+        return (
+            method, r["bucket"], r["query"], r["primary_key"],
+            r["cnt"], r["duration"], r["avg_duration"],
+        )
+
+    suite_rows = sorted(key(r, r["method"]) for r in suite)
+    standalone_rows = sorted(
+        [key(r, "complete") for r in comp] + [key(r, "append") for r in app]
+    )
+    assert suite_rows == standalone_rows
