@@ -3731,11 +3731,20 @@ def q_x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     37-wide half-open duration bands. Per-interval membership counts and
     sums are value-checked against DuckDB's native inequality range join
     (IEJoin), so a banding bug — wrong bucket math, boundary off-by-one,
-    double-produced pairs — breaks the hash."""
+    double-produced pairs — breaks the hash.
+
+    The points side goes through spread_input (the x_bootstrap_ci
+    precedent): the intervals side is broadcast-small, so the join's
+    parallelism IS the points scan's split count — a single-row-group
+    landing file would serialize the entire pair fan-out (billions of
+    rows at sf3) onto 1-3 cores. The seam is a no-op on a real
+    many-file corpus (scan splits already >= shuffle parallelism) and
+    one cheap pre-fan-out row exchange here."""
     from cassandra_slow_queries_spark.operators.rangejoin import interval_join
+    from cassandra_slow_queries_spark.session import spread_input
 
     ev = load(spark, sf_dir, "events")
-    points = ev.select("event_id", _dur().alias("v"))
+    points = spread_input(ev.select("event_id", _dur().alias("v")), by="event_id")
     intervals = ev.filter(F.col("event_id") % 211 == 0).select(
         F.col("event_id").alias("iv_id"),
         _dur().alias("lo"),

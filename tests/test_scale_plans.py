@@ -295,3 +295,41 @@ def test_mg_candidates_plan_one_python_seam_one_agg(spark):
         assert node not in plan, f"{node} leaked into the plan:\n{plan}"
     # the merge is one logical aggregation (partial/final pair at most)
     assert 1 <= plan.count("HashAggregate") <= 2, plan
+
+
+def test_spread_input_widens_narrow_scans_only(spark):
+    """spread_input's contract: a scan with fewer splits than the
+    session's shuffle parallelism gets ONE row-level exchange up to
+    that parallelism (before any fan-out runs on it); an already-wide
+    frame passes through untouched — so a real many-file corpus pays
+    nothing. This seam is what keeps broadcast-side-driven fan-out
+    parallel (x_range_join: the intervals side broadcasts, so join
+    parallelism IS the points scan's split count; a single-row-group
+    landing file serialized billions of sf3 pair rows onto one core
+    before the entry adopted the seam)."""
+    from cassandra_slow_queries_spark.session import spread_input
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    narrow = spark.range(0, 1000).coalesce(1)
+    assert narrow.rdd.getNumPartitions() == 1
+    spread = spread_input(narrow, by="id")
+    assert spread.rdd.getNumPartitions() == target
+    wide = spark.range(0, 1000).repartition(target + 4)
+    assert spread_input(wide, by="id") is wide
+
+
+def test_range_join_entry_points_side_is_spread(spark):
+    """The x_range_join catalog entry must carry the points-side spread
+    exchange when the landing file is narrow (the driver testdata is
+    single-row-group): without it the broadcast-hash join fans out the
+    full pair volume at scan parallelism."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"testdata {sf_dir} not present")
+    from cassandra_slow_queries_spark.plans.catalog import CATALOG
+
+    plan = _plan(CATALOG["x_range_join"].spark(spark, sf_dir))
+    assert "hashpartitioning(event_id" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
