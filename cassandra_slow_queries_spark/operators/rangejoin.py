@@ -95,6 +95,14 @@ def interval_join(
     Scale shape: one explode bounded by interval-length/width, one
     hash-partitioned equi-join on the bucket id, residual filter pushed
     into the join condition — no nested loop, no cartesian pairing.
+
+    The points side routes through ``spread_input`` (the standing
+    narrow-scan guard, a no-op on many-file corpora and streaming
+    frames): the intervals side is typically broadcast-small, so the
+    join's parallelism IS the points scan's split count — a
+    single-row-group landing file would otherwise serialize the entire
+    pair fan-out onto one core (measured: 11.3 G pairs on 1-3 cores at
+    sf3 before the guard, 29 s across 32 after).
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how {how!r}")
@@ -129,7 +137,16 @@ def interval_join(
             )
         ),
     )
-    pt = points.withColumn("_bucket", _bucket_of(f"`{point_col}`", w))
+    from cassandra_slow_queries_spark.session import spread_input
+
+    # round-robin (by=None), not hash-by-point: the operator has no
+    # unique column to hash on, and a skewed point distribution would
+    # re-collapse a hash spread onto few partitions — the exact failure
+    # this guard exists to prevent. Placement doesn't affect results
+    # (the bucket equi-join re-partitions logically by bucket anyway).
+    pt = spread_input(points).withColumn(
+        "_bucket", _bucket_of(f"`{point_col}`", w)
+    )
     cond = (
         (pt["_bucket"] == iv["_bucket"])
         & (pt[point_col] >= iv[lo_col])

@@ -810,10 +810,18 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_INCREMENTAL_SQL = """
-WITH hist AS (SELECT DISTINCT COALESCE(md5(text), '__null_text__') AS h
+def _dedup_incremental_sql() -> str:
+    """Built from the live NULL_TEXT_SENTINEL (the _cur_pii_sql no-drift
+    pattern): a sentinel rename updates both the Spark runner and this
+    oracle, or neither."""
+    from cassandra_slow_queries_spark.operators.dedup import (
+        NULL_TEXT_SENTINEL,
+    )
+
+    return f"""
+WITH hist AS (SELECT DISTINCT COALESCE(md5(text), '{NULL_TEXT_SENTINEL}') AS h
               FROM documents WHERE doc_id % 2 = 0),
-inc AS (SELECT doc_id, COALESCE(md5(text), '__null_text__') AS h
+inc AS (SELECT doc_id, COALESCE(md5(text), '{NULL_TEXT_SENTINEL}') AS h
         FROM documents WHERE doc_id % 2 = 1),
 keep AS (SELECT h, MIN(doc_id) AS doc_id FROM inc GROUP BY h),
 kept AS (SELECT k.doc_id, k.h FROM keep k LEFT JOIN hist USING (h)
@@ -3733,18 +3741,16 @@ def q_x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (IEJoin), so a banding bug — wrong bucket math, boundary off-by-one,
     double-produced pairs — breaks the hash.
 
-    The points side goes through spread_input (the x_bootstrap_ci
-    precedent): the intervals side is broadcast-small, so the join's
-    parallelism IS the points scan's split count — a single-row-group
-    landing file would serialize the entire pair fan-out (billions of
-    rows at sf3) onto 1-3 cores. The seam is a no-op on a real
-    many-file corpus (scan splits already >= shuffle parallelism) and
-    one cheap pre-fan-out row exchange here."""
+    The points side is spread past narrow landing files INSIDE
+    interval_join (the intervals side is broadcast-small, so the
+    join's parallelism is the points scan's split count; a
+    single-row-group file would serialize the entire pair fan-out —
+    billions of rows at sf3 — onto 1-3 cores; spread_input no-ops on
+    real many-file corpora)."""
     from cassandra_slow_queries_spark.operators.rangejoin import interval_join
-    from cassandra_slow_queries_spark.session import spread_input
 
     ev = load(spark, sf_dir, "events")
-    points = spread_input(ev.select("event_id", _dur().alias("v")), by="event_id")
+    points = ev.select("event_id", _dur().alias("v"))
     intervals = ev.filter(F.col("event_id") % 211 == 0).select(
         F.col("event_id").alias("iv_id"),
         _dur().alias("lo"),
@@ -8811,7 +8817,7 @@ CATALOG: dict[str, QueryDef] = {
     ),
     "dedup_incremental": QueryDef(
         q_dedup_incremental,
-        DEDUP_INCREMENTAL_SQL,
+        _dedup_incremental_sql(),
         "incremental intake dedup against a persistent hash index",
     ),
     "dedup_paragraph": QueryDef(

@@ -878,11 +878,9 @@ def test_volume_top_suite_rows_equal_both_standalone_entries(spark):
     the consolidation honest."""
     import os
 
-    import pytest as _pytest
-
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
     if not os.path.isdir(sf_dir):
-        _pytest.skip(f"testdata {sf_dir} not present")
+        pytest.skip(f"testdata {sf_dir} not present")
     from cassandra_slow_queries_spark.plans.catalog import (
         q_stream_volume_top,
         q_stream_volume_top_append,
