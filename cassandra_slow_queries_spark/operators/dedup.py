@@ -1372,6 +1372,14 @@ def incremental_minhash_dedup(
     text-free state: with 64 hashes the estimator's σ at the 0.5
     threshold is ≈0.06, so set ``est_threshold`` with margin or keep
     history text reachable and verify the emitted matches exactly.
+
+    Shingle-less documents (NULL text, or fewer than ``shingle_n``
+    words) carry no similarity evidence: they produce no signature, are
+    ALWAYS kept, and never enter the index — deliberately, since
+    near-dup semantics are undefined for them. Exact duplicates among
+    them (including repeated NULL text across batches) are the exact
+    sibling's job: run :func:`incremental_exact_dedup` first, as a real
+    intake pipeline does.
     """
     if num_hashes % bands != 0:
         # ValueError, not assert: python -O strips asserts, and a

@@ -1420,3 +1420,39 @@ def test_lsh_bands_must_divide_num_hashes_raises(spark):
     df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
     with _pt.raises(ValueError, match="must divide"):
         minhash_lsh_pairs(df, "text", "doc_id", num_hashes=60, bands=16)
+
+
+def test_incremental_minhash_shingleless_rows_kept_not_indexed(spark):
+    """The documented contract for rows with no shingles (NULL text or
+    too-short text): no similarity evidence -> always kept, never
+    indexed. Exact-content dedup of such rows belongs to
+    incremental_exact_dedup (which the pipeline runs first)."""
+    from cassandra_slow_queries_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    incoming = spark.createDataFrame(
+        [(1, base), (2, None), (3, "too short")],
+        "doc_id long, text string",
+    )
+    empty_index = spark.createDataFrame(
+        [], "id long, sig array<long>"
+    )
+    kept, new_index = incremental_minhash_dedup(
+        incoming, empty_index, "text", "doc_id",
+        num_hashes=16, bands=4, shingle_n=5,
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 3]
+    # only the signed doc enters the index
+    assert [r["id"] for r in new_index.collect()] == [1]
+    # a second batch of shingle-less rows is kept again (per contract)
+    batch2 = spark.createDataFrame(
+        [(4, None)], "doc_id long, text string"
+    )
+    kept2, idx2 = incremental_minhash_dedup(
+        batch2, new_index, "text", "doc_id",
+        num_hashes=16, bands=4, shingle_n=5,
+    )
+    assert [r["doc_id"] for r in kept2.collect()] == [4]
+    assert idx2.count() == 1
