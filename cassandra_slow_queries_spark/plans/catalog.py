@@ -9344,6 +9344,110 @@ ORDER BY method, a_id, b_id
 """
 
 
+def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The four multimodal gates consolidated into one slot (staged for
+    the r14 headroom swap, after r12's fuzzy swap and r13's window
+    swap drain the deferred queue): binary metadata, the Arrow
+    feature-extraction plumbing gate, video frame sampling, and the
+    resize decode seam — every detail row kept, harmonized to
+    (method, media_id, k, n_bytes, sha) and hash-compared against the
+    UNION ALL of the four standalone oracles. All four are batch
+    plans, so the union executes as one Spark action (the
+    x_fuzzy_suite precedent — no trigger floors to overlap).
+
+    The frame rows re-derive from frame_sample_plan with the window
+    LENGTH added (the standalone entry emits only the digest; length
+    makes the harmonized n_bytes column total instead of NULL —
+    NULL-free keeps the driver's value-hash comparison engine-neutral);
+    the parity pin asserts the suite's frame rows equal the standalone
+    entry's on the shared columns."""
+    from cassandra_slow_queries_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    zero = F.lit(0).cast("long")
+    meta = q_mm_binary_meta(spark, sf_dir).select(
+        F.lit("meta").alias("method"),
+        "media_id",
+        zero.alias("k"),
+        "n_bytes",
+        F.col("sha256").alias("sha"),
+    )
+    gate = q_mm_fake_features(spark, sf_dir).select(
+        F.lit("features_gate").alias("method"),
+        F.col("n_media").alias("media_id"),
+        zero.alias("k"),
+        F.col("total_bytes").alias("n_bytes"),
+        (F.col("dims_ok") & F.col("bounds_ok")).cast("string").alias("sha"),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), "text"
+    )
+    frame = F.expr("substring(text, frame_idx + 1, 16)")
+    frames = (
+        frame_sample_plan(docs, every_n=7)
+        .select(
+            "media_id", "text", F.explode("sample_frames").alias("frame_idx")
+        )
+        .select(
+            F.lit("frame").alias("method"),
+            "media_id",
+            F.col("frame_idx").cast("long").alias("k"),
+            F.length(frame).cast("long").alias("n_bytes"),
+            F.when(frame != "", F.sha2(frame, 256)).alias("sha"),
+        )
+        .filter(F.col("sha").isNotNull())
+    )
+    resize = q_mm_resize(spark, sf_dir).select(
+        F.lit("resize").alias("method"),
+        "media_id",
+        zero.alias("k"),
+        "n_bytes",
+        F.col("content_sha").alias("sha"),
+    )
+    return (
+        meta.unionByName(gate)
+        .unionByName(frames)
+        .unionByName(resize)
+        .orderBy("method", "media_id", "k")
+    )
+
+
+def _mm_suite_sql(every_n: int = 7) -> str:
+    """UNION ALL of the four standalone multimodal oracles, harmonized —
+    built from the live FEATURE_DIM / every_n constants so the engines
+    can't drift (the _mm_frame_sql pattern)."""
+    from cassandra_slow_queries_spark.operators.multimodal import FEATURE_DIM
+
+    bound = every_n * (FEATURE_DIM - 1)
+    return f"""
+SELECT * FROM (
+    SELECT 'meta' AS method, doc_id AS media_id, CAST(0 AS BIGINT) AS k,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents
+    UNION ALL
+    SELECT 'features_gate', CAST(COUNT(*) AS BIGINT), 0,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT),
+           CAST(TRUE AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'frame', d.doc_id, CAST(g.f AS BIGINT),
+           CAST(length(substring(d.text, g.f + 1, 16)) AS BIGINT),
+           sha256(substring(d.text, g.f + 1, 16))
+    FROM documents d, generate_series(0, {bound}, {every_n}) AS g(f)
+    WHERE substring(d.text, g.f + 1, 16) <> ''
+    UNION ALL
+    SELECT 'resize', doc_id, 0, CAST(384 AS BIGINT),
+           sha256(substring(repeat(text, CAST(384 // length(text) AS INT) + 1),
+                            1, 384))
+    FROM documents
+    WHERE length(text) > 0
+)
+ORDER BY method, media_id, k
+"""
+
+
 def q_x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join pushdown (operators/sketches.py:
     bloom_build/bloom_might_contain — Spark's runtime row-level
@@ -9966,6 +10070,14 @@ DEFERRED_CATALOG: dict[str, QueryDef] = {
         q_x_bootstrap_ci,
         X_BOOTSTRAP_CI_SQL,
         "Poisson-bootstrap CI: 64 one-pass resamples, bit-exact oracle",
+    ),
+    # replaces mm_binary_meta + mm_fake_features + mm_frame_sample +
+    # mm_resize at promotion time, freeing THREE rotation slots (the
+    # r14 headroom swap, once r12/r13 drain the queue above)
+    "mm_suite": QueryDef(
+        q_mm_suite,
+        _mm_suite_sql(),
+        "all four multimodal gates consolidated, one action",
     ),
 }
 

@@ -1456,3 +1456,43 @@ def test_incremental_minhash_shingleless_rows_kept_not_indexed(spark):
     )
     assert [r["doc_id"] for r in kept2.collect()] == [4]
     assert idx2.count() == 1
+
+
+@needs_testdata
+def test_mm_suite_rows_equal_all_four_standalone_entries(spark):
+    """The staged r14 consolidation contract, pinned ahead of promotion
+    (the volume-top-suite precedent): every harmonized suite row must
+    equal its standalone entry's output — meta/resize/features_gate on
+    all columns, frames on the shared columns (the suite adds the
+    window length; the digest and index must agree row-for-row)."""
+    from cassandra_slow_queries_spark.plans.catalog import (
+        q_mm_binary_meta,
+        q_mm_fake_features,
+        q_mm_frame_sample,
+        q_mm_resize,
+        q_mm_suite,
+    )
+
+    sf = SF_SMALL
+    suite = {}
+    for r in q_mm_suite(spark, sf).collect():
+        suite.setdefault(r["method"], []).append(r)
+
+    meta = q_mm_binary_meta(spark, sf).collect()
+    assert sorted((r["media_id"], r["n_bytes"], r["sha256"]) for r in meta) == \
+        sorted((r["media_id"], r["n_bytes"], r["sha"]) for r in suite["meta"])
+
+    [g] = q_mm_fake_features(spark, sf).collect()
+    [sg] = suite["features_gate"]
+    assert (sg["media_id"], sg["n_bytes"], sg["sha"]) == (
+        g["n_media"], g["total_bytes"],
+        str(bool(g["dims_ok"] and g["bounds_ok"])).lower(),
+    )
+
+    frames = q_mm_frame_sample(spark, sf).collect()
+    assert sorted((r["media_id"], r["frame_idx"], r["frame_sha"]) for r in frames) == \
+        sorted((r["media_id"], r["k"], r["sha"]) for r in suite["frame"])
+
+    resize = q_mm_resize(spark, sf).collect()
+    assert sorted((r["media_id"], r["n_bytes"], r["content_sha"]) for r in resize) == \
+        sorted((r["media_id"], r["n_bytes"], r["sha"]) for r in suite["resize"])
