@@ -51,6 +51,15 @@ MEDIA_SCHEMA = StructType(
 
 FEATURE_DIM = 16
 
+# Byte width of the payload window each sampled frame digests
+# (q_mm_frame_sample and the mm_suite consolidation, Spark AND oracle
+# sides — one constant so the four sites cannot drift).
+FRAME_WINDOW_BYTES = 16
+
+# Fake-decoder resize target used by the mm_resize / mm_suite gates on
+# both engine sides; output is always RESIZE_W * RESIZE_H bytes.
+RESIZE_W, RESIZE_H = 24, 16
+
 FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

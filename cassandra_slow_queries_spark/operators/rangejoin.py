@@ -67,6 +67,7 @@ def interval_join(
     hi_col: str = "hi",
     bucket_width: int | None = None,
     how: str = "inner",
+    spread: bool = True,
 ) -> DataFrame:
     """Join every ``points`` row to each ``intervals`` row whose
     half-open ``[lo, hi)`` contains ``point_col``.
@@ -102,7 +103,11 @@ def interval_join(
     join's parallelism IS the points scan's split count — a
     single-row-group landing file would otherwise serialize the entire
     pair fan-out onto one core (measured: 11.3 G pairs on 1-3 cores at
-    sf3 before the guard, 29 s across 32 after).
+    sf3 before the guard, 29 s across 32 after). ``spread=False``
+    skips the guard (and its ``df.rdd`` planning pass) — pair it with
+    an explicit ``bucket_width`` when calling in a loop on small
+    in-memory frames, where a per-call exchange to full shuffle
+    parallelism costs more than it saves.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how {how!r}")
@@ -137,16 +142,17 @@ def interval_join(
             )
         ),
     )
-    from cassandra_slow_queries_spark.session import spread_input
+    if spread:
+        from cassandra_slow_queries_spark.session import spread_input
 
-    # round-robin (by=None), not hash-by-point: the operator has no
-    # unique column to hash on, and a skewed point distribution would
-    # re-collapse a hash spread onto few partitions — the exact failure
-    # this guard exists to prevent. Placement doesn't affect results
-    # (the bucket equi-join re-partitions logically by bucket anyway).
-    pt = spread_input(points).withColumn(
-        "_bucket", _bucket_of(f"`{point_col}`", w)
-    )
+        # round-robin (by=None), not hash-by-point: the operator has no
+        # unique column to hash on, and a skewed point distribution
+        # would re-collapse a hash spread onto few partitions — the
+        # exact failure this guard exists to prevent. Placement doesn't
+        # affect results (the bucket equi-join re-partitions logically
+        # by bucket anyway).
+        points = spread_input(points)
+    pt = points.withColumn("_bucket", _bucket_of(f"`{point_col}`", w))
     cond = (
         (pt["_bucket"] == iv["_bucket"])
         & (pt[point_col] >= iv[lo_col])

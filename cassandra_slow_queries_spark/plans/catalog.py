@@ -2529,9 +2529,10 @@ FROM documents
 """
 
 
-def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal metadata path: documents.text as opaque binary payload
-    → typed metadata via native expressions (decode stays stubbed)."""
+def _mm_meta_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core of q_mm_binary_meta, shared with the mm_suite
+    consolidation (which applies its OWN final sort — an inner orderBy
+    here would cost a discarded range exchange under the union)."""
     from cassandra_slow_queries_spark.operators.multimodal import (
         attach_binary_metadata,
     )
@@ -2540,11 +2541,13 @@ def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("content"),
     )
-    return (
-        attach_binary_metadata(docs)
-        .select("media_id", "n_bytes", "sha256")
-        .orderBy("media_id")
-    )
+    return attach_binary_metadata(docs).select("media_id", "n_bytes", "sha256")
+
+
+def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path: documents.text as opaque binary payload
+    → typed metadata via native expressions (decode stays stubbed)."""
+    return _mm_meta_frame(spark, sf_dir).orderBy("media_id")
 
 
 MM_META_SQL = """
@@ -2594,15 +2597,14 @@ FROM documents
 """
 
 
-def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling layout: ``frame_sample_plan`` annotates each
-    media row with the frame indices to extract (every 7th), explode
-    yields one row per (media, frame), and each planned frame carries a
-    content-addressed digest of the 16-byte payload window it covers —
-    the deterministic stand-in for the decoded frame (decode itself
-    stays behind the extract_features seam). Frames past the end of the
-    payload are dropped, so short media sample fewer frames."""
+def _mm_frames_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core of q_mm_frame_sample, shared with mm_suite: one
+    row per (media, planned frame) with the digest AND byte length of
+    the FRAME_WINDOW_BYTES payload window it covers (the standalone
+    entry projects the length away; the suite keeps it so its
+    harmonized n_bytes column is total)."""
     from cassandra_slow_queries_spark.operators.multimodal import (
+        FRAME_WINDOW_BYTES,
         frame_sample_plan,
     )
 
@@ -2610,7 +2612,7 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"), "text"
     )
     planned = frame_sample_plan(docs, every_n=7)
-    frame = F.expr("substring(text, frame_idx + 1, 16)")
+    frame = F.expr(f"substring(text, frame_idx + 1, {FRAME_WINDOW_BYTES})")
     return (
         planned.select(
             "media_id", "text", F.explode("sample_frames").alias("frame_idx")
@@ -2618,25 +2620,51 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "media_id",
             "frame_idx",
+            F.length(frame).cast("long").alias("frame_len"),
             F.when(frame != "", F.sha2(frame, 256)).alias("frame_sha"),
         )
         .filter(F.col("frame_sha").isNotNull())
+    )
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling layout: ``frame_sample_plan`` annotates each
+    media row with the frame indices to extract (every 7th), explode
+    yields one row per (media, frame), and each planned frame carries a
+    content-addressed digest of the FRAME_WINDOW_BYTES payload window
+    it covers — the deterministic stand-in for the decoded frame
+    (decode itself stays behind the extract_features seam). Frames past
+    the end of the payload are dropped, so short media sample fewer
+    frames."""
+    return (
+        _mm_frames_frame(spark, sf_dir)
+        .select("media_id", "frame_idx", "frame_sha")
         .orderBy("media_id", "frame_idx")
     )
 
 
-def _mm_frame_sql(every_n: int = 7) -> str:
-    """Build the oracle from the live frame_sample_plan constants so the
-    two engines can't drift (same pattern as _cur_pii_sql): the plan
-    emits frames 0, every_n, ..., every_n·(FEATURE_DIM-1)."""
-    from cassandra_slow_queries_spark.operators.multimodal import FEATURE_DIM
+def _mm_frame_window_sql(every_n: int = 7) -> tuple[str, str]:
+    """The oracle-side frame window expression and its generate_series
+    bound, from the live constants (same pattern as _cur_pii_sql): the
+    plan emits frames 0, every_n, ..., every_n·(FEATURE_DIM-1), each
+    digesting a FRAME_WINDOW_BYTES window."""
+    from cassandra_slow_queries_spark.operators.multimodal import (
+        FEATURE_DIM,
+        FRAME_WINDOW_BYTES,
+    )
 
-    bound = every_n * (FEATURE_DIM - 1)
+    window = f"substring(d.text, g.f + 1, {FRAME_WINDOW_BYTES})"
+    series = f"generate_series(0, {every_n * (FEATURE_DIM - 1)}, {every_n})"
+    return window, series
+
+
+def _mm_frame_sql(every_n: int = 7) -> str:
+    window, series = _mm_frame_window_sql(every_n)
     return f"""
 SELECT d.doc_id AS media_id, g.f AS frame_idx,
-       sha256(substring(d.text, g.f + 1, 16)) AS frame_sha
-FROM documents d, generate_series(0, {bound}, {every_n}) AS g(f)
-WHERE substring(d.text, g.f + 1, 16) <> ''
+       sha256({window}) AS frame_sha
+FROM documents d, {series} AS g(f)
+WHERE {window} <> ''
 ORDER BY media_id, frame_idx
 """
 
@@ -2644,14 +2672,14 @@ ORDER BY media_id, frame_idx
 MM_FRAME_SQL = _mm_frame_sql(every_n=7)
 
 
-def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Media resize through the Arrow ``mapInPandas`` decode seam
-    (operators/multimodal.py resize_media): every payload maps to
-    exactly width·height output bytes; the fake decoder tiles the source
-    payload, so the output bytes are content-dependent and the oracle
-    can content-address them — a truncated batch, wrong byte math, or
-    broken Arrow round-trip breaks the digest hash, not just a count."""
-    from cassandra_slow_queries_spark.operators.multimodal import resize_media
+def _mm_resize_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered core of q_mm_resize, shared with mm_suite (see
+    _mm_meta_frame on why the cores stay sort-free)."""
+    from cassandra_slow_queries_spark.operators.multimodal import (
+        RESIZE_H,
+        RESIZE_W,
+        resize_media,
+    )
 
     docs = (
         load(spark, sf_dir, "documents")
@@ -2663,27 +2691,47 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.encode("text", "UTF-8").alias("content"),
         )
     )
-    out = resize_media(docs, width=24, height=16)
+    out = resize_media(docs, width=RESIZE_W, height=RESIZE_H)
     return out.select(
         "media_id",
         "n_bytes",
         F.sha2("content", 256).alias("content_sha"),
-    ).orderBy("media_id")
+    )
 
 
-# 24·16 = 384 output bytes; the fake decoder tiles the payload
-# (repeat then truncate), which DuckDB replays with repeat+substring —
-# byte-exact because the corpus text is ASCII (pinned by mm_binary_meta's
-# digest parity on the same bytes)
-MM_RESIZE_SQL = """
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize through the Arrow ``mapInPandas`` decode seam
+    (operators/multimodal.py resize_media): every payload maps to
+    exactly width·height output bytes; the fake decoder tiles the source
+    payload, so the output bytes are content-dependent and the oracle
+    can content-address them — a truncated batch, wrong byte math, or
+    broken Arrow round-trip breaks the digest hash, not just a count."""
+    return _mm_resize_frame(spark, sf_dir).orderBy("media_id")
+
+
+def _mm_resize_core_sql() -> str:
+    """Oracle core for the resize gate, from the live RESIZE_W/H
+    constants: the fake decoder tiles the payload (repeat then
+    truncate), which DuckDB replays with repeat+substring — byte-exact
+    because the corpus text is ASCII (pinned by mm_binary_meta's digest
+    parity on the same bytes)."""
+    from cassandra_slow_queries_spark.operators.multimodal import (
+        RESIZE_H,
+        RESIZE_W,
+    )
+
+    n = RESIZE_W * RESIZE_H
+    return f"""
 SELECT doc_id AS media_id,
-       CAST(384 AS BIGINT) AS n_bytes,
-       sha256(substring(repeat(text, CAST(384 // length(text) AS INT) + 1),
-                        1, 384)) AS content_sha
+       CAST({n} AS BIGINT) AS n_bytes,
+       sha256(substring(repeat(text, CAST({n} // length(text) AS INT) + 1),
+                        1, {n})) AS content_sha
 FROM documents
 WHERE length(text) > 0
-ORDER BY media_id
 """
+
+
+MM_RESIZE_SQL = _mm_resize_core_sql() + "ORDER BY media_id"
 
 
 # ---------------------------------------------------------------------------
@@ -9355,18 +9403,17 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans, so the union executes as one Spark action (the
     x_fuzzy_suite precedent — no trigger floors to overlap).
 
-    The frame rows re-derive from frame_sample_plan with the window
-    LENGTH added (the standalone entry emits only the digest; length
-    makes the harmonized n_bytes column total instead of NULL —
-    NULL-free keeps the driver's value-hash comparison engine-neutral);
-    the parity pin asserts the suite's frame rows equal the standalone
-    entry's on the shared columns."""
-    from cassandra_slow_queries_spark.operators.multimodal import (
-        frame_sample_plan,
-    )
-
+    Each branch builds from the standalone entry's UNORDERED core
+    (_mm_meta_frame / _mm_frames_frame / _mm_resize_frame — the same
+    frames/windows, one definition each, no drift), so the suite pays
+    exactly ONE sort: an inner per-branch orderBy would cost a
+    documents-scale range exchange whose order the outer sort then
+    discards. The frame rows carry the window LENGTH as n_bytes
+    (NULL-free keeps the driver's value-hash comparison
+    engine-neutral); the parity pin asserts the suite's rows equal the
+    standalone entries' on the shared columns."""
     zero = F.lit(0).cast("long")
-    meta = q_mm_binary_meta(spark, sf_dir).select(
+    meta = _mm_meta_frame(spark, sf_dir).select(
         F.lit("meta").alias("method"),
         "media_id",
         zero.alias("k"),
@@ -9380,25 +9427,14 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_bytes").alias("n_bytes"),
         (F.col("dims_ok") & F.col("bounds_ok")).cast("string").alias("sha"),
     )
-    docs = load(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("media_id"), "text"
+    frames = _mm_frames_frame(spark, sf_dir).select(
+        F.lit("frame").alias("method"),
+        "media_id",
+        F.col("frame_idx").cast("long").alias("k"),
+        F.col("frame_len").alias("n_bytes"),
+        F.col("frame_sha").alias("sha"),
     )
-    frame = F.expr("substring(text, frame_idx + 1, 16)")
-    frames = (
-        frame_sample_plan(docs, every_n=7)
-        .select(
-            "media_id", "text", F.explode("sample_frames").alias("frame_idx")
-        )
-        .select(
-            F.lit("frame").alias("method"),
-            "media_id",
-            F.col("frame_idx").cast("long").alias("k"),
-            F.length(frame).cast("long").alias("n_bytes"),
-            F.when(frame != "", F.sha2(frame, 256)).alias("sha"),
-        )
-        .filter(F.col("sha").isNotNull())
-    )
-    resize = q_mm_resize(spark, sf_dir).select(
+    resize = _mm_resize_frame(spark, sf_dir).select(
         F.lit("resize").alias("method"),
         "media_id",
         zero.alias("k"),
@@ -9415,11 +9451,11 @@ def q_mm_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mm_suite_sql(every_n: int = 7) -> str:
     """UNION ALL of the four standalone multimodal oracles, harmonized —
-    built from the live FEATURE_DIM / every_n constants so the engines
-    can't drift (the _mm_frame_sql pattern)."""
-    from cassandra_slow_queries_spark.operators.multimodal import FEATURE_DIM
-
-    bound = every_n * (FEATURE_DIM - 1)
+    every engine-visible constant (FEATURE_DIM, FRAME_WINDOW_BYTES,
+    RESIZE_W·H, every_n) comes from the same live definitions the
+    standalone oracles use, so the five SQL sites cannot drift."""
+    window, series = _mm_frame_window_sql(every_n)
+    resize_core = _mm_resize_core_sql()
     return f"""
 SELECT * FROM (
     SELECT 'meta' AS method, doc_id AS media_id, CAST(0 AS BIGINT) AS k,
@@ -9433,16 +9469,13 @@ SELECT * FROM (
     FROM documents
     UNION ALL
     SELECT 'frame', d.doc_id, CAST(g.f AS BIGINT),
-           CAST(length(substring(d.text, g.f + 1, 16)) AS BIGINT),
-           sha256(substring(d.text, g.f + 1, 16))
-    FROM documents d, generate_series(0, {bound}, {every_n}) AS g(f)
-    WHERE substring(d.text, g.f + 1, 16) <> ''
+           CAST(length({window}) AS BIGINT),
+           sha256({window})
+    FROM documents d, {series} AS g(f)
+    WHERE {window} <> ''
     UNION ALL
-    SELECT 'resize', doc_id, 0, CAST(384 AS BIGINT),
-           sha256(substring(repeat(text, CAST(384 // length(text) AS INT) + 1),
-                            1, 384))
-    FROM documents
-    WHERE length(text) > 0
+    SELECT 'resize', media_id, 0, n_bytes, content_sha
+    FROM ({resize_core})
 )
 ORDER BY method, media_id, k
 """

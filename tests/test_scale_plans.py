@@ -339,3 +339,20 @@ def test_range_join_entry_points_side_is_spread(spark):
         # round-robin spread (no unique hash column inside the operator)
         assert "roundrobinpartitioning" in plan.lower(), plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_mm_suite_plans_exactly_one_sort(spark):
+    """The mm_suite consolidation's branches build from the standalone
+    entries' UNORDERED cores: an inner per-branch orderBy would range-
+    exchange a documents-scale branch only for the outer sort to
+    discard the order (found as 3 Sort nodes in review; now pinned at
+    the single final sort)."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"testdata {sf_dir} not present")
+    from cassandra_slow_queries_spark.plans.catalog import DEFERRED_CATALOG
+
+    plan = _plan(DEFERRED_CATALOG["mm_suite"].spark(spark, sf_dir))
+    assert plan.count("Sort ") == 1, plan
