@@ -8674,11 +8674,9 @@ CATALOG: dict[str, QueryDef] = {
         TEXT_ENTROPY_SQL,
         "per-document unigram Shannon entropy, ln n - sum(c ln c)/n",
     ),
-    "x_fuzzy_multipass": QueryDef(
-        q_x_fuzzy_multipass,
-        X_FUZZY_MULTIPASS_SQL,
-        "two-pass SNM (name + reversed) union, single verify",
-    ),
+    # x_fuzzy_multipass retired r12: consolidated into x_fuzzy_suite
+    # (the runner q_x_fuzzy_multipass stays — the suite composes it and
+    # the parity pin in tests compares row-for-row against it).
     "cur_split": QueryDef(
         q_cur_split,
         CUR_SPLIT_SQL,
@@ -8699,11 +8697,9 @@ CATALOG: dict[str, QueryDef] = {
         STREAM_SLIDING_SQL,
         "sliding-window streaming A4; oracle replays the 2x overlap",
     ),
-    "x_fuzzy_link": QueryDef(
-        q_x_fuzzy_link,
-        X_FUZZY_LINK_SQL,
-        "sorted-neighborhood entity linkage, levenshtein-verified",
-    ),
+    # x_fuzzy_link retired r12: consolidated into x_fuzzy_suite (see
+    # the x_fuzzy_multipass note above; both r9-driver-green at
+    # retirement per BASELINE.md's r12 recipe).
     "x_triangles": QueryDef(
         q_x_triangles,
         X_TRIANGLES_SQL,
@@ -9541,6 +9537,15 @@ def q_x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = bloom_might_contain(bf, F.col("o_custkey"))
     matched = F.col("c_custkey").isNotNull()
 
+    # CONTRACT: the single left-join counting shape below requires the
+    # dim side to be UNIQUE on c_custkey — a duplicate-keyed dim would
+    # fan out fact rows and silently inflate n_orders/total_revenue AND
+    # the _match side of the prune_bounded inequality (the pre-r11
+    # shape counted orders directly and had no such assumption). Holds
+    # here because c_custkey is the customer PK; the dim_unique gate
+    # column below rides the existing dim-side aggregate (zero extra
+    # pass) so a generator change trips the driver hash, not silence.
+
     # n_keys comes from the build (it already counted the dim)
     fpr_bound = (1 - 2.718281828 ** (-bf.k * bf.n_keys / bf.m)) ** bf.k
     stats = (
@@ -9571,7 +9576,10 @@ def q_x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     nfn = dim.agg(
         F.bool_and(
             bloom_might_contain(bf, F.col("c_custkey"))
-        ).alias("no_false_negatives")
+        ).alias("no_false_negatives"),
+        (F.count("c_custkey") == F.count_distinct(F.col("c_custkey"))).alias(
+            "dim_unique"
+        ),
     )
     null_gate = spark.range(1).select(
         bloom_might_contain(
@@ -9587,6 +9595,7 @@ def q_x_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "no_false_negatives",
             "prune_bounded",
             "null_probe_null",
+            "dim_unique",
         )
     )
 
@@ -9596,7 +9605,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
        FLOOR(SUM(o_totalprice) * 1000000.0 + 0.5) / 1000000.0 AS total_revenue,
        TRUE AS no_false_negatives,
        TRUE AS prune_bounded,
-       TRUE AS null_probe_null
+       TRUE AS null_probe_null,
+       TRUE AS dim_unique
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
@@ -10073,18 +10083,6 @@ ORDER BY probe
 # against DuckDB on every pytest run exactly like live entries; promote
 # by moving the QueryDef into CATALOG when a slot opens.
 DEFERRED_CATALOG: dict[str, QueryDef] = {
-    # replaces x_fuzzy_link + x_fuzzy_multipass (r12 headroom)
-    "x_fuzzy_suite": QueryDef(
-        q_x_fuzzy_suite,
-        X_FUZZY_SUITE_SQL,
-        "single- and multi-pass SNM linkage consolidated, one action",
-    ),
-    # the new operator the fuzzy-suite swap makes room for at r12
-    "x_equi_depth": QueryDef(
-        q_x_equi_depth,
-        X_EQUI_DEPTH_SQL,
-        "equi-depth histogram: quantile edges, replayable assignment",
-    ),
     # completes the mergeable-summaries family (CM/MG/HLL/Bloom + this)
     "x_qdigest": QueryDef(
         q_x_qdigest,
@@ -10135,6 +10133,26 @@ CATALOG["x_bloom_prune"] = QueryDef(
     q_x_bloom_prune,
     X_BLOOM_PRUNE_SQL,
     "Bloom semi-join pushdown: pruned join == exact join, FPR-bounded",
+)
+
+
+# r12 promotion (BASELINE.md "r12 staging recipe", executed verbatim):
+# the two fuzzy-link standalone entries retire (both r9-driver-green,
+# consolidated into x_fuzzy_suite with a row-for-row parity pin) and
+# the two pre-verified deferred entries go live — 150 − 2 + 2 = 150,
+# still exactly the 3-round rotation cap. The two never-driver-checked
+# names sort to window slots 1-2 mechanically; the rest of the r12
+# window is the 48 remaining r9-green entries (zero pre-verified
+# evictions, the same clean shape as r11's window).
+CATALOG["x_fuzzy_suite"] = QueryDef(
+    q_x_fuzzy_suite,
+    X_FUZZY_SUITE_SQL,
+    "single- and multi-pass SNM linkage consolidated, one action",
+)
+CATALOG["x_equi_depth"] = QueryDef(
+    q_x_equi_depth,
+    X_EQUI_DEPTH_SQL,
+    "equi-depth histogram: quantile edges, replayable assignment",
 )
 
 

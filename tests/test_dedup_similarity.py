@@ -1082,7 +1082,9 @@ def test_interval_join_semantics(spark):
     )
     inner = {
         (r.p_id, r.iv_id)
-        for r in interval_join(points, intervals, "v", bucket_width=8).collect()
+        for r in interval_join(
+            points, intervals, "v", bucket_width=8, spread=False
+        ).collect()
     }
     assert inner == {
         (0, 1),            # 0 in [0,10)
@@ -1092,7 +1094,9 @@ def test_interval_join_semantics(spark):
         (4, 2),            # 199 in [5,200)
         # 200 excluded from [5,200); 500 matches nothing
     }
-    left = interval_join(points, intervals, "v", bucket_width=8, how="left")
+    left = interval_join(
+        points, intervals, "v", bucket_width=8, how="left", spread=False
+    )
     rows = left.collect()
     # every inner pair once + the two unmatched points with NULLs
     assert len(rows) == len(inner) + 2
@@ -1117,7 +1121,9 @@ def test_interval_join_exact_buckets_above_2_53(spark):
     )
     got = {
         (r.v, r.iv_id)
-        for r in interval_join(points, intervals, "v", bucket_width=64).collect()
+        for r in interval_join(
+            points, intervals, "v", bucket_width=64, spread=False
+        ).collect()
     }
     assert got == {
         (big + 3, 1),    # would be lost to double rounding

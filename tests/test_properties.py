@@ -311,7 +311,9 @@ def test_interval_join_matches_bruteforce(spark, points, intervals, width):
     )
     got = {
         (r.p_id, r.iv_id)
-        for r in interval_join(pdf, idf, "v", bucket_width=width).collect()
+        for r in interval_join(
+            pdf, idf, "v", bucket_width=width, spread=False
+        ).collect()
     }
     want = {
         (pi, ii)
