@@ -1,0 +1,33 @@
+"""tools/scale_evidence.py guards: the exponent arithmetic and the
+alarm rule are the part a silent bug would corrupt — a wrong slope
+turns the 100x-scale early-warning tier into noise (the r11 interval
+join bug was caught precisely because wall_exp >> out_exp read loud)."""
+
+import math
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+from scale_evidence import parse_tiers, slope  # noqa: E402
+
+
+def test_parse_tiers_orders_and_factors():
+    tiers = parse_tiers("sf0.1=/a,sf1=/b,sf3=/c")
+    assert tiers == [("sf0.1", "/a", 0.1), ("sf1", "/b", 1.0), ("sf3", "/c", 3.0)]
+
+
+def test_slope_is_loglog_gradient():
+    # quadratic growth between sf1 and sf3: 9x output over 3x data
+    assert slope(9.0, 1.0, 3.0, 1.0) == 2.0
+    # linear
+    assert slope(30.0, 10.0, 3.0, 1.0) == 1.0
+    # the r11 range-join reading reproduces: wall 4.6 -> 29.0 over 3x
+    got = slope(29.0, 4.6, 3.0, 1.0)
+    assert got is not None and abs(got - math.log(29 / 4.6) / math.log(3)) < 0.01
+
+
+def test_slope_guards_degenerate_inputs():
+    assert slope(0.0, 1.0, 3.0, 1.0) is None  # zero rows: no log
+    assert slope(5.0, 0.0, 3.0, 1.0) is None
+    assert slope(5.0, 1.0, 1.0, 1.0) is None  # same factor: no baseline
