@@ -51,7 +51,11 @@ OUTPUT_SCHEMA = StructType(
         # epoch. Residual ambiguity would need two distinct micro-batches
         # (the eviction batch and a later re-arrival batch) to share one
         # processing-time millisecond — micro-batch scheduling overhead
-        # makes that unobservable in practice.
+        # makes that unobservable in practice — or a wall-clock step
+        # BACKWARDS between those batches (e.g. an NTP correction),
+        # which no processing-time source can defend against. If Spark
+        # ever exposes the micro-batch id to applyInPandasWithState,
+        # prefer it over this clock (r11 ADVICE, accepted residual).
         StructField("emit_seq", LongType()),
         StructField("emit_ms", LongType()),
     ]
