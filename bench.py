@@ -31,6 +31,45 @@ from cassandra_slow_queries_spark import get_spark  # noqa: E402
 from cassandra_slow_queries_spark.plans.catalog import CATALOG  # noqa: E402
 
 
+def compact_summary_line(full: dict, budget: int = 1600) -> str:
+    """One JSON line derived from the full payload, sized to survive the
+    driver's stdout capture.
+
+    The driver records only the LAST 2000 chars of stdout and parses the
+    JSON line it finds there (BENCH_r08-r11: "parsed": null once the
+    full 150-entry line outgrew the window; BENCH_r05's tail shows the
+    clip starting mid-progress-bar). This line is printed BOTH before
+    and after the full payload line, so either a head- or tail-scanning
+    capture parses it; BENCH_local.json always carries the full map.
+
+    Two independent trims keep the line under ``budget`` even in
+    failure-heavy runs (the case the capture fix exists for): error
+    messages are capped at 60 chars each — and past 8 errors, collapsed
+    to names only with ``n_errors`` carrying the true count — and the
+    queries map keeps the slowest entries, dropped 10 at a time until
+    the serialized line fits (``queries_omitted`` counts the rest)."""
+    timings, errors = full["queries"], full["errors"]
+    base = {k: v for k, v in full.items() if k not in ("queries", "errors")}
+    base["queries_full"] = "BENCH_local.json"
+    base["n_errors"] = len(errors)
+    if len(errors) <= 8:
+        base["errors"] = {n: msg[:60] for n, msg in errors.items()}
+    else:
+        base["error_names"] = sorted(errors)[:20]
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    keep = len(by_cost)
+    while True:
+        compact = dict(
+            base,
+            queries={n: timings[n] for n in by_cost[:keep]},
+            queries_omitted=len(by_cost) - keep,
+        )
+        line = json.dumps(compact)
+        if len(line) <= budget or keep == 0:
+            return line
+        keep = max(0, keep - 10)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -69,49 +108,18 @@ def main() -> None:
         for name, vals in samples.items()
         if vals
     }
-    payload = json.dumps(
-        {
-            "metric": "catalog_suite_wall",
-            "value": round(sum(timings.values()), 3),
-            "unit": "sec",
-            "queries": timings,
-            "errors": errors,
-            "repeats": repeats,
-            "wall": wall,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        }
-    )
-    # The driver records only the LAST 2000 chars of stdout and parses
-    # the JSON line it finds there (BENCH_r08-r11: "parsed": null once
-    # the full 150-entry line outgrew the window; BENCH_r05's tail shows
-    # the clip starting mid-progress-bar). Emit a compact summary line
-    # sized to fit that window — slowest entries first, trimmed until
-    # the serialized line fits — BOTH first and last, so either a
-    # head- or tail-scanning capture parses it; the untrimmed payload
-    # line sits between them and the committed BENCH_local.json always
-    # carries the full per-query map.
-    compact_base = {
+    full = {
         "metric": "catalog_suite_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "queries": timings,
         "errors": errors,
         "repeats": repeats,
         "wall": wall,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "queries_full": "BENCH_local.json",
     }
-    by_cost = sorted(timings, key=timings.get, reverse=True)
-    keep = len(by_cost)
-    while True:
-        compact = dict(
-            compact_base,
-            queries={n: timings[n] for n in by_cost[:keep]},
-            queries_omitted=len(by_cost) - keep,
-        )
-        compact_line = json.dumps(compact)
-        if len(compact_line) <= 1600 or keep == 0:
-            break
-        keep = max(0, keep - 10)
+    payload = json.dumps(full)
+    compact_line = compact_summary_line(full)
     print(compact_line)
     print(payload)
     print(compact_line)

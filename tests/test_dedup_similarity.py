@@ -1141,6 +1141,43 @@ def test_interval_join_exact_buckets_above_2_53(spark):
     }
 
 
+def test_interval_join_spread_true_matches_spread_false(spark):
+    """The production-default spread path (round-robin points exchange
+    ahead of the bucket join) must be a pure placement change: exactly
+    the same pairs as spread=False, on a frame big and skewed enough
+    that a row lost or duplicated by the repartition would show. The
+    semantic call sites above all pass spread=False for speed (r11
+    ADVICE), so this is the one test that keeps the default path's
+    RESULTS — not just its plan shape — pinned; the r11 scale bug
+    lived precisely in this path."""
+    from cassandra_slow_queries_spark.operators.rangejoin import interval_join
+
+    # 2000 points clustered hard at one value (skew the round-robin
+    # must not collapse on) + a spread tail; 40 overlapping intervals
+    rows = [(i, 500) for i in range(1200)] + [
+        (1200 + i, i * 7 % 3000) for i in range(800)
+    ]
+    points = spark.createDataFrame(rows, "p_id long, v long").coalesce(1)
+    intervals = spark.createDataFrame(
+        [(j, j * 60, j * 60 + 150) for j in range(40)],
+        "iv_id long, lo long, hi long",
+    )
+    fast = {
+        (r.p_id, r.iv_id)
+        for r in interval_join(
+            points, intervals, "v", bucket_width=64, spread=False
+        ).collect()
+    }
+    spread = {
+        (r.p_id, r.iv_id)
+        for r in interval_join(
+            points, intervals, "v", bucket_width=64, spread=True
+        ).collect()
+    }
+    assert len(fast) > 2000  # the hot cluster matches multiple intervals
+    assert spread == fast
+
+
 def test_incremental_exact_dedup(spark):
     """New-batch dedup against a persistent hash index: within-batch
     duplicates collapse to the min-id keeper, index hits drop entirely,

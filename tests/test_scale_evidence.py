@@ -4,12 +4,8 @@ turns the 100x-scale early-warning tier into noise (the r11 interval
 join bug was caught precisely because wall_exp >> out_exp read loud)."""
 
 import math
-import sys
-from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
-
-from scale_evidence import parse_tiers, slope  # noqa: E402
+from tools.scale_evidence import parse_tiers, slope
 
 
 def test_parse_tiers_orders_and_factors():

@@ -11,17 +11,18 @@ ad-hoc session script:
   separately count the output rows (a second execution — acceptable for
   evidence tooling; the count is needed to separate "the answer got
   bigger" from "the plan got slower").
-- Report per-entry log-log slopes between consecutive tiers:
-  ``wall_exp`` (d log wall / d log factor) and ``out_exp`` (same for
-  output rows). The reading protocol, from the r11 precedent:
-  wall_exp <= max(out_exp, ~1.2) is healthy (runtime grows no faster
-  than the output it must produce, modulo fixed-cost noise on
-  sub-second entries); wall_exp substantially above out_exp AND above
-  ~1.3 on a multi-second entry flags a plan that would not survive a
-  100x scale-up and needs a root-cause note or fix in BASELINE.md.
-- Entries whose sf0.1 wall is under ``--min-wall`` seconds are noted as
-  fixed-cost-dominated: trigger floors and session overheads swamp the
-  slope, so their exponents are reported but not alarmed on.
+- Report per-entry log-log slopes for EVERY consecutive tier pair
+  (``pairs``), plus headline ``wall_exp``/``out_exp`` from the largest
+  pair (the r11 reading convention). The alarm rule, from the r11
+  precedent: the WORST pair's wall exponent above
+  max(out_exp, 1.0) + 0.3 flags a plan that would not survive a 100x
+  scale-up and needs a root-cause note or fix in BASELINE.md — a pair
+  is only eligible when its smaller tier ran at least ``--min-wall``
+  seconds (below that, trigger floors and session overheads swamp the
+  slope).
+- An entry that CRASHES at any tier (OOM, executor loss — the loudest
+  possible scale signal) lands in ``failures`` and forces a nonzero
+  exit; it must never read as healthy.
 
 Usage:
     PYTHONPATH=. python tools/scale_evidence.py [--entries a,b,...]
@@ -100,6 +101,15 @@ def main() -> int:
     else:
         with open(args.bench_file) as f:
             timings = json.load(f)["queries"]
+        # a stale bench file (pre-rotation-swap) may carry retired
+        # names — say so instead of silently substituting cheaper
+        # entries for the claimed "top N"
+        stale = sorted(n for n in timings if n not in CATALOG)
+        if stale:
+            print(
+                f"note: {len(stale)} bench-file entries not in the "
+                f"current CATALOG (stale file?) skipped: {stale}"
+            )
         names = sorted(
             (n for n in timings if n in CATALOG),
             key=timings.get,
@@ -115,6 +125,7 @@ def main() -> int:
 
     report: dict[str, dict] = {}
     alarms: list[str] = []
+    failures: list[str] = []
     for name in names:
         row: dict = {"tiers": {}}
         ok = True
@@ -127,29 +138,49 @@ def main() -> int:
                 row["tiers"][label] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
                 print(f"{name} @ {label}: ERROR {exc}", flush=True)
                 ok = False
+        if not ok:
+            # a crash AT a tier (OOM, executor loss) IS the
+            # scale-breaking signal — it must never read as healthy
+            failures.append(name)
         if ok and len(tiers) >= 2:
-            (l1, _, f1), (l2, _, f2) = tiers[-2], tiers[-1]
-            t1, t2 = row["tiers"][l1], row["tiers"][l2]
-            row["wall_exp"] = slope(t2["wall"], t1["wall"], f2, f1)
-            row["out_exp"] = slope(t2["rows"], t1["rows"], f2, f1)
+            # slopes for EVERY consecutive tier pair: superlinear
+            # growth between the first two tiers is just as fatal at
+            # 100x as between the last two (and a fixed-cost floor at
+            # the small tier can mask it in a single last-pair slope)
+            row["pairs"] = {}
+            worst_we, worst_oe = None, None
+            for (l1, _, f1), (l2, _, f2) in zip(tiers, tiers[1:]):
+                t1, t2 = row["tiers"][l1], row["tiers"][l2]
+                we = slope(t2["wall"], t1["wall"], f2, f1)
+                oe = slope(t2["rows"], t1["rows"], f2, f1)
+                row["pairs"][f"{l1}->{l2}"] = {"wall_exp": we, "out_exp": oe}
+                # alarm on the worst pair, but ignore pairs whose
+                # SMALLER tier ran under min-wall (fixed-cost floor
+                # makes the slope meaningless there)
+                if we is not None and t1["wall"] >= args.min_wall:
+                    if worst_we is None or we > worst_we:
+                        worst_we, worst_oe = we, oe
+            # headline = the last (largest) pair, the r11 convention
+            last = row["pairs"][f"{tiers[-2][0]}->{tiers[-1][0]}"]
+            row["wall_exp"] = last["wall_exp"]
+            row["out_exp"] = last["out_exp"]
             base_wall = row["tiers"][tiers[0][0]]["wall"]
             row["fixed_cost_dominated"] = base_wall < args.min_wall
-            we, oe = row["wall_exp"], row["out_exp"]
             if (
-                we is not None
-                and not row["fixed_cost_dominated"]
-                and we > max((oe or 0), 1.0) + 0.3
+                worst_we is not None
+                and worst_we > max((worst_oe or 0), 1.0) + 0.3
             ):
                 row["alarm"] = True
                 alarms.append(name)
         report[name] = row
 
     payload = {"tiers": [(l, p) for l, p, _ in tiers], "entries": report,
-               "alarms": alarms}
+               "alarms": alarms, "failures": failures}
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
-    print(json.dumps({"alarms": alarms, "n": len(report), "out": args.out}))
-    return 1 if alarms else 0
+    print(json.dumps({"alarms": alarms, "failures": failures,
+                      "n": len(report), "out": args.out}))
+    return 1 if (alarms or failures) else 0
 
 
 if __name__ == "__main__":
