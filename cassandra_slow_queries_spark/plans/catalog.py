@@ -79,6 +79,35 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def load_documents_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` routed through the size-floored narrow-scan guard.
+
+    The corpus ships as ONE row group per file (TESTDATA.md; the
+    tools/scale_up.py tiers too), so every codegen-heavy per-document
+    expression chain — regex quality scores, HOF token folds, n-gram
+    transforms — runs on 1-2 cores no matter the executor count: the
+    same serialization class as the r11 interval-join bug, found here
+    by the r12 sf3 exponent run (text_quality wall_exp 1.29 while
+    out_exp 1.0; 5-task stages on a 32-core box). ``spread_input`` with
+    a 2 MiB size floor fixes the big tiers without touching the small
+    ones: below the floor (sf0.001-0.1: 64 KiB-0.6 MiB) the plan is
+    byte-identical to a plain load, so the bench tier and the sf0.01
+    oracle plans are unchanged; above it (sf1: 5.5 MiB, sf3: 16.5 MiB,
+    any real corpus slice) the one row-level exchange buys full-width
+    stage 1. Measured r12 (warm, min of 2): sf1 text_quality 9.4->1.2,
+    text_stats 4.8->0.9, text_langid 5.4->1.4, text_clean 3.1->0.7,
+    sf3 text_quality 36.9->2.7. Entries whose first stage already
+    fans out through an explode before the heavy work (text_repetition,
+    x_corpus_drift) or that aggregate cheaply per row
+    (cur_quality_filter at sf0.1) measured NO win and keep plain
+    ``load`` — the same selective convention as operators/dedup.py."""
+    from cassandra_slow_queries_spark.session import spread_input
+
+    return spread_input(
+        load(spark, sf_dir, "documents"), by="doc_id", min_bytes=2 << 20
+    )
+
+
 #: (applicationId, key) → staged input dir; repeated invocations in one
 #: session (bench loops, test runs) reuse the staged copy instead of
 #: writing a fresh tempdir per call, and scratch_dir cleans up at exit.
@@ -929,7 +958,7 @@ ORDER BY id_a, id_b
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_slow_queries_spark.functions import text as T
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents_wide(spark, sf_dir)
     return docs.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
@@ -963,7 +992,7 @@ ORDER BY doc_id
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_slow_queries_spark.functions import text as T
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents_wide(spark, sf_dir)
     return docs.select(
         "doc_id",
         T.lang_id("text").alias("pred_lang"),
@@ -1139,7 +1168,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents_wide(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.round(quality_score("text"), 6).alias("quality"),
@@ -1258,7 +1287,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     nondeterministic fingerprint breaks the driver hash."""
     from cassandra_slow_queries_spark.functions.text import fingerprint
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents_wide(spark, sf_dir)
     fp = docs.select("text", fingerprint("text").alias("fp"))
     return fp.agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -1299,7 +1328,7 @@ def q_text_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         compression_ratio,
     )
 
-    docs = load(spark, sf_dir, "documents").filter(
+    docs = load_documents_wide(spark, sf_dir).filter(
         F.col("text").isNotNull() & (F.length("text") > 0)
     )
     base = compression_ratio(docs, "text", "doc_id")
@@ -6021,7 +6050,7 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree before the 6-digit round."""
     from cassandra_slow_queries_spark.operators.profile import bigram_pmi
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents_wide(spark, sf_dir)
     out = bigram_pmi(docs, "text", min_count=5)
     return out.orderBy(F.desc("pmi"), "x", "y").limit(40)
 
@@ -6168,7 +6197,7 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift is sub-ulp-sum only)."""
     from cassandra_slow_queries_spark.operators.profile import token_entropy
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents_wide(spark, sf_dir)
     return token_entropy(docs, "doc_id", "text").orderBy("doc_id")
 
 
@@ -6316,7 +6345,7 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_bigram_lm,
     )
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents_wide(spark, sf_dir)
     lm = train_bigram_lm(docs.filter(F.col("lang") == "en"))
     return score_cross_entropy(docs, lm).orderBy("doc_id")
 
@@ -6693,7 +6722,7 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     0x0C, the two chars they disagree on."""
     from cassandra_slow_queries_spark.functions.text import clean_text
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_documents_wide(spark, sf_dir)
     d = F.col("doc_id")
     dirty = F.col("text")
     dirty = F.when(d % 2 == 0, F.replace(dirty, F.lit(" "), F.lit("\t"))).otherwise(dirty)

@@ -39,7 +39,9 @@ def scratch_dir(prefix: str) -> str:
     return d
 
 
-def spread_input(df: DataFrame, by: str | None = None) -> DataFrame:
+def spread_input(
+    df: DataFrame, by: str | None = None, min_bytes: int = 0
+) -> DataFrame:
     """Guard against unsplittable landing files serializing stage 1.
 
     A single-row-group Parquet file (or a gzip JSON log, or any fat
@@ -58,9 +60,30 @@ def spread_input(df: DataFrame, by: str | None = None) -> DataFrame:
     partition (explicit counts are exempt from coalescing). Deterministic
     filters still push through the exchange to the scan. Streaming
     frames are returned untouched (`.rdd` is undefined for them).
+
+    ``min_bytes`` adds a SIZE floor under the split-count check: when the
+    optimized plan's estimated input size is below it, return the frame
+    unchanged even if the scan is narrow. Rationale (measured r12, the
+    text-family A/B at sf0.1 vs sf1): on a tiny corpus the exchange +
+    extra stage boundary cost MORE than the parallelism buys (0.6 MiB
+    documents: 0.64 -> 1.06 s), while past a few MiB the same entries
+    win 1.6-8x — the floor makes one call site correct at every tier
+    instead of forcing a per-tier decision. If the stats are unavailable
+    (e.g. a Connect frame without a local JVM handle), the floor is
+    skipped and the split-count check alone decides — failing OPEN to
+    spreading, since the guard exists for the large case.
     """
     if df.isStreaming:
         return df
+    if min_bytes > 0:
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            if size < min_bytes:
+                return df
+        except Exception:
+            pass  # stats unavailable: fall through to the split check
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -875,3 +875,93 @@ def test_malformed_tags_divergence_pinned(spark):
     ).collect()[0]
     assert ref == "ks_prod" == out["keyspace"]
     assert out["column_family"] == "some_cf"
+
+
+def test_primary_key_assembly_matches_reference(spark):
+    """Differential fuzz of P8 (PK assembly) — the one MessageProcessor
+    helper without a direct side-by-side test until r12. The reference
+    ``_get_primary_key`` (analyze_slow_queries.py:479-505) iterates
+    ``schema[ks][cf]['primary_key']`` in declared order, skips fields
+    missing from bound_values (warn), joins with '-', and returns None
+    when the schema has no (ks, cf) row. The repo expression is
+    functions/parse.py:assemble_primary_key under attach_primary_key's
+    schema guard. 400 seeded cases sweep: composite/flat key lists,
+    missing/extra/empty bound values, absent schema rows, hyphens and
+    empty strings INSIDE values (the join must not re-split them), and
+    case-sensitive field names."""
+    import logging
+
+    ns: dict = {"logging": logging, "incidentLogger": logging.getLogger("t")}
+    exec(_carve("class MessageProcessor", "_get_primary_key"), ns)  # noqa: S102
+    ref_pk = ns["_get_primary_key"]
+
+    class _Cfg:
+        def __init__(self, schema):
+            self.schema = schema
+            self.tags = []
+
+    rng = random.Random(99)
+    field_pool = ["user_id", "USER_ID", "ts", "k", "a-b", ""]
+    value_pool = ["u1", "", "x-y", "9", "v'q", "UPPER"]
+    schema = {
+        "ks1": {
+            "cf1": {"primary_key": ["user_id", "ts"]},
+            "cf2": {"primary_key": ["k"]},
+            "cf3": {"primary_key": []},
+            "cf4": {"primary_key": ["a-b", "USER_ID", "user_id"]},
+        },
+        "ks2": {"cf1": {"primary_key": ["user_id"]}},
+    }
+    cfg = _Cfg(schema)
+
+    cases = []
+    for _ in range(400):
+        ks = rng.choice(["ks1", "ks2", "ks_missing"])
+        cf = rng.choice(["cf1", "cf2", "cf3", "cf4", "cf_missing"])
+        bv = {
+            rng.choice(field_pool): rng.choice(value_pool)
+            for _ in range(rng.randrange(0, 4))
+        }
+        if rng.random() < 0.5:
+            # bias toward hits: seed the cf's own key fields so the
+            # joined-PK regime is actually exercised, not just misses
+            meta = schema.get(ks, {}).get(cf)
+            for f in (meta or {}).get("primary_key", []):
+                if rng.random() < 0.8:
+                    bv[f] = rng.choice(value_pool)
+        cases.append((ks, cf, bv))
+
+    expect = [ref_pk(None, bv, ks, cf, cfg) for ks, cf, bv in cases]
+
+    # repo side: the same guard + expression attach_primary_key uses —
+    # pk_fields comes from the schema dimension join (NULL when the
+    # (ks, cf) row is absent), then assemble_primary_key
+    from cassandra_slow_queries_spark.functions.parse import assemble_primary_key
+
+    pk_rows = [
+        (ks, cf, meta["primary_key"])
+        for ks, cfs in schema.items()
+        for cf, meta in cfs.items()
+    ]
+    dim = spark.createDataFrame(
+        pk_rows, "ks string, cf string, pk_fields array<string>"
+    )
+    facts = spark.createDataFrame(
+        [(i, ks, cf, bv) for i, (ks, cf, bv) in enumerate(cases)],
+        "i long, ks string, cf string, bv map<string,string>",
+    )
+    got = [
+        r["pk"]
+        for r in facts.join(F.broadcast(dim), ["ks", "cf"], "left")
+        .select(
+            "i", assemble_primary_key(F.col("bv"), F.col("pk_fields")).alias("pk")
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == expect
+    # the sweep must exercise all regimes: real keys, skipped fields,
+    # empty-key-list '' results, and schema-absent None results
+    assert expect.count(None) > 30
+    assert sum(1 for e in expect if e) > 30
+    assert expect.count("") > 30

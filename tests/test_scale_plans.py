@@ -318,6 +318,80 @@ def test_spread_input_widens_narrow_scans_only(spark):
     assert spread_input(wide, by="id") is wide
 
 
+def test_spread_input_min_bytes_floor(spark, tmp_path):
+    """The size floor under the split check (r12): a narrow scan whose
+    plan-stats size is BELOW min_bytes passes through untouched (the
+    tiny-tier case, where the exchange costs more than it buys — and
+    what keeps the sf0.01 oracle plans byte-identical after the text
+    family adopted the guard), while a narrow scan ABOVE the floor
+    still spreads to shuffle parallelism (the sf1+/real-corpus case,
+    measured 1.6-8x on the text entries). min_bytes=0 keeps the
+    pre-r12 behavior exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cassandra_slow_queries_spark.session import spread_input
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    small_path = str(tmp_path / "small.parquet")
+    pq.write_table(pa.table({"id": list(range(100))}), small_path)
+    big_path = str(tmp_path / "big.parquet")
+    import random as _random
+
+    _rng = _random.Random(5)
+    pq.write_table(
+        pa.table(
+            {
+                "id": list(range(5000)),
+                # incompressible payload: the floor reads the FILE size
+                # via plan stats, so a constant pad would compress under
+                # the floor and test nothing
+                "pad": [
+                    "%0960x" % _rng.getrandbits(3840) for _ in range(5000)
+                ],
+            }
+        ),
+        big_path,
+    )  # ~4.8 MB of high-entropy strings in ONE row group
+
+    small = spark.read.parquet(small_path)
+    assert small.rdd.getNumPartitions() < target
+    assert spread_input(small, by="id", min_bytes=2 << 20) is small
+    assert (
+        spread_input(small, by="id").rdd.getNumPartitions() == target
+    )  # min_bytes=0: unchanged contract
+
+    big = spark.read.parquet(big_path)
+    assert big.rdd.getNumPartitions() < target
+    spread = spread_input(big, by="id", min_bytes=2 << 20)
+    assert spread.rdd.getNumPartitions() == target
+    assert spread.count() == 5000
+
+
+def test_text_entries_keep_plain_plans_below_floor(spark):
+    """The nine text-family entries route documents through
+    load_documents_wide (size-floored spread). At the oracle/bench
+    tiers the corpus sits far under the 2 MiB floor, so their plans
+    must carry NO repartition — the guard may not tax the small tiers
+    it was measured not to help."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"testdata {sf_dir} not present")
+    from cassandra_slow_queries_spark.plans.catalog import CATALOG
+
+    for name in ("text_quality", "text_stats", "text_langid"):
+        plan = (
+            CATALOG[name]
+            .spark(spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "Repartition" not in plan, (name, plan)
+
+
 def test_range_join_entry_points_side_is_spread(spark):
     """The x_range_join catalog entry must carry the points-side spread
     exchange when the landing file is narrow (the driver testdata is
