@@ -96,11 +96,13 @@ def load_documents_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     any real corpus slice) the one row-level exchange buys full-width
     stage 1. Measured r12 (warm, min of 2): sf1 text_quality 9.4->1.2,
     text_stats 4.8->0.9, text_langid 5.4->1.4, text_clean 3.1->0.7,
-    sf3 text_quality 36.9->2.7. Entries whose first stage already
+    sf3 text_quality 36.9->2.7; cur_quality_filter (re-A/B'd with the
+    floor) sf1 1.47x / sf3 1.86x. Entries whose first stage already
     fans out through an explode before the heavy work (text_repetition,
-    x_corpus_drift) or that aggregate cheaply per row
-    (cur_quality_filter at sf0.1) measured NO win and keep plain
-    ``load`` — the same selective convention as operators/dedup.py."""
+    x_corpus_drift) or whose documents frame is a session-cached shared
+    intermediate (cur_model_select) measured NO consistent win and keep
+    plain ``load`` — the same selective convention as
+    operators/dedup.py."""
     from cassandra_slow_queries_spark.session import spread_input
 
     return spread_input(
@@ -1257,7 +1259,11 @@ def q_cur_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tautology."""
     from cassandra_slow_queries_spark.operators.curation import quality_filter
 
-    docs = load(spark, sf_dir, "documents")
+    # size-floored spread (see load_documents_wide): re-A/B'd r12 WITH
+    # the floor — sf1 1.47x, sf3 1.86x, small tiers byte-identical (the
+    # pre-floor sf0.1 regression that kept this entry on plain load is
+    # gone by construction)
+    docs = load_documents_wide(spark, sf_dir)
     return (
         quality_filter(docs, "text", "doc_id")
         .withColumnRenamed("id", "doc_id")
