@@ -79,6 +79,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+#: Size floor for the narrow-scan spread guard at entry level. 4 MiB
+#: separates the tiers DECISIVELY: the sf0.1 stats sit at 0.59 MiB
+#: (documents) / 2.05 MiB (events) and the sf1 tiers at 5.8 / 15.3 MiB
+#: — a 2 MiB floor would leave sf0.1 events 2.5% under the line, where
+#: generator drift could flip the bench-tier plan round to round.
+SPREAD_FLOOR_BYTES = 4 << 20
+
+
 def load_documents_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``documents`` routed through the size-floored narrow-scan guard.
 
@@ -106,7 +114,8 @@ def load_documents_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_slow_queries_spark.session import spread_input
 
     return spread_input(
-        load(spark, sf_dir, "documents"), by="doc_id", min_bytes=2 << 20
+        load(spark, sf_dir, "documents"), by="doc_id",
+        min_bytes=SPREAD_FLOOR_BYTES,
     )
 
 
@@ -3284,7 +3293,19 @@ def q_e2e_query_pk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from cassandra_slow_queries_spark.plans.pipeline import parse_messages
 
-    ev = load(spark, sf_dir, "events")
+    # size-floored spread (load_documents_wide note): the reference
+    # parse chain is the heaviest per-row expression tree in the repo
+    # and events ships as one row group, so the whole parse ran at the
+    # scan's split width (4 tasks at sf1, 11 at sf3, on 32 cores).
+    # Round-robin matches the guard's convention (no unique column
+    # assumption). Measured r12 (warm, min of 2): sf1 17.4 -> 5.1 s
+    # (3.4x), sf3 17.0 -> 6.2 s (2.8x); below the floor the plan is
+    # unchanged, so the bench and oracle tiers are untouched.
+    from cassandra_slow_queries_spark.session import spread_input
+
+    ev = spread_input(
+        load(spark, sf_dir, "events"), min_bytes=SPREAD_FLOOR_BYTES
+    )
     k = F.get_json_object(F.col("props"), "$.k")
     msg = F.concat(
         F.lit("INFO Query too slow, took "),
