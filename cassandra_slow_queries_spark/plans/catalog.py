@@ -97,12 +97,12 @@ def load_documents_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     same serialization class as the r11 interval-join bug, found here
     by the r12 sf3 exponent run (text_quality wall_exp 1.29 while
     out_exp 1.0; 5-task stages on a 32-core box). ``spread_input`` with
-    a 2 MiB size floor fixes the big tiers without touching the small
-    ones: below the floor (sf0.001-0.1: 64 KiB-0.6 MiB) the plan is
-    byte-identical to a plain load, so the bench tier and the sf0.01
-    oracle plans are unchanged; above it (sf1: 5.5 MiB, sf3: 16.5 MiB,
-    any real corpus slice) the one row-level exchange buys full-width
-    stage 1. Measured r12 (warm, min of 2): sf1 text_quality 9.4->1.2,
+    the ``SPREAD_FLOOR_BYTES`` size floor fixes the big tiers without
+    touching the small ones: below the floor (sf0.001-0.1: 64 KiB to
+    0.6 MiB) the plan is byte-identical to a plain load, so the bench
+    tier and the sf0.01 oracle plans are unchanged; above it (sf1:
+    5.5 MiB, sf3: 16.5 MiB, any real corpus slice) the one row-level
+    exchange buys full-width stage 1. Measured r12 (warm, min of 2): sf1 text_quality 9.4->1.2,
     text_stats 4.8->0.9, text_langid 5.4->1.4, text_clean 3.1->0.7,
     sf3 text_quality 36.9->2.7; cur_quality_filter (re-A/B'd with the
     floor) sf1 1.47x / sf3 1.86x. Entries whose first stage already
@@ -3298,9 +3298,10 @@ def q_e2e_query_pk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and events ships as one row group, so the whole parse ran at the
     # scan's split width (4 tasks at sf1, 11 at sf3, on 32 cores).
     # Round-robin matches the guard's convention (no unique column
-    # assumption). Measured r12 (warm, min of 2): sf1 17.4 -> 5.1 s
-    # (3.4x), sf3 17.0 -> 6.2 s (2.8x); below the floor the plan is
-    # unchanged, so the bench and oracle tiers are untouched.
+    # assumption). Measured r12 on the final code (warm): sf1
+    # 17.4 -> 5.9 s (2.9x), sf3 17.0 -> 7.8 s (2.2x); below the floor
+    # the plan is unchanged, so the bench and oracle tiers are
+    # untouched.
     from cassandra_slow_queries_spark.session import spread_input
 
     ev = spread_input(

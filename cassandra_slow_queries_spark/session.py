@@ -82,8 +82,20 @@ def spread_input(
             )
             if size < min_bytes:
                 return df
-        except Exception:
-            pass  # stats unavailable: fall through to the split check
+        except Exception as exc:
+            # stats unavailable: fall through to the split check (fail
+            # OPEN to spreading) — but say so ONCE, because if this
+            # starts firing on classic frames (a py4j API change, a JVM
+            # handle problem) every small-tier call site silently gains
+            # the exchange the floor exists to avoid
+            import warnings
+
+            warnings.warn(
+                f"spread_input: size floor unavailable ({exc!r}); "
+                "falling back to the split-count check",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if df.rdd.getNumPartitions() >= target:
         return df

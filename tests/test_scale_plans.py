@@ -368,10 +368,57 @@ def test_spread_input_min_bytes_floor(spark, tmp_path):
     assert spread.count() == 5000
 
 
+def test_spread_floor_constant_boundary(spark, tmp_path):
+    """Pin the PRODUCTION floor constant at the boundary it was chosen
+    for: a single-row-group file just UNDER SPREAD_FLOOR_BYTES stays
+    plain, one just OVER spreads. Guards the bench-tier plan-stability
+    invariant directly — the other floor tests use their own explicit
+    values, so a silent change to the constant (or a drifted generator
+    crossing it) would otherwise go unpinned. The sf0.1 tiers sit at
+    0.59 MiB (documents) / 2.05 MiB (events), both safely under the
+    4 MiB constant; this test fails loudly if someone moves the
+    constant into that band."""
+    import random as _random
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cassandra_slow_queries_spark.plans.catalog import SPREAD_FLOOR_BYTES
+    from cassandra_slow_queries_spark.session import spread_input
+
+    assert SPREAD_FLOOR_BYTES > int(2.1 * 1024 * 1024), (
+        "floor moved under the sf0.1 events size — bench-tier plans "
+        "would start spreading; re-measure before lowering it"
+    )
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    _rng = _random.Random(6)
+
+    def file_of(n_bytes, name):
+        n_rows = max(1, n_bytes // 960)
+        path = str(tmp_path / name)
+        pq.write_table(
+            pa.table(
+                {
+                    "id": list(range(n_rows)),
+                    "pad": ["%0960x" % _rng.getrandbits(3840) for _ in range(n_rows)],
+                }
+            ),
+            path,
+        )
+        return spark.read.parquet(path)
+
+    under = file_of(int(SPREAD_FLOOR_BYTES * 0.7), "under.parquet")
+    over = file_of(int(SPREAD_FLOOR_BYTES * 1.4), "over.parquet")
+    assert under.rdd.getNumPartitions() < target
+    assert spread_input(under, by="id", min_bytes=SPREAD_FLOOR_BYTES) is under
+    spread = spread_input(over, by="id", min_bytes=SPREAD_FLOOR_BYTES)
+    assert spread.rdd.getNumPartitions() == target
+
+
 def test_text_entries_keep_plain_plans_below_floor(spark):
     """The nine text-family entries route documents through
     load_documents_wide (size-floored spread). At the oracle/bench
-    tiers the corpus sits far under the 2 MiB floor, so their plans
+    tiers the corpus sits far under SPREAD_FLOOR_BYTES, so their plans
     must carry NO repartition — the guard may not tax the small tiers
     it was measured not to help."""
     import os
