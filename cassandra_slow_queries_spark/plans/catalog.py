@@ -8749,11 +8749,9 @@ CATALOG: dict[str, QueryDef] = {
         X_PIT_JOIN_SQL,
         "point-in-time SCD2 feature join vs native ASOF oracle",
     ),
-    "stream_sliding": QueryDef(
-        q_stream_sliding,
-        STREAM_SLIDING_SQL,
-        "sliding-window streaming A4; oracle replays the 2x overlap",
-    ),
+    # stream_sliding retired r13: consolidated into stream_window_suite
+    # (r12-driver-green at retirement per BASELINE.md's corrected r13
+    # recipe; the suite preserves every detail row of its oracle).
     # x_fuzzy_link retired r12: consolidated into x_fuzzy_suite (see
     # the x_fuzzy_multipass note above; both r9-driver-green at
     # retirement per BASELINE.md's r12 recipe).
@@ -9065,7 +9063,8 @@ CATALOG: dict[str, QueryDef] = {
         STREAM_BURST_SQL,
         "applyInPandasWithState running count/EMA (closed-form oracle)",
     ),
-    "stream_volume": QueryDef(q_stream_volume, A4_SQL, "A4 via Structured Streaming"),
+    # stream_volume retired r13: consolidated into stream_window_suite
+    # (r11-driver-green at retirement; see the r13 promotion block).
     # r11 consolidation: stream_volume_top + stream_volume_top_append are
     # now covered by the single stream_volume_top_suite entry (registered
     # below, after its runner's definition; its tests pin row-for-row
@@ -9134,11 +9133,8 @@ CATALOG: dict[str, QueryDef] = {
         ANN_HARD_NEG_SQL,
         "hard-negative mining: top-K similar with a different label",
     ),
-    "stream_session": QueryDef(
-        q_stream_session,
-        STREAM_SESSION_SQL,
-        "streaming session windows vs gaps-and-islands oracle",
-    ),
+    # stream_session retired r13: consolidated into stream_window_suite
+    # (r10-driver-green at retirement; see the r13 promotion block).
     "x_sketch_rollup": QueryDef(
         q_x_sketch_rollup,
         X_SKETCH_ROLLUP_SQL,
@@ -10146,13 +10142,6 @@ DEFERRED_CATALOG: dict[str, QueryDef] = {
         X_QDIGEST_SQL,
         "q-digest quantile sketch: exact rank-sandwich theorem gates",
     ),
-    # replaces stream_volume + stream_sliding + stream_session at
-    # promotion time, freeing TWO rotation slots (the r13 headroom swap)
-    "stream_window_suite": QueryDef(
-        q_stream_window_suite,
-        STREAM_WINDOW_SUITE_SQL,
-        "tumbling + sliding + session windows consolidated, concurrent starts",
-    ),
     # fills the second slot the window-suite swap frees at r13
     "x_bootstrap_ci": QueryDef(
         q_x_bootstrap_ci,
@@ -10210,6 +10199,24 @@ CATALOG["x_equi_depth"] = QueryDef(
     q_x_equi_depth,
     X_EQUI_DEPTH_SQL,
     "equi-depth histogram: quantile edges, replayable assignment",
+)
+
+
+# r13 promotion (BASELINE.md "corrected schedule", executed verbatim):
+# the three standalone stream-window entries retire (stream_session
+# r10-green, stream_volume r11-green, stream_sliding r12-green at
+# retirement — one from each staleness class, per the never-exceed-W
+# insertion rule) and the pre-verified window-taxonomy suite goes live:
+# 150 - 3 + 1 = 148, under the 3-round rotation cap. The one
+# never-driver-checked name sorts to window slot 1 mechanically; the
+# rest of the r13 window is the 49 remaining r10-green entries (tail
+# floor r11, exactly at the invariant cap — simulated clean through
+# r18 including the r14 mm_suite/x_qdigest and r15 x_bootstrap_ci
+# promotions).
+CATALOG["stream_window_suite"] = QueryDef(
+    q_stream_window_suite,
+    STREAM_WINDOW_SUITE_SQL,
+    "tumbling + sliding + session windows consolidated, concurrent starts",
 )
 
 

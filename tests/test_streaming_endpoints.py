@@ -902,3 +902,61 @@ def test_volume_top_suite_rows_equal_both_standalone_entries(spark):
         [key(r, "complete") for r in comp] + [key(r, "append") for r in app]
     )
     assert suite_rows == standalone_rows
+
+
+def test_window_suite_rows_equal_three_standalone_entries(spark):
+    """The r13 consolidation contract, pinned directly: the window-suite
+    entry's rows must equal the UNION of the three standalone runners it
+    replaced in the rotation (tumbling A4 volume, 2h/1h sliding volume,
+    30-minute-gap sessions), row for row after the suite's published
+    harmonization — the standalone entries left the driver window, so
+    this pin is what keeps the consolidation honest."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"testdata {sf_dir} not present")
+    from cassandra_slow_queries_spark.plans.catalog import (
+        q_stream_session,
+        q_stream_sliding,
+        q_stream_volume,
+        q_stream_window_suite,
+    )
+
+    suite = q_stream_window_suite(spark, sf_dir).collect()
+    vol = q_stream_volume(spark, sf_dir).collect()
+    sld = q_stream_sliding(spark, sf_dir).collect()
+    ses = q_stream_session(spark, sf_dir).collect()
+
+    def norm(v):
+        return None if v is None else str(v)
+
+    def num(v):
+        return None if v is None else int(v)
+
+    suite_rows = sorted(
+        (
+            r["method"], norm(r["bucket"]), norm(r["bucket_end"]),
+            norm(r["query"]), num(r["cnt"]), num(r["duration"]),
+            num(r["avg_duration"]),
+        )
+        for r in suite
+    )
+    standalone_rows = sorted(
+        [
+            ("tumbling", norm(r["bucket"]), None, None, num(r["cnt"]),
+             num(r["duration"]), num(r["avg_duration"]))
+            for r in vol
+        ]
+        + [
+            ("sliding", norm(r["bucket"]), None, norm(r["query"]),
+             num(r["cnt"]), num(r["duration"]), num(r["avg_duration"]))
+            for r in sld
+        ]
+        + [
+            ("session", norm(r["session_start"]), norm(r["session_end"]),
+             norm(r["query"]), num(r["cnt"]), num(r["duration"]), None)
+            for r in ses
+        ]
+    )
+    assert suite_rows == standalone_rows
