@@ -65,9 +65,26 @@ def compact_summary_line(full: dict, budget: int = 1600) -> str:
             queries_omitted=len(by_cost) - keep,
         )
         line = json.dumps(compact)
-        if len(line) <= budget or keep == 0:
+        if len(line) <= budget:
             return line
-        keep = max(0, keep - 10)
+        if keep > 0:
+            keep = max(0, keep - 10)
+            continue
+        # The queries map is already empty yet the base alone is over
+        # budget (a failure-heavy run — exactly the regime the capture
+        # fix exists for): degrade the error detail next, so the budget
+        # holds in EVERY regime, not just the happy path. ``n_errors``
+        # always survives with the true count.
+        if "errors" in base:
+            base["error_names"] = sorted(base.pop("errors"))[:20]
+        elif base.get("error_names"):
+            base["error_names"] = base["error_names"][
+                : len(base["error_names"]) // 2
+            ] or None
+            if base["error_names"] is None:
+                del base["error_names"]
+        else:
+            return line  # metadata-only; nothing left to trim
 
 
 def main() -> None:

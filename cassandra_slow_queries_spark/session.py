@@ -25,6 +25,12 @@ from pyspark.sql import functions as F
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
 
+# spread_input's size-floor fallback warning fires once per process (a
+# module flag, not the warnings-module dedup: that keys on the message
+# text, and a message embedding the exception re-fires per distinct
+# exception — and per call under pytest's -W always).
+_SIZE_FLOOR_WARNED = False
+
 
 def scratch_dir(prefix: str) -> str:
     """``mkdtemp`` with process-exit cleanup registered.
@@ -88,14 +94,17 @@ def spread_input(
             # starts firing on classic frames (a py4j API change, a JVM
             # handle problem) every small-tier call site silently gains
             # the exchange the floor exists to avoid
-            import warnings
+            global _SIZE_FLOOR_WARNED
+            if not _SIZE_FLOOR_WARNED:
+                _SIZE_FLOOR_WARNED = True
+                import warnings
 
-            warnings.warn(
-                f"spread_input: size floor unavailable ({exc!r}); "
-                "falling back to the split-count check",
-                RuntimeWarning,
-                stacklevel=2,
-            )
+                warnings.warn(
+                    f"spread_input: size floor unavailable ({exc!r}); "
+                    "falling back to the split-count check",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -72,3 +72,17 @@ def test_value_matches_full_payload():
     assert parsed["value"] == full["value"]
     assert parsed["wall"] == full["wall"]
     assert parsed["repeats"] == full["repeats"]
+
+
+def test_tiny_budget_still_enforced_in_failure_heavy_run():
+    """The r12 ADVICE case: when the base payload alone (metadata + 8
+    capped errors, or 20 error names) exceeds the budget, the error
+    detail must degrade too — the budget is a guarantee, not a happy-
+    path property. n_errors must survive every degradation step."""
+    for n_errors in (4, 8, 150):
+        full = _full(n_errors=n_errors)
+        for budget in (1600, 800, 400, 300):
+            line = compact_summary_line(full, budget=budget)
+            assert len(line) <= budget, (n_errors, budget, len(line))
+            parsed = json.loads(line)
+            assert parsed["n_errors"] == n_errors

@@ -415,12 +415,53 @@ def test_spread_floor_constant_boundary(spark, tmp_path):
     assert spread.rdd.getNumPartitions() == target
 
 
+def test_spread_floor_fallback_warns_exactly_once(spark):
+    """The stats-unavailable fallback warning is once-per-process by a
+    module flag, not the warnings-module dedup (which keys on message
+    text — a message embedding the exception re-fires per distinct
+    exception, and per call under -W always configs)."""
+    import warnings
+
+    from cassandra_slow_queries_spark import session as S
+
+    df = spark.range(4).repartition(1)
+    real = df._jdf
+
+    class FlakyJdf:
+        def queryExecution(self):
+            raise RuntimeError("planted stats failure")
+
+        def __getattr__(self, name):
+            return getattr(real, name)
+
+    df._jdf = FlakyJdf()
+    old = S._SIZE_FLOOR_WARNED
+    S._SIZE_FLOOR_WARNED = False
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            S.spread_input(df, min_bytes=1)
+            S.spread_input(df, min_bytes=1)  # distinct call, same process
+        floor_warnings = [
+            w for w in caught if "size floor unavailable" in str(w.message)
+        ]
+        assert len(floor_warnings) == 1, [str(w.message) for w in caught]
+    finally:
+        S._SIZE_FLOOR_WARNED = old
+        df._jdf = real
+
+
 def test_text_entries_keep_plain_plans_below_floor(spark):
-    """The nine text-family entries route documents through
-    load_documents_wide (size-floored spread). At the oracle/bench
-    tiers the corpus sits far under SPREAD_FLOOR_BYTES, so their plans
-    must carry NO repartition — the guard may not tax the small tiers
-    it was measured not to help."""
+    """EVERY entry routed through the size-floored spread — the
+    load_documents_wide consumers plus the e2e flagship's events scan —
+    must carry NO repartition at the oracle/bench tiers, where the
+    corpus sits far under SPREAD_FLOOR_BYTES: the guard may not tax the
+    small tiers it was measured not to help. The one exclusion is
+    cur_quality_filter, whose repetition_metrics core carries its OWN
+    un-floored operator-level spread (curation.py: the r11 embedded
+    guard for callers that pass narrow frames directly) — its plan
+    legitimately repartitions at every tier and its r12 A/B was
+    measured with that exchange in place."""
     import os
 
     sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
@@ -428,7 +469,18 @@ def test_text_entries_keep_plain_plans_below_floor(spark):
         pytest.skip(f"testdata {sf_dir} not present")
     from cassandra_slow_queries_spark.plans.catalog import CATALOG
 
-    for name in ("text_quality", "text_stats", "text_langid"):
+    for name in (
+        "text_quality",
+        "text_stats",
+        "text_langid",
+        "text_clean",
+        "text_perplexity",
+        "text_entropy",
+        "text_collocations",
+        "text_fingerprint",
+        "text_compression",
+        "e2e_query_pk_report",
+    ):
         plan = (
             CATALOG[name]
             .spark(spark, sf_dir)

@@ -7,10 +7,15 @@ This tool institutionalizes that measurement instead of leaving it an
 ad-hoc session script:
 
 - For each entry, at each data directory, time ONE noop-sink execution
-  (the bench convention: full plan runs, no driver collect cost) and
-  separately count the output rows (a second execution — acceptable for
-  evidence tooling; the count is needed to separate "the answer got
-  bigger" from "the plan got slower").
+  (the bench convention: full plan runs, no driver collect cost) with an
+  ``Observation`` riding the same plan to count the output rows — ONE
+  execution total, so the count can't warm caches/session intermediates
+  ahead of a later tier's timed wall (the skew a separate count run
+  introduced through r12, and the reason the r12 BASELINE ledger had to
+  explain non-monotonic rows). The CollectMetrics node the observation
+  adds is a constant-per-row fold, uniform across tiers, so slopes are
+  unaffected. The count separates "the answer got bigger" from "the
+  plan got slower".
 - Report per-entry log-log slopes for EVERY consecutive tier pair
   (``pairs``), plus headline ``wall_exp``/``out_exp`` from the largest
   pair (the r11 reading convention). The alarm rule, from the r11
@@ -53,21 +58,40 @@ from cassandra_slow_queries_spark.plans.catalog import CATALOG  # noqa: E402
 def parse_tiers(spec: str) -> list[tuple[str, str, float]]:
     """'sf0.1=/path,sf1=/path' -> [(label, path, factor)] where factor
     is the numeric sf parsed from the label (relative slopes only need
-    ratios, so any consistent unit works)."""
+    ratios, so any consistent unit works). Raises ValueError with a
+    usage message on a malformed spec — main() turns that into the
+    tool's documented exit-2 path instead of a traceback."""
     tiers = []
     for part in spec.split(","):
-        label, path = part.split("=", 1)
-        factor = float(label.replace("sf", ""))
+        label, _, path = part.partition("=")
+        try:
+            factor = float(label.replace("sf", "", 1))
+        except ValueError:
+            raise ValueError(
+                f"bad tier label {label!r} in {part!r} — expected "
+                "sf<number>=<dir>, e.g. sf0.1=/root/testdata/sf0.1"
+            ) from None
+        if not path:
+            raise ValueError(
+                f"bad tier spec {part!r} — expected sf<number>=<dir>"
+            )
         tiers.append((label, path, factor))
     return tiers
 
 
 def measure(spark, name: str, sf_dir: str) -> tuple[float, int]:
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     qd = CATALOG[name]
+    df = qd.spark(spark, sf_dir)
+    obs = Observation()
     t0 = time.perf_counter()
-    qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    df.observe(obs, F.count(F.lit(1)).alias("rows")).write.format(
+        "noop"
+    ).mode("overwrite").save()
     wall = time.perf_counter() - t0
-    rows = qd.spark(spark, sf_dir).count()
+    rows = int(obs.get["rows"])
     return wall, rows
 
 
@@ -90,7 +114,11 @@ def main() -> int:
     ap.add_argument("--out", default="/tmp/scale_evidence.json")
     args = ap.parse_args()
 
-    tiers = parse_tiers(args.tiers)
+    try:
+        tiers = parse_tiers(args.tiers)
+    except ValueError as exc:
+        print(f"usage error: {exc}")
+        return 2
     for _, path, _ in tiers:
         if not os.path.isdir(path):
             print(f"missing tier dir {path} — build it with tools/scale_up.py")
