@@ -119,6 +119,34 @@ def load_documents_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def load_embeddings_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embeddings`` routed through the same size-floored narrow-scan
+    guard as :func:`load_documents_wide` — the r13 sweep of the
+    remaining single-row-group scans (VERDICT r12 item 3).
+
+    Adopted ONLY for the two entries the per-entry A/B showed a
+    consistent win on (warm, min of 2): x_int8_quant sf1 3.17→0.98 s
+    (3.2×), sf3 12.21→1.42 s (8.6×); ann_hard_negatives sf1
+    1.36→0.58 s (2.3×), sf3 4.85→0.95 s (5.1×) — both are per-row
+    array-expression chains (int8 quantize/dequantize folds; the
+    broadcast-side cosine fold) that ran at the scan's 1-row-group
+    width. The other eight embeddings consumers measured flat or
+    REGRESSED under the same patch (dedup_semantic 0.76×,
+    x_embedding_profile 0.68×, ann_knn_classify 0.78×,
+    cur_feature_scale 0.87×; dedup_embedding/cur_contamination/
+    x_rrf_fusion/ann_cosine_topk within noise) — they aggregate early,
+    carry their own operator-level spreads (operators/similarity.py),
+    or are dominated by later stages, so the extra exchange buys
+    nothing and they keep plain ``load``. Below the floor (sf0.001–0.1:
+    ≤ 0.8 MiB) the plan is byte-identical to a plain load."""
+    from cassandra_slow_queries_spark.session import spread_input
+
+    return spread_input(
+        load(spark, sf_dir, "embeddings"), by="vec_id",
+        min_bytes=SPREAD_FLOOR_BYTES,
+    )
+
+
 #: (applicationId, key) → staged input dir; repeated invocations in one
 #: session (bench loops, test runs) reuse the staged copy instead of
 #: writing a fresh tempdir per call, and scratch_dir cleans up at exit.
@@ -6818,8 +6846,15 @@ def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         hard_negatives,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
-    return hard_negatives(emb, emb.filter(F.col("vec_id") < 8), k=5)
+    # size-floored spread (see load_embeddings_wide): A/B-measured r13
+    # sf1 1.36->0.58 s, sf3 4.85->0.95 s — the broadcast-side cosine
+    # fold runs per corpus row and was serialized by the 1-row-group
+    # scan. The 8-row query side stays on the plain load (it is
+    # filtered before any work).
+    emb = load_embeddings_wide(spark, sf_dir)
+    return hard_negatives(
+        emb, load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 8), k=5
+    )
 
 
 ANN_HARD_NEG_SQL = """
@@ -7359,7 +7394,11 @@ def q_x_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize_int8,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
+    # size-floored spread (see load_embeddings_wide): A/B-measured r13
+    # sf1 3.17->0.98 s, sf3 12.21->1.42 s — the quantize/dequantize
+    # array folds are per-row codegen chains serialized by the
+    # 1-row-group scan, the text-family class
+    emb = load_embeddings_wide(spark, sf_dir)
     q = quantize_int8(emb)
     return q.select(
         "vec_id",

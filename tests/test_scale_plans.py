@@ -480,6 +480,8 @@ def test_text_entries_keep_plain_plans_below_floor(spark):
         "text_fingerprint",
         "text_compression",
         "e2e_query_pk_report",
+        "x_int8_quant",
+        "ann_hard_negatives",
     ):
         plan = (
             CATALOG[name]
