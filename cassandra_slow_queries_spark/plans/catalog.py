@@ -2645,7 +2645,10 @@ def q_mm_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
     )
 
-    docs = load(spark, sf_dir, "documents").select(
+    # size-floored spread (see load_documents_wide): A/B-measured r13
+    # sf1 2.0->0.73 s, sf3 4.98->0.93 s — the Arrow feature extraction
+    # is per-row Python batched off the 1-row-group scan's width
+    docs = load_documents_wide(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "UTF-8").alias("content"),
     )
@@ -2680,7 +2683,13 @@ def _mm_frames_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_sample_plan,
     )
 
-    docs = load(spark, sf_dir, "documents").select(
+    # size-floored spread (see load_documents_wide): A/B-measured r13
+    # sf1 3.42->1.13 s, sf3 12.76->1.18 s standalone (the suite's
+    # frames branch is the same core; suite sf3 20.1->3.2 s) — the
+    # explode + per-frame sha2 chain ran at the 1-row-group scan width.
+    # mm_resize (sf1 0.65x) and mm_binary_meta (sf1 0.57x) REGRESSED
+    # under the same patch and keep plain load.
+    docs = load_documents_wide(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"), "text"
     )
     planned = frame_sample_plan(docs, every_n=7)

@@ -482,6 +482,8 @@ def test_text_entries_keep_plain_plans_below_floor(spark):
         "e2e_query_pk_report",
         "x_int8_quant",
         "ann_hard_negatives",
+        "mm_frame_sample",
+        "mm_fake_features",
     ):
         plan = (
             CATALOG[name]
