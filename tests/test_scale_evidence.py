@@ -27,3 +27,39 @@ def test_slope_guards_degenerate_inputs():
     assert slope(0.0, 1.0, 3.0, 1.0) is None  # zero rows: no log
     assert slope(5.0, 0.0, 3.0, 1.0) is None
     assert slope(5.0, 1.0, 1.0, 1.0) is None  # same factor: no baseline
+
+
+def test_parse_tiers_rejects_malformed_spec():
+    """A bad --tiers spec must raise ValueError (main turns it into the
+    exit-2 usage path) instead of an uncaught float-parse traceback."""
+    import pytest
+
+    with pytest.raises(ValueError, match="bad tier"):
+        parse_tiers("base=/a")
+    with pytest.raises(ValueError, match="bad tier"):
+        parse_tiers("sf0.1")  # no '=' at all
+
+
+def test_measure_times_eager_entry_construction(spark):
+    """The entry call must sit INSIDE the timer: streaming entries run
+    their query eagerly at construction and return the sink's batch
+    frame, and the dedup/ANN families build shared intermediates on
+    first touch. The first r13 sf10 run shipped with construction
+    outside the timer and read the e2e flagship at 0.04 s over 10M
+    events — this pins the fix with a planted eager sleep."""
+    import time as _time
+
+    from tools import scale_evidence as SE
+
+    class EagerDef:
+        def spark(self, session, sf_dir):
+            _time.sleep(0.3)  # stands in for an eager stream/build
+            return session.range(5)
+
+    SE.CATALOG["_eager_probe"] = EagerDef()
+    try:
+        wall, rows = SE.measure(spark, "_eager_probe", "/unused")
+        assert rows == 5
+        assert wall >= 0.3, wall
+    finally:
+        del SE.CATALOG["_eager_probe"]
