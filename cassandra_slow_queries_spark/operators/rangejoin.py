@@ -160,3 +160,64 @@ def interval_join(
     )
     joined = pt.join(iv, cond, how)
     return joined.drop(pt["_bucket"]).drop(iv["_bucket"])
+
+
+def interval_agg(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    sum_cols: tuple[str, ...] | list[str] = (),
+    count_name: str = "n_points",
+    bucket_width: int | None = None,
+    spread: bool = True,
+) -> DataFrame:
+    """Distributive per-interval aggregates (count + sums) over the
+    half-open containment predicate WITHOUT materializing one row per
+    (point, interval) pair.
+
+    ``interval_join(...).groupBy(interval cols).agg(count, sum)`` pays
+    the TRUE match volume — and on a FIXED value domain that volume is
+    quadratic in data density (the r13 exponent tier measured the
+    catalog's range-join entry at 1.27 G pairs @ sf1 → 11.27 G @ sf3,
+    wall_exp 1.94; BASELINE.md r13 ledger). When the consumer only
+    needs distributive aggregates, the pairs are pure overhead: this
+    operator aggregates the points side BY VALUE first (one hash
+    aggregation, the map-side-combinable kind), interval-joins the
+    resulting histogram, and re-aggregates the per-value partials per
+    interval. Pair volume collapses from
+    Σ_i |{points in [lo_i, hi_i)}| to Σ_i |{DISTINCT values in
+    [lo_i, hi_i)}| ≤ Σ_i (hi_i − lo_i) — bounded by interval length and
+    the value domain, INDEPENDENT of row count. Density² becomes
+    density×domain; at worst (all-unique values) it equals the pair
+    plan plus one cheap aggregation.
+
+    Returns one row per MATCHED interval (all ``intervals`` columns,
+    then ``count_name`` and ``sum_<c>`` per ``sum_cols`` entry) —
+    inner-join semantics, identical to the pair plan it replaces;
+    zero-match intervals are absent from both. ``sum_cols`` may include
+    ``point_col`` itself. Width/spread knobs pass through to
+    :func:`interval_join` (the histogram side is the "points" side
+    there — ``spread`` guards the original scan via the aggregation's
+    shuffle, so it matters mainly for very narrow inputs).
+    """
+    sum_cols = list(sum_cols)
+    h = points.groupBy(point_col).agg(
+        F.count(F.lit(1)).alias("_ia_cnt"),
+        *[F.sum(c).alias(f"_ia_sum_{c}") for c in sum_cols],
+    )
+    joined = interval_join(
+        h,
+        intervals,
+        point_col,
+        lo_col,
+        hi_col,
+        bucket_width=bucket_width,
+        spread=spread,
+    )
+    iv_cols = intervals.columns
+    return joined.groupBy(*iv_cols).agg(
+        F.sum("_ia_cnt").alias(count_name),
+        *[F.sum(f"_ia_sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+    )

@@ -3883,13 +3883,18 @@ def q_x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (IEJoin), so a banding bug — wrong bucket math, boundary off-by-one,
     double-produced pairs — breaks the hash.
 
-    The points side is spread past narrow landing files INSIDE
-    interval_join (the intervals side is broadcast-small, so the
-    join's parallelism is the points scan's split count; a
-    single-row-group file would serialize the entire pair fan-out —
-    billions of rows at sf3 — onto 1-3 cores; spread_input no-ops on
-    real many-file corpora)."""
-    from cassandra_slow_queries_spark.operators.rangejoin import interval_join
+    r13: the entry computes DISTRIBUTIVE aggregates, so it rides
+    interval_agg — the histogram-collapsed plan (aggregate points BY
+    VALUE first, interval-join the histogram, re-aggregate partials).
+    The r13 exponent tier caught the pair plan at wall_exp 1.94: on
+    this FIXED [0, 560] duration domain the true match volume is
+    density² (1.27 G pairs @ sf1 → 11.27 G @ sf3, DuckDB-measured),
+    while the histogram join's volume is bounded by |distinct values ∩
+    interval| — A/B sf1 3.67→0.71 s (5.2×), sf3 19.98→0.69 s (29×),
+    value-identical, wall now FLAT in sf. interval_join's raw pair
+    path stays gated by the brute-force property tests (heavy-dup
+    domain) and runs inside interval_agg's bucket-banded join."""
+    from cassandra_slow_queries_spark.operators.rangejoin import interval_agg
 
     ev = load(spark, sf_dir, "events")
     points = ev.select("event_id", _dur().alias("v"))
@@ -3898,13 +3903,12 @@ def q_x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dur().alias("lo"),
         (_dur() + 37).alias("hi"),
     )
-    joined = interval_join(points, intervals, "v", "lo", "hi", bucket_width=64)
     return (
-        joined.groupBy("iv_id", "lo", "hi")
-        .agg(
-            F.count("*").alias("n_points"),
-            F.sum("v").alias("sum_v"),
+        interval_agg(
+            points, intervals, "v", "lo", "hi",
+            sum_cols=["v"], bucket_width=64,
         )
+        .select("iv_id", "lo", "hi", "n_points", "sum_v")
         .orderBy("iv_id")
     )
 

@@ -830,3 +830,52 @@ def test_banded_asof_null_columns_match_unsalted(spark, quotes, probes):
         ).collect())
     )
     assert base == banded
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    points=st.lists(
+        st.integers(min_value=0, max_value=12),  # tiny domain → heavy dups
+        min_size=1,
+        max_size=40,
+    ),
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),  # lo
+            st.integers(min_value=0, max_value=6),   # width (0 → empty)
+        ),
+        max_size=10,
+    ),
+    width=st.sampled_from([1, 7, 64, None]),
+)
+def test_interval_agg_matches_bruteforce(spark, points, intervals, width):
+    """interval_agg (histogram-collapsed distributive aggregates) equals
+    the brute-force per-interval count/sum for every width, on a domain
+    chosen to force heavy value duplication — the regime where the pair
+    plan is quadratic and the histogram path must still be EXACT.
+    Inner-join semantics: zero-match intervals absent from both."""
+    from cassandra_slow_queries_spark.operators.rangejoin import interval_agg
+
+    ivs = [(i, lo, lo + w) for i, (lo, w) in enumerate(intervals)]
+    pdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(points)], "p_id long, v long"
+    )
+    idf = spark.createDataFrame(
+        ivs or [(99, 0, 0)], "iv_id long, lo long, hi long"
+    )
+    got = {
+        r.iv_id: (r.n_points, r.sum_v)
+        for r in interval_agg(
+            pdf, idf, "v", sum_cols=["v"], bucket_width=width, spread=False
+        ).collect()
+    }
+    want = {}
+    for ii, lo, hi in ivs:
+        inside = [v for v in points if lo <= v < hi]
+        if inside:
+            want[ii] = (len(inside), sum(inside))
+    assert got == want

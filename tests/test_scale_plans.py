@@ -533,3 +533,37 @@ def test_mm_suite_plans_exactly_one_sort(spark):
 
     plan = _plan(DEFERRED_CATALOG["mm_suite"].spark(spark, sf_dir))
     assert plan.count("Sort ") == 1, plan
+
+
+def test_interval_agg_joins_the_histogram_not_the_corpus(spark):
+    """interval_agg's join input must be the per-VALUE aggregation of
+    the points side (a HashAggregate below the join), so pair volume is
+    bounded by |distinct values ∩ interval| instead of the quadratic
+    true-match volume (the r13 x_range_join finding: 11.3 G pairs at
+    sf3 on a fixed value domain). If a refactor joined the raw corpus
+    and aggregated only after, this pin fails."""
+    from cassandra_slow_queries_spark.operators.rangejoin import interval_agg
+
+    pts = spark.range(2000).select(
+        F.col("id").alias("p_id"), (F.col("id") % 50).alias("v")
+    )
+    ivs = spark.createDataFrame(
+        [(i, i * 5, i * 5 + 7) for i in range(8)], "iv_id long, lo long, hi long"
+    )
+    out = interval_agg(pts, ivs, "v", sum_cols=["v"], bucket_width=8,
+                       spread=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # two aggregation LAYERS: per-value below the join, per-interval
+    # above it (each layer is a partial+final HashAggregate pair)
+    join_pos = min(
+        p for p in (plan.find("SortMergeJoin"), plan.find("HashJoin"))
+        if p >= 0
+    )
+    below = plan[join_pos:]
+    assert "HashAggregate" in below, plan
+    # rows entering the final agg are distinct-value matches, not pairs:
+    # 2000 rows over 50 distinct v → at most 50 histogram rows join
+    n = out.count()
+    assert n == ivs.filter("hi > lo").count()  # every interval matched
