@@ -169,11 +169,13 @@ def interval_agg(
     lo_col: str = "lo",
     hi_col: str = "hi",
     sum_cols: tuple[str, ...] | list[str] = (),
+    min_cols: tuple[str, ...] | list[str] = (),
+    max_cols: tuple[str, ...] | list[str] = (),
     count_name: str = "n_points",
     bucket_width: int | None = None,
     spread: bool = True,
 ) -> DataFrame:
-    """Distributive per-interval aggregates (count + sums) over the
+    """Distributive per-interval aggregates (count/sum/min/max) over the
     half-open containment predicate WITHOUT materializing one row per
     (point, interval) pair.
 
@@ -194,18 +196,27 @@ def interval_agg(
     plan plus one cheap aggregation.
 
     Returns one row per MATCHED interval (all ``intervals`` columns,
-    then ``count_name`` and ``sum_<c>`` per ``sum_cols`` entry) —
-    inner-join semantics, identical to the pair plan it replaces;
-    zero-match intervals are absent from both. ``sum_cols`` may include
-    ``point_col`` itself. Width/spread knobs pass through to
+    then ``count_name``, ``sum_<c>`` / ``min_<c>`` / ``max_<c>`` per
+    ``sum_cols`` / ``min_cols`` / ``max_cols`` entry) — inner-join
+    semantics, identical to the pair plan it replaces; zero-match
+    intervals are absent from both. Every agg column list may include
+    ``point_col`` itself. sum/min/max ignore NULLs exactly as the SQL
+    aggregates they compose from do (a per-value partial of all-NULL
+    rows is NULL, and NULL partials are in turn ignored by the
+    per-interval re-aggregation — associativity of distributive
+    aggregates is the whole trick). Width/spread knobs pass through to
     :func:`interval_join` (the histogram side is the "points" side
     there — ``spread`` guards the original scan via the aggregation's
     shuffle, so it matters mainly for very narrow inputs).
     """
     sum_cols = list(sum_cols)
+    min_cols = list(min_cols)
+    max_cols = list(max_cols)
     h = points.groupBy(point_col).agg(
         F.count(F.lit(1)).alias("_ia_cnt"),
         *[F.sum(c).alias(f"_ia_sum_{c}") for c in sum_cols],
+        *[F.min(c).alias(f"_ia_min_{c}") for c in min_cols],
+        *[F.max(c).alias(f"_ia_max_{c}") for c in max_cols],
     )
     joined = interval_join(
         h,
@@ -220,4 +231,6 @@ def interval_agg(
     return joined.groupBy(*iv_cols).agg(
         F.sum("_ia_cnt").alias(count_name),
         *[F.sum(f"_ia_sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        *[F.min(f"_ia_min_{c}").alias(f"min_{c}") for c in min_cols],
+        *[F.max(f"_ia_max_{c}").alias(f"max_{c}") for c in max_cols],
     )

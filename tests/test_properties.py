@@ -868,14 +868,15 @@ def test_interval_agg_matches_bruteforce(spark, points, intervals, width):
         ivs or [(99, 0, 0)], "iv_id long, lo long, hi long"
     )
     got = {
-        r.iv_id: (r.n_points, r.sum_v)
+        r.iv_id: (r.n_points, r.sum_v, r.min_v, r.max_v)
         for r in interval_agg(
-            pdf, idf, "v", sum_cols=["v"], bucket_width=width, spread=False
+            pdf, idf, "v", sum_cols=["v"], min_cols=["v"], max_cols=["v"],
+            bucket_width=width, spread=False
         ).collect()
     }
     want = {}
     for ii, lo, hi in ivs:
         inside = [v for v in points if lo <= v < hi]
         if inside:
-            want[ii] = (len(inside), sum(inside))
+            want[ii] = (len(inside), sum(inside), min(inside), max(inside))
     assert got == want
