@@ -174,6 +174,7 @@ def interval_agg(
     count_name: str = "n_points",
     bucket_width: int | None = None,
     spread: bool = True,
+    keep_empty_intervals: bool = False,
 ) -> DataFrame:
     """Distributive per-interval aggregates (count/sum/min/max) over the
     half-open containment predicate WITHOUT materializing one row per
@@ -199,7 +200,13 @@ def interval_agg(
     then ``count_name``, ``sum_<c>`` / ``min_<c>`` / ``max_<c>`` per
     ``sum_cols`` / ``min_cols`` / ``max_cols`` entry) — inner-join
     semantics, identical to the pair plan it replaces; zero-match
-    intervals are absent from both. Every agg column list may include
+    intervals are absent from both. ``keep_empty_intervals=True``
+    switches to the standard SQL ``intervals LEFT JOIN points … GROUP
+    BY interval-cols`` shape instead: one row per DISTINCT interval
+    tuple, zero-match rows kept with ``count_name`` 0 and NULL
+    sum/min/max (SQL empty-group aggregates) — duplicate interval rows
+    collapse into one group whose counts see every duplicate's matches,
+    exactly as that SQL does. Every agg column list may include
     ``point_col`` itself. sum/min/max ignore NULLs exactly as the SQL
     aggregates they compose from do (a per-value partial of all-NULL
     rows is NULL, and NULL partials are in turn ignored by the
@@ -228,9 +235,19 @@ def interval_agg(
         spread=spread,
     )
     iv_cols = intervals.columns
-    return joined.groupBy(*iv_cols).agg(
+    agged = joined.groupBy(*iv_cols).agg(
         F.sum("_ia_cnt").alias(count_name),
         *[F.sum(f"_ia_sum_{c}").alias(f"sum_{c}") for c in sum_cols],
         *[F.min(f"_ia_min_{c}").alias(f"min_{c}") for c in min_cols],
         *[F.max(f"_ia_max_{c}").alias(f"max_{c}") for c in max_cols],
+    )
+    if not keep_empty_intervals:
+        return agged
+    # distinct() mirrors the SQL GROUP BY over the left join: duplicate
+    # interval tuples are one group there too, and `agged` already
+    # carries each group's duplicate-inclusive totals
+    return (
+        intervals.distinct()
+        .join(agged, on=iv_cols, how="left")
+        .withColumn(count_name, F.coalesce(F.col(count_name), F.lit(0)))
     )

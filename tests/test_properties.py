@@ -880,3 +880,42 @@ def test_interval_agg_matches_bruteforce(spark, points, intervals, width):
         if inside:
             want[ii] = (len(inside), sum(inside), min(inside), max(inside))
     assert got == want
+
+    # left variant: SQL `intervals LEFT JOIN points .. GROUP BY` — one
+    # row per DISTINCT interval tuple, zero-match rows kept with count
+    # 0 and NULL sum/min/max
+    got_left = {
+        r.iv_id: (r.n_points, r.sum_v, r.min_v, r.max_v)
+        for r in interval_agg(
+            pdf, idf, "v", sum_cols=["v"], min_cols=["v"], max_cols=["v"],
+            bucket_width=width, spread=False, keep_empty_intervals=True
+        ).collect()
+    }
+    want_left = {
+        ii: want.get(ii, (0, None, None, None))
+        for ii, lo, hi in (ivs or [(99, 0, 0)])
+    }
+    assert got_left == want_left
+
+
+def test_interval_agg_duplicate_interval_tuples_collapse_like_sql(spark):
+    """Duplicate interval ROWS are one GROUP BY group in the SQL shape
+    `intervals LEFT JOIN points .. GROUP BY interval-cols`, with counts
+    seeing every duplicate's matches (each point matches each duplicate
+    row). interval_agg must reproduce that in both modes."""
+    from cassandra_slow_queries_spark.operators.rangejoin import interval_agg
+
+    pdf = spark.createDataFrame([(i, v) for i, v in enumerate([1, 2, 5])],
+                                "p_id long, v long")
+    idf = spark.createDataFrame(
+        [(7, 0, 3), (7, 0, 3), (8, 10, 12)], "iv_id long, lo long, hi long"
+    )
+    inner = {r.iv_id: (r.n_points, r.sum_v) for r in interval_agg(
+        pdf, idf, "v", sum_cols=["v"], bucket_width=2, spread=False
+    ).collect()}
+    assert inner == {7: (4, 6)}  # two duplicate rows x two matches
+    left = {r.iv_id: (r.n_points, r.sum_v) for r in interval_agg(
+        pdf, idf, "v", sum_cols=["v"], bucket_width=2, spread=False,
+        keep_empty_intervals=True
+    ).collect()}
+    assert left == {7: (4, 6), 8: (0, None)}
