@@ -15,6 +15,16 @@ the median actually cancels position effects instead of sampling the
 same warm/cold state three times. "value" is the sum of per-entry
 medians (the position-denoised suite wall); "wall" is the raw elapsed
 time of all passes.
+
+A fixed pure-CPU CANARY workload (a codegen-only range sum, no I/O, no
+shuffle, no Python) is timed at the start of every pass and reported as
+``canary_sec`` (median) / ``canary_all`` (per-pass walls). Its cost
+depends on box contention ONLY — the workload never changes — so two
+suite readings from different box states become comparable through
+their canary ratio: a driver reading whose canary is 1.5× the
+committed one is a contended box, not a regression (the [173.6, 235.4]
+same-tree spread the r12 adjudication had to explain by hand now has an
+in-payload explanation).
 """
 
 from __future__ import annotations
@@ -87,6 +97,15 @@ def compact_summary_line(full: dict, budget: int = 1600) -> str:
             return line  # metadata-only; nothing left to trim
 
 
+def canary(spark, n: int = 6_000_000_000) -> float:
+    """Wall seconds for the fixed contention canary (see module doc).
+    ``n`` is overridable only so tests can run a tiny instance; the
+    benchmark always uses the default so readings stay comparable."""
+    t0 = time.perf_counter()
+    spark.range(n).selectExpr("sum(id % 7)").collect()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -98,11 +117,14 @@ def main() -> None:
     # codegen) so per-query numbers measure the queries, not JVM startup.
     for t in ("events", "lineitem", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+    canary(spark)  # warm: the first call pays whole-stage codegen compile
 
     samples: dict[str, list[float]] = {name: [] for name in CATALOG}
     errors: dict[str, str] = {}
+    canaries: list[float] = []
     start_all = time.perf_counter()
     for _ in range(repeats):
+        canaries.append(canary(spark))
         for name, qd in CATALOG.items():
             t0 = time.perf_counter()
             try:
@@ -133,6 +155,8 @@ def main() -> None:
         "errors": errors,
         "repeats": repeats,
         "wall": wall,
+        "canary_sec": round(statistics.median(canaries), 3),
+        "canary_all": canaries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     payload = json.dumps(full)

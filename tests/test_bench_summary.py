@@ -26,6 +26,8 @@ def _full(n_queries=150, n_errors=0, err_len=500):
         "errors": errors,
         "repeats": 3,
         "wall": 600.0,
+        "canary_sec": 0.7,
+        "canary_all": [0.71, 0.7, 0.69],
         "sf": 0.1,
     }
 
@@ -86,3 +88,22 @@ def test_tiny_budget_still_enforced_in_failure_heavy_run():
             assert len(line) <= budget, (n_errors, budget, len(line))
             parsed = json.loads(line)
             assert parsed["n_errors"] == n_errors
+
+
+def test_canary_fields_survive_compact_line():
+    """The contention canary rides the base payload: both the median
+    and the per-pass walls must parse out of the 2000-char tail, since
+    they're exactly what an adjudicator needs to normalize a noisy
+    driver reading."""
+    parsed = _assert_survives_tail(compact_summary_line(_full()))
+    assert parsed["canary_sec"] == 0.7
+    assert parsed["canary_all"] == [0.71, 0.7, 0.69]
+
+
+def test_canary_measures_a_fixed_workload(spark):
+    """canary() returns a positive wall and is invariant to data/config
+    (pure spark.range compute — a tiny n keeps the test cheap)."""
+    from bench import canary
+
+    w = canary(spark, n=10_000)
+    assert isinstance(w, float) and w > 0
