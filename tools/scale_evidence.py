@@ -52,7 +52,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cassandra_slow_queries_spark import get_spark  # noqa: E402
-from cassandra_slow_queries_spark.plans.catalog import CATALOG  # noqa: E402
+from cassandra_slow_queries_spark.plans.catalog import (  # noqa: E402
+    CATALOG,
+    DEFERRED_CATALOG,
+)
 
 
 def parse_tiers(spec: str) -> list[tuple[str, str, float]]:
@@ -83,7 +86,10 @@ def measure(spark, name: str, sf_dir: str) -> tuple[float, int]:
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    qd = CATALOG[name]
+    # deferred entries (built + oracle-backed, staged behind the
+    # rotation-window math) are measurable too: they NEED multi-tier
+    # evidence BEFORE their promotion round, not after
+    qd = CATALOG[name] if name in CATALOG else DEFERRED_CATALOG[name]
     obs = Observation()
     # the entry call itself MUST sit inside the timer: streaming
     # entries run their query eagerly at construction and return the
@@ -149,9 +155,11 @@ def main() -> int:
             key=timings.get,
             reverse=True,
         )[: args.top]
-    unknown = [n for n in names if n not in CATALOG]
+    unknown = [
+        n for n in names if n not in CATALOG and n not in DEFERRED_CATALOG
+    ]
     if unknown:
-        print(f"not in CATALOG: {unknown}")
+        print(f"not in CATALOG or DEFERRED_CATALOG: {unknown}")
         return 2
 
     spark = get_spark("scale-evidence")
