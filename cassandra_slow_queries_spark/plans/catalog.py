@@ -8801,9 +8801,16 @@ CATALOG: dict[str, QueryDef] = {
         X_PIT_JOIN_SQL,
         "point-in-time SCD2 feature join vs native ASOF oracle",
     ),
-    # stream_sliding retired r13: consolidated into stream_window_suite
-    # (r12-driver-green at retirement per BASELINE.md's corrected r13
-    # recipe; the suite preserves every detail row of its oracle).
+    # r13-opt: the build-phase retirement of stream_sliding (into
+    # stream_window_suite) is reverted — the optimization-round driver
+    # contract forbids removing any query declared at r12, so the three
+    # standalone window entries stay live and the suite returns to
+    # DEFERRED_CATALOG until a future build round may retire them.
+    "stream_sliding": QueryDef(
+        q_stream_sliding,
+        STREAM_SLIDING_SQL,
+        "sliding-window streaming A4; oracle replays the 2x overlap",
+    ),
     # x_fuzzy_link retired r12: consolidated into x_fuzzy_suite (see
     # the x_fuzzy_multipass note above; both r9-driver-green at
     # retirement per BASELINE.md's r12 recipe).
@@ -9115,8 +9122,8 @@ CATALOG: dict[str, QueryDef] = {
         STREAM_BURST_SQL,
         "applyInPandasWithState running count/EMA (closed-form oracle)",
     ),
-    # stream_volume retired r13: consolidated into stream_window_suite
-    # (r11-driver-green at retirement; see the r13 promotion block).
+    # r13-opt: build-phase retirement reverted (see stream_sliding note).
+    "stream_volume": QueryDef(q_stream_volume, A4_SQL, "A4 via Structured Streaming"),
     # r11 consolidation: stream_volume_top + stream_volume_top_append are
     # now covered by the single stream_volume_top_suite entry (registered
     # below, after its runner's definition; its tests pin row-for-row
@@ -9185,8 +9192,12 @@ CATALOG: dict[str, QueryDef] = {
         ANN_HARD_NEG_SQL,
         "hard-negative mining: top-K similar with a different label",
     ),
-    # stream_session retired r13: consolidated into stream_window_suite
-    # (r10-driver-green at retirement; see the r13 promotion block).
+    # r13-opt: build-phase retirement reverted (see stream_sliding note).
+    "stream_session": QueryDef(
+        q_stream_session,
+        STREAM_SESSION_SQL,
+        "streaming session windows vs gaps-and-islands oracle",
+    ),
     "x_sketch_rollup": QueryDef(
         q_x_sketch_rollup,
         X_SKETCH_ROLLUP_SQL,
@@ -10254,18 +10265,16 @@ CATALOG["x_equi_depth"] = QueryDef(
 )
 
 
-# r13 promotion (BASELINE.md "corrected schedule", executed verbatim):
-# the three standalone stream-window entries retire (stream_session
-# r10-green, stream_volume r11-green, stream_sliding r12-green at
-# retirement — one from each staleness class, per the never-exceed-W
-# insertion rule) and the pre-verified window-taxonomy suite goes live:
-# 150 - 3 + 1 = 148, under the 3-round rotation cap. The one
-# never-driver-checked name sorts to window slot 1 mechanically; the
-# rest of the r13 window is the 49 remaining r10-green entries (tail
-# floor r11, exactly at the invariant cap — simulated clean through
-# r18 including the r14 mm_suite/x_qdigest and r15 x_bootstrap_ci
-# promotions).
-CATALOG["stream_window_suite"] = QueryDef(
+# r13-opt: the build-phase r13 rotation swap (retire the three
+# standalone stream-window entries, promote stream_window_suite) is
+# REVERTED — the optimization-round driver contract re-runs every query
+# declared at r12 and treats a disappeared name as a regression, so the
+# three standalone entries are restored above and the pre-verified
+# suite returns to DEFERRED_CATALOG (still oracle-checked locally every
+# pytest run, and its row-for-row parity against the three standalone
+# runners stays pinned in tests/test_streaming_endpoints.py). A future
+# build round may re-execute the swap.
+DEFERRED_CATALOG["stream_window_suite"] = QueryDef(
     q_stream_window_suite,
     STREAM_WINDOW_SUITE_SQL,
     "tumbling + sliding + session windows consolidated, concurrent starts",
