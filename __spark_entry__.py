@@ -32,6 +32,12 @@ def _apply_session_confs(spark: SparkSession) -> None:
     # see session.py: DPP's lineage analysis costs ~17 s/action on deep
     # expression pipelines and can never fire on these plans
     spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    # r13 opt (guide §3.1): runtime SMJ→SHJ conversion for small
+    # post-shuffle partitions (see session.py for the measured A/B)
+    spark.conf.set(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64MB"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -368,11 +368,61 @@ def chunk_documents(
     ).withColumn("n_words", F.size(F.split(F.col("span"), " ", -1)))
 
 
+#: bytes of (estimated) input per range partition when ``num_ranges``
+#: is resolved adaptively — env-tunable; 32 MiB keeps a range's local
+#: window sort comfortably in one task's execution memory while giving
+#: a 100 TB corpus ~3M ranges (capped below) instead of a constant
+_RANGE_TARGET_BYTES = 32 * 1024 * 1024
+#: upper bound on adaptive range counts: the per-range driver offset
+#: map stays O(cap) rows (collected once, broadcast back), and at the
+#: cap a 100 TB input still only sees ~1.6 GB per range — a spilling
+#: but safe local sort. Raise via SPARK_GRAFT_MAX_RANGES for clusters
+#: that want strictly bounded per-range sorts at extreme scale.
+_RANGE_CAP = 65536
+
+
+def _resolve_num_ranges(df: DataFrame, num_ranges: int | None) -> int:
+    """Resolve ``num_ranges=None`` to a scale-adaptive count.
+
+    A constant range count is wrong at both ends: 32 ranges over a
+    100 TB corpus is ~3 TB per range task (guide §2.5: input skew by
+    construction), while 32 ranges over a few-MiB local frame pays 32
+    tasks of pure scheduling overhead per stage. ``None`` derives the
+    count from the optimizer's size estimate at ~32 MiB per range
+    (``SPARK_GRAFT_RANGE_BYTES``), clamped to [1, 65536]
+    (``SPARK_GRAFT_MAX_RANGES``). Estimates are coarse after complex
+    transforms — acceptable here because ANY count is correct (the
+    prefix-sum's values are invariant in the partitioning; property
+    tests sweep counts 1..100) and the clamp bounds the damage of a
+    bad estimate. Falls back to the legacy 32 when plan stats are
+    unavailable (e.g. a Connect frame without a JVM handle)."""
+    if num_ranges is not None:
+        return num_ranges
+    import os
+
+    target = int(
+        os.environ.get("SPARK_GRAFT_RANGE_BYTES", str(_RANGE_TARGET_BYTES))
+    )
+    cap = int(os.environ.get("SPARK_GRAFT_MAX_RANGES", str(_RANGE_CAP)))
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        # Catalyst reports spark.sql.defaultSizeInBytes (Long.MaxValue)
+        # for plans it cannot size — treat the sentinel range (anything
+        # past 2^60 ≈ 1 EiB, far above any real input) as "unknown"
+        if size <= 0 or size >= 1 << 60:
+            return 32
+        return max(1, min(-(-size // target), cap))
+    except Exception:
+        return 32
+
+
 def _distributed_prefix_sum(
     df: DataFrame,
     token_col: str,
     order: list[Column],
-    num_ranges: int,
+    num_ranges: int | None,
     out_col: str = "cum_tokens",
 ) -> tuple[DataFrame, DataFrame]:
     """Inclusive running sum of ``token_col`` over the GLOBAL ``order``,
@@ -407,6 +457,7 @@ def _distributed_prefix_sum(
     """
     from pyspark.sql import Window
 
+    num_ranges = _resolve_num_ranges(df, num_ranges)
     ranged = df.repartitionByRange(num_ranges, *order).withColumn(
         "_pid", F.spark_partition_id()
     )
@@ -431,12 +482,6 @@ def _distributed_prefix_sum(
         # a range whose token values are ALL NULL sums to None — it
         # contributes nothing to later offsets rather than crashing
         acc += totals[pid] or 0
-    offset_expr: Column = F.lit(0).cast("long")
-    for pid, off in offsets.items():
-        offset_expr = (
-            F.when(F.col("_pid") == pid, F.lit(off).cast("long"))
-            .otherwise(offset_expr)
-        )
     # ROWS frame, not the default RANGE frame: with a strict total
     # order they are identical, but on order TIES the RANGE frame
     # aggregates the whole peer group into every peer — assign_global_ids
@@ -447,9 +492,36 @@ def _distributed_prefix_sum(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    summed = ranged.withColumn(
-        out_col, F.sum(F.col(token_col)).over(w) + offset_expr
-    ).drop("_pid")
+    local_sum = F.sum(F.col(token_col)).over(w)
+    if len(offsets) <= 64:
+        # small range counts: a when-chain compiles to one codegen'd
+        # expression, no extra operator
+        offset_expr: Column = F.lit(0).cast("long")
+        for pid, off in offsets.items():
+            offset_expr = (
+                F.when(F.col("_pid") == pid, F.lit(off).cast("long"))
+                .otherwise(offset_expr)
+            )
+        summed = ranged.withColumn(out_col, local_sum + offset_expr).drop(
+            "_pid"
+        )
+    else:
+        # large range counts (the adaptive path at real scale): a
+        # when-chain is O(num_ranges) expression DEPTH — Catalyst
+        # analysis and codegen blow up past a few hundred branches —
+        # so ship the offsets back as a broadcast-joined (pid, offset)
+        # frame instead: O(1) plan depth, and the broadcast hash join
+        # on the already-partitioned frame adds no exchange
+        off_df = df.sparkSession.createDataFrame(
+            [(int(pid), int(off)) for pid, off in offsets.items()],
+            "_pid int, _range_off long",
+        )
+        summed = (
+            ranged.withColumn(out_col, local_sum)
+            .join(F.broadcast(off_df), "_pid")
+            .withColumn(out_col, F.col(out_col) + F.col("_range_off"))
+            .drop("_pid", "_range_off")
+        )
     return summed, ranged
 
 
@@ -459,7 +531,7 @@ def token_budget_select(
     token_col: str,
     priority_col: str,
     id_col: str,
-    num_ranges: int = 32,
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Select documents in (priority desc, id asc) order while the
     cumulative token count stays ≤ ``budget`` — "fill the training mix
@@ -486,7 +558,7 @@ def pack_sequences(
     window: int,
     token_col: str,
     id_col: str,
-    num_ranges: int = 32,
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Sequence packing: lay documents end-to-end in ``id`` order and
     chunk the concatenated token stream into fixed-size context windows
@@ -969,7 +1041,7 @@ def padding_waste(
     length_col: str,
     batch_size: int,
     order: list[Column],
-    num_ranges: int = 32,
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Padding-waste accounting for fixed-size training batches: rows
     are laid out in ``order``, chunked into batches of ``batch_size``,
@@ -1030,7 +1102,7 @@ def assign_token_shards(
     token_col: str,
     order: list[Column],
     target_tokens: int,
-    num_ranges: int = 32,
+    num_ranges: int | None = None,
     out_col: str = "shard",
 ) -> DataFrame:
     """Deterministic output sharding by TOKEN budget: rows laid out in

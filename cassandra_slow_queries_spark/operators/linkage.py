@@ -33,7 +33,7 @@ def sorted_neighborhood_pairs(
     id_col: str,
     sort_col: str,
     window: int = 5,
-    num_ranges: int = 32,
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Candidate pairs ``(a_id, a_<sort>, b_id, b_<sort>)`` whose global
     sort ranks (ordered by ``sort_col`` then ``id_col`` as the strict
@@ -81,7 +81,7 @@ def fuzzy_link(
     name_col: str,
     window: int = 5,
     max_distance: int = 1,
-    num_ranges: int = 32,
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Sorted-neighborhood linkage verified by edit distance: candidate
     pairs from :func:`sorted_neighborhood_pairs` on ``name_col``, kept
@@ -113,7 +113,7 @@ def multi_pass_link(
     passes: list[Column],
     window: int = 5,
     max_distance: int = 1,
-    num_ranges: int = 32,
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Multi-pass sorted-neighborhood linkage: one SNM candidate pass
     per sort-key expression in ``passes``, candidate id pairs unioned

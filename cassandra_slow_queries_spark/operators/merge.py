@@ -231,7 +231,7 @@ def assign_global_ids(
     df: DataFrame,
     order: list[Column],
     out_col: str = "global_id",
-    num_ranges: int = 32,
+    num_ranges: int | None = None,
 ) -> DataFrame:
     """Contiguous 1-based global ids over the total order ``order``
     (which must be a strict total order — include a unique tiebreak

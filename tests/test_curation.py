@@ -491,3 +491,47 @@ def test_group_percent_rank_null_cells_get_ranks(spark):
     assert by[("g", 1.0)] == 0.5
     assert by[("g", 2.0)] == 1.0
     assert by[(None, 5.0)] == 0.0
+
+
+def test_prefix_sum_adaptive_and_large_range_paths(spark):
+    """r13 opt: ``num_ranges=None`` resolves adaptively from plan-stats
+    size (small local frames → few ranges, never an error), and a range
+    count past the 64-branch when-chain limit takes the broadcast-join
+    offset path — both must produce the exact global running sum."""
+    from pyspark.sql import Window
+
+    from cassandra_slow_queries_spark.operators.curation import (
+        _distributed_prefix_sum,
+        _resolve_num_ranges,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13 + 1) for i in range(500)], "id long, tok long"
+    )
+    # adaptive resolution: a tiny frame resolves to a small positive count
+    n = _resolve_num_ranges(df, None)
+    assert 1 <= n <= 32
+    assert _resolve_num_ranges(df, 7) == 7  # explicit always wins
+
+    order = [F.col("tok").desc(), F.col("id").asc()]
+    w = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("tok").over(w)).collect()
+    }
+    # None (adaptive) and 100 (> 64 → broadcast-join offsets) must both
+    # equal the single-window truth
+    for num_ranges in (None, 100):
+        summed, ranged = _distributed_prefix_sum(
+            df, "tok", order, num_ranges
+        )
+        try:
+            got = {
+                r["id"]: r["cum_tokens"]
+                for r in summed.select("id", "cum_tokens").collect()
+            }
+        finally:
+            ranged.unpersist()
+        assert got == want, f"num_ranges={num_ranges}"
