@@ -28,7 +28,9 @@ stream length.
 
 from __future__ import annotations
 
+import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +39,36 @@ from cassandra_slow_queries_spark.operators.topk import grouped_top_k
 from cassandra_slow_queries_spark.session import scratch_dir
 
 WINDOW = "1 minute"
+
+
+@contextmanager
+def stream_state_partitions(spark: SparkSession, n: str | int | None = None):
+    """Run the enclosed streaming query under a state-volume-sized
+    ``spark.sql.shuffle.partitions`` (restored on exit, whatever
+    happens).
+
+    A streaming query's STATE STORE count is fixed at first batch from
+    the session's shuffle-partition conf, and each store is per-batch
+    FIXED cost (provider open, commit file, maintenance) regardless of
+    how little state it holds — so partition count should track state
+    volume (window/key cardinality), not the batch shuffle default
+    (r13 opt, generalizing the parity-suite sizing note: measured
+    interleaved at sf0.1, eight streaming entries total 25.4 → 16.9 s
+    under 8 partitions, every entry ≤ 0.95×, results invariant). The
+    default 8 is env-tunable (``SPARK_GRAFT_STREAM_PARTITIONS``) —
+    size it to state cardinality / cluster on a real deployment; the
+    aggregation results are partition-count-independent either way."""
+    n = str(
+        n
+        if n is not None
+        else os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _windowed(parsed: DataFrame, window: str, watermark: str | None) -> DataFrame:
@@ -244,7 +276,7 @@ def start_stream_to_batch(
 def run_streams_concurrently(
     spark: SparkSession,
     builds: list[tuple[DataFrame, str]],
-    shuffle_partitions: str = "8",
+    shuffle_partitions: str | None = None,
 ) -> list[DataFrame]:
     """Start several finite streaming frames CONCURRENTLY, await them
     all, and return their released results in build order — the shared
@@ -267,14 +299,13 @@ def run_streams_concurrently(
       continue (the bench loop) must never inherit live streaming jobs
       or session-lifetime memory sinks.
     """
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
     started: list = []
     try:
-        for stream, mode in builds:
-            started.append(start_stream_to_batch(stream, output_mode=mode))
-        for q, _ in started:
-            q.awaitTermination()
+        with stream_state_partitions(spark, shuffle_partitions):
+            for stream, mode in builds:
+                started.append(start_stream_to_batch(stream, output_mode=mode))
+            for q, _ in started:
+                q.awaitTermination()
         return [release_stream_sink(spark, name) for _, name in started]
     except Exception:
         for q, name in started:
@@ -287,8 +318,6 @@ def run_streams_concurrently(
             except Exception:
                 pass
         raise
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def release_stream_sink(spark: SparkSession, name: str) -> DataFrame:
@@ -311,9 +340,11 @@ def release_stream_sink(spark: SparkSession, name: str) -> DataFrame:
 def run_stream_to_batch(streaming_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Execute a finite streaming frame with ``Trigger.AvailableNow`` into
     an in-memory sink and return the final contents as a batch frame."""
-    q, name = start_stream_to_batch(streaming_df, output_mode)
-    q.awaitTermination()
-    return release_stream_sink(streaming_df.sparkSession, name)
+    spark = streaming_df.sparkSession
+    with stream_state_partitions(spark):
+        q, name = start_stream_to_batch(streaming_df, output_mode)
+        q.awaitTermination()
+    return release_stream_sink(spark, name)
 
 
 def run_volume_top_stream(
@@ -339,13 +370,14 @@ def run_volume_top_stream(
         )
         top.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        cells.writeStream.foreachBatch(emit)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(parsed.sparkSession):
+        q = (
+            cells.writeStream.foreachBatch(emit)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return parsed.sparkSession.read.parquet(out_dir)
 
 
@@ -399,14 +431,15 @@ def run_volume_top_stream_append(
             out_dir
         )
 
-    q = (
-        cells.writeStream.foreachBatch(emit)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(parsed.sparkSession):
+        q = (
+            cells.writeStream.foreachBatch(emit)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     spark = parsed.sparkSession
     try:
         return spark.read.parquet(out_dir)
@@ -578,13 +611,14 @@ def run_streaming_upsert(
         from cassandra_slow_queries_spark.session import scratch_dir
 
         checkpoint_dir = scratch_dir("upsert_ckpt_")
-    q = (
-        changes_stream.writeStream.foreachBatch(fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (
+            changes_stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     latest = _latest_snapshot_version(snapshot_dir)
     if latest is None:  # empty stream: nothing was ever written
         empty = changes_stream.sparkSession.createDataFrame(
@@ -616,16 +650,17 @@ def run_stream_drain(
     :func:`run_stream_to_batch`'s AvailableNow, which needs no
     blocking drain."""
     name = f"stream_result_{uuid.uuid4().hex}"
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with stream_state_partitions(streaming_df.sparkSession):
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return release_stream_sink(streaming_df.sparkSession, name)
 
 
@@ -662,14 +697,15 @@ def run_paced_backfill(
     stream = read_fact_stream(spark, parquet_dir, files_per_trigger)
     agg = stream.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
     name = f"paced_backfill_{uuid.uuid4().hex}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     progresses = q.recentProgress
     if not progresses or min(p["batchId"] for p in progresses) > 0:
         raise RuntimeError(

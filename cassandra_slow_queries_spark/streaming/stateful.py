@@ -203,20 +203,23 @@ def run_burst_detection(
 
     from cassandra_slow_queries_spark.session import scratch_dir
 
-    out = burst_state_stream(fact_stream, alpha, burst_threshold, idle_timeout_ms)
-    name = f"burst_{uuid.uuid4().hex}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", scratch_dir("burst_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     from cassandra_slow_queries_spark.streaming.pipeline import (
         release_stream_sink,
+        stream_state_partitions,
     )
+
+    out = burst_state_stream(fact_stream, alpha, burst_threshold, idle_timeout_ms)
+    name = f"burst_{uuid.uuid4().hex}"
+    with stream_state_partitions(fact_stream.sparkSession):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", scratch_dir("burst_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     all_emissions = release_stream_sink(fact_stream.sparkSession, name)
     return final_emissions(all_emissions)
