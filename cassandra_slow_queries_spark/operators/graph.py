@@ -65,6 +65,16 @@ def pagerank(
     # d/outdeg of rank mass per iteration — the Σrank=1 invariant the
     # gates pin would decay
     e = e.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if persist_each:
+        # r13 opt (guide §5): every iteration's contribution join
+        # references ``e``, and ``outdeg`` rides the with_deg join —
+        # without materialization each of the ``iters`` iterations
+        # re-executes the full edge subtree (source scan + DISTINCT
+        # shuffle) and the outdeg aggregation from scratch (sf0.1 warm:
+        # ~2.6 → ~2.2 s with the two checkpoints — small there because
+        # the folded graph is tiny; the point is the scale shape: one
+        # edge pass instead of ``iters``+1 full scans at 100 TB).
+        e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -75,6 +85,8 @@ def pagerank(
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
+    if persist_each:
+        outdeg = outdeg.localCheckpoint(eager=False)
     n_total = nodes.agg(F.count(F.lit(1)).alias("_n"))
     ranks = nodes.crossJoin(n_total).select(
         "node", (F.lit(1.0) / F.col("_n")).alias("rank")
