@@ -364,7 +364,17 @@ def token_distribution(
     from cassandra_slow_queries_spark.operators.search import tokenize
 
     toks = df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # r13 opt (guide §5): ``counts`` feeds both the output and the
+    # total-count normalizer; without materialization each reference
+    # re-runs the corpus explode+aggregation (the final executed plan
+    # carried one full "Scan → explode → agg" subtree PER reference —
+    # AQE does not dedupe them). Vocabulary-sized, so the checkpoint
+    # is bounded by the token universe, never the corpus.
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     total = counts.agg(F.sum("n").alias("_tot"))
     return counts.join(F.broadcast(total)).select(
         "token", "n", (F.col("n") / F.col("_tot")).alias("p")

@@ -232,6 +232,7 @@ def mg_topk_candidates(
     k: int = 256,
     weight_col: str | None = None,
     out_col: str = "mg_count",
+    summaries: DataFrame | None = None,
 ) -> DataFrame:
     """Heavy-hitter candidates from merged per-partition MG summaries:
     ``(item, mg_count)`` where ``mg_count`` is a LOWER bound on the true
@@ -250,8 +251,16 @@ def mg_topk_candidates(
     pass (candidates are <= k * n_partitions rows, broadcastable);
     count-min answers point queries instead — the two sketches are
     complementary, not interchangeable.
+
+    ``summaries`` lets a caller that also needs the per-partition
+    summary frame (e.g. for a size gate) build it once and share it
+    — the merge is a pure function of the summaries, so passing a
+    frame built by :func:`mg_partition_summaries` with the same
+    arguments yields the identical result (r13 opt, guide §5: the
+    unshared form re-executed the full input scan per consumer).
     """
-    summaries = mg_partition_summaries(df, item_col, k, weight_col)
+    if summaries is None:
+        summaries = mg_partition_summaries(df, item_col, k, weight_col)
     return (
         summaries.groupBy(F.col("item").alias(item_col))
         .agg(F.sum("cnt").alias(out_col))

@@ -5841,10 +5841,15 @@ def q_x_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
+    # r13 opt (guide §5): ``drift`` feeds both the js_total aggregate
+    # and the top-20 projection; unmaterialized, each reference
+    # re-executed the full two-snapshot tokenize+aggregate+join
+    # subtree (8 parquet scans in the executed plan, 2 after the
+    # checkpoints here and in token_distribution). Vocabulary-sized.
     drift = distribution_drift(
         docs.filter(F.col("lang") == "en"),
         docs.filter(F.col("lang") != "en"),
-    )
+    ).localCheckpoint(eager=False)
     total = drift.agg(F.round(F.sum("js"), 6).alias("js_total"))
     return (
         drift.crossJoin(F.broadcast(total))
@@ -7025,18 +7030,31 @@ def q_x_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id").isNotNull())
         .select(F.pmod(F.col("event_id"), F.lit(500)).alias("item"))
     )
-    sketch = cm_build(ev, "item", width=width, depth=depth)
-
-    stats = ev.agg(
-        F.count("item").alias("n_items"),
-        F.count_distinct("item").alias("n_distinct"),
+    # r13 opt (guide §5): the executed plan carried TEN independent
+    # events scans — ``sketch`` (≤ depth×width = 320 rows) is consumed
+    # by four branches and ``exact``/``stats`` each re-scanned the
+    # base. Checkpoint the two tiny aggregates and derive the stats
+    # row from ``exact`` (n_items = Σ_true over the groups, n_distinct
+    # = group count — identical by definition since ``item`` is
+    # non-null by construction), leaving one scan per independent
+    # build (sketch, exact, the two halves, the repartition probe).
+    sketch = cm_build(ev, "item", width=width, depth=depth).localCheckpoint(
+        eager=False
     )
     sketch_stats = sketch.agg(
         F.count(F.lit(1)).alias("_n_cells"),
         F.sum("cnt").alias("_mass"),
     )
 
-    exact = ev.groupBy("item").agg(F.count(F.lit(1)).alias("_true"))
+    exact = (
+        ev.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("_true"))
+        .localCheckpoint(eager=False)
+    )
+    stats = exact.agg(
+        F.sum("_true").alias("n_items"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
     probes = exact.unionByName(
         spark.range(1).select(
             F.lit(None).cast("long").alias("item"),
@@ -7172,14 +7190,28 @@ def q_x_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("item")
         )
     )
-    stats = ev.agg(
-        F.count("item").alias("n_items"),
-        F.count_distinct("item").alias("n_distinct"),
+    # r13 opt (guide §5): the executed plan carried EIGHT independent
+    # events scans — ``exact`` feeds both probe-gate branches, the
+    # stats row re-scanned the base, and the 7-partition probe built
+    # its per-partition summaries twice (once inside
+    # mg_topk_candidates, once for the size gate). Checkpoint the two
+    # tiny frames (≤ ~500 item groups; ≤ 7·k summary rows), derive
+    # stats from ``exact`` (n_items = Σ_true, n_distinct = group
+    # count — identical by definition, ``item`` is non-null by
+    # construction), and share one summaries frame between the
+    # candidate merge and the size gate: three scans total.
+    exact = (
+        ev.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("_true"))
+        .localCheckpoint(eager=False)
     )
-    exact = ev.groupBy("item").agg(F.count(F.lit(1)).alias("_true"))
+    stats = exact.agg(
+        F.sum("_true").alias("n_items"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
 
-    def _probe_gates(src: DataFrame, suffix: str) -> DataFrame:
-        cands = mg_topk_candidates(src, "item", k=k)
+    def _probe_gates(src: DataFrame, suffix: str, summaries=None) -> DataFrame:
+        cands = mg_topk_candidates(src, "item", k=k, summaries=summaries)
         joined = exact.join(cands, "item", "left").crossJoin(
             F.broadcast(stats.select(F.col("n_items").alias("_n")))
         )
@@ -7207,8 +7239,11 @@ def q_x_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gates = _probe_gates(ev, "")
     ev7 = ev.repartition(7)
-    gates7 = _probe_gates(ev7, "_p7")
-    size_gate = mg_partition_summaries(ev7, "item", k=k).agg(
+    summaries7 = mg_partition_summaries(ev7, "item", k=k).localCheckpoint(
+        eager=False
+    )
+    gates7 = _probe_gates(ev7, "_p7", summaries=summaries7)
+    size_gate = summaries7.agg(
         (F.count(F.lit(1)) <= F.lit(7 * k)).alias("summary_bounded")
     )
     return (

@@ -361,6 +361,24 @@ def test_mg_null_weights_skipped_like_cm_build(spark):
     assert cands == {"a": 5, "b": 2}
 
 
+def test_mg_precomputed_summaries_match_default_path(spark):
+    # r13 opt: a caller that also needs the summary frame builds it
+    # once and passes it in — the merge must be identical to the
+    # default (internally-built) path, row for row
+    rows = [(i, "hot" if i % 3 else f"t{i % 41}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "i long, k string").repartition(5)
+    summ = mg_partition_summaries(df, "k", k=8)
+    via_summ = {
+        r["k"]: r["mg_count"]
+        for r in mg_topk_candidates(df, "k", k=8, summaries=summ).collect()
+    }
+    default = {
+        r["k"]: r["mg_count"]
+        for r in mg_topk_candidates(df, "k", k=8).collect()
+    }
+    assert via_summ == default
+
+
 # --- Bloom filter (membership / semi-join pushdown) ------------------------
 
 from cassandra_slow_queries_spark.operators.sketches import (
