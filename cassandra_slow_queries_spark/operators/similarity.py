@@ -864,6 +864,7 @@ def cosine_topk_ivf(
     refine_iters: int = 1,
     seed: int = 42,
     centroids=None,
+    cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-K: coarse-quantize the corpus into
     ``n_centroids`` cells, probe the ``n_probe`` best cells per query,
@@ -888,11 +889,20 @@ def cosine_topk_ivf(
         centroids = train_ivf_centroids(
             corpus, n_centroids, id_col, vec_col, dim, refine_iters, seed
         )
-    assign = ivf_cell_udf(centroids, n_probe=1)
     probe = ivf_cell_udf(centroids, n_probe=n_probe)
-    c_cells = corpus.select(
-        F.col(id_col).alias("neighbor_id"), assign(F.col(vec_col))[0].alias("cell")
-    )
+    if cells is not None:
+        # r13 opt (guide §4/§5): a caller holding the materialized
+        # (neighbor_id, cell) index — built with ivf_cell_udf(centroids,
+        # n_probe=1) over the same corpus — passes it in so the
+        # assignment UDF does not re-scan the corpus; this is the
+        # "persist the index" reuse path the docstring describes.
+        c_cells = cells
+    else:
+        assign = ivf_cell_udf(centroids, n_probe=1)
+        c_cells = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            assign(F.col(vec_col))[0].alias("cell"),
+        )
     q_cells = queries.select(
         F.col(id_col).alias("q_id"), F.explode(probe(F.col(vec_col))).alias("cell")
     )

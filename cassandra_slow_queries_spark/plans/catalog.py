@@ -1957,8 +1957,20 @@ def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: train_ivf_centroids(emb, n_centroids=16, refine_iters=1),
     )
     exact = _shared_ann_exact(spark, sf_dir).select("q_id", "neighbor_id")
+    # r13 opt (guide §4/§5): the cell-assignment pandas UDF ran over
+    # the FULL corpus three times (inside cosine_topk_ivf, for
+    # cell_stats, and for the candidate-fraction probe). Materialize
+    # the (id, cell) index once — narrow rows, exactly what a
+    # production IVF deployment persists — and share it: one UDF pass.
+    assign = ivf_cell_udf(cents, n_probe=1)
+    probe = ivf_cell_udf(cents, n_probe=4)
+    c_cells = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        assign(F.col("embedding"))[0].alias("cell"),
+    ).localCheckpoint(eager=False)
     ivf = cosine_topk_ivf(
-        emb, queries, k=5, n_centroids=16, n_probe=4, centroids=cents
+        emb, queries, k=5, n_centroids=16, n_probe=4, centroids=cents,
+        cells=c_cells,
     ).select("q_id", "neighbor_id")
     hit = exact.join(ivf, ["q_id", "neighbor_id"], "left_semi").agg(
         F.count("*").alias("n_hit")
@@ -1967,10 +1979,8 @@ def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_total"),
         F.count_distinct("q_id").alias("n_queries"),
     )
-    assign = ivf_cell_udf(cents, n_probe=1)
-    probe = ivf_cell_udf(cents, n_probe=4)
     cell_stats = (
-        emb.select(assign(F.col("embedding"))[0].alias("cell"))
+        c_cells.select("cell")
         .groupBy("cell")
         .count()
         .agg(
@@ -1978,10 +1988,6 @@ def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("count").alias("max_cell"),
             F.sum("count").alias("n_vecs"),
         )
-    )
-    c_cells = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        assign(F.col("embedding"))[0].alias("cell"),
     )
     q_cells = queries.select(
         F.col("vec_id").alias("q_id"),
@@ -2047,7 +2053,11 @@ def q_ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pq_books_16x32", sf_dir),
         lambda: train_pq_codebooks(emb, m=16, k=32, iters=3),
     )
-    encoded = pq_encode(emb, books)
+    # r13 opt (guide §4/§5): ``encoded`` IS the PQ index (m uint codes
+    # per vector) and feeds both the ADC scoring path and the
+    # well-formedness stats; unmaterialized, the encode pandas UDF
+    # re-scanned the corpus once per consumer. One pass, shared.
+    encoded = pq_encode(emb, books).localCheckpoint(eager=False)
     exact = _shared_ann_exact(spark, sf_dir).select("q_id", "neighbor_id")
     pq = cosine_topk_pq(
         emb, queries, k=5, codebooks=books, encoded=encoded, n_candidates=100

@@ -787,6 +787,36 @@ def test_ivf_deterministic(spark):
     assert a == b
 
 
+def test_ivf_precomputed_cells_match_default_path(spark):
+    # r13 opt: a caller holding the materialized (id, cell) index passes
+    # it via ``cells`` — the search must equal the internally-assigned
+    # path row for row
+    from pyspark.sql import functions as F
+
+    from cassandra_slow_queries_spark.operators.similarity import (
+        cosine_topk_ivf,
+        ivf_cell_udf,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 3")
+    cents = train_ivf_centroids(emb, n_centroids=8, refine_iters=1)
+    assign = ivf_cell_udf(cents, n_probe=1)
+    cells = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        assign(F.col("embedding"))[0].alias("cell"),
+    )
+    via_cells = cosine_topk_ivf(
+        emb, queries, k=5, n_centroids=8, n_probe=2, centroids=cents,
+        cells=cells,
+    ).collect()
+    default = cosine_topk_ivf(
+        emb, queries, k=5, n_centroids=8, n_probe=2, centroids=cents
+    ).collect()
+    assert via_cells == default
+
+
 def test_pq_adc_scores_match_numpy(spark):
     """The JVM-side ADC gather (zip_with codes/LUT + aggregate sum)
     reproduces the numpy LUT computation exactly: for each (query,
