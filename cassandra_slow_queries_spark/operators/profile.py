@@ -453,18 +453,26 @@ def bigram_pmi(
 
     toked = df.select(tokenize(F.col(text_col)).alias("_toks"))
     pairs = _adjacent_bigrams(df, text_col, [])
-    bi = (
+    # r13 opt (guide §5): the unigram frame feeds three consumers (the
+    # x-join, the y-join, the total) and the bigram frame two (the
+    # filtered counts, the pair total) — unmaterialized, that is five
+    # corpus explode+aggregation passes per run. Checkpoint both
+    # vocabulary-sized frames once; the pair total is the sum of the
+    # unfiltered group counts (identical by definition).
+    bi_raw = (
         pairs.groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("n_xy"))
-        .filter(F.col("n_xy") >= min_count)
+        .localCheckpoint(eager=False)
     )
+    bi = bi_raw.filter(F.col("n_xy") >= min_count)
     uni = (
         toked.select(F.explode("_toks").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_tok"))
+        .localCheckpoint(eager=False)
     )
     n_uni = uni.agg(F.sum("n_tok").alias("_nu"))
-    n_bi = pairs.agg(F.count(F.lit(1)).alias("_nb"))
+    n_bi = bi_raw.agg(F.sum("n_xy").alias("_nb"))
     ux = uni.select(F.col("token").alias("x"), F.col("n_tok").alias("n_x"))
     uy = uni.select(F.col("token").alias("y"), F.col("n_tok").alias("n_y"))
     joined = (

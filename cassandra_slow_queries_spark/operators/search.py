@@ -87,8 +87,18 @@ def build_scored_index(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize(F.col(text_col))).alias("token"),
     )
-    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
-    tf = toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    # r13 opt (guide §5): the posting frame IS the index and every
+    # retrieval consumer (bm25_topk's corpus constants + df + scoring,
+    # tfidf, fusion) references it several times — unmaterialized, each
+    # reference re-ran the corpus explode. Checkpoint the (token, doc)
+    # aggregation once (posting-list-sized) and derive doc_len from it:
+    # Σ tf over a document's tokens counts exactly its token rows.
+    tf = (
+        toks.groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    lens = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     return tf.join(lens, "doc_id").select("token", "doc_id", "tf", "doc_len")
 
 

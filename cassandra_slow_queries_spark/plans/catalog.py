@@ -619,7 +619,6 @@ def q_set_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFram
     return (
         cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")
-        .orderBy("c_custkey")
     )
 
 
@@ -806,7 +805,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_slow_queries_spark.operators.dedup import exact_dedup_groups
 
     docs = load(spark, sf_dir, "documents")
-    return exact_dedup_groups(docs, "text", "doc_id").orderBy("h")
+    return exact_dedup_groups(docs, "text", "doc_id")
 
 
 DEDUP_EXACT_SQL = """
@@ -836,7 +835,7 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = strip_corpus_duplicate_chunks(
         docs, "text", "doc_id", chunk_words=4, min_dup_docs=2
     )
-    return out.withColumnRenamed("id", "doc_id").orderBy("doc_id")
+    return out.withColumnRenamed("id", "doc_id")
 
 
 DEDUP_PARAGRAPH_SQL = """
@@ -1011,7 +1010,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.char_count("text").alias("n_chars_actual"),
         _q6(T.stopword_ratio("text")).alias("stopword_ratio"),
         _q6(T.avg_token_length("text")).alias("avg_token_len"),
-    ).orderBy("doc_id")
+    )
 
 
 from cassandra_slow_queries_spark.functions.text import EN_STOPWORDS  # noqa: E402
@@ -1043,7 +1042,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         T.lang_id("text").alias("pred_lang"),
         F.col("lang").alias("labeled_lang"),
-    ).orderBy("doc_id")
+    )
 
 
 def _langid_sql() -> str:
@@ -1146,7 +1145,6 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         semantic_dedup(corpus, threshold=0.999, n_clusters=8)
         .select("vec_id", "removed")
-        .orderBy("vec_id")
     )
 
 
@@ -1178,7 +1176,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         assign_clusters(docs, pairs, "doc_id")
         .select("doc_id", "cluster_id", "is_keeper")
-        .orderBy("doc_id")
     )
 
 
@@ -1219,7 +1216,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.round(quality_score("text"), 6).alias("quality"),
         bpe_token_count("text").alias("bpe_tokens"),
-    ).orderBy("doc_id")
+    )
 
 
 def _text_quality_sql() -> str:
@@ -1261,7 +1258,6 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         repetition_metrics(docs, "text", "doc_id", chunk_words=4)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
     )
 
 
@@ -1311,7 +1307,6 @@ def q_cur_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         quality_filter(docs, "text", "doc_id")
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
     )
 
 
@@ -1532,7 +1527,6 @@ def q_cur_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "n_chars", "start_offset", "pack_id", "pack_pos", "n_spans"
         )
-        .orderBy("doc_id")
     )
 
 
@@ -2636,7 +2630,7 @@ def _mm_meta_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata path: documents.text as opaque binary payload
     → typed metadata via native expressions (decode stays stubbed)."""
-    return _mm_meta_frame(spark, sf_dir).orderBy("media_id")
+    return _mm_meta_frame(spark, sf_dir)
 
 
 MM_META_SQL = """
@@ -2803,7 +2797,7 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload, so the output bytes are content-dependent and the oracle
     can content-address them — a truncated batch, wrong byte math, or
     broken Arrow round-trip breaks the digest hash, not just a count."""
-    return _mm_resize_frame(spark, sf_dir).orderBy("media_id")
+    return _mm_resize_frame(spark, sf_dir)
 
 
 def _mm_resize_core_sql() -> str:
@@ -4303,7 +4297,7 @@ def q_x_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "user_id", "ts", "n_6h", _q6(F.col("avg_6h")).alias("avg_6h")
-    ).orderBy("user_id", "ts")
+    )
 
 
 X_ROLLING_SQL = """
@@ -4340,7 +4334,6 @@ def q_x_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             fill="ffill",
         )
         .select("user_id", "bucket_ts", F.round("value", 6).alias("value"))
-        .orderBy("user_id", "bucket_ts")
     )
 
 
@@ -6116,7 +6109,7 @@ def q_x_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pit_join(facts, history, ["user_id"], value_cols=["plan"])
     return out.select(
         "event_id", "user_id", "amount", "pit_plan", "pit_ts"
-    ).orderBy("event_id")
+    )
 
 
 X_PIT_JOIN_SQL = """
@@ -6195,7 +6188,7 @@ def q_cur_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = assign_split(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
-    return out.select("doc_id", "split").orderBy("doc_id")
+    return out.select("doc_id", "split")
 
 
 CUR_SPLIT_SQL = """
@@ -6295,7 +6288,7 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_slow_queries_spark.operators.profile import token_entropy
 
     docs = load_documents_wide(spark, sf_dir)
-    return token_entropy(docs, "doc_id", "text").orderBy("doc_id")
+    return token_entropy(docs, "doc_id", "text")
 
 
 TEXT_ENTROPY_SQL = """
@@ -6834,7 +6827,7 @@ def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(clean_text(F.col("_dirty"))).alias("clean_hash"),
         F.length(clean_text(F.col("_dirty"))).alias("n_clean"),
     )
-    return out.orderBy("doc_id")
+    return out
 
 
 TEXT_CLEAN_SQL = r"""
@@ -7478,7 +7471,7 @@ def q_x_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_abs_code"
         ),
         dequantize_cosine().alias("fidelity"),
-    ).orderBy("vec_id")
+    )
 
 
 X_INT8_QUANT_SQL = """
@@ -8135,7 +8128,7 @@ def q_x_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q6(F.col("support")).alias("support"),
         _q6(F.col("confidence")).alias("confidence"),
         _q6(F.col("lift")).alias("lift"),
-    ).orderBy("antecedent", "consequent")
+    )
 
 
 X_BASKET_SQL = """
@@ -8210,7 +8203,6 @@ def q_x_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             fill="interp",
         )
         .select("user_id", "bucket_ts", _q6(F.col("value")).alias("value"))
-        .orderBy("user_id", "bucket_ts")
     )
 
 
@@ -8284,9 +8276,7 @@ def q_cur_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    return quantile_bins(docs, "n_chars", "lang", n_bins=4).orderBy(
-        "doc_id"
-    )
+    return quantile_bins(docs, "n_chars", "lang", n_bins=4)
 
 
 CUR_CURRICULUM_SQL = """
@@ -8319,7 +8309,7 @@ def q_cur_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return chunk_documents(
         docs, "text", "doc_id", window_words=30, stride_words=20
-    ).orderBy("id", "pos")
+    )
 
 
 CUR_CHUNK_OVERLAP_SQL = """
