@@ -91,12 +91,12 @@ def train_bigram_lm(
     # r13 opt (guide §5): ``ctx`` derives from ``bi`` and scoring
     # consumes both as separate broadcast builds — unmaterialized, the
     # full corpus explode+aggregation subtree executed once PER
-    # consumer. The checkpoint is bigram-vocabulary-sized (further
+    # consumer. The persisted frame is bigram-vocabulary-sized (further
     # floored by ``min_count`` in the stored model), never corpus-sized.
     bi = (
         pairs.groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("n_xy"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     ctx = bi.groupBy("x").agg(F.sum("n_xy").alias("n_x"))
     if min_count > 1:

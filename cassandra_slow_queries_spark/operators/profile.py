@@ -369,11 +369,13 @@ def token_distribution(
     # re-runs the corpus explode+aggregation (the final executed plan
     # carried one full "Scan → explode → agg" subtree PER reference —
     # AQE does not dedupe them). Vocabulary-sized, so the checkpoint
-    # is bounded by the token universe, never the corpus.
+    # is bounded by the token universe, never the corpus (persist, not
+    # checkpoint: measured cheaper at sf1 — no serialization barrier —
+    # and it keeps lineage for executor-loss recovery).
     counts = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     total = counts.agg(F.sum("n").alias("_tot"))
     return counts.join(F.broadcast(total)).select(
@@ -456,20 +458,20 @@ def bigram_pmi(
     # r13 opt (guide §5): the unigram frame feeds three consumers (the
     # x-join, the y-join, the total) and the bigram frame two (the
     # filtered counts, the pair total) — unmaterialized, that is five
-    # corpus explode+aggregation passes per run. Checkpoint both
+    # corpus explode+aggregation passes per run. Persist both
     # vocabulary-sized frames once; the pair total is the sum of the
     # unfiltered group counts (identical by definition).
     bi_raw = (
         pairs.groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("n_xy"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     bi = bi_raw.filter(F.col("n_xy") >= min_count)
     uni = (
         toked.select(F.explode("_toks").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_tok"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     n_uni = uni.agg(F.sum("n_tok").alias("_nu"))
     n_bi = bi_raw.agg(F.sum("n_xy").alias("_nb"))

@@ -90,13 +90,13 @@ def build_scored_index(
     # r13 opt (guide §5): the posting frame IS the index and every
     # retrieval consumer (bm25_topk's corpus constants + df + scoring,
     # tfidf, fusion) references it several times — unmaterialized, each
-    # reference re-ran the corpus explode. Checkpoint the (token, doc)
+    # reference re-ran the corpus explode. Persist the (token, doc)
     # aggregation once (posting-list-sized) and derive doc_len from it:
     # Σ tf over a document's tokens counts exactly its token rows.
     tf = (
         toks.groupBy("token", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     lens = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
     return tf.join(lens, "doc_id").select("token", "doc_id", "tf", "doc_len")

@@ -1962,13 +1962,13 @@ def q_ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the FULL corpus three times (inside cosine_topk_ivf, for
     # cell_stats, and for the candidate-fraction probe). Materialize
     # the (id, cell) index once — narrow rows, exactly what a
-    # production IVF deployment persists — and share it: one UDF pass.
+    # production IVF deployment stores — and share it: one UDF pass.
     assign = ivf_cell_udf(cents, n_probe=1)
     probe = ivf_cell_udf(cents, n_probe=4)
     c_cells = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         assign(F.col("embedding"))[0].alias("cell"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     ivf = cosine_topk_ivf(
         emb, queries, k=5, n_centroids=16, n_probe=4, centroids=cents,
         cells=c_cells,
@@ -2058,7 +2058,7 @@ def q_ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per vector) and feeds both the ADC scoring path and the
     # well-formedness stats; unmaterialized, the encode pandas UDF
     # re-scanned the corpus once per consumer. One pass, shared.
-    encoded = pq_encode(emb, books).localCheckpoint(eager=False)
+    encoded = pq_encode(emb, books).persist()
     exact = _shared_ann_exact(spark, sf_dir).select("q_id", "neighbor_id")
     pq = cosine_topk_pq(
         emb, queries, k=5, codebooks=books, encoded=encoded, n_candidates=100
@@ -5861,11 +5861,11 @@ def q_x_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the top-20 projection; unmaterialized, each reference
     # re-executed the full two-snapshot tokenize+aggregate+join
     # subtree (8 parquet scans in the executed plan, 2 after the
-    # checkpoints here and in token_distribution). Vocabulary-sized.
+    # persists here and in token_distribution). Vocabulary-sized.
     drift = distribution_drift(
         docs.filter(F.col("lang") == "en"),
         docs.filter(F.col("lang") != "en"),
-    ).localCheckpoint(eager=False)
+    ).persist()
     total = drift.agg(F.round(F.sum("js"), 6).alias("js_total"))
     return (
         drift.crossJoin(F.broadcast(total))
@@ -7049,14 +7049,12 @@ def q_x_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 opt (guide §5): the executed plan carried TEN independent
     # events scans — ``sketch`` (≤ depth×width = 320 rows) is consumed
     # by four branches and ``exact``/``stats`` each re-scanned the
-    # base. Checkpoint the two tiny aggregates and derive the stats
+    # base. Persist the two tiny aggregates and derive the stats
     # row from ``exact`` (n_items = Σ_true over the groups, n_distinct
     # = group count — identical by definition since ``item`` is
     # non-null by construction), leaving one scan per independent
     # build (sketch, exact, the two halves, the repartition probe).
-    sketch = cm_build(ev, "item", width=width, depth=depth).localCheckpoint(
-        eager=False
-    )
+    sketch = cm_build(ev, "item", width=width, depth=depth).persist()
     sketch_stats = sketch.agg(
         F.count(F.lit(1)).alias("_n_cells"),
         F.sum("cnt").alias("_mass"),
@@ -7065,7 +7063,7 @@ def q_x_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         ev.groupBy("item")
         .agg(F.count(F.lit(1)).alias("_true"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     stats = exact.agg(
         F.sum("_true").alias("n_items"),
@@ -7210,7 +7208,7 @@ def q_x_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # events scans — ``exact`` feeds both probe-gate branches, the
     # stats row re-scanned the base, and the 7-partition probe built
     # its per-partition summaries twice (once inside
-    # mg_topk_candidates, once for the size gate). Checkpoint the two
+    # mg_topk_candidates, once for the size gate). Persist the two
     # tiny frames (≤ ~500 item groups; ≤ 7·k summary rows), derive
     # stats from ``exact`` (n_items = Σ_true, n_distinct = group
     # count — identical by definition, ``item`` is non-null by
@@ -7219,7 +7217,7 @@ def q_x_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         ev.groupBy("item")
         .agg(F.count(F.lit(1)).alias("_true"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     stats = exact.agg(
         F.sum("_true").alias("n_items"),
@@ -7255,9 +7253,7 @@ def q_x_mg_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gates = _probe_gates(ev, "")
     ev7 = ev.repartition(7)
-    summaries7 = mg_partition_summaries(ev7, "item", k=k).localCheckpoint(
-        eager=False
-    )
+    summaries7 = mg_partition_summaries(ev7, "item", k=k).persist()
     gates7 = _probe_gates(ev7, "_p7", summaries=summaries7)
     size_gate = summaries7.agg(
         (F.count(F.lit(1)) <= F.lit(7 * k)).alias("summary_bounded")
