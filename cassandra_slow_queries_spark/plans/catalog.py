@@ -401,11 +401,8 @@ def q_p2_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         k,
         F.lit("']"),
     )
-    # Sort FIRST on the narrow raw columns: a global sort above the parse
-    # would run the whole parse twice (range-partitioner sampling executes
-    # the child plan), so the sample pass here only rescans parquet.
     parsed = add_log_columns(
-        ev.orderBy("event_id").select("event_id", msg.alias("message"))
+        ev.select("event_id", msg.alias("message"))
     )
     return parsed.select(
         "event_id",
@@ -1805,7 +1802,6 @@ def q_cur_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         contamination_check(docs, eval_docs, "text", "doc_id", n=8)
         .filter(F.col("id") != F.col("eval_id"))
-        .orderBy("id", "eval_id")
     )
 
 
