@@ -705,6 +705,95 @@ def contamination_check(
     )
 
 
+def _max_multiplicity(arr: Column) -> Column:
+    """Max element multiplicity of a non-empty array — the ``max(c)``
+    of explode → count per (id, gram), without the explode.
+
+    ``array_sort`` groups equal elements adjacently, so the max
+    multiplicity is the longest run in the sorted array, found by ONE
+    ``aggregate`` fold carrying ``(prev, run, best)``. The fold lambda
+    touches only the accumulator and the element: HOF lambdas re-eval
+    any embedded array subtree once PER ELEMENT (an index-based
+    filter-over-``sequence`` formulation measured 30× slower than the
+    explode pipelines on exactly this corpus), while the fold keeps the
+    whole thing one O(n·log n) pass per row. Elements must be non-null
+    (split/concat_ws output never is; ``prev`` is NULL only before the
+    first element, starting the first run).
+    """
+    s = F.array_sort(arr)
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(acc.prev.isNull() | (acc.prev != x), F.lit(1))
+        .otherwise(acc.run + F.lit(1))
+        .alias("run"),
+        F.greatest(
+            acc.best,
+            F.when(acc.prev.isNull() | (acc.prev != x), F.lit(1)).otherwise(
+                acc.run + F.lit(1)
+            ),
+        ).alias("best"),
+    )
+    return F.aggregate(
+        s,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        step,
+        lambda acc: acc.best,
+    )
+
+
+def _repetition_cols(
+    text_col: str, chunk_words: int
+) -> tuple[Column, Column, Column]:
+    """The three Gopher repetition fractions as pure per-row column
+    expressions — ``(dup_chunk_frac, top_bigram_frac, top_word_frac)``,
+    qdec-rounded, for a document whose id is unique in the frame.
+
+    Exactly the values the r1-r13 explode → hash-aggregate pipelines
+    produced (pinned by tests/test_properties.py's pure-Python
+    differential and the hand-computed cases), including the edges the
+    left-join + coalesce structure used to supply: NULL text → (1.0,
+    0.0, 0.0) (the chunker emits one NULL span; count_distinct ignores
+    NULLs), empty text → (0.0, 0.0, 1.0) (split('') is ['']), single
+    word → top_bigram_frac 0.0.
+    """
+    text = F.col(text_col)
+    words = F.split(text, " ", -1)
+    n_words = F.size(words)
+
+    # chunk_documents' window arithmetic with stride == window — the
+    # word_chunk_spans definition, without the posexplode round trip
+    extra = F.greatest(n_words - chunk_words, F.lit(0))
+    n_win = F.lit(1) + F.ceil(extra / F.lit(float(chunk_words))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    dup = F.when(text.isNull(), F.lit(1.0)).otherwise(
+        F.lit(1) - F.size(F.array_distinct(chunks)) / F.size(chunks)
+    )
+    # zip_with evaluates both slice arrays ONCE and pairs elements —
+    # an element_at(words, i) transform would re-split the text per
+    # element (see _max_multiplicity on lambda-embedded subtrees)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n_words - 1),
+        F.slice(words, 2, n_words - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = F.when(text.isNull() | (n_words < 2), F.lit(0.0)).otherwise(
+        _max_multiplicity(bigrams) / (n_words - 1)
+    )
+    wd = F.when(text.isNull(), F.lit(0.0)).otherwise(
+        _max_multiplicity(words) / n_words
+    )
+    return qdec(dup), qdec(bg), qdec(wd)
+
+
 def repetition_metrics(
     df: DataFrame,
     text_col: str,
@@ -727,64 +816,25 @@ def repetition_metrics(
     High values flag degenerate, loop-generated, or keyword-stuffed
     documents that length/stopword heuristics (``quality_score``) miss.
 
-    Scale shape: three explode → hash-aggregate pipelines joined on the
-    document id. Each aggregation is map-side combinable and keyed by
-    (id, gram) then (id) — no windows, no Python, no corpus-global
-    state, so the cost is linear in token count and the shuffles are
-    keyed on the (high-cardinality) document id.
+    Scale shape: every metric is within-document, so the whole profile
+    is ONE codegen'd projection over the scan (:func:`_repetition_cols`
+    — sort each document's gram array and take the longest run instead
+    of explode → count → max/sum). No shuffle beyond the input spread,
+    no joins, no Python; cost stays linear in token count (the per-row
+    ``array_sort`` is n·log n in DOCUMENT length, not corpus size).
+    The r1-r12 shape — three explode → hash-aggregate pipelines joined
+    on the id — recomputed the scan four times and paid seven
+    shuffles for values that never cross document boundaries.
+    Documents are assumed unique per id (the corpus invariant; the old
+    join shape silently mixed grams across duplicate ids instead of
+    erroring, so neither shape supports them).
     """
-    from cassandra_slow_queries_spark.operators.dedup import word_chunk_spans
-
-    did = F.col(id_col).alias("id")
-    words_arr = F.split(F.col(text_col), " ", -1)
-    base = spread_input(df, by=id_col)
-
-    def top_frac(exploded: DataFrame) -> DataFrame:
-        per_gram = exploded.groupBy("id", "g").agg(F.count("*").alias("c"))
-        return per_gram.groupBy("id").agg(
-            (F.max("c") / F.sum("c")).alias("frac")
-        )
-
-    word_frac = top_frac(
-        base.select(did, F.explode(words_arr).alias("g"))
-    ).withColumnRenamed("frac", "top_word_frac")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(words_arr) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(words_arr, i), F.element_at(words_arr, i + 1)
-        ),
-    )
-    bigram_frac = top_frac(
-        base.filter(F.size(words_arr) >= 2).select(
-            did, F.explode(bigrams).alias("g")
-        )
-    ).withColumnRenamed("frac", "top_bigram_frac")
-    chunk_frac = (
-        word_chunk_spans(df, text_col, id_col, chunk_words)
-        .groupBy("id")
-        .agg(
-            (1 - F.count_distinct("span") / F.count("*")).alias(
-                "dup_chunk_frac"
-            )
-        )
-    )
-    return (
-        df.select(did)
-        .join(chunk_frac, "id", "left")
-        .join(bigram_frac, "id", "left")
-        .join(word_frac, "id", "left")
-        .select(
-            "id",
-            qdec(F.coalesce("dup_chunk_frac", F.lit(0.0))).alias(
-                "dup_chunk_frac"
-            ),
-            qdec(F.coalesce("top_bigram_frac", F.lit(0.0))).alias(
-                "top_bigram_frac"
-            ),
-            qdec(F.coalesce("top_word_frac", F.lit(0.0))).alias(
-                "top_word_frac"
-            ),
-        )
+    dup, bg, wd = _repetition_cols(text_col, chunk_words)
+    return spread_input(df, by=id_col).select(
+        F.col(id_col).alias("id"),
+        dup.alias("dup_chunk_frac"),
+        bg.alias("top_bigram_frac"),
+        wd.alias("top_word_frac"),
     )
 
 
@@ -808,37 +858,33 @@ def quality_filter(
     audit, or re-threshold without recomputing the signals. ``keep`` is
     the conjunction; flip thresholds per corpus.
 
-    Scale shape: the quality score and language ID are pure expressions
-    on the scan; only the repetition profile aggregates (three keyed
-    explode pipelines, see :func:`repetition_metrics`); one join on the
-    document id combines them.
+    Scale shape: quality score, language ID AND the repetition profile
+    (:func:`_repetition_cols`) are all within-document expressions, so
+    the whole filter is one codegen'd projection over a single scan —
+    no join, no aggregation, no Python. The r1-r12 shape joined a
+    separate three-pipeline repetition frame back on the id, re-reading
+    the corpus four times for per-row values.
     """
     from cassandra_slow_queries_spark.functions.text import (
         lang_id,
         quality_score,
     )
 
-    rep = repetition_metrics(df, text_col, id_col, chunk_words)
-    base = df.select(
+    dup, bg, _ = _repetition_cols(text_col, chunk_words)
+    out = spread_input(df, by=id_col).select(
         F.col(id_col).alias("id"),
         F.round(quality_score(text_col), 6).alias("quality"),
+        dup.alias("dup_chunk_frac"),
+        bg.alias("top_bigram_frac"),
         lang_id(text_col).alias("pred_lang"),
     )
-    out = base.join(rep, "id")
     keep = (
         (F.col("quality") >= min_quality)
         & (F.col("dup_chunk_frac") <= max_dup_chunk_frac)
         & (F.col("top_bigram_frac") <= max_top_bigram_frac)
         & (F.col("pred_lang") == lang)
     )
-    return out.select(
-        "id",
-        "quality",
-        "dup_chunk_frac",
-        "top_bigram_frac",
-        "pred_lang",
-        keep.alias("keep"),
-    )
+    return out.withColumn("keep", keep)
 
 
 def compression_ratio(

@@ -1245,8 +1245,9 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition profile (duplicate-chunk
     fraction, top-bigram fraction, top-word fraction) — flags the
     degenerate/loop-generated documents that length and stopword
-    heuristics miss. Three explode → hash-aggregate pipelines keyed on
-    the document id; no windows, no Python."""
+    heuristics miss. One codegen'd projection (sorted-array longest-run
+    per document); no shuffle beyond the spread, no windows, no
+    Python."""
     from cassandra_slow_queries_spark.operators.curation import (
         repetition_metrics,
     )

@@ -326,6 +326,63 @@ def test_repetition_metrics_hand_computed(spark):
     assert out[3] == (0.0, 0.0, 1.0)
 
 
+def test_repetition_metrics_null_text_and_ties(spark):
+    """Edges the r13 single-projection rewrite must keep from the
+    explode-pipeline era:
+
+    - NULL text → (1.0, 0.0, 0.0): the chunker emitted one NULL span
+      and count_distinct ignored NULLs (1 − 0/1), while the word and
+      bigram pipelines produced no rows (coalesce → 0.0).
+    - modal TIES (two words with equal max multiplicity) → max
+      multiplicity, not first-seen or sum: "a a b b" → 2/4.
+    - the longest-run fold is order-independent: scattered repeats
+      count the same as adjacent ones ("a b a b a" → "a" 3/5).
+    """
+    from cassandra_slow_queries_spark.operators.curation import (
+        repetition_metrics,
+    )
+
+    rows = [(0, None), (1, "a a b b"), (2, "a b a b a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.id: (r.dup_chunk_frac, r.top_bigram_frac, r.top_word_frac)
+        for r in repetition_metrics(
+            df, "text", "doc_id", chunk_words=2
+        ).collect()
+    }
+    assert out[0] == (1.0, 0.0, 0.0)
+    # doc 1: chunks "a a"/"b b" distinct → 0.0; bigrams a a, a b, b b
+    # all once → 1/3; words tie at 2 → 2/4
+    assert out[1] == (0.0, round(1 / 3, 6), 0.5)
+    # doc 2: chunks "a b"/"a b"/"a" → dup 1/3; bigram "a b" 2/4;
+    # word "a" 3/5 despite never being adjacent to itself
+    assert out[2] == (round(1 / 3, 6), 0.5, 0.6)
+
+
+def test_repetition_and_quality_filter_plans_are_single_pass(spark):
+    """The r13 rewrite contract: repetition_metrics and quality_filter
+    are ONE projection over ONE scan — no explode (Generate), no
+    aggregation, no join may reappear in their optimized plans. The
+    values themselves are pinned by the pure-Python differential
+    (test_properties) and the oracle; this pins the SHAPE the 5-6×
+    sf1/sf3 win came from."""
+    from cassandra_slow_queries_spark.operators.curation import (
+        quality_filter,
+        repetition_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f")], "doc_id long, text string"
+    )
+    for frame in (
+        repetition_metrics(df, "text", "doc_id"),
+        quality_filter(df, "text", "doc_id"),
+    ):
+        plan = frame._jdf.queryExecution().optimizedPlan().toString()
+        for op in ("Generate", "Aggregate", "Join"):
+            assert op not in plan, (op, plan)
+
+
 def test_group_percent_rank_equals_row_window(spark):
     from pyspark.sql import Window
 
