@@ -39,6 +39,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from cassandra_slow_queries_spark import get_spark  # noqa: E402
 from cassandra_slow_queries_spark.plans.catalog import CATALOG  # noqa: E402
+from cassandra_slow_queries_spark.session import (  # noqa: E402
+    release_entry_storage,
+)
 
 
 def compact_summary_line(full: dict, budget: int = 1600) -> str:
@@ -59,7 +62,13 @@ def compact_summary_line(full: dict, budget: int = 1600) -> str:
     queries map keeps the slowest entries, dropped 10 at a time until
     the serialized line fits (``queries_omitted`` counts the rest)."""
     timings, errors = full["queries"], full["errors"]
-    base = {k: v for k, v in full.items() if k not in ("queries", "errors")}
+    # queries_min is a full-payload-only addition (BENCH_local.json);
+    # inlining 150 more entries here would blow the stdout budget
+    base = {
+        k: v
+        for k, v in full.items()
+        if k not in ("queries", "errors", "queries_min")
+    }
     base["queries_full"] = "BENCH_local.json"
     base["n_errors"] = len(errors)
     if len(errors) <= 8:
@@ -140,6 +149,13 @@ def main() -> None:
                         f"bench: {name} FAILED: {errors[name]}",
                         file=sys.stderr,
                     )
+            # r14 (guide §5): release the storage blocks this entry
+            # pinned (persist/localCheckpoint inside the build) OUTSIDE
+            # the timed region, so every entry starts from the same
+            # clean storage state instead of inheriting up to 449 prior
+            # builds' leftover blocks in an 8 GiB JVM. The timed region
+            # above is unchanged.
+            release_entry_storage(spark)
     wall = round(time.perf_counter() - start_all, 3)
 
     timings = {
@@ -147,11 +163,21 @@ def main() -> None:
         for name, vals in samples.items()
         if vals
     }
+    # r14 addition (adjudication aid): the per-entry MIN alongside the
+    # median. On a box whose page-cache state inflates I/O-bound
+    # entries run-to-run, the min across whole-pass repeats is the
+    # cleanest per-entry reading; "value" stays the median sum so
+    # round-over-round totals remain comparable.
+    mins = {
+        name: round(min(vals), 3) for name, vals in samples.items() if vals
+    }
     full = {
         "metric": "catalog_suite_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_min": mins,
+        "value_min_sum": round(sum(mins.values()), 3),
         "errors": errors,
         "repeats": repeats,
         "wall": wall,

@@ -760,12 +760,21 @@ def _repetition_cols(
     NULLs), empty text → (0.0, 0.0, 1.0) (split('') is ['']), single
     word → top_bigram_frac 0.0.
     """
+    if chunk_words < 1:
+        # same contract as chunk_documents — the explode-era path
+        # raised here via the chunker; the inline arithmetic would
+        # otherwise divide by zero into silent NaN/NULL fractions
+        raise ValueError("chunk_words must be >= 1")
     text = F.col(text_col)
     words = F.split(text, " ", -1)
     n_words = F.size(words)
 
     # chunk_documents' window arithmetic with stride == window — the
     # word_chunk_spans definition, without the posexplode round trip
+    # (cross-pinned against word_chunk_spans by
+    # tests/test_curation.py::test_repetition_chunks_match_word_chunk_spans
+    # so the two copies of the window arithmetic cannot silently
+    # diverge)
     extra = F.greatest(n_words - chunk_words, F.lit(0))
     n_win = F.lit(1) + F.ceil(extra / F.lit(float(chunk_words))).cast("int")
     chunks = F.transform(

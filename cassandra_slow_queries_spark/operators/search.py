@@ -75,6 +75,42 @@ def search_all_terms(
     )
 
 
+def scored_index_parts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """The scored index as its two normal-form parts:
+    ``tf (token, doc_id, tf)`` and ``lens (doc_id, doc_len)``.
+
+    r14 opt (guide §1.2/§2.4): :func:`bm25_topk`'s corpus constants
+    (N, avg doc length) are a pure function of ``lens``, but when the
+    caller only holds the joined ``tf ⋈ lens`` frame the constants
+    re-execute the full posting-frame join plus a corpus-wide
+    ``(doc_id, doc_len)`` distinct — two exchanges and a join spent
+    recomputing a frame this function already built. Callers that
+    score (the BM25 entries) should take the parts and hand ``lens``
+    to :func:`bm25_topk`; :func:`build_scored_index` remains the
+    joined-frame convenience for consumers that want posting rows.
+
+    r13 opt (guide §5): the (token, doc) aggregation is the index and
+    every retrieval consumer references it several times —
+    unmaterialized, each reference re-ran the corpus explode. Persist
+    it once (posting-list-sized; harness loops release via
+    ``session.release_entry_storage``) and derive doc_len from it:
+    Σ tf over a document's tokens counts exactly its token rows.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("token"),
+    )
+    tf = (
+        toks.groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    lens = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    return tf, lens
+
+
 def build_scored_index(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -82,23 +118,9 @@ def build_scored_index(
     ``(token, doc_id, tf, doc_len)`` — term frequency in the document
     and the document's token count. Same explode/shuffle shape as
     :func:`build_inverted_index`; tf comes from the (token, doc)
-    groupBy rather than a distinct."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokenize(F.col(text_col))).alias("token"),
-    )
-    # r13 opt (guide §5): the posting frame IS the index and every
-    # retrieval consumer (bm25_topk's corpus constants + df + scoring,
-    # tfidf, fusion) references it several times — unmaterialized, each
-    # reference re-ran the corpus explode. Persist the (token, doc)
-    # aggregation once (posting-list-sized) and derive doc_len from it:
-    # Σ tf over a document's tokens counts exactly its token rows.
-    tf = (
-        toks.groupBy("token", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
-    )
-    lens = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    groupBy rather than a distinct. Scoring consumers should prefer
+    :func:`scored_index_parts` (see its r14 note)."""
+    tf, lens = scored_index_parts(df, text_col, id_col)
     return tf.join(lens, "doc_id").select("token", "doc_id", "tf", "doc_len")
 
 
@@ -169,6 +191,7 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    doc_lens: DataFrame | None = None,
 ) -> DataFrame:
     """BM25-ranked retrieval (Robertson-Spärck Jones; the Okapi BM25
     formula) over a :func:`build_scored_index` frame: top-``k``
@@ -190,10 +213,24 @@ def bm25_topk(
     want = sorted({t.lower() for t in terms if t})
     if not want:
         raise ValueError("bm25 needs at least one non-empty term")
-    consts = index.select("doc_id", "doc_len").distinct().agg(
-        F.count(F.lit(1)).alias("_n_docs"),
-        F.avg("doc_len").alias("_avg_len"),
-    )
+    # r14 opt (guide §1.2/§2.4): with the per-document length frame in
+    # hand (scored_index_parts), the corpus constants are ONE tiny
+    # aggregation of it; deriving them from the joined index instead
+    # re-executes the full posting-frame join plus a corpus-wide
+    # (doc_id, doc_len) distinct — a shuffle of every posting row spent
+    # on two scalars. Identical values by construction: the index's
+    # distinct (doc_id, doc_len) pairs ARE the doc_lens rows (doc_len
+    # is functionally dependent on doc_id).
+    if doc_lens is not None:
+        consts = doc_lens.agg(
+            F.count(F.lit(1)).alias("_n_docs"),
+            F.avg("doc_len").alias("_avg_len"),
+        )
+    else:
+        consts = index.select("doc_id", "doc_len").distinct().agg(
+            F.count(F.lit(1)).alias("_n_docs"),
+            F.avg("doc_len").alias("_avg_len"),
+        )
     hits = index.filter(F.col("token").isin(want))
     df_per_term = hits.groupBy("token").agg(
         F.count(F.lit(1)).alias("_df")

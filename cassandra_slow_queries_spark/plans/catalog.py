@@ -4120,12 +4120,19 @@ def q_x_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     miscount reorders the ranking and breaks the hash."""
     from cassandra_slow_queries_spark.operators.search import (
         bm25_topk,
-        build_scored_index,
+        scored_index_parts,
     )
 
     docs = load(spark, sf_dir, "documents")
-    index = build_scored_index(docs, "text", "doc_id")
-    return bm25_topk(index, ["vector", "spark", "window"], k=10)
+    # r14 opt (guide §2.4): hand the lens frame to bm25_topk so the
+    # corpus constants aggregate it directly instead of re-executing
+    # the posting-frame join + a corpus-wide distinct (plan: one full
+    # Exchange+Join removed; see plans/r14/x_bm25_{before,after}.txt)
+    tf, lens = scored_index_parts(docs, "text", "doc_id")
+    index = tf.join(lens, "doc_id").select("token", "doc_id", "tf", "doc_len")
+    return bm25_topk(
+        index, ["vector", "spark", "window"], k=10, doc_lens=lens
+    )
 
 
 X_BM25_SQL = """
@@ -8334,8 +8341,8 @@ def q_x_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ranking, and the 1/(60+rank) sum in SQL."""
     from cassandra_slow_queries_spark.operators.search import (
         bm25_topk,
-        build_scored_index,
         rrf_fuse,
+        scored_index_parts,
         with_rank,
     )
     from cassandra_slow_queries_spark.operators.similarity import (
@@ -8344,11 +8351,15 @@ def q_x_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
+    # r14 opt: same lens hand-off as q_x_bm25 (guide §2.4)
+    tf, lens = scored_index_parts(docs, "text", "doc_id")
+    index = tf.join(lens, "doc_id").select("token", "doc_id", "tf", "doc_len")
     lex = with_rank(
         bm25_topk(
-            build_scored_index(docs, "text", "doc_id"),
+            index,
             ["vector", "spark", "window"],
             k=20,
+            doc_lens=lens,
         ),
         "score",
         "doc_id",

@@ -112,6 +112,44 @@ def spread_input(
     return df.repartition(target, *cols)
 
 
+def release_entry_storage(spark: SparkSession) -> int:
+    """Release every storage block the current session holds: SQL-cached
+    frames (``DataFrame.persist``) via the catalog, then any remaining
+    RDD-level persistent blocks (``localCheckpoint`` materializations,
+    directly-persisted RDDs). Returns the number of RDD-level blocks
+    released (the SQL cache clear is not counted — the catalog API does
+    not report a count).
+
+    Guide §5: "unpersist when done." The catalog's entries persist /
+    localCheckpoint reused subframes INSIDE an entry build — correct
+    within one entry, but a long-lived session running many entries
+    (the bench loop: 150 entries × 3 passes) accumulates every entry's
+    blocks until Python GC + ContextCleaner happen to release them.
+    On an 8 GiB driver JVM that is nondeterministic storage pressure
+    inside the very suite being measured: storage competes with
+    execution memory, MEMORY_AND_DISK blocks spill to local disk, and
+    later entries pay eviction + page-cache churn for earlier entries'
+    leftovers. Harness loops call this BETWEEN entries (outside any
+    timed region) so every entry starts from the same clean storage
+    state; entries never share executor-block state across builds (all
+    cross-entry reuse goes through parquet staging —
+    plans/intermediates.py, catalog._stage_once), so the clear cannot
+    change any result.
+    """
+    spark.catalog.clearCache()
+    released = 0
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist()
+            released += 1
+    except Exception:
+        # py4j surface moved — the SQL-cache clear above still covers
+        # the persist() sites; do not let cleanup kill a bench pass
+        pass
+    return released
+
+
 def get_spark(
     app_name: str = "cassandra-slow-queries-spark",
     master: str | None = None,

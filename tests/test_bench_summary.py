@@ -107,3 +107,17 @@ def test_canary_measures_a_fixed_workload(spark):
 
     w = canary(spark, n=10_000)
     assert isinstance(w, float) and w > 0
+
+
+def test_queries_min_stays_out_of_compact_line():
+    """r14 adds the per-entry min map to the FULL payload only
+    (BENCH_local.json); inlining 150 more floats into the compact line
+    would blow its stdout budget. The compact line must neither carry
+    the map nor grow past budget because of it."""
+    full = _full()
+    full["queries_min"] = {n: v * 0.9 for n, v in full["queries"].items()}
+    full["value_min_sum"] = round(sum(full["queries_min"].values()), 3)
+    parsed = _assert_survives_tail(compact_summary_line(full))
+    assert "queries_min" not in parsed
+    # the scalar min-sum is tiny and SHOULD survive for adjudication
+    assert parsed["value_min_sum"] == full["value_min_sum"]

@@ -592,3 +592,79 @@ def test_prefix_sum_adaptive_and_large_range_paths(spark):
         finally:
             ranged.unpersist()
         assert got == want, f"num_ranges={num_ranges}"
+
+
+def test_repetition_chunk_words_validated(spark):
+    """ADVICE r13: the inline chunk arithmetic must reject
+    chunk_words < 1 exactly like chunk_documents — the explode-era path
+    raised via the chunker; silent division by zero would yield
+    NaN/NULL fractions instead."""
+    from cassandra_slow_queries_spark.operators.curation import (
+        quality_filter,
+        repetition_metrics,
+    )
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="chunk_words"):
+            repetition_metrics(df, "text", "doc_id", chunk_words=bad)
+        with pytest.raises(ValueError, match="chunk_words"):
+            quality_filter(df, "text", "doc_id", chunk_words=bad)
+
+
+def test_repetition_chunks_match_word_chunk_spans(spark):
+    """ADVICE r13 cross-pin: _repetition_cols duplicates
+    chunk_documents' window/slice arithmetic inline (the single-
+    projection rewrite). If either copy changes, dup_chunk_frac would
+    silently diverge from the chunker — so pin, over varied
+    (n_words, chunk_words), that the inline chunk array equals
+    word_chunk_spans' spans exactly (same count, same text, same
+    order)."""
+    from cassandra_slow_queries_spark.operators.curation import (
+        _repetition_cols,  # the inline arithmetic under test
+    )
+    from cassandra_slow_queries_spark.operators.dedup import (
+        word_chunk_spans,
+    )
+
+    texts = [
+        "",  # split('') == [''] — one empty chunk
+        "w",
+        "a b",
+        "a b c",
+        "a b c d",
+        "a b c d e",
+        "a b c d e f g h i",
+        "x y x y x y x y",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for cw in (1, 2, 3, 4, 7):
+        # expose the inline chunk array via the same transform
+        # expression _repetition_cols builds internally
+        words = F.split(F.col("text"), " ", -1)
+        extra = F.greatest(F.size(words) - cw, F.lit(0))
+        n_win = F.lit(1) + F.ceil(extra / F.lit(float(cw))).cast("int")
+        inline = df.select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), n_win - 1),
+                lambda i: F.array_join(F.slice(words, i * cw + 1, cw), " "),
+            ).alias("chunks"),
+        )
+        got = {r.doc_id: r.chunks for r in inline.collect()}
+        spans = word_chunk_spans(df, "text", "doc_id", chunk_words=cw)
+        want: dict[int, list[str]] = {i: [] for i, _ in rows}
+        for r in spans.orderBy("id", "pos").collect():
+            want[r.id].append(r.span)
+        assert got == want, f"chunk_words={cw}"
+        # and dup_chunk_frac itself agrees with a fraction computed
+        # from the chunker's spans
+        dup_col, _, _ = _repetition_cols("text", cw)
+        got_dup = {
+            r.doc_id: r.dup
+            for r in df.select("doc_id", dup_col.alias("dup")).collect()
+        }
+        for i, _ in rows:
+            expect = round(1 - len(set(want[i])) / len(want[i]), 6)
+            assert got_dup[i] == expect, (i, cw)

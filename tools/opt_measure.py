@@ -32,7 +32,9 @@ from cassandra_slow_queries_spark.plans.catalog import (  # noqa: E402
 )
 
 PLANS_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"),
 )
 
 
@@ -86,6 +88,10 @@ def measure(spark, name, qd, sf_dir, repeats, tag, plans_only):
                     f.write(txt)
                 rec["shape"] = plan_shape(txt)
         if not plans_only:
+            from cassandra_slow_queries_spark.session import (
+                release_entry_storage,
+            )
+
             walls = []
             for _ in range(repeats):
                 t0 = time.perf_counter()
@@ -93,6 +99,9 @@ def measure(spark, name, qd, sf_dir, repeats, tag, plans_only):
                     "overwrite"
                 ).save()
                 walls.append(round(time.perf_counter() - t0, 3))
+                # match bench.py's r14 discipline: every timed run
+                # starts from a clean storage state
+                release_entry_storage(spark)
             walls_sorted = sorted(walls)
             rec["median"] = walls_sorted[len(walls) // 2]
             rec["min"] = walls_sorted[0]
